@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.Mercator
+import graft.model.{Bounds, ClusterOptions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The engine's flagship operator: viewport grid clustering.
+  *
+  * Relational re-expression of the reference's viewport clustering query
+  * (reference: cluster/cluster.go:866-956 `GetClusters` →
+  * `clusterPointsWithGrid` :1486-1701 → `createCluster` :1895-1950):
+  *
+  *   project (Mercator, builtin exprs) → viewport filter (closed
+  *   intervals, with the Mercator y-flip of :896-906) → snap to grid
+  *   cells of size radius·cellSizeFactor(zoom, n) → groupBy(cell) →
+  *   agg(count, centroid = mean of projected coords, per-metric SUM,
+  *   cluster id = min member id) → explode cells below MinPoints back to
+  *   their individual points → inverse-project centroids to lon/lat.
+  *
+  * Deliberate, documented deviations from the reference (SURVEY §7.1):
+  *  - the reference's greedy sweep / KD-tree variants (cluster.go:1265,
+  *    :2066) are order- and race-dependent (`processed` map shared
+  *    across goroutines, :1379-1464); we standardize on deterministic
+  *    snap-to-grid semantics so results are oracle-testable;
+  *  - cluster id = min(member id) instead of first-encountered id
+  *    (cluster.go:1927), again for determinism.
+  *
+  * Scale notes (100 TB): the pipeline is one shuffle for the cell
+  * aggregation (map-side partial agg makes the shuffle small) plus one
+  * join of the points against the below-MinPoints cells on the same cell
+  * key (AQE picks broadcast when that set is small, sort-merge when the
+  * viewport is singles-heavy). Never collects; with tile-partitioned
+  * storage ([[graft.sources.Catalog]]) the viewport filter prunes
+  * partitions before any scan.
+  */
+object GridCluster {
+
+  /** Exact SUM for 2-decimal double columns: cast each value to
+    * DECIMAL(18,2) (exact), sum in decimal (exact), cast the total back
+    * to double (deterministic nearest-double). Immune to fp
+    * addition-order differences between partitions/engines.
+    */
+  def exactSum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Project points and filter them to the viewport at `zoom`.
+    * Output = input columns + `px`, `py` (projected coords).
+    */
+  def projectToViewport(points: DataFrame, zoom: Int, bounds: Bounds, opts: ClusterOptions,
+                        lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val se = opts.scaleExtent(zoom)
+    // Y-flip: Mercator y grows southward, so the projected MinY comes
+    // from the viewport's *north* edge (reference: cluster.go:896-906).
+    val minPx = Mercator.projXs(bounds.minLon, se)
+    val maxPx = Mercator.projXs(bounds.maxLon, se)
+    val minPy = Mercator.projYs(bounds.maxLat, se)
+    val maxPy = Mercator.projYs(bounds.minLat, se)
+    points
+      .withColumn("px", Mercator.projX(col(lonCol), se))
+      .withColumn("py", Mercator.projY(col(latCol), se))
+      .filter(col("px") >= minPx && col("px") <= maxPx &&
+              col("py") >= minPy && col("py") <= maxPy)
+  }
+
+  /** Full viewport clustering query.
+    *
+    * @param metricCols double metric columns to SUM per cluster (exact
+    *                   decimal sums; singles carry their raw values)
+    * @return columns: id, lon, lat, count, is_cluster, <metricCols...>
+    */
+  def cluster(points: DataFrame, zoom: Int, bounds: Bounds,
+              opts: ClusterOptions = ClusterOptions(),
+              metricCols: Seq[String] = Nil,
+              idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val se = opts.scaleExtent(zoom)
+    val proj = projectToViewport(points, zoom, bounds, opts, lonCol, latCol)
+
+    // The cell-size density factor depends on the viewport point count
+    // (part of the operator's semantics — see ClusterOptions.cellSize).
+    // One cheap count over the pruned+filtered scan; the main pipeline
+    // re-reads the same pruned input.
+    val n = proj.count()
+    val cs = opts.cellSize(zoom, n)
+
+    val celled = proj
+      .withColumn("cell_x", floor(col("px") / lit(cs)))
+      .withColumn("cell_y", floor(col("py") / lit(cs)))
+
+    val aggs = Seq(
+      count(lit(1)).as("cnt"),
+      sum(col("px")).as("sx"),
+      sum(col("py")).as("sy"),
+      min(col(idCol)).as("min_id")
+    ) ++ metricCols.map(m => exactSum(col(m)).as(s"sum_$m"))
+
+    val cellAgg = celled.groupBy(col("cell_x"), col("cell_y")).agg(aggs.head, aggs.tail: _*)
+
+    val clusters = cellAgg
+      .filter(col("cnt") >= opts.minPoints)
+      .select(
+        Seq(
+          col("min_id").as(idCol),
+          Mercator.invX(col("sx") / col("cnt"), se).as(lonCol),
+          Mercator.invY(col("sy") / col("cnt"), se).as(latCol),
+          col("cnt").as("count"),
+          lit(true).as("is_cluster")
+        ) ++ metricCols.map(m => col(s"sum_$m").as(m)): _*)
+
+    // Two-pass explode-back (SURVEY §7.4): cells below MinPoints emit
+    // their member points unchanged (reference "single point cluster",
+    // cluster.go:1952-1968). Same-key join right after the same-key agg
+    // → co-partitioned; AQE broadcasts when the small-cell set is small.
+    val smallCells = cellAgg.filter(col("cnt") < opts.minPoints).select("cell_x", "cell_y")
+    val singles = celled
+      .join(smallCells, Seq("cell_x", "cell_y"), "left_semi")
+      .select(
+        Seq(
+          col(idCol),
+          Mercator.invX(col("px"), se).as(lonCol),
+          Mercator.invY(col("py"), se).as(latCol),
+          lit(1L).as("count"),
+          lit(false).as("is_cluster")
+        ) ++ metricCols.map(m => col(m)): _*)
+
+    clusters.unionByName(singles)
+  }
+}

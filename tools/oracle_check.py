@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
+each parquet table of <sfDir> as a DuckDB view, runs every oracle SQL,
+and compares against the Spark result parquet at <verifyOutDir>/<name>/.
+Exact comparison after sorting rows, with a float near-miss report so
+ulp-level drift is visible before it becomes a driver failure.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            failures += 1
+            continue
+        bad = []
+        worst = 0.0
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                aa = a.astype(float)
+                bb = b.astype(float)
+                mism = ~((aa == bb) | (aa.isna() & bb.isna()))
+                if mism.any():
+                    diff = (aa - bb).abs().max()
+                    bad.append(f"{c}: {int(mism.sum())} float mismatches, maxdiff={diff}")
+                else:
+                    rel = ((aa - bb).abs() / aa.abs().clip(lower=1e-300)).max()
+                    worst = max(worst, 0.0 if math.isnan(rel) else rel)
+            else:
+                if not a.equals(b):
+                    mism = ~((a == b) | (a.isna() & b.isna()))
+                    ex = ""
+                    if mism.any():
+                        i = mism.idxmax()
+                        ex = f" e.g. row {i}: {a[i]!r} != {b[i]!r}"
+                    bad.append(f"{c}: {int(mism.sum())} mismatches{ex}")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad))
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(g)} rows)")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
