@@ -81,7 +81,7 @@ object SparkEntry {
     s"""pts AS ($pointsSql),
        |proj AS (
        |  SELECT * FROM (
-       |    SELECT id, value, event_type, ts, props,
+       |    SELECT id, lon, lat, value, event_type, ts, props,
        |           (lon + 180.0) / 360.0 * ${d(se)} AS px,
        |           (0.5 - 0.25 * ln((1.0 + s) / (1.0 - s)) / pi()) * ${d(se)} AS py
        |    FROM (SELECT *,
@@ -94,20 +94,18 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** Oracle SQL for the full grid-clustering pipeline
-    * (mirrors [[GridCluster.cluster]]).
+  /** pts/proj/params/cells CTE chain shared by all grid-based oracles —
+    * mirrors [[GridCluster.cellAssign]] including the cell-size factor
+    * (base factor precomputed here, density branch on the SQL side).
     */
-  private def clusterSql(zoom: Int, b: Bounds, opts: ClusterOptions): String = {
-    val se = opts.scaleExtent(zoom)
-    // base cell-size factor before the count-dependent density adjust
-    // (ClusterOptions.cellSize with the density branch left to SQL)
+  private def gridCellsSql(zoom: Int, b: Bounds, opts: ClusterOptions): String = {
     val zr = zoom.toDouble / opts.maxZoom.toDouble
     val baseF =
       if (zoom < opts.maxZoom / 4) 1.1 - 0.75 * zr
       else if (zoom < opts.maxZoom / 2) 0.9 - 0.3 * zr
       else if (zoom > opts.maxZoom * 3 / 4) 0.7 - 0.2 * zr
       else 0.75
-    s"""WITH ${projSql(zoom, b, opts)},
+    s"""${projSql(zoom, b, opts)},
        |params AS (
        |  SELECT ${d(opts.radius)} * (CASE WHEN count(*) > 50000 THEN ${d(baseF)} * 1.1
        |                                   WHEN count(*) < 5000 THEN ${d(baseF)} * 0.9
@@ -117,7 +115,15 @@ object SparkEntry {
        |cells AS (
        |  SELECT proj.*, floor(px / cs) AS cell_x, floor(py / cs) AS cell_y
        |  FROM proj, params
-       |),
+       |)""".stripMargin
+  }
+
+  /** Oracle SQL for the full grid-clustering pipeline
+    * (mirrors [[GridCluster.cluster]]).
+    */
+  private def clusterSql(zoom: Int, b: Bounds, opts: ClusterOptions): String = {
+    val se = opts.scaleExtent(zoom)
+    s"""WITH ${gridCellsSql(zoom, b, opts)},
        |agg AS (
        |  SELECT cell_x, cell_y, count(*) AS cnt,
        |         sum(px) AS sx, sum(py) AS sy, min(id) AS min_id,
@@ -149,9 +155,12 @@ object SparkEntry {
   private val flagZoom = 2
   private val flagBounds = Bounds(-120.0, -55.0, 60.0, 70.0)
   private val flagOpts = ClusterOptions()
+  // High-zoom variant: exercises the >3/4-maxZoom cell-size branch and
+  // the singles-heavy explode-back join path.
+  private val highZoom = 13
 
-  private def qClusterGrid(s: SparkSession, dir: String): DataFrame = {
-    val out = GridCluster.cluster(eventPoints(s, dir), flagZoom, flagBounds, flagOpts,
+  private def qCluster(zoom: Int)(s: SparkSession, dir: String): DataFrame = {
+    val out = GridCluster.cluster(eventPoints(s, dir), zoom, flagBounds, flagOpts,
       metricCols = Seq("value"))
     out.select(
       col("id"),
@@ -161,6 +170,117 @@ object SparkEntry {
       col("is_cluster"),
       col("value")
     ).orderBy("id")
+  }
+
+  /** F1/F4 in isolation: Mercator projection + viewport filter. */
+  private def qViewportPoints(s: SparkSession, dir: String): DataFrame =
+    GridCluster.projectToViewport(eventPoints(s, dir), flagZoom, flagBounds, flagOpts)
+      .select(col("id"), col("lon"), col("lat"),
+        round(col("px"), 5).as("px"), round(col("py"), 5).as("py"))
+      .orderBy("id")
+
+  private def viewportPointsSql: String =
+    s"""WITH ${projSql(flagZoom, flagBounds, flagOpts)}
+       |SELECT id, lon, lat, round(px, 5) AS px, round(py, 5) AS py
+       |FROM proj ORDER BY id""".stripMargin
+
+  /** A8: per-cluster metadata frequency distributions. */
+  private def qFreqRollup(s: SparkSession, dir: String): DataFrame =
+    operators.FrequencyRollup.clusterFrequencies(
+      eventPoints(s, dir), flagZoom, flagBounds, flagOpts, metaCols = Seq("event_type"))
+      .orderBy("id")
+
+  private def freqRollupSql: String =
+    s"""WITH ${gridCellsSql(flagZoom, flagBounds, flagOpts)},
+       |ca AS (
+       |  SELECT cell_x, cell_y, count(*) AS cnt, min(id) AS min_id
+       |  FROM cells GROUP BY cell_x, cell_y
+       |),
+       |va AS (
+       |  SELECT cell_x, cell_y, event_type, count(*) AS vc
+       |  FROM cells GROUP BY cell_x, cell_y, event_type
+       |),
+       |fr AS (
+       |  SELECT va.cell_x, va.cell_y,
+       |         string_agg(va.event_type || ':' ||
+       |                    CAST(round(va.vc * 1000000.0 / ca.cnt) AS BIGINT),
+       |                    ',' ORDER BY va.event_type) AS event_type_freq
+       |  FROM va JOIN ca ON va.cell_x = ca.cell_x AND va.cell_y = ca.cell_y
+       |  GROUP BY va.cell_x, va.cell_y
+       |)
+       |SELECT ca.min_id AS id, ca.cnt AS "count", fr.event_type_freq
+       |FROM ca JOIN fr ON ca.cell_x = fr.cell_x AND ca.cell_y = fr.cell_y
+       |WHERE ca.cnt >= ${flagOpts.minPoints}
+       |ORDER BY id""".stripMargin
+
+  /** A9/Q2: viewport summary statistics (quirky reference semantics —
+    * see [[graft.operators.Summary]]).
+    */
+  private def qClusterSummary(s: SparkSession, dir: String): DataFrame =
+    operators.Summary.viewportSummary(
+      eventPoints(s, dir), flagZoom, flagBounds, flagOpts,
+      metricCols = Seq("value"),
+      numericMeta = Seq("k" -> regexp_extract(col("props"), "[0-9]+", 0).cast("double")),
+      tsMetaCols = Seq("ts"),
+      catMetaCols = Seq("event_type"))
+
+  private def clusterSummarySql: String = {
+    val mp = flagOpts.minPoints
+    s"""WITH ${gridCellsSql(flagZoom, flagBounds, flagOpts)},
+       |agg AS (
+       |  SELECT cell_x, cell_y, count(*) AS cnt,
+       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |  FROM cells GROUP BY cell_x, cell_y
+       |),
+       |base AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total_points,
+       |         CAST(sum(CASE WHEN cnt >= $mp THEN 1 ELSE 0 END) AS BIGINT) AS num_clusters,
+       |         CAST(sum(CASE WHEN cnt < $mp THEN cnt ELSE 0 END) AS BIGINT) AS num_single_points
+       |  FROM agg
+       |),
+       |cl AS (
+       |  SELECT sum_value AS v FROM agg WHERE cnt >= $mp
+       |  UNION ALL
+       |  SELECT c.value FROM cells c
+       |  JOIN agg a ON c.cell_x = a.cell_x AND c.cell_y = a.cell_y
+       |  WHERE a.cnt < $mp
+       |),
+       |ms AS (
+       |  SELECT min(v) AS value_min, max(v) AS value_max,
+       |         CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |  FROM cl
+       |),
+       |pt AS (
+       |  SELECT min(k) AS k_min, max(k) AS k_max,
+       |         CAST(sum(CAST(k AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS k_avg,
+       |         min(ts) AS ts_earliest, max(ts) AS ts_latest
+       |  FROM (SELECT CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) AS k, ts FROM cells)
+       |),
+       |cd AS (
+       |  SELECT string_agg(event_type || ':' ||
+       |                    CAST(round(vc * 1000000.0 / total) AS BIGINT),
+       |                    ',' ORDER BY event_type) AS event_type_dist
+       |  FROM (SELECT event_type, count(*) AS vc, sum(count(*)) OVER () AS total
+       |        FROM cells GROUP BY event_type)
+       |)
+       |SELECT base.*, ms.*,
+       |       value_sum / (num_clusters + num_single_points) AS value_avg,
+       |       pt.*, cd.*
+       |FROM base, ms, pt, cd""".stripMargin
+  }
+
+  /** SC11: GeoJSON feature shaping (no SQL oracle — JSON string
+    * formatting is engine-specific; driver records rows-only).
+    */
+  private def qGeoJson(s: SparkSession, dir: String): DataFrame = {
+    val out = GridCluster.cluster(eventPoints(s, dir), flagZoom, flagBounds, flagOpts,
+      metricCols = Seq("value"))
+    geo.GeoJson.features(
+      out.select(col("id"), round(col("lon"), 5).as("lon"), round(col("lat"), 5).as("lat"),
+        col("count"), col("is_cluster"), col("value")),
+      metricCols = Seq("value"))
+      .select(col("id"), col("feature"))
+      .orderBy("id")
   }
 
   private def q1Agg(s: SparkSession, dir: String): DataFrame = {
@@ -203,15 +323,24 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    qClusterGrid(spark, "/root/testdata/sf0.001")
+    qCluster(flagZoom)(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
-    "q_cluster_grid" -> (qClusterGrid _)
+    "q_cluster_grid" -> qCluster(flagZoom) _,
+    "q_cluster_high" -> qCluster(highZoom) _,
+    "q_viewport_points" -> (qViewportPoints _),
+    "q_freq_rollup" -> (qFreqRollup _),
+    "q_cluster_summary" -> (qClusterSummary _),
+    "q_geojson" -> (qGeoJson _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
-    "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts)
+    "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
+    "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
+    "q_viewport_points" -> viewportPointsSql,
+    "q_freq_rollup" -> freqRollupSql,
+    "q_cluster_summary" -> clusterSummarySql
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.model.{Bounds, ClusterOptions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Per-cluster metadata frequency distributions — the reference's
+  * `MetadataStore.CalculateFrequencies` rollup (reference:
+  * cluster/cluster.go:209-289): for each metadata key, the share of each
+  * distinct value among the cluster's members.
+  *
+  * Pure relational rewrite (no UDAF — SURVEY §2.10): groupBy(cell,
+  * value) counts → per-cell window total → fraction → canonical sorted
+  * "value:ppm" string per cluster. The reference emits fractions 0..1
+  * as a JSON map (cluster.go:272-284); we emit integer parts-per-million
+  * in a deterministically ordered string so results are exact and
+  * hash-comparable (fractions are reconstructable as ppm/1e6).
+  *
+  * Scale: two shuffles on (cell, value) then (cell) — both map-side
+  * combined; the window runs over the already-aggregated (cell, value)
+  * rows, not raw points.
+  */
+object FrequencyRollup {
+
+  /** Frequency strings for every cluster (cells with ≥ minPoints
+    * members). Output: id (min member id), count, one `{c}_freq` string
+    * column per requested metadata column.
+    */
+  def clusterFrequencies(points: DataFrame, zoom: Int, bounds: Bounds,
+                         opts: ClusterOptions = ClusterOptions(),
+                         metaCols: Seq[String] = Nil,
+                         idCol: String = "id"): DataFrame = {
+    val (celled, _, _) = GridCluster.cellAssign(points, zoom, bounds, opts)
+
+    val cellAgg = celled.groupBy(col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("min_id"))
+      .filter(col("cnt") >= opts.minPoints)
+
+    val freqFrames = metaCols.map { c =>
+      val w = Window.partitionBy(col("cell_x"), col("cell_y"))
+      celled
+        .groupBy(col("cell_x"), col("cell_y"), col(c))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("total", sum(col("vc")).over(w))
+        .withColumn("ppm", round(col("vc") * lit(1000000.0) / col("total")).cast("long"))
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col(c).as("v"), col("ppm").as("p")))),
+            e => concat(e.getField("v"), lit(":"), e.getField("p").cast("string"))),
+          ",").as(s"${c}_freq"))
+    }
+
+    freqFrames
+      .foldLeft(cellAgg)((acc, f) => acc.join(f, Seq("cell_x", "cell_y")))
+      .select(col("min_id").as(idCol) +: col("cnt").as("count") +:
+        metaCols.map(c => col(s"${c}_freq")): _*)
+  }
+}

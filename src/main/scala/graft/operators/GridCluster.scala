@@ -63,6 +63,26 @@ object GridCluster {
               col("py") >= minPy && col("py") <= maxPy)
   }
 
+  /** Project, filter, and snap viewport points to grid cells.
+    * Returns (points + px/py/cell_x/cell_y, scaleExtent, cellSize).
+    * Shared by [[cluster]], [[Summary]] and [[FrequencyRollup]].
+    */
+  def cellAssign(points: DataFrame, zoom: Int, bounds: Bounds, opts: ClusterOptions,
+                 lonCol: String = "lon", latCol: String = "lat"): (DataFrame, Double, Double) = {
+    val se = opts.scaleExtent(zoom)
+    val proj = projectToViewport(points, zoom, bounds, opts, lonCol, latCol)
+    // The cell-size density factor depends on the viewport point count
+    // (part of the operator's semantics — see ClusterOptions.cellSize).
+    // One cheap count over the pruned+filtered scan; the main pipeline
+    // re-reads the same pruned input.
+    val n = proj.count()
+    val cs = opts.cellSize(zoom, n)
+    val celled = proj
+      .withColumn("cell_x", floor(col("px") / lit(cs)))
+      .withColumn("cell_y", floor(col("py") / lit(cs)))
+    (celled, se, cs)
+  }
+
   /** Full viewport clustering query.
     *
     * @param metricCols double metric columns to SUM per cluster (exact
@@ -73,19 +93,7 @@ object GridCluster {
               opts: ClusterOptions = ClusterOptions(),
               metricCols: Seq[String] = Nil,
               idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
-    val se = opts.scaleExtent(zoom)
-    val proj = projectToViewport(points, zoom, bounds, opts, lonCol, latCol)
-
-    // The cell-size density factor depends on the viewport point count
-    // (part of the operator's semantics — see ClusterOptions.cellSize).
-    // One cheap count over the pruned+filtered scan; the main pipeline
-    // re-reads the same pruned input.
-    val n = proj.count()
-    val cs = opts.cellSize(zoom, n)
-
-    val celled = proj
-      .withColumn("cell_x", floor(col("px") / lit(cs)))
-      .withColumn("cell_y", floor(col("py") / lit(cs)))
+    val (celled, se, _) = cellAssign(points, zoom, bounds, opts, lonCol, latCol)
 
     val aggs = Seq(
       count(lit(1)).as("cnt"),
