@@ -2,6 +2,7 @@ package graft
 
 import graft.model.{Bounds, ClusterOptions}
 import graft.operators.GridCluster
+import graft.queries.{Relational, Events => Ev}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -186,7 +187,7 @@ object SparkEntry {
 
   /** A8: per-cluster metadata frequency distributions. */
   private def qFreqRollup(s: SparkSession, dir: String): DataFrame =
-    operators.FrequencyRollup.clusterFrequencies(
+    graft.operators.FrequencyRollup.clusterFrequencies(
       eventPoints(s, dir), flagZoom, flagBounds, flagOpts, metaCols = Seq("event_type"))
       .orderBy("id")
 
@@ -214,10 +215,10 @@ object SparkEntry {
        |ORDER BY id""".stripMargin
 
   /** A9/Q2: viewport summary statistics (quirky reference semantics —
-    * see [[graft.operators.Summary]]).
+    * see [[graft.graft.operators.Summary]]).
     */
   private def qClusterSummary(s: SparkSession, dir: String): DataFrame =
-    operators.Summary.viewportSummary(
+    graft.operators.Summary.viewportSummary(
       eventPoints(s, dir), flagZoom, flagBounds, flagOpts,
       metricCols = Seq("value"),
       numericMeta = Seq("k" -> regexp_extract(col("props"), "[0-9]+", 0).cast("double")),
@@ -275,7 +276,7 @@ object SparkEntry {
   private def qGeoJson(s: SparkSession, dir: String): DataFrame = {
     val out = GridCluster.cluster(eventPoints(s, dir), flagZoom, flagBounds, flagOpts,
       metricCols = Seq("value"))
-    geo.GeoJson.features(
+    graft.geo.GeoJson.features(
       out.select(col("id"), round(col("lon"), 5).as("lon"), round(col("lat"), 5).as("lat"),
         col("count"), col("is_cluster"), col("value")),
       metricCols = Seq("value"))
@@ -327,6 +328,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "q3_shipping" -> (Relational.q3Shipping _),
+    "q5_region" -> (Relational.q5Region _),
+    "q6_forecast" -> (Relational.q6Forecast _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "q_setops" -> (Relational.qSetOps _),
+    "q_sort_limit" -> (Relational.qSortLimit _),
+    "q_stream_window" -> ((s, dir) => Ev.qStreamWindow(events(s, dir))),
+    "q_sessionize" -> ((s, dir) => Ev.qSessionize(events(s, dir))),
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_viewport_points" -> (qViewportPoints _),
@@ -337,6 +346,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q3_shipping" -> Relational.q3ShippingSql,
+    "q5_region" -> Relational.q5RegionSql,
+    "q6_forecast" -> Relational.q6ForecastSql,
+    "q_window_rank" -> Relational.qWindowRankSql,
+    "q_setops" -> Relational.qSetOpsSql,
+    "q_sort_limit" -> Relational.qSortLimitSql,
+    "q_stream_window" -> Ev.qStreamWindowSql,
+    "q_sessionize" -> Ev.qSessionizeSql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
     "q_viewport_points" -> viewportPointsSql,

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** General relational surface (SURVEY §7.2 step 8): joins, windows, set
+  * operations, sorts/limits, sessionization, event-time windows — all
+  * pure Spark builtins; the engine's job is picking scale-correct plans
+  * (broadcast the dims, map-side combine, single-shuffle windows).
+  *
+  * Oracle-parity: monetary aggregates go through DECIMAL casts (exact at
+  * any scale factor, immune to fp ordering); every query orders by a
+  * unique key.
+  */
+object Relational {
+  private val dec = DecimalType(12, 2)
+
+  def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** TPC-H Q3-style: revenue of unshipped BUILDING orders, top 10.
+    * customer is broadcast (small dim); lineitem↔orders shuffle on the
+    * join key with AQE free to flip to broadcast at small SFs.
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue by nation for one region, suppliers
+    * co-national with customers. All dims broadcast; the only big
+    * shuffle is lineitem↔orders.
+    */
+  def q5Region(s: SparkSession, dir: String): DataFrame = {
+    val region = s.read.parquet(s"$dir/region.parquet").filter(col("r_name") === "ASIA")
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val supp = s.read.parquet(s"$dir/supplier.parquet")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5RegionSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6-style single-row forecast: the pushdown showcase — the
+    * filter and 3-column projection must reach the parquet scan.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+        .cast(DoubleType).as("revenue"))
+
+  val q6ForecastSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Window functions: each customer's first 3 orders with a running
+    * total. One shuffle on o_custkey serves both window specs.
+    */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"),
+        col("running_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice, running_total FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |  FROM orders
+      |) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Set operations: wealthy-customer nations vs wealthy-supplier
+    * nations — INTERSECT ∪ (EXCEPT) ≡ nations with wealthy customers.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val a = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_acctbal") > 5000).select(col("c_nationkey").as("nk")).distinct()
+    val b = s.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nk")).distinct()
+    a.intersect(b).withColumn("src", lit("both"))
+      .unionByName(a.except(b).withColumn("src", lit("customer_only")))
+      .orderBy(col("nk"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH a AS (SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000),
+      |     b AS (SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000)
+      |SELECT nk, 'both' AS src FROM (SELECT nk FROM a INTERSECT SELECT nk FROM b)
+      |UNION ALL
+      |SELECT nk, 'customer_only' AS src FROM (SELECT nk FROM a EXCEPT SELECT nk FROM b)
+      |ORDER BY nk""".stripMargin
+
+  /** Sort + limit: global top-k via TakeOrderedAndProject (no full
+    * sort at scale).
+    */
+  def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  val qSortLimitSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+}
