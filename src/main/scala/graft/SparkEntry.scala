@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{Bounds, ClusterOptions}
 import graft.operators.GridCluster
-import graft.queries.{Relational, Events => Ev}
+import graft.queries.{DedupQueries, Relational, Events => Ev}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -336,6 +336,10 @@ object SparkEntry {
     "q_sort_limit" -> (Relational.qSortLimit _),
     "q_stream_window" -> ((s, dir) => Ev.qStreamWindow(events(s, dir))),
     "q_sessionize" -> ((s, dir) => Ev.qSessionize(events(s, dir))),
+    "q_dedup_exact" -> (DedupQueries.qExact _),
+    "q_dedup_ngram" -> (DedupQueries.qNgram _),
+    "q_dedup_minhash" -> (DedupQueries.qMinhash _),
+    "q_dedup_simhash" -> (DedupQueries.qSimhash _),
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_viewport_points" -> (qViewportPoints _),
@@ -354,6 +358,10 @@ object SparkEntry {
     "q_sort_limit" -> Relational.qSortLimitSql,
     "q_stream_window" -> Ev.qStreamWindowSql,
     "q_sessionize" -> Ev.qSessionizeSql,
+    "q_dedup_exact" -> DedupQueries.qExactSql,
+    "q_dedup_ngram" -> DedupQueries.qNgramSql,
+    "q_dedup_minhash" -> DedupQueries.qMinhashSql,
+    "q_dedup_simhash" -> DedupQueries.qSimhashSql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
     "q_viewport_points" -> viewportPointsSql,

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines
+  * (north-star extension scope — not in the reference, which has no
+  * text surface at all; SURVEY §7.2 step 9).
+  *
+  * All hashing is md5-based specifically so that signatures are
+  * bit-identical across engines (Spark's murmur `hash()` and DuckDB's
+  * `hash()` are different functions; md5-of-UTF8 is the portable
+  * primitive both share). Everything is per-row array math (no shuffle)
+  * until the candidate join — the scale-determining steps are:
+  *  - exact: one groupBy on the 128-bit text digest;
+  *  - ngram: self-equi-join on exploded shingles (shuffle on shingle),
+  *    then a pair aggregation — the standard scalable formulation;
+  *  - minhash LSH: signatures per-row, band keys per-row, join only
+  *    within (band, key) buckets — at 100 TB the bucket join touches a
+  *    tiny fraction of the pair space, unlike the full ngram join;
+  *  - simhash: per-row signature, grouping by signature is one shuffle
+  *    of 16-char strings.
+  */
+object Dedup {
+
+  /** Whitespace tokens (documents are single-space normalized). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-gram shingles; callers must pre-filter docs with
+    * ≥3 tokens (Spark's `sequence` runs descending when stop<start).
+    */
+  def shingles3(t: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+      concat(element_at(t, i), lit(" "), element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+
+  /** MinHash signature: k permutations simulated as md5("<i>|" + shingle),
+    * minimum taken lexicographically over the doc's shingle set — a
+    * uniform min-hash because md5 output is uniform on hex strings.
+    */
+  def minhashSig(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shingles, x => md5(concat(i.cast("string"), lit("|"), x)))))
+
+  /** LSH band keys: adjacent pairs of signature slots hashed together.
+    * A candidate pair must agree on the full 2-slot band — the standard
+    * banding construction (P[candidate] = 1-(1-j^2)^bands).
+    */
+  def bandKeys(sig: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.cast("long").as("band"),
+        md5(concat(element_at(sig, b * 2 + 1), element_at(sig, b * 2 + 2))).as("bk")))
+
+  /** 16-bit SimHash from the leading hex chars of per-token md5:
+    * bit j is the sign of Σ_tokens (md5(token)[j] ≥ '8' ? +1 : −1),
+    * token multiplicity acting as the weight.
+    */
+  def simhash16(t: Column): Column =
+    concat((1 to 16).map { j =>
+      val s = aggregate(t, lit(0), (acc, tok) =>
+        acc + when(substring(md5(tok), j, 1) >= "8", 1).otherwise(-1))
+      when(s > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  // ------------------------------------------------------------- operators
+
+  /** Exact dedup: group by full-text digest.
+    * Output: hash, canonical_id (min), n_dups.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .orderBy("canonical_id")
+
+  /** Per-doc distinct 3-gram shingle sets (docs with ≥3 tokens). */
+  def docShingles(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col(idCol), shingles3(col("t")).as("s"))
+
+  /** Full n-gram Jaccard dedup: every pair sharing ≥1 shingle, kept at
+    * jaccard ≥ `threshold`. Output: id_a, id_b, inter, union_n,
+    * jaccard_ppm.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ds = docShingles(docs, textCol, idCol)
+      .select(col(idCol).as("id"), explode(col("s")).as("shingle"))
+    val sc = ds.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val pairs = ds.as("a").join(ds.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sc.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sc.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_n"),
+        round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash+LSH near-dup: banded candidate generation then exact
+    * Jaccard verification of only the candidates. Output: id_a, id_b,
+    * jaccard_ppm (verified ≥ threshold).
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docShingles(docs, textCol, idCol)
+    val banded = sh
+      .select(col(idCol).as("id"), col("s"), minhashSig(col("s"), k).as("g"))
+      .select(col("id"), explode(bandKeys(col("g"), bands)).as("bandkey"))
+      .select(col("id"), col("bandkey.band").as("band"), col("bandkey.bk").as("bk"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("s").as("sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("s").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union_n",
+        (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-doc SimHash signature + size of its signature bucket.
+    * Output: doc_id, simhash, n_same_sig.
+    */
+  def simhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = docs.select(col(idCol), simhash16(tokens(col(textCol))).as("simhash"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
+    sigs.withColumn("n_same_sig", count(lit(1)).over(w))
+      .orderBy(col(idCol))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Query entries + DuckDB oracles for the dedup suite. The oracle SQL
+  * mirrors the Spark operators' md5-based hashing exactly (DuckDB's
+  * `md5` of the same UTF-8 bytes yields the same lowercase hex), so
+  * signatures, buckets and candidate sets are identical by construction.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def qExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docs(s, dir))
+
+  val qExactSql: String =
+    """SELECT md5(text) AS hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
+
+  def qNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), threshold = 0.5)
+
+  /** Shared shingle CTEs: word 3-grams, distinct per doc. */
+  private val shinglesCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |ds AS (SELECT doc_id AS id, unnest(s) AS shingle FROM sh)""".stripMargin
+
+  val qNgramSql: String =
+    s"""WITH $shinglesCte,
+       |sc AS (SELECT id, count(*) AS n FROM ds GROUP BY id),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |)
+       |SELECT id_a, id_b, inter, union_n,
+       |       CAST(round(inter * 1000000.0 / union_n) AS BIGINT) AS jaccard_ppm
+       |FROM (
+       |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS union_n
+       |  FROM pairs
+       |  JOIN sc sa ON id_a = sa.id
+       |  JOIN sc sb ON id_b = sb.id
+       |)
+       |WHERE inter * 1.0 / union_n >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  def qMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(s, dir), k = 8, bands = 4, threshold = 0.5)
+
+  val qMinhashSql: String =
+    s"""WITH $shinglesCte,
+       |sig AS (
+       |  SELECT doc_id AS id, s,
+       |         list_transform(generate_series(0, 7),
+       |           i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS g
+       |  FROM sh
+       |),
+       |bands AS (
+       |  SELECT id, b, md5(g[2*b + 1] || g[2*b + 2]) AS bk
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.id < y.id
+       |),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+       |         CAST(len(sa.s) + len(sb.s) AS BIGINT) - CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS union_n
+       |  FROM cand
+       |  JOIN sh sa ON id_a = sa.doc_id
+       |  JOIN sh sb ON id_b = sb.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |       CAST(round(inter * 1000000.0 / union_n) AS BIGINT) AS jaccard_ppm
+       |FROM verified
+       |WHERE inter * 1.0 / union_n >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBuckets(docs(s, dir))
+
+  val qSimhashSql: String = {
+    val bits = (1 to 16).map { j =>
+      s"""CASE WHEN list_sum(list_transform(t, tok ->
+         |  CASE WHEN substring(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+         |THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sigs AS (SELECT doc_id, $bits AS simhash FROM toks)
+       |SELECT doc_id, simhash,
+       |       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same_sig
+       |FROM sigs ORDER BY doc_id""".stripMargin
+  }
+}
