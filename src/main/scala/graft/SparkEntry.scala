@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{Bounds, ClusterOptions}
 import graft.operators.GridCluster
-import graft.queries.{DedupQueries, Relational, Events => Ev}
+import graft.queries.{DedupQueries, PipelineQueries, Relational, Events => Ev}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -340,6 +340,13 @@ object SparkEntry {
     "q_dedup_ngram" -> (DedupQueries.qNgram _),
     "q_dedup_minhash" -> (DedupQueries.qMinhash _),
     "q_dedup_simhash" -> (DedupQueries.qSimhash _),
+    "q_text_stats" -> (PipelineQueries.qTextStats _),
+    "q_lang_id" -> (PipelineQueries.qLangId _),
+    "q_fingerprint" -> (PipelineQueries.qFingerprint _),
+    "q_sim_topk" -> (PipelineQueries.qSimTopK _),
+    "q_ann_buckets" -> (PipelineQueries.qAnnBuckets _),
+    "q_ann_nearest" -> (PipelineQueries.qAnnNearest _),
+    "q_multimodal" -> (PipelineQueries.qMultimodal _),
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_viewport_points" -> (qViewportPoints _),
@@ -362,6 +369,13 @@ object SparkEntry {
     "q_dedup_ngram" -> DedupQueries.qNgramSql,
     "q_dedup_minhash" -> DedupQueries.qMinhashSql,
     "q_dedup_simhash" -> DedupQueries.qSimhashSql,
+    "q_text_stats" -> PipelineQueries.qTextStatsSql,
+    "q_lang_id" -> PipelineQueries.qLangIdSql,
+    "q_fingerprint" -> PipelineQueries.qFingerprintSql,
+    "q_sim_topk" -> PipelineQueries.qSimTopKSql,
+    "q_ann_buckets" -> PipelineQueries.qAnnBucketsSql,
+    "q_ann_nearest" -> PipelineQueries.qAnnNearestSql,
+    "q_multimodal" -> PipelineQueries.qMultimodalSql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
     "q_viewport_points" -> viewportPointsSql,

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star extension
+  * scope): brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane LSH bucketing as the 100 TB scale path (bucket
+  * join touches ~n²/2^bits of the pair space instead of n²).
+  *
+  * Determinism across engines: dot products are *unrolled* into a
+  * left-associated chain of per-element double multiplies, so Spark and
+  * the DuckDB oracle fold in the identical order (list_dot_product-style
+  * builtins have unspecified accumulation order). Hyperplane
+  * coefficients are compile-time constants from an integer LCG, embedded
+  * as identical literals on both sides.
+  */
+object Similarity {
+
+  /** Left-associated unrolled dot product of two array columns
+    * (1-indexed element access, each element cast to double).
+    */
+  def dot(a: Column, b: Column, dims: Int): Column =
+    (1 to dims).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduceLeft(_ + _)
+
+  def norm(a: Column, dims: Int): Column =
+    sqrt((1 to dims).map(i => {
+      val e = element_at(a, i).cast("double")
+      e * e
+    }).reduceLeft(_ + _))
+
+  def cosine(a: Column, b: Column, dims: Int): Column =
+    dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
+
+  /** Deterministic pseudo-random hyperplane coefficient for (bit, dim)
+    * — plain integer arithmetic, exact in Double, identical when
+    * embedded as a literal in oracle SQL.
+    */
+  def planeCoef(bit: Int, dim: Int, dims: Int): Double =
+    ((bit.toLong * dims + dim) * 2654435761L % 1000003L) / 1000003.0 - 0.5
+
+  /** `bits`-character '0'/'1' signature: sign of the projection onto
+    * each hyperplane.
+    */
+  def hyperplaneSig(emb: Column, bits: Int, dims: Int): Column =
+    concat((0 until bits).map { b =>
+      val proj = (1 to dims).map(i =>
+        lit(planeCoef(b, i, dims)) * element_at(emb, i).cast("double"))
+        .reduceLeft(_ + _)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Exact brute-force cosine top-k against one stored query vector —
+    * the correctness baseline. The query row is broadcast; one pass
+    * over the corpus, TakeOrderedAndProject for the top-k.
+    */
+  def bruteForceTopK(embs: DataFrame, queryVecId: Long, k: Int, dims: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("q_emb"))
+    embs.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col(embCol), col("q_emb"), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH bucketing: per-vector signature + bucket population (the
+    * partition a scale-out ANN search would restrict candidates to).
+    */
+  def lshBuckets(embs: DataFrame, bits: Int, dims: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val sigs = embs.select(col(idCol), hyperplaneSig(col(embCol), bits, dims).as("sig"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+    sigs.withColumn("bucket_n", count(lit(1)).over(w)).orderBy(col(idCol))
+  }
+
+  /** LSH-restricted nearest neighbor: best cosine among same-bucket
+    * vectors (approximate — exactly the candidate set a distributed ANN
+    * would score). Vectors alone in their bucket produce no row.
+    */
+  def lshNearestInBucket(embs: DataFrame, bits: Int, dims: Int,
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
+      hyperplaneSig(col(embCol), bits, dims).as("sig"))
+    val pairs = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("nn_id"),
+        round(cosine(col("a.e"), col("b.e"), dims), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.functions.TextAnalysis
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL literal helpers shared by oracle builders. */
+object Sql {
+  /** Scala double → SQL literal with round-trip precision. */
+  def d(x: Double): String = {
+    val r = java.lang.Double.toString(x)
+    if (r.contains("E")) f"CAST($x%.17e AS DOUBLE)" else r
+  }
+}
+
+/** Query entries + DuckDB oracles for text analysis, similarity search,
+  * and the multimodal decode plumbing. Dot products are unrolled
+  * left-associated chains on both sides (see
+  * [[graft.operators.Similarity]]); text heuristics are exact integer
+  * arithmetic plus same-shaped double divisions.
+  */
+object PipelineQueries {
+  private val Dims = 64
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ------------------------------------------------------------ text stats
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_unique"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      ((length(col("text")) - (size(t) - 1)) * lit(1.0) / size(t)).as("avg_token_len"),
+      (TextAnalysis.stopwordCount(t, "en") * lit(1.0) / size(t)).as("stop_ratio"),
+      TextAnalysis.qualityScore(t, col("text")).as("quality")
+    ).orderBy("doc_id")
+  }
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  val qTextStatsSql: String = {
+    val en = inList(TextAnalysis.stopwords("en"))
+    s"""SELECT doc_id, lang,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m,
+       |  (length(text) - (len(t) - 1)) * 1.0 / len(t) AS avg_token_len,
+       |  len(list_filter(t, x -> x IN ($en))) * 1.0 / len(t) AS stop_ratio,
+       |  0.4 * least(1.0, len(t) * 1.0 / 50.0)
+       |    + 0.3 * (len(list_distinct(t)) * 1.0 / len(t))
+       |    + 0.3 * (1.0 - len(list_filter(t, x -> x IN ($en))) * 1.0 / len(t)) AS quality
+       |FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- lang id
+
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langGuess(t).as("guess"))
+      .withColumn("correct", col("guess") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val qLangIdSql: String = {
+    def c(lang: String) =
+      s"len(list_filter(t, x -> x IN (${inList(TextAnalysis.stopwords(lang))})))"
+    s"""SELECT doc_id, lang, guess, guess = lang AS correct FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN ${c("en")} + ${c("de")} + ${c("fr")} + ${c("es")} = 0 THEN 'und'
+       |         WHEN ${c("en")} >= ${c("de")} AND ${c("en")} >= ${c("fr")} AND ${c("en")} >= ${c("es")} THEN 'en'
+       |         WHEN ${c("de")} >= ${c("fr")} AND ${c("de")} >= ${c("es")} THEN 'de'
+       |         WHEN ${c("fr")} >= ${c("es")} THEN 'fr'
+       |         ELSE 'es' END AS guess
+       |  FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------- fingerprints
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    docs(s, dir)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"),
+        TextAnalysis.fpFull(col("text")).as("fp_full"),
+        TextAnalysis.fpMinShingle(t).as("fp_min_shingle"),
+        TextAnalysis.fpPrefix(t).as("fp_prefix"))
+      .orderBy("doc_id")
+  }
+
+  val qFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_full,
+      |  list_min(list_transform(generate_series(1, len(t) - 2),
+      |           i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS fp_min_shingle,
+      |  md5(array_to_string(t[1:5], ' ')) AS fp_prefix
+      |FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+      |WHERE len(t) >= 3
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- similarity
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  def qSimTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embs(s, dir), queryVecId = 0L, k = 10, dims = Dims)
+
+  val qSimTopKSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos_sim
+       |FROM embeddings, q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  private val AnnBits = 8
+
+  private def sigSql(e: String): String =
+    (0 until AnnBits).map { b =>
+      val proj = (1 to Dims).map(i =>
+        s"${Sql.d(Similarity.planeCoef(b, i, Dims))} * CAST($e[$i] AS DOUBLE)").mkString(" + ")
+      s"CASE WHEN $proj > 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  def qAnnBuckets(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshBuckets(embs(s, dir), bits = AnnBits, dims = Dims)
+
+  val qAnnBucketsSql: String =
+    s"""SELECT vec_id, sig, CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS bucket_n
+       |FROM (SELECT vec_id, ${sigSql("embedding")} AS sig FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+
+  def qAnnNearest(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearestInBucket(embs(s, dir), bits = AnnBits, dims = Dims)
+
+  val qAnnNearestSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id AS id, embedding AS e, ${sigSql("embedding")} AS sig
+       |  FROM embeddings
+       |),
+       |pairs AS (
+       |  SELECT a.id AS vec_id, b.id AS nn_id,
+       |         round(${cosSql("a.e", "b.e")}, 6) AS cos_sim
+       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id <> b.id
+       |)
+       |SELECT vec_id, nn_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cos_sim DESC, nn_id) AS rn
+       |  FROM pairs
+       |) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------------------------------- multimodal
+
+  def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.fakeMediaTable(s, dir))
+      .toDF().orderBy("doc_id")
+
+  val qMultimodalSql: String =
+    """SELECT doc_id,
+      |  CAST(64 + strlen(text) % 577 AS BIGINT) AS width,
+      |  CAST(64 + (strlen(text) * 31) % 417 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(1 + strlen(text) % 7 AS BIGINT) AS n_frames,
+      |  md5(text) AS content_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
