@@ -39,7 +39,11 @@ object FrequencyRollup {
 
     val freqFrames = metaCols.map { c =>
       val w = Window.partitionBy(col("cell_x"), col("cell_y"))
+      // Per-key totals over points that HAVE the key (reference skips
+      // absent metadata keys — cluster.go:222-227): nulls drop out both
+      // of the counts and the denominators.
       celled
+        .filter(col(c).isNotNull)
         .groupBy(col("cell_x"), col("cell_y"), col(c))
         .agg(count(lit(1)).as("vc"))
         .withColumn("total", sum(col("vc")).over(w))
@@ -52,8 +56,10 @@ object FrequencyRollup {
           ",").as(s"${c}_freq"))
     }
 
+    // left join: a cluster whose members all lack a key still appears,
+    // with a null frequency column (the reference just omits the key).
     freqFrames
-      .foldLeft(cellAgg)((acc, f) => acc.join(f, Seq("cell_x", "cell_y")))
+      .foldLeft(cellAgg)((acc, f) => acc.join(f, Seq("cell_x", "cell_y"), "left"))
       .select(col("min_id").as(idCol) +: col("cnt").as("count") +:
         metaCols.map(c => col(s"${c}_freq")): _*)
   }

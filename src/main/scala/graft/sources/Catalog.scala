@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.functions.Mercator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** Dataset catalog + persistence — the reference's storage/catalog
+  * surface (S4–S7, Q3–Q5):
+  *  - persist = zstd Parquet partitioned by a zoom-5 Mercator tile key
+  *    (reference: zstd binary KD-tree dumps, cluster/storage.go:16-202;
+  *    the tile partition column replaces the KD-tree — viewport filters
+  *    prune whole partitions before any scan, SURVEY §4-P1);
+  *  - catalog = one `_graft_meta.json` per dataset + directory listing
+  *    (reference: `cluster-{n}p-{ts}-{id}.zst` filename encoding,
+  *    cluster/helpers.go:54-97);
+  *  - load = cached DataFrame behind an LRU of `maxCached` datasets with
+  *    unpersist-on-evict (reference: runner/runner.go:113-140,157-203,
+  *    maxClusters=5).
+  *
+  * Scale notes: MEMORY_AND_DISK (not MEMORY_ONLY) so a 100 TB dataset
+  * degrades to disk-backed partitions instead of OOM; tile partitioning
+  * bounds each file's spatial extent so viewport queries touch only
+  * intersecting tiles.
+  */
+final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 5) {
+
+  final case class SavedInfo(id: String, numPoints: Long, createdAtMs: Long, path: String)
+
+  private val lru = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  private def dsPath(id: String) = s"$warehouseDir/$id"
+
+  /** Zoom-5 tile key (32×32 world grid): the partition column standing
+    * in for the reference's KD-tree spatial index.
+    */
+  def tileZ5(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val se = math.pow(2.0, 5) * 512.0
+    val tx = floor(Mercator.projX(lon, se) / 512.0)
+    val ty = floor(Mercator.projY(lat, se) / 512.0)
+    // clamp the lon=180 edge into the last tile
+    least(lit(31), greatest(lit(0), ty)) * 32 + least(lit(31), greatest(lit(0), tx))
+  }
+
+  /** S4/Q3: persist a point dataset, tile-partitioned, zstd. */
+  def save(points: DataFrame, id: String): SavedInfo = {
+    val path = dsPath(id)
+    points
+      .withColumn("tile_z5", tileZ5(col("lon"), col("lat")))
+      .repartition(col("tile_z5"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("tile_z5")
+      .parquet(path)
+    val n = spark.read.parquet(path).count()
+    val info = SavedInfo(id, n, System.currentTimeMillis(), path)
+    Files.writeString(Paths.get(path, "_graft_meta.json"),
+      s"""{"id":"$id","numPoints":$n,"createdAtMs":${info.createdAtMs}}""")
+    info
+  }
+
+  /** S5/Q4: load (cached, LRU-admitted). */
+  def load(id: String): DataFrame = synchronized {
+    lru.remove(id) match {
+      case Some(df) =>
+        lru.put(id, df) // refresh recency
+        df
+      case None =>
+        val df = spark.read.parquet(dsPath(id)).persist(StorageLevel.MEMORY_AND_DISK)
+        lru.put(id, df)
+        if (lru.size > maxCached) {
+          val (evictId, evictDf) = lru.head
+          lru.remove(evictId)
+          evictDf.unpersist()
+        }
+        df
+    }
+  }
+
+  /** Currently cached dataset ids, least-recent first (test hook). */
+  def cachedIds: Seq[String] = synchronized(lru.keys.toSeq)
+
+  /** S6/Q5: list saved datasets from their meta files. */
+  def list(): Seq[SavedInfo] = {
+    val root = Paths.get(warehouseDir)
+    if (!Files.isDirectory(root)) return Nil
+    val dirs = Files.list(root).iterator()
+    val out = mutable.ArrayBuffer.empty[SavedInfo]
+    while (dirs.hasNext) {
+      val p = dirs.next()
+      val meta = p.resolve("_graft_meta.json")
+      if (Files.isRegularFile(meta)) {
+        val j = Files.readString(meta)
+        def field(k: String): String =
+          j.split(s""""$k":""")(1).split("[,}]")(0).stripPrefix("\"").stripSuffix("\"")
+        out += SavedInfo(field("id"), field("numPoints").toLong,
+          field("createdAtMs").toLong, p.toString)
+      }
+    }
+    out.sortBy(_.id).toSeq
+  }
+
+  /** S7: find one dataset by id substring (reference semantics —
+    * cluster/helpers.go:99-140).
+    */
+  def describe(idSubstring: String): Option[SavedInfo] =
+    list().find(_.id.contains(idSubstring))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.model.{Bounds, ClusterOptions}
+import graft.operators.GridCluster
+import graft.sources.{Catalog, PointGen}
+import java.nio.file.Files
+
+/** Catalog round-trip + LRU semantics (reference: storage.go save/load,
+  * helpers.go catalog listing, runner.go LRU of 5).
+  */
+class CatalogSpec extends SparkSpec {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-warehouse").toString
+
+  test("save/load round trip preserves rows; tile partition column present") {
+    val cat = new Catalog(spark, warehouse)
+    val pts = PointGen.uniformPoints(spark, 1000, Bounds.World, seed = 42L)
+    val info = cat.save(pts, "cluster-1000p-t0-alpha")
+    assert(info.numPoints == 1000)
+    val loaded = cat.load("cluster-1000p-t0-alpha")
+    assert(loaded.count() == 1000)
+    assert(loaded.columns.contains("tile_z5"))
+    // loaded data clusters end-to-end
+    val out = GridCluster.cluster(loaded, 3, Bounds.World,
+      ClusterOptions(), metricCols = Seq("metric_sales"))
+    assert(out.count() > 0)
+  }
+
+  test("list + describe by substring") {
+    val cat = new Catalog(spark, warehouse)
+    cat.save(PointGen.uniformPoints(spark, 50, Bounds.World, 1L), "cluster-50p-t1-beta")
+    val ids = cat.list().map(_.id)
+    assert(ids.contains("cluster-1000p-t0-alpha") && ids.contains("cluster-50p-t1-beta"))
+    assert(cat.describe("beta").exists(_.numPoints == 50))
+    assert(cat.describe("nope").isEmpty)
+  }
+
+  test("LRU evicts least-recently-used beyond maxCached") {
+    val cat = new Catalog(spark, warehouse, maxCached = 2)
+    for (i <- 1 to 3)
+      cat.save(PointGen.uniformPoints(spark, 10, Bounds.World, i.toLong), s"cluster-10p-t2-lru$i")
+    cat.load("cluster-10p-t2-lru1")
+    cat.load("cluster-10p-t2-lru2")
+    cat.load("cluster-10p-t2-lru3") // evicts lru1
+    assert(cat.cachedIds == Seq("cluster-10p-t2-lru2", "cluster-10p-t2-lru3"))
+    cat.load("cluster-10p-t2-lru2") // refresh recency
+    cat.load("cluster-10p-t2-lru1") // evicts lru3
+    assert(cat.cachedIds == Seq("cluster-10p-t2-lru2", "cluster-10p-t2-lru1"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox jumps"), // exact dup of 1
+    (3L, "the quick brown cat jumps high"), // near dup of 1 (1 shared shingle)
+    (4L, "alpha beta gamma delta epsilon")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 1)
+  }
+
+  test("ngram jaccard finds exact and partial overlaps") {
+    val out = Dedup.ngramJaccard(docs, threshold = 0.1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("jaccard_ppm"))).toSet
+    // 1-2 identical: jaccard 1.0; 1-3 and 2-3 share "the quick brown":
+    // inter 1, union 3+4-1=6 → 166667 ppm
+    assert(out.contains((1L, 2L, 1000000L)))
+    assert(out.contains((1L, 3L, 166667L)))
+    assert(out.contains((2L, 3L, 166667L)))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH catches exact dups with verified jaccard") {
+    val out = Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1 && out.head.getAs[Long]("id_b") == 2)
+    assert(out.head.getAs[Long]("jaccard_ppm") == 1000000L)
+  }
+
+  test("simhash: identical docs share a signature bucket") {
+    val out = Dedup.simhashBuckets(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("simhash"), r.getAs[Long]("n_same_sig"))).toMap
+    assert(byId(1L)._1 == byId(2L)._1)
+    assert(byId(1L)._2 >= 2)
+    assert(byId(1L)._1.length == 16 && byId(1L)._1.forall(c => c == '0' || c == '1'))
+  }
+}
