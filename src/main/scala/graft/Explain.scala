@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints formatted physical plans for the headline
+  * queries so scan pruning (PushedFilters/partition pruning), join
+  * strategies (broadcast vs sort-merge), and WholeStageCodegen spans
+  * can be reviewed. Usage:
+  *   sbt "runMain graft.Explain [sfDir] [queryName...]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else
+      Seq("q1_agg", "q3_shipping", "q5_region", "q6_forecast",
+        "q_cluster_grid", "q_sim_topk", "q_dedup_minhash")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -56,7 +56,19 @@ object GridCluster {
     val maxPx = Mercator.projXs(bounds.maxLon, se)
     val minPy = Mercator.projYs(bounds.maxLat, se)
     val maxPy = Mercator.projYs(bounds.minLat, se)
+    // Conservative raw-coordinate prefilter: the projection is monotone,
+    // so an epsilon-widened lon/lat box never excludes a point the exact
+    // projected filter would keep — but unlike the sin/log expressions it
+    // PUSHES DOWN to the parquet scan (PushedFilters + row-group
+    // min/max skipping + tile-partition pruning on Catalog datasets).
+    // Latitudes beyond the Mercator clamp project onto the clamp value,
+    // so a viewport edge at/beyond ±MaxLat must not bound raw lat.
+    val eps = 1e-9
+    val latLo = if (bounds.minLat <= -Mercator.MaxLat) -90.0 else bounds.minLat - eps
+    val latHi = if (bounds.maxLat >= Mercator.MaxLat) 90.0 else bounds.maxLat + eps
     points
+      .filter(col(lonCol) >= bounds.minLon - eps && col(lonCol) <= bounds.maxLon + eps &&
+              col(latCol) >= latLo && col(latCol) <= latHi)
       .withColumn("px", Mercator.projX(col(lonCol), se))
       .withColumn("py", Mercator.projY(col(latCol), se))
       .filter(col("px") >= minPx && col("px") <= maxPx &&
