@@ -347,6 +347,9 @@ object SparkEntry {
     "q_ann_buckets" -> (PipelineQueries.qAnnBuckets _),
     "q_ann_nearest" -> (PipelineQueries.qAnnNearest _),
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
+    "q_embed_neardup" -> (PipelineQueries.qEmbedNearDup _),
+    "q_token_count" -> (PipelineQueries.qTokenCount _),
+    "q_frames" -> (PipelineQueries.qFrames _),
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_viewport_points" -> (qViewportPoints _),
@@ -376,6 +379,9 @@ object SparkEntry {
     "q_ann_buckets" -> PipelineQueries.qAnnBucketsSql,
     "q_ann_nearest" -> PipelineQueries.qAnnNearestSql,
     "q_multimodal" -> PipelineQueries.qMultimodalSql,
+    "q_embed_neardup" -> PipelineQueries.qEmbedNearDupSql,
+    "q_token_count" -> PipelineQueries.qTokenCountSql,
+    "q_frames" -> PipelineQueries.qFramesSql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
     "q_viewport_points" -> viewportPointsSql,

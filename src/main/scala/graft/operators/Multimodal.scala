@@ -19,7 +19,8 @@ object Multimodal {
 
   /** Typed metadata row produced by the decode pass. */
   final case class MediaMeta(doc_id: Long, width: Long, height: Long,
-                             channels: Long, n_frames: Long, content_hash: String)
+                             channels: Long, n_frames: Long, payload_len: Long,
+                             content_hash: String)
 
   /** DECODE STUB — deterministic fake in place of a real image decoder.
     * A real implementation would parse the payload header (e.g. PNG
@@ -50,10 +51,21 @@ object Multimodal {
         // decoder/codec init would happen here, once per partition
         rows.map { case (id, payload) =>
           val (w, h, c, f) = decodeStub(payload)
-          MediaMeta(id, w, h, c, f, md5Hex(payload))
+          MediaMeta(id, w, h, c, f, payload.length.toLong, md5Hex(payload))
         }
       }
   }
+
+  /** Frame sampling over decoded metadata: one row per frame with its
+    * deterministic byte offset — the plumbing a video frame-extraction
+    * pass would use (explode stays columnar; a real extractor would then
+    * mapPartitions over (payload, offset) slices).
+    */
+  def sampleFrames(meta: DataFrame): DataFrame =
+    meta.select(col("doc_id"), col("payload_len"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * expr("payload_len div n_frames")).as("frame_offset"))
 
   /** Demo media table: documents' text bytes standing in for image
     * payloads (same shape a real `binary` scan would have).

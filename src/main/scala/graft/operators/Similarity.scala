@@ -78,6 +78,23 @@ object Similarity {
     sigs.withColumn("bucket_n", count(lit(1)).over(w)).orderBy(col(idCol))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all same-bucket pairs at or
+    * above a cosine threshold (the dedup-flavored use of the LSH index —
+    * at scale, the bucket join replaces the n² pair scan). Threshold is
+    * applied to the *rounded* cosine so the cut is engine-exact.
+    */
+  def cosineNearDupPairs(embs: DataFrame, bits: Int, dims: Int, threshold: Double,
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
+      hyperplaneSig(col(embCol), bits, dims).as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.e"), col("b.e"), dims), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** LSH-restricted nearest neighbor: best cosine among same-bucket
     * vectors (approximate — exactly the candidate set a distributed ANN
     * would score). Vectors alone in their bucket produce no row.

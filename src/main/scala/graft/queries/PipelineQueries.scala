@@ -164,6 +164,37 @@ object PipelineQueries {
        |) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(embs(s, dir), bits = AnnBits, dims = Dims, threshold = 0.2)
+
+  val qEmbedNearDupSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id AS id, embedding AS e, ${sigSql("embedding")} AS sig
+       |  FROM embeddings
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |       round(${cosSql("a.e", "b.e")}, 6) AS cos_sim
+       |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+       |WHERE round(${cosSql("a.e", "b.e")}, 6) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Token counting: whitespace tokens + greedy-regex "BPE-ish" subword
+    * chunks (≤4-char alpha pieces; identical greedy leftmost matching in
+    * Java regex and RE2).
+    */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -176,6 +207,23 @@ object PipelineQueries {
       |  CAST(64 + (strlen(text) * 31) % 417 AS BIGINT) AS height,
       |  CAST(3 AS BIGINT) AS channels,
       |  CAST(1 + strlen(text) % 7 AS BIGINT) AS n_frames,
+      |  CAST(strlen(text) AS BIGINT) AS payload_len,
       |  md5(text) AS content_hash
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def qFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.decodeMeta(Multimodal.fakeMediaTable(s, dir)).toDF())
+      .orderBy("doc_id", "frame_idx")
+
+  val qFramesSql: String =
+    """SELECT doc_id, frame_idx, frame_idx * (payload_len // n_frames) AS frame_offset
+      |FROM (
+      |  SELECT doc_id,
+      |         CAST(strlen(text) AS BIGINT) AS payload_len,
+      |         CAST(1 + strlen(text) % 7 AS BIGINT) AS n_frames,
+      |         unnest(generate_series(0, strlen(text) % 7)) AS frame_idx
+      |  FROM documents
+      |)
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }
