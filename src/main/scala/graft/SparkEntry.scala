@@ -152,9 +152,14 @@ object SparkEntry {
        |SELECT * FROM clusters UNION ALL SELECT * FROM singles ORDER BY id""".stripMargin
   }
 
-  // The flagship clustering query's fixed parameters.
+  // The flagship clustering query's fixed parameters. Viewport edges sit
+  // at .005 offsets: the synthetic lon/lat are exact 0.01 multiples, so
+  // no point can land within an ulp of the filter boundary — points AT a
+  // round-number edge would otherwise pass in whichever engine's libm
+  // reproduces the driver-side boundary constant bit-for-bit and fail in
+  // the other (observed at sf0.1: 3 of 100k points).
   private val flagZoom = 2
-  private val flagBounds = Bounds(-120.0, -55.0, 60.0, 70.0)
+  private val flagBounds = Bounds(-119.995, -54.995, 59.995, 69.995)
   private val flagOpts = ClusterOptions()
   // High-zoom variant: exercises the >3/4-maxZoom cell-size branch and
   // the singles-heavy explode-back join path.

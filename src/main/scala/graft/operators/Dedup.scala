@@ -77,23 +77,48 @@ object Dedup {
       .filter(size(col("t")) >= 3)
       .select(col(idCol), shingles3(col("t")).as("s"))
 
-  /** Full n-gram Jaccard dedup: every pair sharing ≥1 shingle, kept at
-    * jaccard ≥ `threshold`. Output: id_a, id_b, inter, union_n,
-    * jaccard_ppm.
+  /** Thresholded n-gram Jaccard dedup with ppjoin-style prefix
+    * filtering: a pair with jaccard ≥ t must share a shingle within the
+    * first |s| − ⌈t·|s|⌉ + 1 shingles of each side under any common
+    * total order — order rarest-first and the candidate join only ever
+    * touches rare shingles, eliminating the hot-shingle quadratic
+    * blowup of the naive shingle self-join. Lossless: candidates are
+    * then verified exactly, so the output is identical to the naive
+    * all-pairs definition (which the DuckDB oracle still uses).
+    * Output: id_a, id_b, inter, union_n, jaccard_ppm.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val ds = docShingles(docs, textCol, idCol)
-      .select(col(idCol).as("id"), explode(col("s")).as("shingle"))
-    val sc = ds.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val pairs = ds.as("a").join(ds.as("b"),
+    // The shingle arrays are built by interpreted higher-order functions
+    // (transform/array_distinct are not codegen'd) and feed four plan
+    // branches — materialize once; the ContextCleaner unpersists when
+    // the query's RDDs are released.
+    val sh = docShingles(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ds = sh.select(col(idCol).as("id"), explode(col("s")).as("shingle"))
+    // global rarity order = (doc frequency, shingle) — no global rank
+    // column needed, the tuple itself is the sort key
+    val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+    val prefixes = ds.join(dfreq, "shingle")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("c"), col("shingle")))).as("ordered"))
+      .select(col("id"),
+        transform(
+          slice(col("ordered"), lit(1),
+            greatest(lit(1),
+              (size(col("ordered")) - ceil(lit(threshold) * size(col("ordered"))) + 1).cast("int"))),
+          e => e.getField("shingle")).as("prefix"))
+      .select(col("id"), explode(col("prefix")).as("shingle"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sc.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sc.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("s").as("sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("s").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union_n",
+        (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
       .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"),
         round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
@@ -106,7 +131,10 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // same rationale as ngramJaccard: shingles feed signature + both
+    // verification branches
     val sh = docShingles(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh
       .select(col(idCol).as("id"), col("s"), minhashSig(col("s"), k).as("g"))
       .select(col("id"), explode(bandKeys(col("g"), bands)).as("bandkey"))

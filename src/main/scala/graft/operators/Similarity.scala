@@ -85,8 +85,11 @@ object Similarity {
     */
   def cosineNearDupPairs(embs: DataFrame, bits: Int, dims: Int, threshold: Double,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // signatures are bits x dims arithmetic per vector and feed both
+    // sides of the bucket join — materialize once
     val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
       hyperplaneSig(col(embCol), bits, dims).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -103,6 +106,7 @@ object Similarity {
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
       hyperplaneSig(col(embCol), bits, dims).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("nn_id"),
