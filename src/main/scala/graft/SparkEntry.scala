@@ -46,6 +46,17 @@ object SparkEntry {
     if (r.contains("E")) f"CAST($x%.17e AS DOUBLE)" else r
   }
 
+  /** Half-boundary-safe 5-decimal rounding: round(x·1e5)/1e5. Cluster
+    * centroids are rational combinations of 0.01-multiples and often
+    * land EXACTLY on 6th-decimal halves, where Spark's exact-decimal
+    * round(x,5) and DuckDB's scaled-double rounding disagree; scale-0
+    * rounding of the (bit-identical) product has no scaling error and
+    * both engines round halves away from zero.
+    */
+  private def r5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * lit(100000.0)) / lit(100000.0)
+  private def r5sql(x: String): String = s"round(($x) * 100000.0) / 100000.0"
+
   /** Deterministic synthetic lon/lat points derived from `events` by
     * exact integer arithmetic (identical in Spark and DuckDB). This is
     * the engine's point table for the clustering queries — the harness
@@ -127,23 +138,22 @@ object SparkEntry {
     s"""WITH ${gridCellsSql(zoom, b, opts)},
        |agg AS (
        |  SELECT cell_x, cell_y, count(*) AS cnt,
-       |         sum(px) AS sx, sum(py) AS sy, min(id) AS min_id,
+       |         CAST(sum(CAST(lon AS DECIMAL(28,10))) AS DOUBLE) AS slon,
+       |         CAST(sum(CAST(py AS DECIMAL(38,6))) AS DOUBLE) AS sy, min(id) AS min_id,
        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        |  FROM cells GROUP BY cell_x, cell_y
        |),
        |clusters AS (
        |  SELECT min_id AS id,
-       |         round((sx / cnt) / ${d(se)} * 360.0 - 180.0, 5) AS lon,
-       |         round((atan(exp((1.0 - (sy / cnt) / ${d(se)} * 2.0) * pi())) * 2.0 - pi() / 2)
-       |               * 180.0 / pi(), 5) AS lat,
+       |         slon / cnt AS lon,
+       |         round(((atan(exp((1.0 - (sy / cnt) / ${d(se)} * 2.0) * pi())) * 2.0 - pi() / 2)
+       |               * 180.0 / pi()) * 100000.0) / 100000.0 AS lat,
        |         cnt AS "count", TRUE AS is_cluster, sum_value AS value
        |  FROM agg WHERE cnt >= ${opts.minPoints}
        |),
        |singles AS (
        |  SELECT c.id,
-       |         round(c.px / ${d(se)} * 360.0 - 180.0, 5) AS lon,
-       |         round((atan(exp((1.0 - c.py / ${d(se)} * 2.0) * pi())) * 2.0 - pi() / 2)
-       |               * 180.0 / pi(), 5) AS lat,
+       |         c.lon, round((c.lat) * 100000.0) / 100000.0 AS lat,
        |         CAST(1 AS BIGINT) AS "count", FALSE AS is_cluster, c.value AS value
        |  FROM cells c
        |  JOIN agg a ON c.cell_x = a.cell_x AND c.cell_y = a.cell_y
@@ -170,8 +180,8 @@ object SparkEntry {
       metricCols = Seq("value"))
     out.select(
       col("id"),
-      round(col("lon"), 5).as("lon"),
-      round(col("lat"), 5).as("lat"),
+      col("lon"),
+      r5(col("lat")).as("lat"),
       col("count"),
       col("is_cluster"),
       col("value")
@@ -182,12 +192,12 @@ object SparkEntry {
   private def qViewportPoints(s: SparkSession, dir: String): DataFrame =
     GridCluster.projectToViewport(eventPoints(s, dir), flagZoom, flagBounds, flagOpts)
       .select(col("id"), col("lon"), col("lat"),
-        round(col("px"), 5).as("px"), round(col("py"), 5).as("py"))
+        r5(col("px")).as("px"), r5(col("py")).as("py"))
       .orderBy("id")
 
   private def viewportPointsSql: String =
     s"""WITH ${projSql(flagZoom, flagBounds, flagOpts)}
-       |SELECT id, lon, lat, round(px, 5) AS px, round(py, 5) AS py
+       |SELECT id, lon, lat, round((px) * 100000.0) / 100000.0 AS px, round((py) * 100000.0) / 100000.0 AS py
        |FROM proj ORDER BY id""".stripMargin
 
   /** A8: per-cluster metadata frequency distributions. */
@@ -275,6 +285,71 @@ object SparkEntry {
        |FROM base, ms, pt, cd""".stripMargin
   }
 
+  /** Multi-zoom cluster pyramid (zooms 0..3) — see
+    * [[graft.operators.TilePyramid]].
+    */
+  private def qTilePyramid(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TilePyramid.build(eventPoints(s, dir), 0, 3, flagOpts,
+      metricCols = Seq("value"))
+      .select(col("zoom").cast("long").as("zoom"), col("id"),
+        col("lon"), r5(col("lat")).as("lat"),
+        col("count"), col("is_cluster"), col("value"))
+      .orderBy("zoom", "id")
+
+  private def tilePyramidSql: String = {
+    val mp = flagOpts.minPoints
+    val zr = "(CAST(z.zoom AS DOUBLE) / 16.0)"
+    s"""WITH pts AS ($pointsSql),
+       |params AS (SELECT count(*) AS n FROM pts),
+       |celled AS (
+       |  SELECT id, value, lon, lat, zoom, px, py,
+       |         floor(px / cs) AS cell_x, floor(py / cs) AS cell_y
+       |  FROM (
+       |    SELECT p.id, p.value, p.lon, p.lat, z.zoom,
+       |           (p.lon + 180.0) / 360.0 * (pow(2.0, z.zoom) * 512.0) AS px,
+       |           (0.5 - 0.25 * ln((1.0 + p.s) / (1.0 - p.s)) / pi()) * (pow(2.0, z.zoom) * 512.0) AS py,
+       |           40.0 * ((CASE WHEN z.zoom < 4 THEN 1.1 - 0.75 * $zr
+       |                         WHEN z.zoom < 8 THEN 0.9 - 0.3 * $zr
+       |                         WHEN z.zoom > 12 THEN 0.7 - 0.2 * $zr
+       |                         ELSE 0.75 END)
+       |                   * (CASE WHEN params.n > 50000 THEN 1.1
+       |                           WHEN params.n < 5000 THEN 0.9
+       |                           ELSE 1.0 END)) AS cs
+       |    FROM (SELECT *,
+       |            sin((CASE WHEN lat > 85.0511 THEN 85.0511
+       |                      WHEN lat < -85.0511 THEN -85.0511
+       |                      ELSE lat END) * pi() / 180.0) AS s
+       |          FROM pts) p
+       |    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS zoom) z
+       |    CROSS JOIN params
+       |  )
+       |),
+       |agg AS (
+       |  SELECT zoom, cell_x, cell_y, count(*) AS cnt,
+       |         CAST(sum(CAST(lon AS DECIMAL(28,10))) AS DOUBLE) AS slon,
+       |         CAST(sum(CAST(py AS DECIMAL(38,6))) AS DOUBLE) AS sy, min(id) AS min_id,
+       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |  FROM celled GROUP BY zoom, cell_x, cell_y
+       |),
+       |clusters AS (
+       |  SELECT CAST(zoom AS BIGINT) AS zoom, min_id AS id,
+       |         slon / cnt AS lon,
+       |         round(((atan(exp((1.0 - (sy / cnt) / (pow(2.0, zoom) * 512.0) * 2.0) * pi())) * 2.0 - pi() / 2)
+       |               * 180.0 / pi()) * 100000.0) / 100000.0 AS lat,
+       |         cnt AS "count", TRUE AS is_cluster, sum_value AS value
+       |  FROM agg WHERE cnt >= $mp
+       |),
+       |singles AS (
+       |  SELECT CAST(c.zoom AS BIGINT) AS zoom, c.id,
+       |         c.lon, round((c.lat) * 100000.0) / 100000.0 AS lat,
+       |         CAST(1 AS BIGINT) AS "count", FALSE AS is_cluster, c.value AS value
+       |  FROM celled c
+       |  JOIN agg a ON c.zoom = a.zoom AND c.cell_x = a.cell_x AND c.cell_y = a.cell_y
+       |  WHERE a.cnt < $mp
+       |)
+       |SELECT * FROM clusters UNION ALL SELECT * FROM singles ORDER BY zoom, id""".stripMargin
+  }
+
   /** SC11: GeoJSON feature shaping (no SQL oracle — JSON string
     * formatting is engine-specific; driver records rows-only).
     */
@@ -355,6 +430,9 @@ object SparkEntry {
     "q_embed_neardup" -> (PipelineQueries.qEmbedNearDup _),
     "q_token_count" -> (PipelineQueries.qTokenCount _),
     "q_frames" -> (PipelineQueries.qFrames _),
+    "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
+    "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
+    "q_tile_pyramid" -> (qTilePyramid _),
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_viewport_points" -> (qViewportPoints _),
@@ -387,6 +465,9 @@ object SparkEntry {
     "q_embed_neardup" -> PipelineQueries.qEmbedNearDupSql,
     "q_token_count" -> PipelineQueries.qTokenCountSql,
     "q_frames" -> PipelineQueries.qFramesSql,
+    "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
+    "q_ivf_search" -> PipelineQueries.qIvfSearchSql,
+    "q_tile_pyramid" -> tilePyramidSql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
     "q_viewport_points" -> viewportPointsSql,

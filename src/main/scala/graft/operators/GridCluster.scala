@@ -44,6 +44,24 @@ object GridCluster {
     */
   def exactSum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** Order-independent SUM for arbitrary doubles (projected coords):
+    * each value rounds once to 6 decimals (deterministic per element),
+    * the decimal sum is exact, the total converts back to double — so
+    * centroid numerators don't depend on fp addition order across
+    * partitions/engines. Scale 6 keeps integer+fraction digits ≤ 15,
+    * inside the zone where a double's shortest decimal representation
+    * (what JVM BigDecimal.valueOf sees) is faithful to its exact
+    * expansion — at scale 12 the two disagree in the last digit and
+    * engines drift by ~1e-12 per element.
+    */
+  def stableSum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+
+  // Longitude centroids use a linearity shortcut instead of stableSum:
+  // x is linear in lon, so invX(mean(projX(lon))) ≡ mean(lon), computed
+  // exactly as a DECIMAL(28,10) sum of the raw coordinates (scale 10 ⊇
+  // any realistic coordinate precision). Latitude has no such shortcut
+  // (Mercator y is nonlinear in lat) and keeps the projected mean.
+
   /** Project points and filter them to the viewport at `zoom`.
     * Output = input columns + `px`, `py` (projected coords).
     */
@@ -109,8 +127,8 @@ object GridCluster {
 
     val aggs = Seq(
       count(lit(1)).as("cnt"),
-      sum(col("px")).as("sx"),
-      sum(col("py")).as("sy"),
+      sum(col(lonCol).cast(DecimalType(28, 10))).cast(DoubleType).as("slon"),
+      stableSum(col("py")).as("sy"),
       min(col(idCol)).as("min_id")
     ) ++ metricCols.map(m => exactSum(col(m)).as(s"sum_$m"))
 
@@ -121,7 +139,9 @@ object GridCluster {
       .select(
         Seq(
           col("min_id").as(idCol),
-          Mercator.invX(col("sx") / col("cnt"), se).as(lonCol),
+          // x is linear in lon: invX(mean(px)) ≡ mean(lon), computed
+          // exactly in decimal (see exactLonMean doc)
+          (col("slon") / col("cnt")).as(lonCol),
           Mercator.invY(col("sy") / col("cnt"), se).as(latCol),
           col("cnt").as("count"),
           lit(true).as("is_cluster")
@@ -132,13 +152,17 @@ object GridCluster {
     // cluster.go:1952-1968). Same-key join right after the same-key agg
     // → co-partitioned; AQE broadcasts when the small-cell set is small.
     val smallCells = cellAgg.filter(col("cnt") < opts.minPoints).select("cell_x", "cell_y")
+    // Singles keep their raw coordinates: unproject∘project is the
+    // identity up to fp noise, so emitting the original values is the
+    // exact form of the reference's float32 round-trip
+    // (cluster.go:1952-1968).
     val singles = celled
       .join(smallCells, Seq("cell_x", "cell_y"), "left_semi")
       .select(
         Seq(
           col(idCol),
-          Mercator.invX(col("px"), se).as(lonCol),
-          Mercator.invY(col("py"), se).as(latCol),
+          col(lonCol),
+          col(latCol),
           lit(1L).as("count"),
           lit(false).as("is_cluster")
         ) ++ metricCols.map(m => col(m)): _*)

@@ -98,6 +98,54 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** IVF coarse quantization: assign every vector to its
+    * nearest-centroid cell. Centroids are the first `k` stored vectors
+    * (deterministic — a trained k-means would drop in without changing
+    * the plumbing); ties broken by rounded cosine then centroid id.
+    * At scale this is one broadcast of k centroids + one pass.
+    */
+  def ivfAssign(embs: DataFrame, k: Int, dims: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = embs.filter(col(idCol) < k)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("cos_sim").desc, col("cent_id"))
+    embs.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cent_id"),
+        round(cosine(col(embCol), col("cent_emb"), dims), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cent_id").as("cell"), col("cos_sim"))
+      .orderBy(col(idCol))
+  }
+
+  /** IVF search: probe the `probes` cells whose centroids are closest
+    * to the query, brute-force only within those cells — the standard
+    * coarse-quantizer ANN scale path (scan fraction ≈ probes/k).
+    */
+  def ivfSearch(embs: DataFrame, queryVecId: Long, k: Int, probes: Int, topK: Int, dims: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assign = ivfAssign(embs, k, dims, idCol, embCol)
+      .select(col(idCol), col("cell"))
+    val q = embs.filter(col(idCol) === queryVecId).select(col(embCol).as("q_emb"))
+    val probed = embs.filter(col(idCol) < k)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("cell"),
+        round(cosine(col(embCol), col("q_emb"), dims), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cell"))
+      .limit(probes)
+      .select(col("cell"))
+    assign
+      .join(broadcast(probed), "cell")
+      .join(embs, idCol)
+      .filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("cell"),
+        round(cosine(col(embCol), col("q_emb"), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** LSH-restricted nearest neighbor: best cosine among same-bucket
     * vectors (approximate — exactly the candidate set a distributed ANN
     * would score). Vectors alone in their bucket produce no row.

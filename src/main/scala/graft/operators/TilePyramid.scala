@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.model.ClusterOptions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-zoom cluster pyramid: the whole-dataset clusters for every
+  * zoom in [zMin, zMax] in ONE aggregation — the batch analog of
+  * Supercluster's per-zoom index precompute (the reference instead
+  * re-clusters per query — cluster/cluster.go:866-956; a 100 TB
+  * deployment would precompute this pyramid once and serve viewport
+  * queries from it with pure partition-pruned scans).
+  *
+  * Shape: explode each point across the zoom range, project with a
+  * per-row scale (2^zoom · extent), snap to that zoom's grid, then a
+  * single groupBy(zoom, cell). The explode multiplies map-side rows by
+  * the zoom count, but map-side partial aggregation collapses each
+  * partition to at most |cells| rows per zoom before the one shuffle —
+  * far cheaper than zMax−zMin+1 separate jobs over the raw data.
+  *
+  * Semantics per zoom are identical to [[GridCluster]] with
+  * bounds=World: same cell-size factor (including the density branch on
+  * the TOTAL point count), same minPoints explode-back, same min-id
+  * cluster ids. Grid cells do not nest across zooms (cell size is not
+  * dyadic), so each zoom is clustered from raw points, not rolled up
+  * from the next-finer level — rollup would change results.
+  */
+object TilePyramid {
+
+  /** Per-row cell-size column mirroring [[ClusterOptions.cellSize]]
+    * with a zoom column (n is the driver-side total count).
+    */
+  private def cellSizeCol(zoom: Column, n: Long, opts: ClusterOptions): Column = {
+    val zr = zoom.cast("double") / lit(opts.maxZoom.toDouble)
+    val base = when(zoom < opts.maxZoom / 4, lit(1.1) - lit(0.75) * zr)
+      .when(zoom < opts.maxZoom / 2, lit(0.9) - lit(0.3) * zr)
+      .when(zoom > opts.maxZoom * 3 / 4, lit(0.7) - lit(0.2) * zr)
+      .otherwise(lit(0.75))
+    val m = if (n > 50000L) 1.1 else if (n < 5000L) 0.9 else 1.0
+    lit(opts.radius) * (base * lit(m))
+  }
+
+  /** @return columns: zoom, id, lon, lat, count, is_cluster, metrics... */
+  def build(points: DataFrame, zMin: Int, zMax: Int,
+            opts: ClusterOptions = ClusterOptions(),
+            metricCols: Seq[String] = Nil,
+            idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(zMin >= 0 && zMax >= zMin && zMax <= opts.maxZoom, "bad zoom range")
+    val n = points.count()
+
+    // per-row scale: 2^zoom · extent (exact doubles for zoom ≤ 16)
+    val se = pow(lit(2.0), col("zoom")) * lit(opts.extent.toDouble)
+    val lat = col(latCol)
+    val clamped = greatest(lit(-85.0511), least(lit(85.0511), lat))
+    val s = sin(clamped * lit(math.Pi) / lit(180.0))
+    val px = (col(lonCol) + lit(180.0)) / lit(360.0) * se
+    val py = (lit(0.5) - lit(0.25) * log((lit(1.0) + s) / (lit(1.0) - s)) / lit(math.Pi)) * se
+    val cs = cellSizeCol(col("zoom"), n, opts)
+
+    val celled = points
+      .withColumn("zoom", explode(sequence(lit(zMin), lit(zMax))))
+      .withColumn("px", px)
+      .withColumn("py", py)
+      .withColumn("cell_x", floor(col("px") / cs))
+      .withColumn("cell_y", floor(col("py") / cs))
+
+    val aggs = Seq(
+      count(lit(1)).as("cnt"),
+      sum(col(lonCol).cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("slon"),
+      GridCluster.stableSum(col("py")).as("sy"),
+      min(col(idCol)).as("min_id")
+    ) ++ metricCols.map(m => GridCluster.exactSum(col(m)).as(s"sum_$m"))
+
+    val cellAgg = celled.groupBy(col("zoom"), col("cell_x"), col("cell_y"))
+      .agg(aggs.head, aggs.tail: _*)
+
+    val seOut = pow(lit(2.0), col("zoom")) * lit(opts.extent.toDouble)
+    def invY(c: Column) = {
+      val y2 = (lit(1.0) - c / seOut * lit(2.0)) * lit(math.Pi)
+      (atan(exp(y2)) * lit(2.0) - lit(math.Pi / 2)) * lit(180.0) / lit(math.Pi)
+    }
+
+    val clusters = cellAgg
+      .filter(col("cnt") >= opts.minPoints)
+      .select(
+        Seq(col("zoom"), col("min_id").as(idCol),
+          // exact linear shortcut — see GridCluster.exactLonMean
+          (col("slon") / col("cnt")).as(lonCol),
+          invY(col("sy") / col("cnt")).as(latCol),
+          col("cnt").as("count"), lit(true).as("is_cluster")
+        ) ++ metricCols.map(m => col(s"sum_$m").as(m)): _*)
+
+    val smallCells = cellAgg.filter(col("cnt") < opts.minPoints)
+      .select("zoom", "cell_x", "cell_y")
+    val singles = celled
+      .join(smallCells, Seq("zoom", "cell_x", "cell_y"), "left_semi")
+      .select(
+        Seq(col("zoom"), col(idCol),
+          col(lonCol),
+          col(latCol),
+          lit(1L).as("count"), lit(false).as("is_cluster")
+        ) ++ metricCols.map(m => col(m)): _*)
+
+    clusters.unionByName(singles)
+  }
+}

@@ -195,6 +195,56 @@ object PipelineQueries {
       |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ IVF
+
+  def qIvfAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(embs(s, dir), k = 8, dims = Dims)
+
+  val qIvfAssignSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |               FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT vec_id, cent_id,
+       |         round(${cosSql("embedding", "cent_emb")}, 6) AS cos_sim
+       |  FROM embeddings CROSS JOIN cents
+       |)
+       |SELECT vec_id, cell, cos_sim FROM (
+       |  SELECT vec_id, cent_id AS cell, cos_sim,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos_sim DESC, cent_id) AS rn
+       |  FROM scored
+       |) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  def qIvfSearch(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfSearch(embs(s, dir), queryVecId = 0L, k = 8, probes = 2, topK = 10, dims = Dims)
+
+  val qIvfSearchSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |               FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cent_id AS cell
+       |  FROM cents, q
+       |  ORDER BY round(${cosSql("cent_emb", "qe")}, 6) DESC, cent_id
+       |  LIMIT 2
+       |)
+       |SELECT e.vec_id, a.cell, round(${cosSql("e.embedding", "qe")}, 6) AS cos_sim
+       |FROM assign a
+       |JOIN probed p ON a.cell = p.cell
+       |JOIN embeddings e ON a.vec_id = e.vec_id, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
