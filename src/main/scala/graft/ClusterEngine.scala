@@ -1,0 +1,76 @@
+package graft
+
+import graft.geo.GeoJson
+import graft.model.{Bounds, ClusterOptions}
+import graft.operators.{FrequencyRollup, GridCluster, Summary, TilePyramid}
+import graft.sources.{Catalog, PointGen}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Service facade: the reference's five-RPC query surface
+  * (reference: proto/cluster_service.proto:7-16, runner/runner.go) as
+  * one class over the relational operators — a user of the reference
+  * switches by calling these five methods.
+  *
+  * | reference RPC          | here                      |
+  * |------------------------|---------------------------|
+  * | CreateCluster(n)       | [[createDataset]]         |
+  * | LoadCluster(id)        | [[load]] (LRU-cached)     |
+  * | ListClusters()         | [[list]]                  |
+  * | GetClusters(id,z,b)    | [[getClusters]]           |
+  * | GetMetadata(id,z,b)    | [[getSummary]]            |
+  *
+  * Options default to the reference's service path (MinPoints=2,
+  * Radius=100 — runner/runner.go:42-50).
+  */
+final class ClusterEngine(spark: SparkSession, warehouseDir: String,
+                          opts: ClusterOptions = ClusterOptions.service,
+                          maxCached: Int = 5) {
+
+  val catalog = new Catalog(spark, warehouseDir, maxCached)
+
+  /** Q3: generate a seeded synthetic dataset and persist it. */
+  def createDataset(id: String, numPoints: Long, seed: Long = 42L): Catalog#SavedInfo =
+    catalog.save(PointGen.uniformPoints(spark, numPoints, Bounds.World, seed), id)
+
+  /** Q4: load (cached behind the LRU). */
+  def load(id: String): DataFrame = catalog.load(id)
+
+  /** Q5 / catalog. */
+  def list(): Seq[Catalog#SavedInfo] = catalog.list()
+  def describe(idSubstring: String): Option[Catalog#SavedInfo] = catalog.describe(idSubstring)
+
+  private def metricCols(df: DataFrame): Seq[String] =
+    df.columns.filter(_.startsWith("metric_")).toSeq
+
+  /** Q1: viewport clustering query. */
+  def getClusters(id: String, zoom: Int, bounds: Bounds): DataFrame = {
+    val df = load(id)
+    GridCluster.cluster(df, zoom, bounds, opts, metricCols(df))
+  }
+
+  /** Q1 + SC11: GeoJSON FeatureCollection of the viewport query. */
+  def getClustersGeoJson(id: String, zoom: Int, bounds: Bounds): String = {
+    val df = load(id)
+    val mc = metricCols(df)
+    GeoJson.featureCollection(GridCluster.cluster(df, zoom, bounds, opts, mc), mc)
+  }
+
+  /** Q2: viewport summary statistics. */
+  def getSummary(id: String, zoom: Int, bounds: Bounds): DataFrame = {
+    val df = load(id)
+    Summary.viewportSummary(df, zoom, bounds, opts,
+      metricCols = metricCols(df),
+      tsMetaCols = df.columns.filter(_ == "meta_timestamp").toSeq,
+      catMetaCols = df.columns.filter(c => c == "meta_category" || c == "meta_region").toSeq)
+  }
+
+  /** A8: per-cluster metadata frequency rollups. */
+  def getFrequencies(id: String, zoom: Int, bounds: Bounds, metaCols: Seq[String]): DataFrame =
+    FrequencyRollup.clusterFrequencies(load(id), zoom, bounds, opts, metaCols)
+
+  /** Pyramid precompute (batch path for serving many zooms). */
+  def buildPyramid(id: String, zMin: Int, zMax: Int): DataFrame = {
+    val df = load(id)
+    TilePyramid.build(df, zMin, zMax, opts, metricCols(df))
+  }
+}

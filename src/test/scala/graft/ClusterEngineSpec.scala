@@ -1,0 +1,55 @@
+package graft
+
+import graft.model.Bounds
+import java.nio.file.Files
+
+/** End-to-end service surface: create → list → query → summary →
+  * GeoJSON, mirroring the reference's RPC flow (runner/runner.go).
+  */
+class ClusterEngineSpec extends SparkSpec {
+
+  private lazy val engine =
+    new ClusterEngine(spark, Files.createTempDirectory("graft-engine").toString)
+
+  test("create/list/describe round trip") {
+    engine.createDataset("cluster-2000p-t0-e2e", 2000)
+    assert(engine.list().exists(_.id == "cluster-2000p-t0-e2e"))
+    assert(engine.describe("e2e").exists(_.numPoints == 2000))
+  }
+
+  test("viewport query returns clusters with rolled-up metrics") {
+    val out = engine.getClusters("cluster-2000p-t0-e2e", 3, Bounds.World)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("count")).sum == 2000)
+    assert(rows.exists(_.getAs[Boolean]("is_cluster")))
+    assert(out.columns.contains("metric_sales"))
+  }
+
+  test("summary totals match the viewport") {
+    val s = engine.getSummary("cluster-2000p-t0-e2e", 3, Bounds.World).collect().head
+    assert(s.getAs[Long]("total_points") == 2000)
+    assert(s.getAs[Long]("num_clusters") > 0)
+    assert(s.getAs[String]("meta_category_dist").nonEmpty)
+  }
+
+  test("frequency rollups emit canonical ppm strings") {
+    val f = engine.getFrequencies("cluster-2000p-t0-e2e", 3, Bounds.World,
+      Seq("meta_region")).collect()
+    assert(f.nonEmpty)
+    assert(f.head.getAs[String]("meta_region_freq").matches("([A-Za-z]+:\\d+,?)+"))
+  }
+
+  test("GeoJSON FeatureCollection is well-formed") {
+    val g = engine.getClustersGeoJson("cluster-2000p-t0-e2e", 2, Bounds.World)
+    assert(g.startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(g.contains(""""cluster":true"""))
+  }
+
+  test("pyramid covers every zoom with conserved counts") {
+    val p = engine.buildPyramid("cluster-2000p-t0-e2e", 0, 4)
+    val byZoom = p.groupBy("zoom").sum("count").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byZoom.keySet == Set(0, 1, 2, 3, 4))
+    assert(byZoom.values.forall(_ == 2000L))
+  }
+}
