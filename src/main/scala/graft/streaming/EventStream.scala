@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * same grouping, same exact decimal sums — so the streaming output can
   * be validated against the batch result on a finite input.
   */
-object EventStream {
+object EventStream extends Serializable {
 
   /** Streaming source over an events parquet directory (TIMESTAMP_NANOS
     * read as LONG then truncated to µs, as in the batch reader).
@@ -43,4 +43,68 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .start()
+
+  // ------------------------------------------------------- stateful state
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(openStartUs: Long, lastUs: Long, n: Long, sumValue: Double)
+  final case class SessionOut(user_id: Long, t_start: java.sql.Timestamp,
+                              t_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  private val GapUs = 1800000000L // 30 minutes, matching the batch q_sessionize
+
+  /** Custom streaming state: per-user sessionization with
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset stateful API).
+    * Sessions close when a >30-min gap appears within the arriving data;
+    * the currently-open session stays in state and would close on event-
+    * time timeout once the watermark passes it. Semantics match the
+    * oracle-checked batch [[graft.queries.Events.qSessionize]]: on a
+    * finite input the emitted sessions are exactly the batch sessions
+    * minus each user's final (still-open) one.
+    */
+  def sessionize(events: DataFrame): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    // java.sql.Timestamp carries ms in getTime and sub-second nanos
+    // separately — convert faithfully or session boundaries lose µs
+    def tsToUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def usToTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (tsToUs(e.ts), e.value))
+      var st = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      for (e <- sorted) {
+        val us = tsToUs(e.ts)
+        if (st == null) st = SessionState(us, us, 1L, e.value)
+        else if (us - st.lastUs > GapUs) {
+          out += SessionOut(userId, usToTs(st.openStartUs), usToTs(st.lastUs), st.n, st.sumValue)
+          st = SessionState(us, us, 1L, e.value)
+        } else st = st.copy(lastUs = us, n = st.n + 1, sumValue = st.sumValue + e.value)
+      }
+      if (state.hasTimedOut) {
+        if (st != null)
+          out += SessionOut(userId, usToTs(st.openStartUs), usToTs(st.lastUs), st.n, st.sumValue)
+        state.remove()
+      } else if (st != null) {
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000L + GapUs / 1000L)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "30 minutes")
+      .select($"user_id", $"ts", $"value").as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -30,4 +30,36 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     } finally q.stop()
   }
+
+  test("stateful sessionization matches batch (modulo each user's open session)") {
+    val dir = Files.createTempDirectory("graft-stream2")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val sess = EventStream.sessionize(EventStream.readEvents(spark, dir.toString))
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+
+      val batchEvents = spark.read
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"${dir.toString}/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val batch = graft.queries.Events.qSessionize(batchEvents)
+
+      val nUsers = batchEvents.select("user_id").distinct().count()
+      // each user's final session either stays open in state or closes
+      // via event-time timeout once the watermark passes it, so the
+      // emitted count lands between batch−users and batch
+      assert(streamed.count() >= batch.count() - nUsers)
+      assert(streamed.count() <= batch.count())
+      // every emitted session exists in the batch result (same start/size)
+      val joined = streamed.as("s").join(batch.as("b"),
+        org.apache.spark.sql.functions.expr(
+          "s.user_id = b.user_id AND s.t_start = b.t_start AND s.n_events = b.n_events"))
+      assert(joined.count() == streamed.count())
+    } finally q.stop()
+  }
 }
