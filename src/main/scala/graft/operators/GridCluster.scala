@@ -84,7 +84,14 @@ object GridCluster {
     val eps = 1e-9
     val latLo = if (bounds.minLat <= -Mercator.MaxLat) -90.0 else bounds.minLat - eps
     val latHi = if (bounds.maxLat >= Mercator.MaxLat) 90.0 else bounds.maxLat + eps
-    points
+    // Catalog datasets carry a tile_z5 partition column: add the
+    // viewport's tile set as an IN predicate so whole partitions prune
+    // at planning time (the KD-tree-subtree skip of SURVEY §4-P1).
+    val tilePruned =
+      if (points.columns.contains("tile_z5"))
+        points.filter(col("tile_z5").isin(graft.sources.Catalog.tilesFor(bounds, eps): _*))
+      else points
+    tilePruned
       .filter(col(lonCol) >= bounds.minLon - eps && col(lonCol) <= bounds.maxLon + eps &&
               col(latCol) >= latLo && col(latCol) <= latHi)
       .withColumn("px", Mercator.projX(col(lonCol), se))

@@ -25,6 +25,26 @@ import scala.collection.mutable
   * bounds each file's spatial extent so viewport queries touch only
   * intersecting tiles.
   */
+object Catalog {
+  private val Se5 = math.pow(2.0, 5) * 512.0
+
+  /** Zoom-5 tile ids (32×32 world grid) intersecting a viewport —
+    * driver-side mirror of the [[Catalog.tileZ5]] column, used to build
+    * partition-pruning predicates. Inclusive ranges: projection is
+    * monotone, so every point inside the (epsilon-widened) viewport
+    * falls in one of these tiles.
+    */
+  def tilesFor(b: graft.model.Bounds, eps: Double = 1e-9): Seq[Int] = {
+    def clamp(v: Long): Int = math.min(31L, math.max(0L, v)).toInt
+    val txMin = clamp(math.floor(Mercator.projXs(b.minLon - eps, Se5) / 512.0).toLong)
+    val txMax = clamp(math.floor(Mercator.projXs(b.maxLon + eps, Se5) / 512.0).toLong)
+    // y-flip: north edge gives the smaller projected y
+    val tyMin = clamp(math.floor(Mercator.projYs(math.min(90.0, b.maxLat + eps), Se5) / 512.0).toLong)
+    val tyMax = clamp(math.floor(Mercator.projYs(math.max(-90.0, b.minLat - eps), Se5) / 512.0).toLong)
+    for (ty <- tyMin to tyMax; tx <- txMin to txMax) yield ty * 32 + tx
+  }
+}
+
 final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 5) {
 
   final case class SavedInfo(id: String, numPoints: Long, createdAtMs: Long, path: String)

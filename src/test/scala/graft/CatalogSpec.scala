@@ -26,6 +26,22 @@ class CatalogSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("viewport query prunes tile partitions at planning time") {
+    val cat = new Catalog(spark, warehouse)
+    val loaded = cat.load("cluster-1000p-t0-alpha")
+    val viewport = Bounds(-10.0, -10.0, 10.0, 10.0)
+    val proj = GridCluster.projectToViewport(loaded, 5, viewport, ClusterOptions())
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tile_z5"),
+      s"expected tile partition filters in plan:\n$plan")
+    // correctness unchanged by pruning: same rows as a tile-less scan
+    val bare = loaded.drop("tile_z5")
+    val expected = GridCluster.projectToViewport(bare, 5, viewport, ClusterOptions())
+      .select("id")
+    assert(proj.select("id").exceptAll(expected).isEmpty &&
+      expected.exceptAll(proj.select("id")).isEmpty)
+  }
+
   test("list + describe by substring") {
     val cat = new Catalog(spark, warehouse)
     cat.save(PointGen.uniformPoints(spark, 50, Bounds.World, 1L), "cluster-50p-t1-beta")
