@@ -36,6 +36,30 @@ object Events {
       |GROUP BY 1, 2, 3
       |ORDER BY ws, event_type""".stripMargin
 
+  /** As-of join: each event annotated with the user's most recent
+    * purchase at or before it (see [[graft.operators.AsOfJoin]]). The
+    * oracle uses DuckDB's native ASOF JOIN — same semantics, different
+    * machinery, which is exactly what makes it a strong check.
+    */
+  def qAsofJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("pvalue"))
+    graft.operators.AsOfJoin.asofJoin(
+      events.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      purchases, key = "user_id", leftTime = "ts", rightTime = "pts",
+      rightPayload = Seq("pts", "pvalue"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT e.event_id, e.user_id, e.ts, e.value,
+      |       p.pts AS asof_pts, p.pvalue AS asof_pvalue
+      |FROM (SELECT event_id, user_id, ts, value FROM events) e
+      |ASOF LEFT JOIN (SELECT user_id, ts AS pts, value AS pvalue
+      |                FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.pts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Sessionization: per-user sessions split at >30-minute gaps —
     * lag + cumulative-sum-of-boundaries, both windows sharing one
     * shuffle on user_id.
