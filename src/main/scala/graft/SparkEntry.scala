@@ -413,6 +413,7 @@ object SparkEntry {
     "q6_forecast" -> (Relational.q6Forecast _),
     "q_window_rank" -> (Relational.qWindowRank _),
     "q_setops" -> (Relational.qSetOps _),
+    "q_rollup" -> (Relational.qRollup _),
     "q_sort_limit" -> (Relational.qSortLimit _),
     "q_stream_window" -> ((s, dir) => Ev.qStreamWindow(events(s, dir))),
     "q_sessionize" -> ((s, dir) => Ev.qSessionize(events(s, dir))),
@@ -449,6 +450,7 @@ object SparkEntry {
     "q6_forecast" -> Relational.q6ForecastSql,
     "q_window_rank" -> Relational.qWindowRankSql,
     "q_setops" -> Relational.qSetOpsSql,
+    "q_rollup" -> Relational.qRollupSql,
     "q_sort_limit" -> Relational.qSortLimitSql,
     "q_stream_window" -> Ev.qStreamWindowSql,
     "q_sessionize" -> Ev.qSessionizeSql,

@@ -162,6 +162,29 @@ object Relational {
       |SELECT nk, 'customer_only' AS src FROM (SELECT nk FROM a EXCEPT SELECT nk FROM b)
       |ORDER BY nk""".stripMargin
 
+  /** Grouping sets: ROLLUP over returnflag/linestatus with exact sums
+    * and a distinct count — the subtotal/grand-total surface the
+    * reference lacks and Spark provides natively (SURVEY §2.4 note).
+    * NULL grouping keys order first on both sides (DuckDB defaults to
+    * NULLS LAST — made explicit).
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Sort + limit: global top-k via TakeOrderedAndProject (no full
     * sort at scale).
     */
