@@ -107,11 +107,14 @@ object GridCluster {
   def cellAssign(points: DataFrame, zoom: Int, bounds: Bounds, opts: ClusterOptions,
                  lonCol: String = "lon", latCol: String = "lat"): (DataFrame, Double, Double) = {
     val se = opts.scaleExtent(zoom)
-    val proj = projectToViewport(points, zoom, bounds, opts, lonCol, latCol)
     // The cell-size density factor depends on the viewport point count
-    // (part of the operator's semantics — see ClusterOptions.cellSize).
-    // One cheap count over the pruned+filtered scan; the main pipeline
-    // re-reads the same pruned input.
+    // (part of the operator's semantics — see ClusterOptions.cellSize),
+    // so the filtered projection is needed twice: once counted, once in
+    // the main pipeline (which itself has two branches: cell agg +
+    // explode-back). Materialize it; viewport results are
+    // pruning-bounded, and the ContextCleaner unpersists when released.
+    val proj = projectToViewport(points, zoom, bounds, opts, lonCol, latCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = proj.count()
     val cs = opts.cellSize(zoom, n)
     val celled = proj
