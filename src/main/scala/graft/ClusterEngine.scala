@@ -73,4 +73,28 @@ final class ClusterEngine(spark: SparkSession, warehouseDir: String,
     val df = load(id)
     TilePyramid.build(df, zMin, zMax, opts, metricCols(df))
   }
+
+  /** Precompute AND persist the pyramid (zoom+tile partitioned). */
+  def buildAndSavePyramid(id: String, zMin: Int, zMax: Int): String =
+    catalog.savePyramid(id, buildPyramid(id, zMin, zMax))
+
+  /** Serve a viewport from the precomputed pyramid: a pure scan with
+    * zoom + tile partition pruning and a centroid bounding-box filter —
+    * no per-query clustering work at all. This is the 100 TB serving
+    * path (build once per ingest, serve millions of viewports).
+    * Semantics note: selects clusters whose CENTROID falls in the
+    * viewport (standard for tile-served maps), vs [[getClusters]] which
+    * clusters the viewport's raw points.
+    */
+  def getClustersFromPyramid(id: String, zoom: Int, bounds: Bounds): DataFrame = {
+    val tiles = Catalog.tilesFor(bounds)
+    catalog.loadPyramid(id)
+      .filter(org.apache.spark.sql.functions.col("zoom") === zoom &&
+        org.apache.spark.sql.functions.col("tile_z5").isin(tiles: _*) &&
+        org.apache.spark.sql.functions.col("lon") >= bounds.minLon &&
+        org.apache.spark.sql.functions.col("lon") <= bounds.maxLon &&
+        org.apache.spark.sql.functions.col("lat") >= bounds.minLat &&
+        org.apache.spark.sql.functions.col("lat") <= bounds.maxLat)
+      .drop("tile_z5")
+  }
 }

@@ -81,6 +81,26 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     info
   }
 
+  /** Persist a precomputed cluster pyramid for a dataset, partitioned
+    * by (zoom, tile) so a viewport request at one zoom prunes to its
+    * tiles at planning time. Lives under `_pyramid` inside the dataset
+    * dir (underscore prefix → invisible to the main dataset scan).
+    */
+  def savePyramid(id: String, pyramid: DataFrame): String = {
+    val path = s"${dsPath(id)}/_pyramid"
+    pyramid
+      .withColumn("tile_z5", tileZ5(col("lon"), col("lat")))
+      .repartition(col("zoom"), col("tile_z5"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("zoom", "tile_z5")
+      .parquet(path)
+    path
+  }
+
+  def loadPyramid(id: String): DataFrame =
+    spark.read.parquet(s"${dsPath(id)}/_pyramid")
+
   /** S5/Q4: load (cached, LRU-admitted). */
   def load(id: String): DataFrame = synchronized {
     lru.remove(id) match {

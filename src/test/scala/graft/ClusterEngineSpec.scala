@@ -45,6 +45,21 @@ class ClusterEngineSpec extends SparkSpec {
     assert(g.contains(""""cluster":true"""))
   }
 
+  test("pyramid-serving: saved pyramid answers viewports as pruned scans") {
+    engine.buildAndSavePyramid("cluster-2000p-t0-e2e", 0, 4)
+    val viewport = Bounds(-90.0, -45.0, 90.0, 45.0)
+    val served = engine.getClustersFromPyramid("cluster-2000p-t0-e2e", 3, viewport)
+    // partition pruning engages on both zoom and tile
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // equals the in-memory pyramid filtered the same way
+    val expected = engine.buildPyramid("cluster-2000p-t0-e2e", 0, 4)
+      .filter(org.apache.spark.sql.functions.expr(
+        s"zoom = 3 AND lon >= -90.0 AND lon <= 90.0 AND lat >= -45.0 AND lat <= 45.0"))
+    assert(served.count() == expected.count() && served.count() > 0)
+    assert(served.select("id").exceptAll(expected.select("id")).isEmpty)
+  }
+
   test("pyramid covers every zoom with conserved counts") {
     val p = engine.buildPyramid("cluster-2000p-t0-e2e", 0, 4)
     val byZoom = p.groupBy("zoom").sum("count").collect()
