@@ -44,6 +44,34 @@ object EventStream extends Serializable {
       .queryName(name)
       .start()
 
+  /** Streaming dedup: drop replayed events by id within the watermark
+    * window (at-least-once sources → exactly-once downstream).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Stream-stream interval join: every click joined to the same
+    * user's purchases within the following hour. Both sides
+    * watermarked so state is bounded (late rows beyond the watermark
+    * are dropped, join state for passed intervals is evicted).
+    */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   // ------------------------------------------------------- stateful state
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -31,6 +31,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark dedup collapses a replayed source to distinct events") {
+    val dir = Files.createTempDirectory("graft-stream3")
+    // same file twice = an at-least-once source replay
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventStream.dedupEvents(EventStream.readEvents(spark, dir.toString))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      val distinct = spark.read
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events_a.parquet").count()
+      assert(n == distinct)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    val dir = Files.createTempDirectory("graft-stream4")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventStream.clickToPurchaseJoin(EventStream.readEvents(spark, dir.toString))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+      val batchEvents = spark.read
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val batch = EventStream.clickToPurchaseJoin(batchEvents)
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches batch (modulo each user's open session)") {
     val dir = Files.createTempDirectory("graft-stream2")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
