@@ -46,7 +46,22 @@ object Bench {
       }.min
     }
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"flagship_warm_sec":$warm%.3f,"sf":"$sfDir"}""")
+    // Warm SERVING latency: viewport answered from the persisted,
+    // (zoom, tile)-partitioned cluster pyramid — the deployment shape
+    // comparable to the reference's preloaded-index <50ms figure. The
+    // handle is held open (pyramid built during the cold pass above);
+    // each iteration is the full pruned scan + filter + collect.
+    val pyramidWarm = {
+      val df = SparkEntry.pyramidServe(spark, sfDir) // prepared plan, built during cold pass
+      df.collect() // FS caches + codegen warm
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        df.collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"flagship_warm_sec":$warm%.3f,"pyramid_warm_sec":$pyramidWarm%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,9 +79,11 @@ final class ClusterEngine(spark: SparkSession, warehouseDir: String,
     catalog.savePyramid(id, buildPyramid(id, zMin, zMax))
 
   /** Serve a viewport from the precomputed pyramid: a pure scan with
-    * zoom + tile partition pruning and a centroid bounding-box filter —
-    * no per-query clustering work at all. This is the 100 TB serving
-    * path (build once per ingest, serve millions of viewports).
+    * zoom directory pruning, tile/lon/lat row-group skipping (the files
+    * are tile-sorted — [[Catalog.savePyramid]]), and a centroid
+    * bounding-box filter — no per-query clustering work at all. This is
+    * the 100 TB serving path (build once per ingest, serve millions of
+    * viewports).
     * Semantics note: selects clusters whose CENTROID falls in the
     * viewport (standard for tile-served maps), vs [[getClusters]] which
     * clusters the viewport's raw points.

@@ -296,10 +296,13 @@ object SparkEntry {
         col("count"), col("is_cluster"), col("value"))
       .orderBy("zoom", "id")
 
-  private def tilePyramidSql: String = {
+  /** Shared CTE chain ending in `pyr` = the zooms-0..3 cluster pyramid
+    * (used by both the full-pyramid oracle and the serving-path oracle).
+    */
+  private def pyramidCte: String = {
     val mp = flagOpts.minPoints
     val zr = "(CAST(z.zoom AS DOUBLE) / 16.0)"
-    s"""WITH pts AS ($pointsSql),
+    s"""pts AS ($pointsSql),
        |params AS (SELECT count(*) AS n FROM pts),
        |celled AS (
        |  SELECT id, value, lon, lat, zoom, px, py,
@@ -346,8 +349,84 @@ object SparkEntry {
        |  FROM celled c
        |  JOIN agg a ON c.zoom = a.zoom AND c.cell_x = a.cell_x AND c.cell_y = a.cell_y
        |  WHERE a.cnt < $mp
-       |)
-       |SELECT * FROM clusters UNION ALL SELECT * FROM singles ORDER BY zoom, id""".stripMargin
+       |),
+       |pyr AS (SELECT * FROM clusters UNION ALL SELECT * FROM singles)""".stripMargin
+  }
+
+  private def tilePyramidSql: String =
+    s"WITH $pyramidCte\nSELECT * FROM pyr ORDER BY zoom, id"
+
+  // ------------------------------------------------------- pyramid serving
+
+  /** Serving-path viewport (VERDICT r1 #1). Boundaries sit at 7-decimal
+    * offsets: never a 0.01 multiple (raw single coords) nor a 1e-5
+    * multiple (r5-rounded cluster lats), so no value can land within an
+    * ulp of a filter edge. Lon centroids are exact-decimal means —
+    * bit-identical across engines — and lats are compared post-r5, which
+    * round 1 proved hash-identical, so the filter is deterministic.
+    */
+  private val serveZoom = 2
+  private val serveBounds = Bounds(-120.0000003, -45.0000003, 60.0000003, 70.0000003)
+
+  /** One persisted pyramid handle per sf dir: built+saved once (zoom +
+    * tile_z5 partitioned parquet), then held open — the serving analog of
+    * the reference's preloaded in-memory index (runner/runner.go:157-203).
+    * Serving 100 TB this way is a pure partition-pruned scan: the pyramid
+    * is ~|cells| rows per zoom regardless of input size.
+    */
+  private val pyramidHandles = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def pyramidHandle(s: SparkSession, dir: String): DataFrame =
+    pyramidHandles.getOrElseUpdate(dir, {
+      val wh = "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.sources.Catalog(s, wh)
+      val path = cat.savePyramid("events",
+        graft.operators.TilePyramid.build(eventPoints(s, dir), 0, 3, flagOpts,
+          metricCols = Seq("value")))
+      s.read.parquet(path)
+    })
+
+  /** Pyramid-serving viewport plan: zoom dir pruning + tile/lat
+    * row-group skipping, then a centroid bounding-box filter — no
+    * clustering at query time, no shuffle at all. Cached per sf dir (a
+    * serving system prepares the plan once and executes it per request);
+    * [[Bench]] times `.collect()` on this as `pyramid_warm_sec`.
+    */
+  private val servePlans = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def pyramidServe(s: SparkSession, dir: String): DataFrame =
+    servePlans.getOrElseUpdate(dir, {
+      val b = serveBounds
+      val tiles = graft.sources.Catalog.tilesFor(b)
+      pyramidHandle(s, dir)
+        .filter(col("zoom") === serveZoom && col("tile_z5").isin(tiles: _*))
+        // conservative raw-lat prefilter: r5 moves a value by ≤5e-6, so
+        // the 1e-5-widened box never drops a row the exact rounded filter
+        // keeps — and unlike the rounded filter it pushes down to the
+        // parquet scan (row-group min/max skipping on the tile-sorted
+        // layout).
+        .filter(col("lat") >= b.minLat - 1e-5 && col("lat") <= b.maxLat + 1e-5)
+        .withColumn("lat", r5(col("lat")))
+        .filter(col("lon") >= b.minLon && col("lon") <= b.maxLon &&
+                col("lat") >= b.minLat && col("lat") <= b.maxLat)
+        .select(col("zoom").cast("long").as("zoom"), col("id"), col("lon"),
+          col("lat"), col("count"), col("is_cluster"), col("value"))
+    })
+
+  /** Oracle entry: the serving plan plus a total order on the unique id
+    * (the sort exists only so the driver's hash compare is
+    * deterministic; the serving path itself — and the latency metric —
+    * is unordered, as is the reference's cluster list).
+    */
+  private def qPyramidServe(s: SparkSession, dir: String): DataFrame =
+    pyramidServe(s, dir).orderBy("id")
+
+  private def pyramidServeSql: String = {
+    val b = serveBounds
+    s"""WITH $pyramidCte
+       |SELECT * FROM pyr
+       |WHERE zoom = $serveZoom
+       |  AND lon >= ${d(b.minLon)} AND lon <= ${d(b.maxLon)}
+       |  AND lat >= ${d(b.minLat)} AND lat <= ${d(b.maxLat)}
+       |ORDER BY id""".stripMargin
   }
 
   /** SC11: GeoJSON feature shaping (no SQL oracle — JSON string
@@ -435,6 +514,7 @@ object SparkEntry {
     "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
     "q_tile_pyramid" -> (qTilePyramid _),
+    "q_pyramid_serve" -> (qPyramidServe _),
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_viewport_points" -> (qViewportPoints _),
@@ -472,6 +552,7 @@ object SparkEntry {
     "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
     "q_ivf_search" -> PipelineQueries.qIvfSearchSql,
     "q_tile_pyramid" -> tilePyramidSql,
+    "q_pyramid_serve" -> pyramidServeSql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
     "q_viewport_points" -> viewportPointsSql,

@@ -81,19 +81,28 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     info
   }
 
-  /** Persist a precomputed cluster pyramid for a dataset, partitioned
-    * by (zoom, tile) so a viewport request at one zoom prunes to its
-    * tiles at planning time. Lives under `_pyramid` inside the dataset
-    * dir (underscore prefix → invisible to the main dataset scan).
+  /** Persist a precomputed cluster pyramid for a dataset. Layout chosen
+    * for serving: directory-partitioned by `zoom` (a viewport request
+    * prunes to one dir at planning time), and *within* a zoom the rows
+    * are range-partitioned and sorted by the zoom-5 tile key — so files
+    * and row groups are spatially tight and a viewport's lon/lat/tile
+    * predicates skip them via parquet min/max stats. Range partitioning
+    * (not hash) keeps file count proportional to data volume per zoom:
+    * zoom 0 collapses to one small file while a 100 TB zoom-16 slice
+    * spreads over many, with no tiny-file explosion (the earlier
+    * (zoom, tile) dir layout wrote thousands of ~10-row files).
+    * Lives under `_pyramid` inside the dataset dir (underscore prefix →
+    * invisible to the main dataset scan).
     */
   def savePyramid(id: String, pyramid: DataFrame): String = {
     val path = s"${dsPath(id)}/_pyramid"
     pyramid
       .withColumn("tile_z5", tileZ5(col("lon"), col("lat")))
-      .repartition(col("zoom"), col("tile_z5"))
+      .repartitionByRange(col("zoom"), col("tile_z5"))
+      .sortWithinPartitions("zoom", "tile_z5")
       .write.mode("overwrite")
       .option("compression", "zstd")
-      .partitionBy("zoom", "tile_z5")
+      .partitionBy("zoom")
       .parquet(path)
     path
   }
