@@ -23,7 +23,12 @@ object Bench {
     // warm the session (JVM, codegen, FS) outside the timed region
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev affordance: SPARK_GRAFT_ONLY=q_a,q_b limits the run (and skips
+    // the warm metrics) for single-query iteration; unset for the driver.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -36,6 +41,12 @@ object Bench {
     // (BASELINE.md) is measured against a preloaded in-memory index; the
     // comparable number here is the clustering query over a cached
     // DataFrame, best of 3.
+    if (only.isDefined) {
+      val qs0 = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      println(f"""{"metric":"total","value":${results.map(_._2).sum}%.3f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      spark.stop(); return
+    }
+
     val warm = {
       val fn = SparkEntry.queries("q_cluster_grid")
       fn(spark, sfDir).count() // plan + fill FS caches

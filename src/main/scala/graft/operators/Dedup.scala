@@ -52,14 +52,19 @@ object Dedup {
 
   /** 16-bit SimHash from the leading hex chars of per-token md5:
     * bit j is the sign of Σ_tokens (md5(token)[j] ≥ '8' ? +1 : −1),
-    * token multiplicity acting as the weight.
+    * token multiplicity acting as the weight. Computed in ONE aggregate
+    * pass with ONE md5 per token: the accumulator is the 16-slot bit-sum
+    * array, zip_with'd against the token digest's first 16 hex chars —
+    * the earlier 16-independent-aggregates form hashed every token 16×
+    * (interpreted, so no subexpression sharing rescued it). The single
+    * sums subtree is referenced exactly once via transform+array_join.
     */
-  def simhash16(t: Column): Column =
-    concat((1 to 16).map { j =>
-      val s = aggregate(t, lit(0), (acc, tok) =>
-        acc + when(substring(md5(tok), j, 1) >= "8", 1).otherwise(-1))
-      when(s > 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+  def simhash16(t: Column): Column = {
+    val sums = aggregate(t, array_repeat(lit(0), 16), (acc, tok) =>
+      zip_with(acc, slice(split(md5(tok), ""), 1, 16), (a, c) =>
+        a + when(c >= "8", 1).otherwise(-1)))
+    array_join(transform(sums, v => when(v > 0, lit("1")).otherwise(lit("0"))), "")
+  }
 
   // ------------------------------------------------------------- operators
 
@@ -76,6 +81,51 @@ object Dedup {
     docs.select(col(idCol), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col(idCol), shingles3(col("t")).as("s"))
+
+  /** Exploded posting list carrying the doc's set size on every row —
+    * so no downstream stage ever joins back to a per-doc size table.
+    */
+  private def postings(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol).as("id"), size(col("s")).as("len"),
+      explode(col("s")).as("shingle"))
+
+  /** Exact Jaccard verification of candidate pairs, computed from
+    * posting lists instead of carried shingle arrays: the intersection
+    * size of two *distinct* shingle sets is the row count of their
+    * exploded postings joined on (doc, shingle), so
+    * `groupBy(id_a, id_b).count` over that join replaces the interpreted
+    * `array_intersect` on arrays dragged through two joins (the round-1
+    * bench's single largest cost). Both posting sides are first
+    * semi-filtered to candidate ids (broadcast — the candidate set is
+    * tiny after prefix/LSH filtering), so only candidate docs' shingles
+    * ever shuffle. Output: id_a, id_b, inter, union_n (still the exact
+    * all-pairs semantics — verification is lossless).
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    // the candidate set feeds four plan branches (two joins, the id
+    // semi-filter's broadcast, twice in union) — persist it or the
+    // generation join (the expensive part) re-runs per branch
+    val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = c.select(col("id_a").as("id")).union(c.select(col("id_b").as("id"))).distinct()
+    // postings restricted to candidate docs (broadcast semi — candidates
+    // are a tiny fraction after prefix/LSH filtering), so only candidate
+    // shingles ever shuffle; each row carries its doc's set size, so the
+    // pair aggregation below yields inter AND both sizes in one pass
+    val dsC = postings(sh, idCol).join(broadcast(ids), Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c
+      .join(dsC.select(col("id").as("id_a"), col("shingle"), col("len").as("len_a")), "id_a")
+      .join(dsC.select(col("id").as("id_b"), col("shingle"), col("len").as("len_b")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("len_a")).cast("long").as("sz_a"),
+        first(col("len_b")).cast("long").as("sz_b"))
+      .withColumn("union_n", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_n"))
+  }
 
   /** Thresholded n-gram Jaccard dedup with ppjoin-style prefix
     * filtering: a pair with jaccard ≥ t must share a shingle within the
@@ -95,31 +145,29 @@ object Dedup {
     // the query's RDDs are released.
     val sh = docShingles(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ds = sh.select(col(idCol).as("id"), explode(col("s")).as("shingle"))
+    val ds = postings(sh, idCol)
     // global rarity order = (doc frequency, shingle) — no global rank
     // column needed, the tuple itself is the sort key
     val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+    // per-doc rank under the rarity order via a window (one shuffle on
+    // id, codegen'd sort) — the earlier collect_list/sort_array/slice/
+    // explode form did the same ranking through four interpreted array
+    // HOFs and was the slowest stage of the round-1 bench's slowest query
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("c"), col("shingle"))
     val prefixes = ds.join(dfreq, "shingle")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("c"), col("shingle")))).as("ordered"))
-      .select(col("id"),
-        transform(
-          slice(col("ordered"), lit(1),
-            greatest(lit(1),
-              (size(col("ordered")) - ceil(lit(threshold) * size(col("ordered"))) + 1).cast("int"))),
-          e => e.getField("shingle")).as("prefix"))
-      .select(col("id"), explode(col("prefix")).as("shingle"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= greatest(lit(1),
+        (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int")))
+      .select(col("id"), col("shingle"))
+      // both sides of the candidate self-join read this — persist, or
+      // the rarity ranking runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("s").as("sa")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("s").as("sb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("union_n",
-        (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
-      .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
+    verifyJaccard(cand, sh, idCol, threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"),
         round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
       .orderBy("id_a", "id_b")
@@ -139,18 +187,15 @@ object Dedup {
       .select(col(idCol).as("id"), col("s"), minhashSig(col("s"), k).as("g"))
       .select(col("id"), explode(bandKeys(col("g"), bands)).as("bandkey"))
       .select(col("id"), col("bandkey.band").as("band"), col("bandkey.bk").as("bk"))
+      // the k×|shingles| md5 signature arithmetic is the dominant cost —
+      // persist so the self-join's two sides don't each recompute it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("s").as("sa")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("s").as("sb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("union_n",
-        (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
-      .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
+    verifyJaccard(cand, sh, idCol, threshold)
       .select(col("id_a"), col("id_b"),
         round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
       .orderBy("id_a", "id_b")

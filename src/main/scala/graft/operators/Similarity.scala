@@ -8,31 +8,38 @@ import org.apache.spark.sql.functions._
   * random-hyperplane LSH bucketing as the 100 TB scale path (bucket
   * join touches ~n²/2^bits of the pair space instead of n²).
   *
-  * Determinism across engines: dot products are *unrolled* into a
-  * left-associated chain of per-element double multiplies, so Spark and
-  * the DuckDB oracle fold in the identical order (list_dot_product-style
-  * builtins have unspecified accumulation order). Hyperplane
-  * coefficients are compile-time constants from an integer LCG, embedded
-  * as identical literals on both sides.
+  * Determinism across engines: dot products accumulate strictly
+  * left-to-right ([[graft.plans.ArrayDotProduct]] — a fused codegen
+  * loop, bit-identical to the left-associated unrolled chains the
+  * DuckDB oracles use; list_dot_product-style builtins have unspecified
+  * accumulation order). Hyperplane coefficients are compile-time
+  * constants from an integer LCG, identical on both sides.
   */
 object Similarity {
 
-  /** Left-associated unrolled dot product of two array columns
-    * (1-indexed element access, each element cast to double).
+  /** Left-to-right dot product of two array columns via the fused
+    * codegen expression [[graft.plans.ArrayDotProduct]] — bit-identical
+    * to the unrolled left-associated chain the DuckDB oracles use, but a
+    * generated LOOP instead of a ~190-node tree (which blew Janino's
+    * 64 KB method limit at dims=64 and silently fell back to interpreted
+    * execution in round 1). `dims` is kept for API stability; the fused
+    * loop runs over min(|a|, |b|).
     */
-  def dot(a: Column, b: Column, dims: Int): Column =
-    (1 to dims).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduceLeft(_ + _)
+  def dot(a: Column, b: Column, dims: Int): Column = {
+    graft.plans.SimilarityExpressions.ensureRegistered()
+    call_function("graft_dot", a, b)
+  }
 
-  def norm(a: Column, dims: Int): Column =
-    sqrt((1 to dims).map(i => {
-      val e = element_at(a, i).cast("double")
-      e * e
-    }).reduceLeft(_ + _))
+  def norm(a: Column, dims: Int): Column = sqrt(dot(a, a, dims))
 
   def cosine(a: Column, b: Column, dims: Int): Column =
     dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
+
+  /** Cosine from pre-materialized per-vector norms (pair joins should
+    * compute each side's norm once per VECTOR, not once per PAIR).
+    */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column, dims: Int): Column =
+    dot(a, b, dims) / (normA * normB)
 
   /** Deterministic pseudo-random hyperplane coefficient for (bit, dim)
     * — plain integer arithmetic, exact in Double, identical when
@@ -42,15 +49,14 @@ object Similarity {
     ((bit.toLong * dims + dim) * 2654435761L % 1000003L) / 1000003.0 - 0.5
 
   /** `bits`-character '0'/'1' signature: sign of the projection onto
-    * each hyperplane.
+    * each hyperplane — the fused [[graft.plans.HyperplaneSig]] loop
+    * (the builtin-expression form was bits×dims literal nodes per row
+    * and the other half of round 1's codegen blowout).
     */
-  def hyperplaneSig(emb: Column, bits: Int, dims: Int): Column =
-    concat((0 until bits).map { b =>
-      val proj = (1 to dims).map(i =>
-        lit(planeCoef(b, i, dims)) * element_at(emb, i).cast("double"))
-        .reduceLeft(_ + _)
-      when(proj > 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+  def hyperplaneSig(emb: Column, bits: Int, dims: Int): Column = {
+    graft.plans.SimilarityExpressions.ensureRegistered()
+    call_function("graft_hsig", emb, lit(bits), lit(dims))
+  }
 
   /** Exact brute-force cosine top-k against one stored query vector —
     * the correctness baseline. The query row is broadcast; one pass
@@ -58,12 +64,14 @@ object Similarity {
     */
   def bruteForceTopK(embs: DataFrame, queryVecId: Long, k: Int, dims: Int,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // query norm rides the broadcast row — computed once, not per corpus row
     val q = embs.filter(col(idCol) === queryVecId)
-      .select(col(embCol).as("q_emb"))
+      .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
     embs.filter(col(idCol) =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(col(embCol), col("q_emb"), dims), 6).as("cos_sim"))
+        round(cosinePre(col(embCol), col("q_emb"),
+          norm(col(embCol), dims), col("q_nrm"), dims), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -85,15 +93,18 @@ object Similarity {
     */
   def cosineNearDupPairs(embs: DataFrame, bits: Int, dims: Int, threshold: Double,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // signatures are bits x dims arithmetic per vector and feed both
-    // sides of the bucket join — materialize once
+    // signatures and norms are per-VECTOR arithmetic feeding both sides
+    // of the bucket join — materialize once (norm per pair was 2/3 of
+    // the cosine cost in round 1)
     val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
-      hyperplaneSig(col(embCol), bits, dims).as("sig"))
+      hyperplaneSig(col(embCol), bits, dims).as("sig"),
+      norm(col(embCol), dims).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.e"), col("b.e"), dims), 6).as("cos_sim"))
+        round(cosinePre(col("a.e"), col("b.e"),
+          col("a.nrm"), col("b.nrm"), dims), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -107,12 +118,17 @@ object Similarity {
   def ivfAssign(embs: DataFrame, k: Int, dims: Int,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cents = embs.filter(col(idCol) < k)
-      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
+        norm(col(embCol), dims).as("cent_nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("cos_sim").desc, col("cent_id"))
-    embs.crossJoin(broadcast(cents))
+    // row norm materialized before the k-way cross join: computed once
+    // per vector, the join then replicates the VALUE k times
+    embs.withColumn("nrm", norm(col(embCol), dims))
+      .crossJoin(broadcast(cents))
       .select(col(idCol), col("cent_id"),
-        round(cosine(col(embCol), col("cent_emb"), dims), 6).as("cos_sim"))
+        round(cosinePre(col(embCol), col("cent_emb"),
+          col("nrm"), col("cent_nrm"), dims), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("cent_id").as("cell"), col("cos_sim"))
@@ -127,11 +143,13 @@ object Similarity {
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val assign = ivfAssign(embs, k, dims, idCol, embCol)
       .select(col(idCol), col("cell"))
-    val q = embs.filter(col(idCol) === queryVecId).select(col(embCol).as("q_emb"))
+    val q = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
     val probed = embs.filter(col(idCol) < k)
       .crossJoin(broadcast(q))
       .select(col(idCol).as("cell"),
-        round(cosine(col(embCol), col("q_emb"), dims), 6).as("qcos"))
+        round(cosinePre(col(embCol), col("q_emb"),
+          norm(col(embCol), dims), col("q_nrm"), dims), 6).as("qcos"))
       .orderBy(col("qcos").desc, col("cell"))
       .limit(probes)
       .select(col("cell"))
@@ -141,7 +159,8 @@ object Similarity {
       .filter(col(idCol) =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col(idCol), col("cell"),
-        round(cosine(col(embCol), col("q_emb"), dims), 6).as("cos_sim"))
+        round(cosinePre(col(embCol), col("q_emb"),
+          norm(col(embCol), dims), col("q_nrm"), dims), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
   }
@@ -153,12 +172,14 @@ object Similarity {
   def lshNearestInBucket(embs: DataFrame, bits: Int, dims: Int,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
-      hyperplaneSig(col(embCol), bits, dims).as("sig"))
+      hyperplaneSig(col(embCol), bits, dims).as("sig"),
+      norm(col(embCol), dims).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("nn_id"),
-        round(cosine(col("a.e"), col("b.e"), dims), 6).as("cos_sim"))
+        round(cosinePre(col("a.e"), col("b.e"),
+          col("a.nrm"), col("b.nrm"), dims), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nn_id"))
     pairs.withColumn("rn", row_number().over(w))

@@ -123,10 +123,11 @@ object MercatorExpressions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    MercatorExpressions.all.foreach { case (name, builder) =>
-      e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(classOf[MercatorX].getName, name),
-        builder))
+    (MercatorExpressions.all ++ SimilarityExpressions.all).foreach {
+      case (name, builder) =>
+        e.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[MercatorX].getName, name),
+          builder))
     }
 }

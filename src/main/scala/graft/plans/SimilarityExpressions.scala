@@ -1,0 +1,197 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for embedding arithmetic.
+  *
+  * Why these exist: a 64-dim dot product written as builtin expressions
+  * is a ~190-node tree of `element_at`/cast/multiply/add; three of those
+  * per cosine inside a join's consume path blew Janino's 64 KB method
+  * limit in round 1, silently degrading the hottest ANN queries to
+  * interpreted execution. A fused expression generates a LOOP — a few
+  * dozen bytecodes regardless of dimensionality — and stays inside
+  * WholeStageCodegen at any `dims`.
+  *
+  * Exactness contract (vs the unrolled DuckDB oracle chains): the loop
+  * accumulates strictly left-to-right starting from +0.0; `0.0 + t1`
+  * is bit-identical to `t1` for any non-(−0.0) first term, so the loop
+  * reproduces the left-associated unrolled chain `((t1+t2)+t3)…`
+  * bit-for-bit. Element casts float→double are exact.
+  */
+/** Fused dot product of two float/double array columns, left-to-right
+  * accumulation. Iterates min(|a|, |b|) elements; elements are assumed
+  * non-null (embedding columns are dense).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_dot"
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT|DOUBLE> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val lt = elemType(left)
+    val rt = elemType(right)
+    val n = math.min(la.numElements(), ra.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(la, lt, i) * get(ra, rt, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      val lv = CodeGenerator.getValue(l, elemType(left), i)
+      val rv = CodeGenerator.getValue(r, elemType(right), i)
+      s"""int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double)($lv) * (double)($rv);
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused random-hyperplane LSH signature: `bits` chars of '0'/'1', bit b
+  * = sign of the projection onto hyperplane b. The coefficient matrix
+  * ([[graft.operators.Similarity.planeCoef]], 1-based dim index) is
+  * precomputed once per expression instance and shipped as a codegen
+  * reference object — the builtin form re-derived every coefficient as a
+  * literal node, bits×dims of them per row.
+  */
+case class HyperplaneSig(child: Expression, bits: Int, dims: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_hsig"
+  override def dataType: DataType = StringType
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val coefs: Array[Double] = {
+    val a = new Array[Double](bits * dims)
+    var b = 0
+    while (b < bits) {
+      var i = 0
+      while (i < dims) {
+        a(b * dims + i) = graft.operators.Similarity.planeCoef(b, i + 1, dims)
+        i += 1
+      }
+      b += 1
+    }
+    a
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val t = elemType
+    val n = math.min(dims, arr.numElements())
+    val out = new Array[Byte](bits)
+    var b = 0
+    while (b < bits) {
+      var p = 0.0
+      val base = b * dims
+      var i = 0
+      while (i < n) {
+        val e = t match {
+          case FloatType => arr.getFloat(i).toDouble
+          case _ => arr.getDouble(i)
+        }
+        p += coefs(base + i) * e
+        i += 1
+      }
+      out(b) = if (p > 0) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val coefRef = ctx.addReferenceObj("hsigCoefs", coefs, "double[]")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("proj")
+      val base = ctx.freshName("base")
+      val out = ctx.freshName("out")
+      val ev_ = CodeGenerator.getValue(c, elemType, i)
+      s"""int $n = java.lang.Math.min($dims, $c.numElements());
+         |byte[] $out = new byte[$bits];
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  double $p = 0.0;
+         |  int $base = $b * $dims;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $p += $coefRef[$base + $i] * (double)($ev_);
+         |  }
+         |  $out[$b] = $p > 0 ? (byte)'1' : (byte)'0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SimilarityExpressions {
+  private def intLit(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case o => throw new IllegalArgumentException(s"expected integer literal, got $o")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => ArrayDotProduct(es(0), es(1))),
+    "graft_hsig" -> (es => HyperplaneSig(es(0), intLit(es(1)), intLit(es(2)))))
+
+  /** Register on an existing session (idempotent temp functions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Register on the active session — called by the [[graft.operators.Similarity]]
+    * column builders so DataFrame users need no explicit setup.
+    */
+  def ensureRegistered(): Unit =
+    SparkSession.getActiveSession.foreach(register)
+}
