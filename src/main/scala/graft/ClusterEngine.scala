@@ -42,26 +42,46 @@ final class ClusterEngine(spark: SparkSession, warehouseDir: String,
   private def metricCols(df: DataFrame): Seq[String] =
     df.columns.filter(_.startsWith("metric_")).toSeq
 
-  /** Q1: viewport clustering query. */
+  /** Categorical metadata columns rolled into per-cluster frequency maps
+    * (numeric metadata goes through [[getSummary]]'s min/max/avg stats
+    * instead — the reference's classification, cluster/helpers.go:273-289).
+    */
+  private def catMetaCols(df: DataFrame): Seq[String] =
+    df.columns.filter(c => c == "meta_category" || c == "meta_region").toSeq
+
+  /** Q1: viewport clustering query — clusters carry metric sums AND
+    * metadata frequency maps, like the reference's `ClusterNode`
+    * (cluster/cluster.go:443-451, :1939-1944).
+    */
   def getClusters(id: String, zoom: Int, bounds: Bounds): DataFrame = {
     val df = load(id)
-    GridCluster.cluster(df, zoom, bounds, opts, metricCols(df))
+    GridCluster.cluster(df, zoom, bounds, opts, metricCols(df), catMetaCols(df))
   }
 
-  /** Q1 + SC11: GeoJSON FeatureCollection of the viewport query. */
+  /** Q1 + SC11: GeoJSON FeatureCollection of the viewport query,
+    * metadata frequencies inlined into feature properties.
+    */
   def getClustersGeoJson(id: String, zoom: Int, bounds: Bounds): String = {
     val df = load(id)
     val mc = metricCols(df)
-    GeoJson.featureCollection(GridCluster.cluster(df, zoom, bounds, opts, mc), mc)
+    val cm = catMetaCols(df)
+    GeoJson.featureCollection(GridCluster.cluster(df, zoom, bounds, opts, mc, cm), mc, cm)
   }
 
-  /** Q2: viewport summary statistics. */
+  /** Q2: viewport summary statistics. Numeric metadata columns (any
+    * double-typed `meta_*`) flow into min/max/weighted-avg stats — the
+    * reference's numeric classification (cluster/helpers.go:273-289).
+    */
   def getSummary(id: String, zoom: Int, bounds: Bounds): DataFrame = {
     val df = load(id)
     Summary.viewportSummary(df, zoom, bounds, opts,
       metricCols = metricCols(df),
+      numericMeta = df.schema.fields
+        .filter(f => f.name.startsWith("meta_") &&
+          f.dataType == org.apache.spark.sql.types.DoubleType)
+        .map(f => f.name -> org.apache.spark.sql.functions.col(f.name)).toSeq,
       tsMetaCols = df.columns.filter(_ == "meta_timestamp").toSeq,
-      catMetaCols = df.columns.filter(c => c == "meta_category" || c == "meta_region").toSeq)
+      catMetaCols = catMetaCols(df))
   }
 
   /** A8: per-cluster metadata frequency rollups. */

@@ -188,6 +188,70 @@ object SparkEntry {
     ).orderBy("id")
   }
 
+  /** A2+A8 combined: the clustering query with metadata frequency maps
+    * joined into each cluster row (the reference's full `ClusterNode`
+    * shape — metrics AND metadata in one result, cluster/cluster.go
+    * :1939-1944); singles carry their own value at 1000000 ppm.
+    */
+  private def qClusterMeta(s: SparkSession, dir: String): DataFrame =
+    GridCluster.cluster(eventPoints(s, dir), flagZoom, flagBounds, flagOpts,
+      metricCols = Seq("value"), metaCols = Seq("event_type"))
+      .select(
+        col("id"),
+        col("lon"),
+        r5(col("lat")).as("lat"),
+        col("count"),
+        col("is_cluster"),
+        col("value"),
+        col("event_type_freq"))
+      .orderBy("id")
+
+  private def clusterMetaSql: String = {
+    val se = flagOpts.scaleExtent(flagZoom)
+    s"""WITH ${gridCellsSql(flagZoom, flagBounds, flagOpts)},
+       |agg AS (
+       |  SELECT cell_x, cell_y, count(*) AS cnt,
+       |         CAST(sum(CAST(lon AS DECIMAL(28,10))) AS DOUBLE) AS slon,
+       |         CAST(sum(CAST(py AS DECIMAL(38,6))) AS DOUBLE) AS sy, min(id) AS min_id,
+       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |  FROM cells GROUP BY cell_x, cell_y
+       |),
+       |va AS (
+       |  SELECT cell_x, cell_y, event_type, count(*) AS vc,
+       |         sum(count(*)) OVER (PARTITION BY cell_x, cell_y) AS total
+       |  FROM cells WHERE event_type IS NOT NULL
+       |  GROUP BY cell_x, cell_y, event_type
+       |),
+       |fr AS (
+       |  SELECT cell_x, cell_y,
+       |         string_agg(event_type || ':' ||
+       |                    CAST(round(vc * 1000000.0 / total) AS BIGINT),
+       |                    ',' ORDER BY event_type) AS event_type_freq
+       |  FROM va GROUP BY cell_x, cell_y
+       |),
+       |clusters AS (
+       |  SELECT min_id AS id,
+       |         slon / cnt AS lon,
+       |         round(((atan(exp((1.0 - (sy / cnt) / ${d(se)} * 2.0) * pi())) * 2.0 - pi() / 2)
+       |               * 180.0 / pi()) * 100000.0) / 100000.0 AS lat,
+       |         cnt AS "count", TRUE AS is_cluster, sum_value AS value,
+       |         fr.event_type_freq
+       |  FROM agg LEFT JOIN fr USING (cell_x, cell_y)
+       |  WHERE cnt >= ${flagOpts.minPoints}
+       |),
+       |singles AS (
+       |  SELECT c.id,
+       |         c.lon, round((c.lat) * 100000.0) / 100000.0 AS lat,
+       |         CAST(1 AS BIGINT) AS "count", FALSE AS is_cluster, c.value AS value,
+       |         CASE WHEN c.event_type IS NULL THEN NULL
+       |              ELSE c.event_type || ':1000000' END AS event_type_freq
+       |  FROM cells c
+       |  JOIN agg a ON c.cell_x = a.cell_x AND c.cell_y = a.cell_y
+       |  WHERE a.cnt < ${flagOpts.minPoints}
+       |)
+       |SELECT * FROM clusters UNION ALL SELECT * FROM singles ORDER BY id""".stripMargin
+  }
+
   /** F1/F4 in isolation: Mercator projection + viewport filter. */
   private def qViewportPoints(s: SparkSession, dir: String): DataFrame =
     GridCluster.projectToViewport(eventPoints(s, dir), flagZoom, flagBounds, flagOpts)
@@ -517,6 +581,7 @@ object SparkEntry {
     "q_pyramid_serve" -> (qPyramidServe _),
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
+    "q_cluster_meta" -> (qClusterMeta _),
     "q_viewport_points" -> (qViewportPoints _),
     "q_freq_rollup" -> (qFreqRollup _),
     "q_cluster_summary" -> (qClusterSummary _),
@@ -555,6 +620,7 @@ object SparkEntry {
     "q_pyramid_serve" -> pyramidServeSql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
+    "q_cluster_meta" -> clusterMetaSql,
     "q_viewport_points" -> viewportPointsSql,
     "q_freq_rollup" -> freqRollupSql,
     "q_cluster_summary" -> clusterSummarySql

@@ -17,16 +17,22 @@ object GeoJson {
 
   /** Adds a `feature` JSON-string column shaped per the reference
     * contract. Expects the [[graft.operators.GridCluster.cluster]]
-    * output schema (id, lon, lat, count, is_cluster, metrics...).
+    * output schema (id, lon, lat, count, is_cluster, metrics...,
+    * meta freq strings...). Metadata frequency strings are inlined into
+    * properties (reference inlines the metadata maps —
+    * cluster/cluster.go:2026-2034); null freq fields are omitted from
+    * the JSON (reference omits absent keys).
     */
-  def features(clusters: DataFrame, metricCols: Seq[String] = Nil): DataFrame = {
+  def features(clusters: DataFrame, metricCols: Seq[String] = Nil,
+               metaCols: Seq[String] = Nil): DataFrame = {
     val geometry = struct(
       lit("Point").as("type"),
       array(col("lon"), col("lat")).as("coordinates"))
 
     def props(extra: Seq[(String, Column)]): Column =
       struct(extra.map { case (n, c) => c.as(n) } ++
-        metricCols.map(m => col(m).as(m)): _*)
+        metricCols.map(m => col(m).as(m)) ++
+        metaCols.map(c => col(s"${c}_freq").as(s"${c}_freq")): _*)
 
     val clusterFeature = to_json(struct(
       lit("Feature").as("type"),
@@ -49,8 +55,9 @@ object GeoJson {
     * viewport results are bounded by construction, reference returns
     * the same materialized list over gRPC).
     */
-  def featureCollection(clusters: DataFrame, metricCols: Seq[String] = Nil): String = {
-    val fs = features(clusters, metricCols).select(col("feature"))
+  def featureCollection(clusters: DataFrame, metricCols: Seq[String] = Nil,
+                        metaCols: Seq[String] = Nil): String = {
+    val fs = features(clusters, metricCols, metaCols).select(col("feature"))
       .collect().map(_.getString(0))
     fs.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
   }

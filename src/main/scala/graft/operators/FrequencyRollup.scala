@@ -37,7 +37,22 @@ object FrequencyRollup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("min_id"))
       .filter(col("cnt") >= opts.minPoints)
 
-    val freqFrames = metaCols.map { c =>
+    // left join: a cluster whose members all lack a key still appears,
+    // with a null frequency column (the reference just omits the key).
+    cellFrequencies(celled, metaCols)
+      .foldLeft(cellAgg)((acc, f) => acc.join(f, Seq("cell_x", "cell_y"), "left"))
+      .select(col("min_id").as(idCol) +: col("cnt").as("count") +:
+        metaCols.map(c => col(s"${c}_freq")): _*)
+  }
+
+  /** One `(cell_x, cell_y, {c}_freq)` frame per metadata column — the
+    * per-cell canonical "value:ppm" strings. Shared by
+    * [[clusterFrequencies]] and [[GridCluster.cluster]] (which joins
+    * them onto its cluster output, mirroring the reference's
+    * metadata-bearing `ClusterNode` — cluster/cluster.go:1939-1944).
+    */
+  def cellFrequencies(celled: DataFrame, metaCols: Seq[String]): Seq[DataFrame] =
+    metaCols.map { c =>
       val w = Window.partitionBy(col("cell_x"), col("cell_y"))
       // Per-key totals over points that HAVE the key (reference skips
       // absent metadata keys — cluster.go:222-227): nulls drop out both
@@ -55,12 +70,4 @@ object FrequencyRollup {
             e => concat(e.getField("v"), lit(":"), e.getField("p").cast("string"))),
           ",").as(s"${c}_freq"))
     }
-
-    // left join: a cluster whose members all lack a key still appears,
-    // with a null frequency column (the reference just omits the key).
-    freqFrames
-      .foldLeft(cellAgg)((acc, f) => acc.join(f, Seq("cell_x", "cell_y"), "left"))
-      .select(col("min_id").as(idCol) +: col("cnt").as("count") +:
-        metaCols.map(c => col(s"${c}_freq")): _*)
-  }
 }

@@ -127,11 +127,18 @@ object GridCluster {
     *
     * @param metricCols double metric columns to SUM per cluster (exact
     *                   decimal sums; singles carry their raw values)
-    * @return columns: id, lon, lat, count, is_cluster, <metricCols...>
+    * @param metaCols   metadata columns rolled into per-cluster
+    *                   "value:ppm" frequency strings (the reference
+    *                   returns these inside every `ClusterNode` —
+    *                   cluster/cluster.go:1939-1944); singles carry
+    *                   their own value as "value:1000000"
+    * @return columns: id, lon, lat, count, is_cluster, <metricCols...>,
+    *         <metaCols..._freq>
     */
   def cluster(points: DataFrame, zoom: Int, bounds: Bounds,
               opts: ClusterOptions = ClusterOptions(),
               metricCols: Seq[String] = Nil,
+              metaCols: Seq[String] = Nil,
               idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
     val (celled, se, _) = cellAssign(points, zoom, bounds, opts, lonCol, latCol)
 
@@ -144,8 +151,13 @@ object GridCluster {
 
     val cellAgg = celled.groupBy(col("cell_x"), col("cell_y")).agg(aggs.head, aggs.tail: _*)
 
-    val clusters = cellAgg
-      .filter(col("cnt") >= opts.minPoints)
+    // frequency maps join on the SAME (cell_x, cell_y) key right after
+    // the same-key agg — co-partitioned, no new shuffle pattern
+    val withFreqs = FrequencyRollup.cellFrequencies(celled, metaCols)
+      .foldLeft(cellAgg.filter(col("cnt") >= opts.minPoints))(
+        (acc, f) => acc.join(f, Seq("cell_x", "cell_y"), "left"))
+
+    val clusters = withFreqs
       .select(
         Seq(
           col("min_id").as(idCol),
@@ -155,7 +167,8 @@ object GridCluster {
           Mercator.invY(col("sy") / col("cnt"), se).as(latCol),
           col("cnt").as("count"),
           lit(true).as("is_cluster")
-        ) ++ metricCols.map(m => col(s"sum_$m").as(m)): _*)
+        ) ++ metricCols.map(m => col(s"sum_$m").as(m))
+          ++ metaCols.map(c => col(s"${c}_freq")): _*)
 
     // Two-pass explode-back (SURVEY §7.4): cells below MinPoints emit
     // their member points unchanged (reference "single point cluster",
@@ -175,7 +188,10 @@ object GridCluster {
           col(latCol),
           lit(1L).as("count"),
           lit(false).as("is_cluster")
-        ) ++ metricCols.map(m => col(m)): _*)
+        ) ++ metricCols.map(m => col(m))
+          // a single point's frequency map is its own value at 100%
+          ++ metaCols.map(c => when(col(c).isNotNull,
+            concat(col(c).cast("string"), lit(":1000000"))).as(s"${c}_freq")): _*)
 
     clusters.unionByName(singles)
   }

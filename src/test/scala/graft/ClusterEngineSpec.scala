@@ -17,12 +17,20 @@ class ClusterEngineSpec extends SparkSpec {
     assert(engine.describe("e2e").exists(_.numPoints == 2000))
   }
 
-  test("viewport query returns clusters with rolled-up metrics") {
+  test("viewport query returns clusters with rolled-up metrics AND metadata freqs") {
     val out = engine.getClusters("cluster-2000p-t0-e2e", 3, Bounds.World)
     val rows = out.collect()
     assert(rows.map(_.getAs[Long]("count")).sum == 2000)
     assert(rows.exists(_.getAs[Boolean]("is_cluster")))
     assert(out.columns.contains("metric_sales"))
+    // reference ClusterNode carries metadata frequency maps alongside
+    // metrics (cluster/cluster.go:1939-1944)
+    assert(out.columns.contains("meta_category_freq"))
+    val cl = rows.filter(_.getAs[Boolean]("is_cluster"))
+    assert(cl.forall(_.getAs[String]("meta_category_freq").matches("([A-Za-z]+:\\d+,?)+")))
+    // singles carry their own value at 100%
+    assert(rows.filter(!_.getAs[Boolean]("is_cluster"))
+      .forall(_.getAs[String]("meta_category_freq").endsWith(":1000000")))
   }
 
   test("summary totals match the viewport") {
@@ -30,6 +38,11 @@ class ClusterEngineSpec extends SparkSpec {
     assert(s.getAs[Long]("total_points") == 2000)
     assert(s.getAs[Long]("num_clusters") > 0)
     assert(s.getAs[String]("meta_category_dist").nonEmpty)
+    // numeric metadata classified into min/max/avg stats
+    // (reference: cluster/helpers.go:273-289)
+    val (mn, mx, av) = (s.getAs[Double]("meta_elevation_min"),
+      s.getAs[Double]("meta_elevation_max"), s.getAs[Double]("meta_elevation_avg"))
+    assert(mn >= 0.0 && mx <= 5000.0 && mn <= av && av <= mx)
   }
 
   test("frequency rollups emit canonical ppm strings") {
@@ -39,10 +52,14 @@ class ClusterEngineSpec extends SparkSpec {
     assert(f.head.getAs[String]("meta_region_freq").matches("([A-Za-z]+:\\d+,?)+"))
   }
 
-  test("GeoJSON FeatureCollection is well-formed") {
+  test("GeoJSON FeatureCollection is well-formed with metadata properties") {
     val g = engine.getClustersGeoJson("cluster-2000p-t0-e2e", 2, Bounds.World)
     assert(g.startsWith("""{"type":"FeatureCollection","features":["""))
     assert(g.contains(""""cluster":true"""))
+    // metadata frequency maps inlined into feature properties
+    // (reference: cluster/cluster.go:2026-2034)
+    assert(g.contains(""""meta_category_freq":""""))
+    assert(g.contains(""""meta_region_freq":""""))
   }
 
   test("pyramid-serving: saved pyramid answers viewports as pruned scans") {
