@@ -30,25 +30,34 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // ONE struct carries the whole right payload through the window, so
+    // every asof_<c> comes from the SAME right row even when some of its
+    // payload values are null (independent per-column last(ignoreNulls)
+    // would mix columns from different right rows in that case).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val tagged = left
       .withColumn("_t", col(leftTime))
       .withColumn("_is_left", lit(1))
       .select(Seq(col(key), col("_t"), col("_is_left")) ++
-        leftCols.filterNot(_ == key).map(c => col(c)) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+        leftCols.filterNot(_ == key).map(c => col(c)) :+
+        lit(null).cast(payloadType).as("_asof_payload"): _*)
     val taggedRight = right
       .withColumn("_t", col(rightTime))
       .withColumn("_is_left", lit(0))
       .select(Seq(col(key), col("_t"), col("_is_left")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("_asof_payload"): _*)
 
-    // right rows first at equal timestamps → inclusive ts ≥ ts_right
+    // right rows first at equal timestamps → inclusive ts ≥ ts_right;
+    // the struct is null exactly on left rows, so ignoreNulls skips them
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(tagged.unionByName(taggedRight)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_is_left") === 1).drop("_t", "_is_left")
+    tagged.unionByName(taggedRight)
+      .withColumn("_asof_payload", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .select((col(key) +: leftCols.filterNot(_ == key).map(c => col(c))) ++
+        rightPayload.map(c => col("_asof_payload").getField(c).as(s"asof_$c")): _*)
   }
 }

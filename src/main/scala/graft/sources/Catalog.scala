@@ -45,13 +45,27 @@ object Catalog {
   }
 }
 
-final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 5) {
+final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 5,
+                    idleEvictMs: Long = 30L * 60 * 1000) {
 
-  final case class SavedInfo(id: String, numPoints: Long, createdAtMs: Long, path: String)
+  final case class SavedInfo(id: String, numPoints: Long, createdAtMs: Long, path: String,
+                             fileSizeBytes: Long = 0L)
 
   private val lru = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val lastAccessMs = mutable.HashMap.empty[String, Long]
 
   private def dsPath(id: String) = s"$warehouseDir/$id"
+
+  /** Total on-disk bytes under a dataset dir (the reference's catalog
+    * fileSize field — cluster/helpers.go:88-93).
+    */
+  private def dirSize(path: String): Long = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return 0L
+    val s = Files.walk(root)
+    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    finally s.close()
+  }
 
   /** Zoom-5 tile key (32×32 world grid): the partition column standing
     * in for the reference's KD-tree spatial index.
@@ -64,20 +78,26 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     least(lit(31), greatest(lit(0), ty)) * 32 + least(lit(31), greatest(lit(0), tx))
   }
 
-  /** S4/Q3: persist a point dataset, tile-partitioned, zstd. */
+  /** S4/Q3: persist a point dataset, tile-partitioned, zstd. The row
+    * count piggybacks on the write via `observe` — one pass, where
+    * re-reading the written files (round 1) was a second full scan per
+    * ingest.
+    */
   def save(points: DataFrame, id: String): SavedInfo = {
     val path = dsPath(id)
+    val obs = org.apache.spark.sql.Observation(s"graft_save_$id")
     points
+      .observe(obs, count(lit(1)).as("n"))
       .withColumn("tile_z5", tileZ5(col("lon"), col("lat")))
       .repartition(col("tile_z5"))
       .write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy("tile_z5")
       .parquet(path)
-    val n = spark.read.parquet(path).count()
-    val info = SavedInfo(id, n, System.currentTimeMillis(), path)
+    val n = obs.get("n").asInstanceOf[Long]
+    val info = SavedInfo(id, n, System.currentTimeMillis(), path, dirSize(path))
     Files.writeString(Paths.get(path, "_graft_meta.json"),
-      s"""{"id":"$id","numPoints":$n,"createdAtMs":${info.createdAtMs}}""")
+      s"""{"id":"$id","numPoints":$n,"createdAtMs":${info.createdAtMs},"fileSizeBytes":${info.fileSizeBytes}}""")
     info
   }
 
@@ -110,8 +130,19 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
   def loadPyramid(id: String): DataFrame =
     spark.read.parquet(s"${dsPath(id)}/_pyramid")
 
-  /** S5/Q4: load (cached, LRU-admitted). */
+  /** S5/Q4: load (cached, LRU-admitted). Entries idle past `idleEvictMs`
+    * are evicted on the next access — the reference runs a 30-minute
+    * background ticker (runner/runner.go:113-140); consulting the
+    * idle clock at access time gives the same bound without a thread.
+    */
   def load(id: String): DataFrame = synchronized {
+    val now = System.currentTimeMillis()
+    lastAccessMs.filterInPlace { (cachedId, at) =>
+      val keep = cachedId == id || now - at <= idleEvictMs
+      if (!keep) lru.remove(cachedId).foreach(_.unpersist())
+      keep
+    }
+    lastAccessMs.put(id, now)
     lru.remove(id) match {
       case Some(df) =>
         lru.put(id, df) // refresh recency
@@ -122,6 +153,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
         if (lru.size > maxCached) {
           val (evictId, evictDf) = lru.head
           lru.remove(evictId)
+          lastAccessMs.remove(evictId)
           evictDf.unpersist()
         }
         df
@@ -142,10 +174,13 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
       val meta = p.resolve("_graft_meta.json")
       if (Files.isRegularFile(meta)) {
         val j = Files.readString(meta)
-        def field(k: String): String =
-          j.split(s""""$k":""")(1).split("[,}]")(0).stripPrefix("\"").stripSuffix("\"")
-        out += SavedInfo(field("id"), field("numPoints").toLong,
-          field("createdAtMs").toLong, p.toString)
+        def field(k: String): Option[String] =
+          j.split(s""""$k":""").drop(1).headOption
+            .map(_.split("[,}]")(0).stripPrefix("\"").stripSuffix("\""))
+        out += SavedInfo(field("id").get, field("numPoints").get.toLong,
+          field("createdAtMs").get.toLong, p.toString,
+          // older meta files predate the field — fall back to a live walk
+          field("fileSizeBytes").map(_.toLong).getOrElse(dirSize(p.toString)))
       }
     }
     out.sortBy(_.id).toSeq

@@ -39,31 +39,45 @@ object PointGen {
       (u(id, seed, 7) * 5000.0).as("meta_elevation"))
   }
 
-  /** S3: n points clustered around 3 of 6 US cities, polar offsets up
-    * to ~50 miles (reference: helpers.go:382-448).
+  /** S3: n points clustered around 3 of 6 US cities with the
+    * reference's exact polar-offset geometry (helpers.go:382-448):
+    * distance ≤ 50 miles at 69 miles/°lat; the latitude offset is
+    * dist/69·cos θ and the longitude offset divides by cos(cityLat) to
+    * keep ground distance isotropic. City pick = seeded shuffle take 3;
+    * assignment round-robins id%3 like the reference's i%3. The
+    * reference's wall-clock-random extra metric name (helpers.go:411)
+    * is dropped (non-reproducible); metadata matches its menu
+    * (timestamp/category/city/temperature/elevation).
     */
   def cityPoints(spark: SparkSession, n: Long, seed: Long): DataFrame = {
     val cities = Seq( // (name, lon, lat) — the reference's city list
-      ("New York", -74.006, 40.7128), ("Los Angeles", -118.2437, 34.0522),
-      ("Chicago", -87.6298, 41.8781), ("Houston", -95.3698, 29.7604),
-      ("Phoenix", -112.074, 33.4484), ("Philadelphia", -75.1652, 39.9526))
+      ("New York", -74.0060, 40.7128), ("Los Angeles", -118.2437, 34.0522),
+      ("Chicago", -87.6298, 41.8781), ("Miami", -80.1918, 25.7617),
+      ("Seattle", -122.3321, 47.6062), ("Austin", -97.7431, 30.2672))
+    val categories = Seq("Urban", "Suburban", "Industrial", "Commercial", "Residential")
     val picked = new scala.util.Random(seed).shuffle(cities).take(3)
     val id = col("id")
     val cityIdx = pmod(id, lit(3)).cast("int")
     val lonArr = lit(picked.map(_._2).toArray)
     val latArr = lit(picked.map(_._3).toArray)
     val nameArr = lit(picked.map(_._1).toArray)
-    // polar offset: ~50 miles ≈ 0.72 degrees of latitude
-    val r = u(id, seed, 0) * lit(0.72)
+    val milesPerDegLat = 69.0
+    val distMiles = u(id, seed, 0) * lit(50.0)
     val theta = u(id, seed, 1) * lit(2.0 * math.Pi)
+    val cityLat = element_at(latArr, cityIdx + 1)
+    val latOffset = distMiles / lit(milesPerDegLat) * cos(theta)
+    val lonOffset =
+      distMiles / (lit(milesPerDegLat) * cos(cityLat * lit(math.Pi / 180.0))) * sin(theta)
     spark.range(n).select(
       (id + 1).as("id"),
-      (element_at(lonArr, cityIdx + 1) + r * cos(theta)).as("lon"),
-      (element_at(latArr, cityIdx + 1) + r * sin(theta)).as("lat"),
+      (element_at(lonArr, cityIdx + 1) + lonOffset).as("lon"),
+      (cityLat + latOffset).as("lat"),
       (u(id, seed, 2) * 10000.0).as("metric_population_density"),
       (u(id, seed, 3) * 100000.0).as("metric_avg_income"),
       (u(id, seed, 4) * 100.0).as("metric_crime_rate"),
       (u(id, seed, 5) * 100.0).as("metric_traffic_level"),
+      timestamp_seconds(lit(1704067200L) + (u(id, seed, 8) * 86400.0 * 365.0).cast("long")).as("meta_timestamp"),
+      element_at(lit(categories.toArray), pmod(id, lit(categories.size)).cast("int") + 1).as("meta_category"),
       element_at(nameArr, cityIdx + 1).as("meta_city"),
       (lit(60.0) + u(id, seed, 6) * 30.0).as("meta_temperature"),
       (lit(100.0) + u(id, seed, 7) * 500.0).as("meta_elevation"))

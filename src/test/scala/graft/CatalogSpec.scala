@@ -42,13 +42,15 @@ class CatalogSpec extends SparkSpec {
       expected.exceptAll(proj.select("id")).isEmpty)
   }
 
-  test("list + describe by substring") {
+  test("list + describe by substring; fileSize reported") {
     val cat = new Catalog(spark, warehouse)
     cat.save(PointGen.uniformPoints(spark, 50, Bounds.World, 1L), "cluster-50p-t1-beta")
     val ids = cat.list().map(_.id)
     assert(ids.contains("cluster-1000p-t0-alpha") && ids.contains("cluster-50p-t1-beta"))
     assert(cat.describe("beta").exists(_.numPoints == 50))
     assert(cat.describe("nope").isEmpty)
+    // catalog entries carry on-disk size (reference helpers.go:88-93)
+    assert(cat.list().forall(_.fileSizeBytes > 0))
   }
 
   test("LRU evicts least-recently-used beyond maxCached") {
@@ -62,5 +64,16 @@ class CatalogSpec extends SparkSpec {
     cat.load("cluster-10p-t2-lru2") // refresh recency
     cat.load("cluster-10p-t2-lru1") // evicts lru3
     assert(cat.cachedIds == Seq("cluster-10p-t2-lru2", "cluster-10p-t2-lru1"))
+  }
+
+  test("idle entries evict on next access (reference's 30-min ticker)") {
+    val cat = new Catalog(spark, warehouse, maxCached = 5, idleEvictMs = 150L)
+    cat.load("cluster-10p-t2-lru1")
+    cat.load("cluster-10p-t2-lru2")
+    Thread.sleep(60)
+    cat.load("cluster-10p-t2-lru2") // touch lru2; lru1 keeps aging
+    Thread.sleep(100)               // lru1 now idle > 150ms, lru2 not
+    cat.load("cluster-10p-t2-lru3")
+    assert(cat.cachedIds.toSet == Set("cluster-10p-t2-lru2", "cluster-10p-t2-lru3"))
   }
 }
