@@ -58,6 +58,62 @@ object Similarity {
     call_function("graft_hsig", emb, lit(bits), lit(dims))
   }
 
+  /** Signature bits scaled to corpus size: bits = ⌈log₂(n / targetBucketSize)⌉
+    * (clamped). Expected bucket population under random hyperplanes is
+    * n / 2^bits, so holding the target constant keeps the in-bucket pair
+    * join LINEAR in n — ~n·targetBucketSize/2 candidate pairs total —
+    * where any fixed bit width degrades toward n²/2^bits (the round-1
+    * compile-constant bits=8 was quadratic at 100 TB). Callers pin bits
+    * explicitly only for oracle reproducibility at a fixed SF.
+    */
+  def scaledBits(n: Long, targetBucketSize: Int = 8, minBits: Int = 4, maxBits: Int = 30): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, raw))
+  }
+
+  /** Banded hyperplane keys: the `bands`·`bitsPerBand`-bit signature cut
+    * into `bands` substrings — a candidate pair must agree on at least
+    * one full band. Banding restores the recall that longer (scaled)
+    * signatures cost: P[candidate] = 1 − (1 − p^bitsPerBand)^bands for
+    * per-bit agreement p, versus p^bits for the single full signature.
+    */
+  def hyperplaneBandKeys(emb: Column, bands: Int, bitsPerBand: Int, dims: Int): Column = {
+    val sig = hyperplaneSig(emb, bands * bitsPerBand, dims)
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.cast("long").as("band"),
+        sig.substr(b * lit(bitsPerBand) + lit(1), lit(bitsPerBand)).as("bk")))
+  }
+
+  /** Scale-parameterized near-duplicate pairs: bitsPerBand grows with
+    * ⌈log₂ n⌉ (bounded buckets at any corpus size), banding keeps
+    * recall, and every candidate is verified exactly against the
+    * threshold — so precision is exact and only recall is approximate.
+    * Output: id_a, id_b, cos_sim (≥ threshold).
+    */
+  def bandedNearDupPairs(embs: DataFrame, dims: Int, threshold: Double,
+                         bands: Int = 4, targetBucketSize: Int = 8,
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bitsPerBand = scaledBits(embs.count(), targetBucketSize)
+    val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
+      norm(col(embCol), dims).as("nrm"),
+      hyperplaneBandKeys(col(embCol), bands, bitsPerBand, dims).as("bks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = sigs.select(col("id"), explode(col("bks")).as("k"))
+      .select(col("id"), col("k.band").as("band"), col("k.bk").as("bk"))
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("e").as("ea"), col("nrm").as("nrm_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("e").as("eb"), col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosinePre(col("ea"), col("eb"), col("nrm_a"), col("nrm_b"), dims), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact brute-force cosine top-k against one stored query vector —
     * the correctness baseline. The query row is broadcast; one pass
     * over the corpus, TakeOrderedAndProject for the top-k.

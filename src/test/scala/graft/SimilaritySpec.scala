@@ -37,4 +37,65 @@ class SimilaritySpec extends SparkSpec {
     assert(nn.get(0L).contains(1L))
     assert(nn.get(1L).contains(0L))
   }
+
+  test("scaledBits keeps expected bucket size constant as n grows") {
+    val target = 8
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)) {
+      val bits = Similarity.scaledBits(n, target)
+      val expected = n.toDouble / math.pow(2.0, bits)
+      // ceil(log2) ⇒ expected population in (target/2, target]
+      assert(expected <= target + 1e-9, s"n=$n bits=$bits expected=$expected")
+      assert(expected > target / 2.0 || bits == 4 || bits == 30,
+        s"n=$n bits=$bits expected=$expected")
+    }
+    // monotone in n
+    val seq = Seq(1000L, 10000L, 100000L, 1000000L).map(Similarity.scaledBits(_, target))
+    assert(seq == seq.sorted)
+  }
+
+  /** Deterministic pseudo-random 16-dim vectors — md5-mixed per (id, dim)
+    * (an integer LCG makes consecutive ids lattice-correlated and
+    * collapses hyperplane sign patterns).
+    */
+  private def randomVectors(n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)), j =>
+        (conv(substring(md5(concat(col("id").cast("string"), lit("_"), j.cast("string"))), 1, 6), 16, 10)
+          .cast("long") / lit(16777216.0) - lit(0.5)).cast("float")).as("embedding"))
+  }
+
+  test("empirical bucket population stays bounded under 10x corpus growth") {
+    def avgBucket(n: Int): Double = {
+      val bits = Similarity.scaledBits(n.toLong, targetBucketSize = 8)
+      val sigs = randomVectors(n).select(
+        Similarity.hyperplaneSig(org.apache.spark.sql.functions.col("embedding"),
+          bits, 16).as("sig"))
+      val counts = sigs.groupBy("sig").count().collect().map(_.getLong(1))
+      counts.sum.toDouble / counts.length
+    }
+    val (a, b) = (avgBucket(2000), avgBucket(20000))
+    // 10x the corpus, ~constant mean occupancy (would be ~10x at fixed bits)
+    assert(a <= 16.0, s"avg bucket at n=2000: $a")
+    assert(b <= 16.0, s"avg bucket at n=20000: $b")
+  }
+
+  test("banded near-dup recovers pairs that longer signatures split") {
+    import org.apache.spark.sql.functions._
+    // 500 random vectors + a planted near-identical pair (ids 9000/9001)
+    val base = randomVectors(500)
+    val planted = Seq(
+      (9000L, Array.tabulate(16)(j => (0.3f + 0.05f * j))),
+      (9001L, Array.tabulate(16)(j => (0.3f + 0.05f * j + (if (j == 7) 0.001f else 0f))))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val all = base.unionByName(planted)
+    val out = Similarity.bandedNearDupPairs(all, dims = 16, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(out.contains((9000L, 9001L)))
+    // verification is exact: every reported pair really clears the bar
+    val verified = Similarity.bandedNearDupPairs(all, dims = 16, threshold = 0.999)
+      .collect().map(_.getAs[Double]("cos_sim"))
+    assert(verified.forall(_ >= 0.999))
+  }
 }
