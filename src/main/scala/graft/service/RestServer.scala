@@ -1,0 +1,206 @@
+package graft.service
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.ClusterEngine
+import graft.model.Bounds
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+/** REST gateway over [[ClusterEngine]] — the reference's HTTP edge
+  * (reference: cmd/api/main.go:28-314; gin router + gRPC client there,
+  * the JDK's built-in HttpServer directly over the engine here — the
+  * engine already IS the five-RPC service surface, so no IPC hop).
+  *
+  * Route contract (param names and response shapes match main.go):
+  *  - GET  /api/clusters/list                     → [{id,numPoints,timestamp,fileSize}]
+  *  - GET  /api/clusters[?zoom&north&south&east&west]        (default dataset)
+  *  - GET  /api/clusters/{id}?zoom&…              → GeoJSON FeatureCollection
+  *  - GET  /api/clusters/metadata?zoom&…                     (default dataset)
+  *  - GET  /api/clusters/{id}/metadata?zoom&…     → summary JSON
+  *  - POST /api/clusters        {"numPoints":n}   → created info (becomes default)
+  *  - POST /api/clusters/{id}/load                → {message, clusterInfo} (becomes default)
+  *
+  * Bounds arrive as north/south/east/west floats (main.go:28-55); the
+  * most recent dataset is the initial default (main.go:70-72). CORS `*`
+  * like the reference (main.go:77-89).
+  */
+final class RestServer(engine: ClusterEngine, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  @volatile private var defaultClusterId: String =
+    engine.list().lastOption.map(_.id).getOrElse("")
+
+  def boundPort: Int = server.getAddress.getPort
+
+  // ------------------------------------------------------------- json utils
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jnum(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  /** "value:ppm,value:ppm" canonical string → JSON object. */
+  private def distToJson(dist: String): String =
+    dist.split(",").map { kv =>
+      val i = kv.lastIndexOf(':')
+      s"${jstr(kv.substring(0, i))}:${kv.substring(i + 1)}"
+    }.mkString("{", ",", "}")
+
+  private def infoJson(i: graft.sources.Catalog#SavedInfo): String =
+    s"""{"id":${jstr(i.id)},"numPoints":${i.numPoints},""" +
+      s""""timestamp":${jstr(Instant.ofEpochMilli(i.createdAtMs).toString)},""" +
+      s""""fileSize":${i.fileSizeBytes}}"""
+
+  // ------------------------------------------------------------- responses
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    ex.getResponseHeaders.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+    ex.getResponseHeaders.set("Access-Control-Allow-Headers", "Origin, Content-Type")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def err(ex: HttpExchange, status: Int, msg: String): Unit =
+    respond(ex, status, s"""{"error":${jstr(msg)}}""")
+
+  // ------------------------------------------------------------- params
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  /** zoom + north/south/east/west, reference param contract (main.go:28-55). */
+  private def zoomAndBounds(q: Map[String, String]): Either[String, (Int, Bounds)] =
+    try {
+      val zoom = q.getOrElse("zoom", throw new IllegalArgumentException("Invalid zoom parameter")).toInt
+      def f(k: String): Double =
+        q.getOrElse(k, throw new IllegalArgumentException(s"invalid $k parameter")).toDouble
+      Right((zoom, Bounds(f("west"), f("south"), f("east"), f("north"))))
+    } catch {
+      case e: IllegalArgumentException => Left(Option(e.getMessage).getOrElse("invalid parameters"))
+      case _: NumberFormatException => Left("invalid numeric parameter")
+    }
+
+  // ------------------------------------------------------------- handlers
+
+  private def handleList(ex: HttpExchange): Unit =
+    respond(ex, 200, engine.list().map(infoJson).mkString("[", ",", "]"))
+
+  private def handleGetClusters(ex: HttpExchange, id: String): Unit =
+    zoomAndBounds(query(ex)) match {
+      case Left(m) => err(ex, 400, m)
+      case Right((zoom, bounds)) =>
+        respond(ex, 200, engine.getClustersGeoJson(id, zoom, bounds))
+    }
+
+  private def handleMetadata(ex: HttpExchange, id: String): Unit =
+    zoomAndBounds(query(ex)) match {
+      case Left(m) => err(ex, 400, m)
+      case Right((zoom, bounds)) =>
+        val row = engine.getSummary(id, zoom, bounds).collect().head
+        val schema = row.schema.fieldNames
+        def has(c: String) = schema.contains(c)
+        val metricNames = schema.filter(_.endsWith("_sum")).map(_.stripSuffix("_sum"))
+        val metrics = metricNames.map { m =>
+          s"${jstr(m)}:{" +
+            s""""Min":${jnum(row.getAs[Double](s"${m}_min"))},""" +
+            s""""Max":${jnum(row.getAs[Double](s"${m}_max"))},""" +
+            s""""Sum":${jnum(row.getAs[Double](s"${m}_sum"))},""" +
+            s""""Average":${jnum(row.getAs[Double](s"${m}_avg"))}}"""
+        }.mkString("{", ",", "}")
+        // metadata: numeric → Min/Max/Average, timestamps → Earliest/
+        // Latest, categorical dists → value:ppm objects (main.go:281-300)
+        val metaEntries =
+          schema.filter(_.endsWith("_dist")).map { c =>
+            s"${jstr(c.stripSuffix("_dist"))}:${distToJson(row.getAs[String](c))}"
+          } ++
+          schema.filter(c => c.endsWith("_earliest")).map { c =>
+            val base = c.stripSuffix("_earliest")
+            s"${jstr(base)}:{" +
+              s""""Earliest":${jstr(row.getAs[java.sql.Timestamp](c).toInstant.toString)},""" +
+              s""""Latest":${jstr(row.getAs[java.sql.Timestamp](s"${base}_latest").toInstant.toString)}}"""
+          } ++
+          schema.filter(c => c.endsWith("_avg") && !metricNames.contains(c.stripSuffix("_avg"))).map { c =>
+            val base = c.stripSuffix("_avg")
+            s"${jstr(base)}:{" +
+              s""""Min":${jnum(row.getAs[Double](s"${base}_min"))},""" +
+              s""""Max":${jnum(row.getAs[Double](s"${base}_max"))},""" +
+              s""""Average":${jnum(row.getAs[Double](c))}}"""
+          }
+        respond(ex, 200,
+          s"""{"totalPoints":${row.getAs[Long]("total_points")},""" +
+            s""""numClusters":${row.getAs[Long]("num_clusters")},""" +
+            s""""numSinglePoints":${row.getAs[Long]("num_single_points")},""" +
+            s""""metricsSummary":$metrics,""" +
+            s""""metadataSummary":${metaEntries.mkString("{", ",", "}")}}""")
+    }
+
+  private def handleCreate(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val n = "\"numPoints\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    n match {
+      case None => err(ex, 400, "Invalid request")
+      case Some(num) =>
+        // reference filename encoding cluster-{n}p-{ts}-{id} (helpers.go:54-97)
+        val id = s"cluster-${num}p-t${System.currentTimeMillis()}-api"
+        val info = engine.createDataset(id, num)
+        defaultClusterId = id
+        respond(ex, 200, infoJson(info))
+    }
+  }
+
+  private def handleLoad(ex: HttpExchange, id: String): Unit =
+    engine.describe(id) match {
+      case None => err(ex, 400, s"unknown cluster $id")
+      case Some(info) =>
+        engine.load(info.id)
+        defaultClusterId = info.id
+        respond(ex, 200,
+          s"""{"message":"Cluster loaded successfully","clusterInfo":${infoJson(info)}}""")
+    }
+
+  // ------------------------------------------------------------- routing
+
+  server.createContext("/api/clusters", (ex: HttpExchange) => {
+    try {
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      val method = ex.getRequestMethod
+      val sub = path.stripPrefix("/api/clusters").stripPrefix("/")
+      (method, sub.split("/").toList.filter(_.nonEmpty)) match {
+        case ("OPTIONS", _) => respond(ex, 204, "")
+        case ("GET", List("list")) => handleList(ex)
+        case ("GET", Nil) | ("GET", List("metadata")) =>
+          if (defaultClusterId.isEmpty) err(ex, 404, "No clusters available")
+          else if (sub == "metadata") handleMetadata(ex, defaultClusterId)
+          else handleGetClusters(ex, defaultClusterId)
+        case ("GET", List(id)) => handleGetClusters(ex, id)
+        case ("GET", List(id, "metadata")) => handleMetadata(ex, id)
+        case ("POST", Nil) => handleCreate(ex)
+        case ("POST", List(id, "load")) => handleLoad(ex, id)
+        case _ => err(ex, 404, "not found")
+      }
+    } catch {
+      case e: Throwable => err(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+  })
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+}

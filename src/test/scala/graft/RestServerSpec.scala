@@ -1,0 +1,70 @@
+package graft
+
+import graft.service.RestServer
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** End-to-end HTTP edge: the five reference routes over a live server
+  * (reference: cmd/api/main.go route + param contract).
+  */
+class RestServerSpec extends SparkSpec {
+
+  private lazy val engine =
+    new ClusterEngine(spark, Files.createTempDirectory("graft-rest").toString)
+  private lazy val server = { val s = new RestServer(engine); s.start(); s }
+  private lazy val http = HttpClient.newHttpClient()
+  private def base = s"http://localhost:${server.boundPort}"
+
+  private def get(path: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(path: String, body: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private val viewport = "zoom=3&west=-180&south=-85&east=180&north=85"
+
+  test("POST /api/clusters creates a dataset and sets the default") {
+    val r = post("/api/clusters", """{"numPoints": 800}""")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains(""""numPoints":800"""))
+    assert(r.body().contains(""""fileSize":"""))
+  }
+
+  test("GET /api/clusters/list returns the catalog with sizes") {
+    val r = get("/api/clusters/list")
+    assert(r.statusCode() == 200)
+    assert(r.body().startsWith("[") && r.body().contains(""""numPoints":800"""))
+  }
+
+  test("GET /api/clusters serves GeoJSON from the default dataset") {
+    val r = get(s"/api/clusters?$viewport")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(r.body().contains(""""cluster":true"""))
+    assert(r.body().contains(""""meta_category_freq":""")) // metadata inlined
+  }
+
+  test("GET /api/clusters/{id}/metadata returns the summary contract") {
+    val id = engine.list().head.id
+    val r = get(s"/api/clusters/$id/metadata?$viewport")
+    assert(r.statusCode() == 200, r.body())
+    val b = r.body()
+    assert(b.contains(""""totalPoints":800"""))
+    assert(b.contains(""""metricsSummary":{"""") && b.contains(""""metric_sales":{"Min":"""))
+    assert(b.contains(""""meta_elevation":{"Min":"""))   // numeric meta stats
+    assert(b.contains(""""meta_category":{""""))          // categorical dist
+    assert(b.contains(""""meta_timestamp":{"Earliest":""")) // time range
+  }
+
+  test("POST /api/clusters/{id}/load + bad params; shutdown") {
+    val id = engine.list().head.id
+    val r = post(s"/api/clusters/$id/load", "")
+    assert(r.statusCode() == 200 && r.body().contains("Cluster loaded successfully"))
+    assert(get("/api/clusters?west=0").statusCode() == 400) // missing zoom/bounds
+    assert(post("/api/clusters/nope-load/load", "").statusCode() == 400)
+    server.stop() // last test doubles as teardown (suite runs in order)
+  }
+}
