@@ -252,6 +252,16 @@ object SparkEntry {
        |SELECT * FROM clusters UNION ALL SELECT * FROM singles ORDER BY id""".stripMargin
   }
 
+  /** A1 faithful mode: deterministic per-tile greedy sweep (no SQL
+    * oracle — the sweep is iterative/order-dependent and not
+    * SQL-expressible; driver records the rows-only check. Determinism
+    * and conservation are covered by GreedySweepSpec.)
+    */
+  private def qGreedySweep(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GreedySweep.cluster(eventPoints(s, dir), 10, flagBounds, flagOpts,
+      metricCols = Seq("value"))
+      .orderBy("id")
+
   /** F1/F4 in isolation: Mercator projection + viewport filter. */
   private def qViewportPoints(s: SparkSession, dir: String): DataFrame =
     GridCluster.projectToViewport(eventPoints(s, dir), flagZoom, flagBounds, flagOpts)
@@ -582,6 +592,7 @@ object SparkEntry {
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_cluster_meta" -> (qClusterMeta _),
+    "q_greedy_sweep" -> (qGreedySweep _),
     "q_viewport_points" -> (qViewportPoints _),
     "q_freq_rollup" -> (qFreqRollup _),
     "q_cluster_summary" -> (qClusterSummary _),
