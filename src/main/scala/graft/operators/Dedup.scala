@@ -26,20 +26,27 @@ object Dedup {
   /** Whitespace tokens (documents are single-space normalized). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word 3-gram shingles; callers must pre-filter docs with
-    * ≥3 tokens (Spark's `sequence` runs descending when stop<start).
+  /** Distinct word 3-gram shingles from raw text — the fused
+    * [[graft.plans.WordShingles]] (one compiled call per row; the
+    * builtin transform/array_distinct form ran per-element in the
+    * expression interpreter). Empty array below 3 tokens.
     */
-  def shingles3(t: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
-      concat(element_at(t, i), lit(" "), element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+  def shingles3(text: Column): Column = {
+    graft.plans.TextExpressions.ensureRegistered()
+    call_function("graft_shingles", text, lit(3))
+  }
 
   /** MinHash signature: k permutations simulated as md5("<i>|" + shingle),
     * minimum taken lexicographically over the doc's shingle set — a
     * uniform min-hash because md5 output is uniform on hex strings.
+    * Fused ([[graft.plans.MinhashSig]]): one reused MessageDigest for
+    * the k·|shingles| hashes instead of an interpreted fresh-instance
+    * md5 per element.
     */
-  def minhashSig(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles, x => md5(concat(i.cast("string"), lit("|"), x)))))
+  def minhashSig(shingles: Column, k: Int): Column = {
+    graft.plans.TextExpressions.ensureRegistered()
+    call_function("graft_minhash", shingles, lit(k))
+  }
 
   /** LSH band keys: adjacent pairs of signature slots hashed together.
     * A candidate pair must agree on the full 2-slot band — the standard
@@ -76,11 +83,12 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
       .orderBy("canonical_id")
 
-  /** Per-doc distinct 3-gram shingle sets (docs with ≥3 tokens). */
+  /** Per-doc distinct 3-gram shingle sets (docs with ≥3 tokens — i.e.
+    * a non-empty shingle array).
+    */
   def docShingles(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col(idCol), shingles3(col("t")).as("s"))
+    docs.select(col(idCol), shingles3(col(textCol)).as("s"))
+      .filter(size(col("s")) >= 1)
 
   /** Exploded posting list carrying the doc's set size on every row —
     * so no downstream stage ever joins back to a per-doc size table.
@@ -103,20 +111,17 @@ object Dedup {
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String,
                             threshold: Double): DataFrame = {
-    // the candidate set feeds four plan branches (two joins, the id
-    // semi-filter's broadcast, twice in union) — persist it or the
-    // generation join (the expensive part) re-runs per branch
-    val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ids = c.select(col("id_a").as("id")).union(c.select(col("id_b").as("id"))).distinct()
-    // postings restricted to candidate docs (broadcast semi — candidates
-    // are a tiny fraction after prefix/LSH filtering), so only candidate
-    // shingles ever shuffle; each row carries its doc's set size, so the
-    // pair aggregation below yields inter AND both sizes in one pass
-    val dsC = postings(sh, idCol).join(broadcast(ids), Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    c
-      .join(dsC.select(col("id").as("id_a"), col("shingle"), col("len").as("len_a")), "id_a")
-      .join(dsC.select(col("id").as("id_b"), col("shingle"), col("len").as("len_b")),
+    val ds = postings(sh, idCol)
+    // Candidates are a tiny fraction after prefix/LSH filtering, so both
+    // verify joins keep the accumulating candidate side broadcast-small
+    // (AQE falls back to a shuffle join if a pathological candidate set
+    // grows): the full posting list is never shuffled — it streams twice
+    // out of the persisted shingle cache. Each posting row carries its
+    // doc's set size, so one pair aggregation yields inter AND both
+    // sizes — no joins back to a size table.
+    cand
+      .join(ds.select(col("id").as("id_a"), col("shingle"), col("len").as("len_a")), "id_a")
+      .join(ds.select(col("id").as("id_b"), col("shingle"), col("len").as("len_b")),
         Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"),
@@ -147,15 +152,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ds = postings(sh, idCol)
     // global rarity order = (doc frequency, shingle) — no global rank
-    // column needed, the tuple itself is the sort key
-    val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
-    // per-doc rank under the rarity order via a window (one shuffle on
-    // id, codegen'd sort) — the earlier collect_list/sort_array/slice/
-    // explode form did the same ranking through four interpreted array
-    // HOFs and was the slowest stage of the round-1 bench's slowest query
+    // column needed, the tuple itself is the sort key. Doc frequency
+    // comes from a count-over-shingle window (one shuffle) rather than a
+    // separate agg + join back (two); the per-doc rank is a second
+    // window. The earlier collect_list/sort_array/slice/explode form did
+    // this ranking through four interpreted array HOFs and was the
+    // slowest stage of the round-1 bench's slowest query.
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("c"), col("shingle"))
-    val prefixes = ds.join(dfreq, "shingle")
+    val prefixes = ds
+      .withColumn("c", count(lit(1)).over(byShingle))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= greatest(lit(1),
         (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int")))

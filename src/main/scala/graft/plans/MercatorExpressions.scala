@@ -123,7 +123,7 @@ object MercatorExpressions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    (MercatorExpressions.all ++ SimilarityExpressions.all).foreach {
+    (MercatorExpressions.all ++ SimilarityExpressions.all ++ TextExpressions.all).foreach {
       case (name, builder) =>
         e.injectFunction((
           FunctionIdentifier(name),

@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.security.MessageDigest
+
+/** Native-eval text expressions for the dedup pipeline.
+  *
+  * The builtin formulations (nested transform/aggregate HOFs) run in
+  * the expression INTERPRETER — per-element lambda dispatch, a fresh
+  * MessageDigest per md5 call. These evaluate the whole row in one
+  * compiled-Scala call (CodegenFallback: one invoke per row from the
+  * codegen'd stage, loops run as JVM bytecode) and reuse a thread-local
+  * MD5 instance. Outputs are bit-identical to the builtin forms: same
+  * tokenization (regex " ", keep-empty like Spark's split), same
+  * first-occurrence distinct order, same md5("<i>|" + shingle) hex-min
+  * signature (byte-wise min == hex-string min; hex is order-preserving).
+  */
+object TextExpressions {
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private[plans] def md5(): MessageDigest = { val m = md5Local.get(); m.reset(); m }
+
+  private val HEX = "0123456789abcdef".toCharArray
+  private[plans] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned lexicographic byte compare (== hex-string compare). */
+  private[plans] def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1)))),
+    "graft_minhash" -> (es => MinhashSig(es(0), intLit(es(1)))))
+
+  private def intLit(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case o => throw new IllegalArgumentException(s"expected integer literal, got $o")
+  }
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  def ensureRegistered(): Unit =
+    SparkSession.getActiveSession.foreach(register)
+}
+
+/** Distinct word n-gram shingles of a single-space-tokenized text, in
+  * first-occurrence order; fewer than n tokens → empty array.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    // limit -1 keeps trailing empties — Spark's split() semantics
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature: element i = min over the shingle set of
+  * md5("<i>|" + shingle) as lowercase hex. One MessageDigest reused for
+  * all k·|shingles| hashes; shingle bytes materialized once.
+  */
+case class MinhashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val shingleBytes = new Array[Array[Byte]](m)
+    var s = 0
+    while (s < m) { shingleBytes(s) = arr.getUTF8String(s).getBytes; s += 1 }
+    val md = TextExpressions.md5()
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val prefix = (i.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var best: Array[Byte] = null
+      var j = 0
+      while (j < m) {
+        md.reset()
+        md.update(prefix)
+        md.update(shingleBytes(j))
+        val d = md.digest()
+        if (best == null || TextExpressions.less(d, best)) best = d
+        j += 1
+      }
+      out(i) = UTF8String.fromString(TextExpressions.hex(
+        if (best == null) Array.fill[Byte](16)(0) else best))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
