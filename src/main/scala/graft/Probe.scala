@@ -4,8 +4,9 @@ import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch stage-timing probe for dedup hot spots (dev tool, not part of
-  * the driver contract).
+/** Scratch operator-timing probe for dedup hot spots (dev tool, not part
+  * of the driver contract): cold vs steady-state numbers separate Spark
+  * job-scheduling overhead from real work at small SF.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -32,37 +33,13 @@ object Probe {
 
     val sh = time("docShingles")(
       { val d = Dedup.docShingles(docs); d.persist(); d.count(); d })
-    val ds = sh.select(col("doc_id").as("id"), explode(col("s")).as("shingle"))
-    time("postings count")(ds.count())
-    val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
-    time("dfreq")(dfreq.count())
-    val ordered = ds.join(dfreq, "shingle")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("c"), col("shingle")))).as("ordered"))
-    time("rarity sort")(ordered.count())
-    val prefixes = ordered
-      .select(col("id"),
-        transform(
-          slice(col("ordered"), lit(1),
-            greatest(lit(1),
-              (size(col("ordered")) - ceil(lit(0.5) * size(col("ordered"))) + 1).cast("int"))),
-          e => e.getField("shingle")).as("prefix"))
-      .select(col("id"), explode(col("prefix")).as("shingle"))
-    prefixes.persist()
-    time("prefixes")(prefixes.count())
-    val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand.persist()
-    time("candidates")(cand.count())
-    time("full ngram")(Dedup.ngramJaccard(docs).count())
-    time("full ngram again")(Dedup.ngramJaccard(docs).count())
-
-    val sig = time("minhash sigs")(
-      { val s = sh.select(col("doc_id"), Dedup.minhashSig(col("s"), 8).as("g")); s.count(); s })
-    time("full minhash")(Dedup.minhashLsh(docs).count())
-    time("full minhash again")(Dedup.minhashLsh(docs).count())
+    time("minhash sigs")(
+      sh.select(col("doc_id"), Dedup.minhashSig(col("s"), 8).as("g")).count())
+    time("full ngram (cold)")(Dedup.ngramJaccard(docs).count())
+    time("full ngram (steady)")(Dedup.ngramJaccard(docs).count())
+    time("full minhash (cold)")(Dedup.minhashLsh(docs).count())
+    time("full minhash (steady)")(Dedup.minhashLsh(docs).count())
+    time("simhash")(Dedup.simhashBuckets(docs).count())
     spark.stop()
   }
 }

@@ -575,6 +575,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (DedupQueries.qNgram _),
     "q_dedup_minhash" -> (DedupQueries.qMinhash _),
     "q_dedup_simhash" -> (DedupQueries.qSimhash _),
+    "q_dedup_groups" -> (DedupQueries.qGroups _),
     "q_text_stats" -> (PipelineQueries.qTextStats _),
     "q_lang_id" -> (PipelineQueries.qLangId _),
     "q_fingerprint" -> (PipelineQueries.qFingerprint _),
@@ -615,6 +616,7 @@ object SparkEntry {
     "q_dedup_ngram" -> DedupQueries.qNgramSql,
     "q_dedup_minhash" -> DedupQueries.qMinhashSql,
     "q_dedup_simhash" -> DedupQueries.qSimhashSql,
+    "q_dedup_groups" -> DedupQueries.qGroupsSql,
     "q_text_stats" -> PipelineQueries.qTextStatsSql,
     "q_lang_id" -> PipelineQueries.qLangIdSql,
     "q_fingerprint" -> PipelineQueries.qFingerprintSql,

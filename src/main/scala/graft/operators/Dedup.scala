@@ -208,6 +208,47 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over near-duplicate pairs — the "keep one
+    * canonical doc per near-dup cluster" step of a dedup pipeline:
+    * every doc appearing in ≥1 pair gets group_id = the minimum doc id
+    * reachable through the pair graph. Deterministic min-label
+    * propagation to fixpoint (the standard distributed-CC shape; one
+    * join + one agg per round, iterations = component diameter — near-
+    * dup components are shallow, `maxIter` is a safety bound). The
+    * per-round driver `count` is the convergence check, not data
+    * movement. Output: doc_id, group_id.
+    */
+  def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(lvl)
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("nbr_min"))
+      .select(col("u").as("doc_id"), least(col("u"), col("nbr_min")).as("group_id"))
+      .persist(lvl)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val byV = labels.select(col("doc_id").as("v"), col("group_id").as("v_label"))
+      val prop = edges.join(byV, "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("v_label")).as("nbr_min"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+        .persist(lvl)
+      changed = next.join(
+          labels.select(col("doc_id"), col("group_id").as("old_label")), "doc_id")
+        .filter(col("group_id") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy("doc_id")
+  }
+
   /** Per-doc SimHash signature + size of its signature bucket.
     * Output: doc_id, simhash, n_same_sig.
     */

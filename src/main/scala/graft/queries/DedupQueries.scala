@@ -56,8 +56,11 @@ object DedupQueries {
   def qMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(s, dir), k = 8, bands = 4, threshold = 0.5)
 
-  val qMinhashSql: String =
-    s"""WITH $shinglesCte,
+  /** CTE chain ending in `verified` = the banded-minhash near-dup pairs
+    * (shared by the pair oracle and the grouping oracle).
+    */
+  private val minhashVerifiedCte: String =
+    s"""$shinglesCte,
        |sig AS (
        |  SELECT doc_id AS id, s,
        |         list_transform(generate_series(0, 7),
@@ -79,12 +82,41 @@ object DedupQueries {
        |  FROM cand
        |  JOIN sh sa ON id_a = sa.doc_id
        |  JOIN sh sb ON id_b = sb.doc_id
-       |)
+       |)""".stripMargin
+
+  val qMinhashSql: String =
+    s"""WITH $minhashVerifiedCte
        |SELECT id_a, id_b,
        |       CAST(round(inter * 1000000.0 / union_n) AS BIGINT) AS jaccard_ppm
        |FROM verified
        |WHERE inter * 1.0 / union_n >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup grouping: connected components over the banded-minhash
+    * pairs (Spark: iterative min-label propagation; oracle: transitive
+    * closure via a recursive CTE — a genuinely different machinery
+    * computing the same fixpoint, like the DuckDB-native ASOF check).
+    */
+  def qGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupGroups(Dedup.minhashLsh(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
+
+  val qGroupsSql: String =
+    s"""WITH RECURSIVE $minhashVerifiedCte,
+       |npairs AS (
+       |  SELECT id_a, id_b FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM npairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM npairs
+       |),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)
+       |SELECT u AS doc_id, least(u, min(v)) AS group_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(docs(s, dir))

@@ -37,6 +37,18 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Long]("jaccard_ppm") == 1000000L)
   }
 
+  test("near-dup groups: transitive closure, min-id canonical labels") {
+    // chain 1-2, 2-3 plus isolated pair 8-9: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupGroups(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+    // a longer chain needs >1 propagation round to converge
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val labels = Dedup.nearDupGroups(chain).collect().map(_.getAs[Long]("group_id")).toSet
+    assert(labels == Set(1L))
+  }
+
   test("simhash: identical docs share a signature bucket") {
     val out = Dedup.simhashBuckets(docs).collect()
     val byId = out.map(r => r.getAs[Long]("doc_id") ->
