@@ -119,14 +119,18 @@ object Dedup {
     // out of the persisted shingle cache. Each posting row carries its
     // doc's set size, so one pair aggregation yields inter AND both
     // sizes — no joins back to a size table.
+    // `cand` may contain duplicate pairs (one per shared prefix shingle
+    // / per agreeing band) — callers skip the dedup exchange and the
+    // distinct-count here absorbs the multiplicity. The lens ride as
+    // group keys (constant per id), keeping this a pure distinct-agg.
     cand
       .join(ds.select(col("id").as("id_a"), col("shingle"), col("len").as("len_a")), "id_a")
       .join(ds.select(col("id").as("id_b"), col("shingle"), col("len").as("len_b")),
         Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("len_a")).cast("long").as("sz_a"),
-        first(col("len_b")).cast("long").as("sz_b"))
+      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+      .agg(countDistinct(col("shingle")).as("inter"))
+      .withColumn("sz_a", col("len_a").cast("long"))
+      .withColumn("sz_b", col("len_b").cast("long"))
       .withColumn("union_n", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"))
@@ -170,10 +174,11 @@ object Dedup {
       // both sides of the candidate self-join read this — persist, or
       // the rarity ranking runs twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // duplicate pairs (several shared prefix shingles) are fine —
+    // verifyJaccard counts DISTINCT shingles, so no dedup exchange here
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
     verifyJaccard(cand, sh, idCol, threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"),
         round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
@@ -197,11 +202,12 @@ object Dedup {
       // the k×|shingles| md5 signature arithmetic is the dominant cost —
       // persist so the self-join's two sides don't each recompute it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // duplicate pairs (several agreeing bands) are fine — verifyJaccard
+    // counts DISTINCT shingles, so no dedup exchange here
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
     verifyJaccard(cand, sh, idCol, threshold)
       .select(col("id_a"), col("id_b"),
         round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
