@@ -215,6 +215,57 @@ object PipelineQueries {
        |  FROM scored
        |) WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Trained IVF quantizer: 2 deterministic Lloyd iterations on the
+    * 1e-6 decimal lattice. The oracle re-runs the SAME iterations as
+    * unrolled SQL CTEs — every distance/mean is exact decimal
+    * arithmetic, so the iterative Spark loop and the set-based SQL reach
+    * the identical fixpoint state.
+    */
+  def qIvfTrain(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansTrain(embs(s, dir), k = 8, iters = 2, dims = Dims)
+
+  val qIvfTrainSql: String = {
+    // one Lloyd iteration as CTEs: cIn -> dN (distances) -> aN (argmin)
+    // -> uN (rounded means) -> cOut (carry empty clusters)
+    def iteration(n: Int, cIn: String, cOut: String): String =
+      s"""d$n AS (
+         |  SELECT pe.vec_id, c.cent_id,
+         |         SUM(CAST(CAST(pe.val6 - c.cval AS DECIMAL(12,6))
+         |                  * CAST(pe.val6 - c.cval AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS d2
+         |  FROM pe JOIN $cIn c ON pe.pos = c.pos
+         |  GROUP BY pe.vec_id, c.cent_id
+         |),
+         |a$n AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+         |    FROM d$n
+         |  ) WHERE rn = 1
+         |),
+         |u$n AS (
+         |  SELECT a.cent_id, pe.pos,
+         |         CAST(round((CAST(SUM(pe.val6) AS DOUBLE) / count(*)) * 1000000.0) / 1000000.0
+         |              AS DECIMAL(20,6)) AS cval_new
+         |  FROM pe JOIN a$n a ON pe.vec_id = a.vec_id
+         |  GROUP BY a.cent_id, pe.pos
+         |),
+         |$cOut AS (
+         |  SELECT c.cent_id, c.pos, COALESCE(u.cval_new, c.cval) AS cval
+         |  FROM $cIn c LEFT JOIN u$n u ON c.cent_id = u.cent_id AND c.pos = u.pos
+         |)""".stripMargin
+    s"""WITH pe AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0
+       |              AS DECIMAL(20,6)) AS val6
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dims)) AS i)
+       |),
+       |c0 AS (SELECT vec_id AS cent_id, pos, val6 AS cval FROM pe WHERE vec_id < 8),
+       |${iteration(1, "c0", "c1")},
+       |${iteration(2, "c1", "c2")}
+       |SELECT cent_id, pos, CAST(cval AS DOUBLE) AS cval
+       |FROM c2 ORDER BY cent_id, pos""".stripMargin
+  }
+
   def qIvfSearch(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearch(embs(s, dir), queryVecId = 0L, k = 8, probes = 2, topK = 10, dims = Dims)
 

@@ -80,6 +80,28 @@ class SimilaritySpec extends SparkSpec {
     assert(b <= 16.0, s"avg bucket at n=20000: $b")
   }
 
+  test("kmeans training moves centroids to cluster means on the 1e-6 lattice") {
+    // two tight groups around distinct basis directions; seeds 0 and 1
+    // start one in each group → after 2 iterations each centroid is the
+    // rounded mean of its group
+    val vecs = Seq(
+      (0L, Array.tabulate(4)(j => if (j == 0) 1.0f else 0.0f)),
+      (2L, Array.tabulate(4)(j => if (j == 0) 1.2f else 0.0f)),
+      (1L, Array.tabulate(4)(j => if (j == 1) 1.0f else 0.0f)),
+      (3L, Array.tabulate(4)(j => if (j == 1) 0.8f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(vecs, k = 2, iters = 2, dims = 4)
+      .collect().map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Double]("cval")).toMap
+    assert(math.abs(cents((0L, 1L)) - 1.1) < 1e-9) // mean(1.0, 1.2)
+    assert(math.abs(cents((1L, 2L)) - 0.9) < 1e-9) // mean(1.0, 0.8)
+    assert(cents((0L, 2L)) == 0.0 && cents((1L, 1L)) == 0.0)
+    // deterministic across runs
+    val again = Similarity.kmeansTrain(vecs, k = 2, iters = 2, dims = 4).collect()
+    assert(again.map(_.toString).sameElements(
+      Similarity.kmeansTrain(vecs, k = 2, iters = 2, dims = 4).collect().map(_.toString)))
+  }
+
   test("banded near-dup recovers pairs that longer signatures split") {
     import org.apache.spark.sql.functions._
     // 500 random vectors + a planted near-identical pair (ids 9000/9001)
