@@ -589,6 +589,7 @@ object SparkEntry {
     "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
     "q_ivf_train" -> (PipelineQueries.qIvfTrain _),
+    "q_ivf_search_trained" -> (PipelineQueries.qIvfSearchTrained _),
     "q_tile_pyramid" -> (qTilePyramid _),
     "q_pyramid_serve" -> (qPyramidServe _),
     "q_cluster_grid" -> qCluster(flagZoom) _,
@@ -631,6 +632,7 @@ object SparkEntry {
     "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
     "q_ivf_search" -> PipelineQueries.qIvfSearchSql,
     "q_ivf_train" -> PipelineQueries.qIvfTrainSql,
+    "q_ivf_search_trained" -> PipelineQueries.qIvfSearchTrainedSql,
     "q_tile_pyramid" -> tilePyramidSql,
     "q_pyramid_serve" -> pyramidServeSql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),

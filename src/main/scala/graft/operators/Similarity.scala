@@ -222,17 +222,36 @@ object Similarity {
       .orderBy("cent_id", "pos")
   }
 
+  /** [[kmeansTrain]] output → a centroid table (cent_id, cent_emb) in
+    * the shape [[ivfAssignWith]]/[[ivfSearchWith]] consume: elements
+    * ordered by position.
+    */
+  def centroidsAsVectors(trained: DataFrame): DataFrame =
+    trained.groupBy(col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        e => e.getField("cval")).as("cent_emb"))
+
+  /** Untrained centroids: the first `k` stored vectors (deterministic). */
+  private def firstKCentroids(embs: DataFrame, k: Int,
+                              idCol: String, embCol: String): DataFrame =
+    embs.filter(col(idCol) < k)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
+
   /** IVF coarse quantization: assign every vector to its
-    * nearest-centroid cell. Centroids are the first `k` stored vectors
-    * (deterministic — a trained k-means would drop in without changing
-    * the plumbing); ties broken by rounded cosine then centroid id.
-    * At scale this is one broadcast of k centroids + one pass.
+    * nearest-centroid cell; ties broken by rounded cosine then centroid
+    * id. At scale this is one broadcast of k centroids + one pass.
     */
   def ivfAssign(embs: DataFrame, k: Int, dims: Int,
-                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cents = embs.filter(col(idCol) < k)
-      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
-        norm(col(embCol), dims).as("cent_nrm"))
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfAssignWith(embs, firstKCentroids(embs, k, idCol, embCol), dims, idCol, embCol)
+
+  /** [[ivfAssign]] against an external centroid table (cent_id,
+    * cent_emb) — e.g. [[kmeansTrain]] output via [[centroidsAsVectors]].
+    */
+  def ivfAssignWith(embs: DataFrame, centroids: DataFrame, dims: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("cent_emb"),
+      norm(col("cent_emb"), dims).as("cent_nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("cos_sim").desc, col("cent_id"))
     // row norm materialized before the k-way cross join: computed once
@@ -253,16 +272,23 @@ object Similarity {
     * coarse-quantizer ANN scale path (scan fraction ≈ probes/k).
     */
   def ivfSearch(embs: DataFrame, queryVecId: Long, k: Int, probes: Int, topK: Int, dims: Int,
-                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val assign = ivfAssign(embs, k, dims, idCol, embCol)
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfSearchWith(embs, firstKCentroids(embs, k, idCol, embCol),
+      queryVecId, probes, topK, dims, idCol, embCol)
+
+  /** [[ivfSearch]] against an external (e.g. trained) centroid table. */
+  def ivfSearchWith(embs: DataFrame, centroids: DataFrame,
+                    queryVecId: Long, probes: Int, topK: Int, dims: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assign = ivfAssignWith(embs, centroids, dims, idCol, embCol)
       .select(col(idCol), col("cell"))
     val q = embs.filter(col(idCol) === queryVecId)
       .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
-    val probed = embs.filter(col(idCol) < k)
+    val probed = centroids
       .crossJoin(broadcast(q))
-      .select(col(idCol).as("cell"),
-        round(cosinePre(col(embCol), col("q_emb"),
-          norm(col(embCol), dims), col("q_nrm"), dims), 6).as("qcos"))
+      .select(col("cent_id").as("cell"),
+        round(cosinePre(col("cent_emb"), col("q_emb"),
+          norm(col("cent_emb"), dims), col("q_nrm"), dims), 6).as("qcos"))
       .orderBy(col("qcos").desc, col("cell"))
       .limit(probes)
       .select(col("cell"))

@@ -224,7 +224,11 @@ object PipelineQueries {
   def qIvfTrain(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansTrain(embs(s, dir), k = 8, iters = 2, dims = Dims)
 
-  val qIvfTrainSql: String = {
+  /** k-means CTE chain ending in `c2` = centroids after 2 Lloyd
+    * iterations (shared by the training oracle and the trained-search
+    * oracle).
+    */
+  private val kmeansCte: String = {
     // one Lloyd iteration as CTEs: cIn -> dN (distances) -> aN (argmin)
     // -> uN (rounded means) -> cOut (carry empty clusters)
     def iteration(n: Int, cIn: String, cOut: String): String =
@@ -253,7 +257,7 @@ object PipelineQueries {
          |  SELECT c.cent_id, c.pos, COALESCE(u.cval_new, c.cval) AS cval
          |  FROM $cIn c LEFT JOIN u$n u ON c.cent_id = u.cent_id AND c.pos = u.pos
          |)""".stripMargin
-    s"""WITH pe AS (
+    s"""pe AS (
        |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0
        |              AS DECIMAL(20,6)) AS val6
@@ -261,10 +265,54 @@ object PipelineQueries {
        |),
        |c0 AS (SELECT vec_id AS cent_id, pos, val6 AS cval FROM pe WHERE vec_id < 8),
        |${iteration(1, "c0", "c1")},
-       |${iteration(2, "c1", "c2")}
+       |${iteration(2, "c1", "c2")}""".stripMargin
+  }
+
+  val qIvfTrainSql: String =
+    s"""WITH $kmeansCte
        |SELECT cent_id, pos, CAST(cval AS DOUBLE) AS cval
        |FROM c2 ORDER BY cent_id, pos""".stripMargin
+
+  /** Full trained-IVF pipeline: train (2 Lloyd iterations) → assign all
+    * vectors to trained cells → probe the 2 closest cells → exact
+    * cosine top-10 within them.
+    */
+  def qIvfSearchTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = Similarity.centroidsAsVectors(
+      Similarity.kmeansTrain(e, k = 8, iters = 2, dims = Dims))
+    Similarity.ivfSearchWith(e, cents, queryVecId = 0L, probes = 2, topK = 10, dims = Dims)
   }
+
+  val qIvfSearchTrainedSql: String =
+    s"""WITH $kmeansCte,
+       |cents AS (
+       |  SELECT cent_id, list(CAST(cval AS DOUBLE) ORDER BY pos) AS cent_emb
+       |  FROM c2 GROUP BY cent_id
+       |),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cent_id AS cell
+       |  FROM cents, q
+       |  ORDER BY round(${cosSql("cent_emb", "qe")}, 6) DESC, cent_id
+       |  LIMIT 2
+       |)
+       |SELECT e.vec_id, a.cell, round(${cosSql("e.embedding", "qe")}, 6) AS cos_sim
+       |FROM assign a
+       |JOIN probed p ON a.cell = p.cell
+       |JOIN embeddings e ON a.vec_id = e.vec_id, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 10""".stripMargin
 
   def qIvfSearch(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearch(embs(s, dir), queryVecId = 0L, k = 8, probes = 2, topK = 10, dims = Dims)
