@@ -576,6 +576,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (DedupQueries.qMinhash _),
     "q_dedup_simhash" -> (DedupQueries.qSimhash _),
     "q_dedup_groups" -> (DedupQueries.qGroups _),
+    "q_clean_corpus" -> (PipelineQueries.qCleanCorpus _),
     "q_text_stats" -> (PipelineQueries.qTextStats _),
     "q_lang_id" -> (PipelineQueries.qLangId _),
     "q_fingerprint" -> (PipelineQueries.qFingerprint _),
@@ -619,6 +620,7 @@ object SparkEntry {
     "q_dedup_minhash" -> DedupQueries.qMinhashSql,
     "q_dedup_simhash" -> DedupQueries.qSimhashSql,
     "q_dedup_groups" -> DedupQueries.qGroupsSql,
+    "q_clean_corpus" -> PipelineQueries.qCleanCorpusSql,
     "q_text_stats" -> PipelineQueries.qTextStatsSql,
     "q_lang_id" -> PipelineQueries.qLangIdSql,
     "q_fingerprint" -> PipelineQueries.qFingerprintSql,

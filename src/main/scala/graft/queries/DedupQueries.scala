@@ -57,9 +57,10 @@ object DedupQueries {
     Dedup.minhashLsh(docs(s, dir), k = 8, bands = 4, threshold = 0.5)
 
   /** CTE chain ending in `verified` = the banded-minhash near-dup pairs
-    * (shared by the pair oracle and the grouping oracle).
+    * (shared by the pair oracle, the grouping oracle, and the
+    * clean-corpus capstone).
     */
-  private val minhashVerifiedCte: String =
+  private[queries] val minhashVerifiedCte: String =
     s"""$shinglesCte,
        |sig AS (
        |  SELECT doc_id AS id, s,
@@ -100,8 +101,11 @@ object DedupQueries {
   def qGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupGroups(Dedup.minhashLsh(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
 
-  val qGroupsSql: String =
-    s"""WITH RECURSIVE $minhashVerifiedCte,
+  /** CTE chain (recursive) ending in `grp` = (doc_id, group_id) labels
+    * over the minhash pair graph.
+    */
+  private[queries] val groupsCte: String =
+    s"""$minhashVerifiedCte,
        |npairs AS (
        |  SELECT id_a, id_b FROM verified WHERE inter * 1.0 / union_n >= 0.5
        |),
@@ -114,9 +118,15 @@ object DedupQueries {
        |  SELECT u, v FROM edges
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-       |)
-       |SELECT u AS doc_id, least(u, min(v)) AS group_id
-       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+       |),
+       |grp AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS group_id
+       |  FROM reach GROUP BY u
+       |)""".stripMargin
+
+  val qGroupsSql: String =
+    s"""WITH RECURSIVE $groupsCte
+       |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin
 
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(docs(s, dir))

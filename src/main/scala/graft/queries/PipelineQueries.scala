@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextAnalysis
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -343,6 +343,51 @@ object PipelineQueries {
        |WHERE e.vec_id <> 0
        |ORDER BY cos_sim DESC, e.vec_id
        |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------ cleaning capstone
+
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline runs before tokenization: language gate + quality gate +
+    * exact-duplicate canonical + near-dup group representative. Every
+    * stage is individually oracled; this query hash-checks their
+    * COMPOSITION (filters, semi/anti joins, the iterative grouping, and
+    * the scoring all interacting in one plan).
+    */
+  def qCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = TextAnalysis.tokens(col("text"))
+    val scored = d.select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(t, col("text")).as("quality"))
+    // survivors of exact dedup: docs that ARE their group's canonical id
+    val exactCanon = Dedup.exactDedup(d).select(col("canonical_id").as("doc_id"))
+    // demoted by near-dup grouping: members that are NOT the representative
+    val demoted = Dedup.nearDupGroups(Dedup.minhashLsh(d, k = 8, bands = 4, threshold = 0.5))
+      .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+    scored
+      .filter(col("lang") === "en" && col("quality") >= 0.5)
+      .join(exactCanon, Seq("doc_id"), "left_semi")
+      .join(demoted, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val qCleanCorpusSql: String = {
+    val en = inList(TextAnalysis.stopwords("en"))
+    s"""WITH RECURSIVE ${DedupQueries.groupsCte},
+       |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    0.4 * least(1.0, len(t) * 1.0 / 50.0)
+       |      + 0.3 * (len(list_distinct(t)) * 1.0 / len(t))
+       |      + 0.3 * (1.0 - len(list_filter(t, x -> x IN ($en))) * 1.0 / len(t)) AS quality
+       |  FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+       |)
+       |SELECT s.doc_id, s.lang, s.quality
+       |FROM scored s
+       |JOIN canon c ON s.doc_id = c.doc_id
+       |LEFT JOIN grp g ON s.doc_id = g.doc_id AND g.doc_id <> g.group_id
+       |WHERE s.lang = 'en' AND s.quality >= 0.5 AND g.doc_id IS NULL
+       |ORDER BY s.doc_id""".stripMargin
+  }
 
   // ----------------------------------------------------------- multimodal
 
