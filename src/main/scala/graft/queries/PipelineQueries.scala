@@ -234,8 +234,7 @@ object PipelineQueries {
     def iteration(n: Int, cIn: String, cOut: String): String =
       s"""d$n AS (
          |  SELECT pe.vec_id, c.cent_id,
-         |         SUM(CAST(CAST(pe.val6 - c.cval AS DECIMAL(12,6))
-         |                  * CAST(pe.val6 - c.cval AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS d2
+         |         SUM((pe.v - c.c) * (pe.v - c.c)) AS d2
          |  FROM pe JOIN $cIn c ON pe.pos = c.pos
          |  GROUP BY pe.vec_id, c.cent_id
          |),
@@ -248,29 +247,27 @@ object PipelineQueries {
          |),
          |u$n AS (
          |  SELECT a.cent_id, pe.pos,
-         |         CAST(round((CAST(SUM(pe.val6) AS DOUBLE) / count(*)) * 1000000.0) / 1000000.0
-         |              AS DECIMAL(20,6)) AS cval_new
+         |         CAST(round(CAST(SUM(pe.v) AS DOUBLE) / count(*)) AS BIGINT) AS c_new
          |  FROM pe JOIN a$n a ON pe.vec_id = a.vec_id
          |  GROUP BY a.cent_id, pe.pos
          |),
          |$cOut AS (
-         |  SELECT c.cent_id, c.pos, COALESCE(u.cval_new, c.cval) AS cval
+         |  SELECT c.cent_id, c.pos, COALESCE(u.c_new, c.c) AS c
          |  FROM $cIn c LEFT JOIN u$n u ON c.cent_id = u.cent_id AND c.pos = u.pos
          |)""".stripMargin
     s"""pe AS (
        |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
-       |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0
-       |              AS DECIMAL(20,6)) AS val6
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS v
        |  FROM embeddings, (SELECT unnest(generate_series(1, $Dims)) AS i)
        |),
-       |c0 AS (SELECT vec_id AS cent_id, pos, val6 AS cval FROM pe WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id AS cent_id, pos, v AS c FROM pe WHERE vec_id < 8),
        |${iteration(1, "c0", "c1")},
        |${iteration(2, "c1", "c2")}""".stripMargin
   }
 
   val qIvfTrainSql: String =
     s"""WITH $kmeansCte
-       |SELECT cent_id, pos, CAST(cval AS DOUBLE) AS cval
+       |SELECT cent_id, pos, CAST(c AS DOUBLE) / 1000000.0 AS cval
        |FROM c2 ORDER BY cent_id, pos""".stripMargin
 
   /** Full trained-IVF pipeline: train (2 Lloyd iterations) → assign all
@@ -287,7 +284,7 @@ object PipelineQueries {
   val qIvfSearchTrainedSql: String =
     s"""WITH $kmeansCte,
        |cents AS (
-       |  SELECT cent_id, list(CAST(cval AS DOUBLE) ORDER BY pos) AS cent_emb
+       |  SELECT cent_id, list(CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cent_emb
        |  FROM c2 GROUP BY cent_id
        |),
        |assign AS (
