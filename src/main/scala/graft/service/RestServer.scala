@@ -21,6 +21,12 @@ import java.time.Instant
   *  - POST /api/clusters        {"numPoints":n}   → created info (becomes default)
   *  - POST /api/clusters/{id}/load                → {message, clusterInfo} (becomes default)
   *
+  * Serving extension beyond the reference (the 100 TB path — no
+  * per-request clustering):
+  *  - POST /api/clusters/{id}/pyramid {"zMin":a,"zMax":b}  → build+persist
+  *  - GET  /api/clusters/{id}/pyramid?zoom&…      → GeoJSON from the
+  *    persisted pyramid (pure zoom-pruned scan)
+  *
   * Bounds arrive as north/south/east/west floats (main.go:28-55); the
   * most recent dataset is the initial default (main.go:70-72). CORS `*`
   * like the reference (main.go:77-89).
@@ -166,6 +172,29 @@ final class RestServer(engine: ClusterEngine, port: Int = 0) {
     }
   }
 
+  private def handlePyramidBuild(ex: HttpExchange, id: String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    def intField(k: String, dflt: Int): Int =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(dflt)
+    engine.describe(id) match {
+      case None => err(ex, 400, s"unknown cluster $id")
+      case Some(info) =>
+        val (zMin, zMax) = (intField("zMin", 0), intField("zMax", 8))
+        engine.buildAndSavePyramid(info.id, zMin, zMax)
+        respond(ex, 200,
+          s"""{"message":"Pyramid built","id":${jstr(info.id)},"zMin":$zMin,"zMax":$zMax}""")
+    }
+  }
+
+  private def handlePyramidGet(ex: HttpExchange, id: String): Unit =
+    zoomAndBounds(query(ex)) match {
+      case Left(m) => err(ex, 400, m)
+      case Right((zoom, bounds)) =>
+        val df = engine.getClustersFromPyramid(id, zoom, bounds).drop("zoom")
+        val mc = df.columns.filter(_.startsWith("metric_")).toSeq
+        respond(ex, 200, graft.geo.GeoJson.featureCollection(df, mc))
+    }
+
   private def handleLoad(ex: HttpExchange, id: String): Unit =
     engine.describe(id) match {
       case None => err(ex, 400, s"unknown cluster $id")
@@ -192,8 +221,10 @@ final class RestServer(engine: ClusterEngine, port: Int = 0) {
           else handleGetClusters(ex, defaultClusterId)
         case ("GET", List(id)) => handleGetClusters(ex, id)
         case ("GET", List(id, "metadata")) => handleMetadata(ex, id)
+        case ("GET", List(id, "pyramid")) => handlePyramidGet(ex, id)
         case ("POST", Nil) => handleCreate(ex)
         case ("POST", List(id, "load")) => handleLoad(ex, id)
+        case ("POST", List(id, "pyramid")) => handlePyramidBuild(ex, id)
         case _ => err(ex, 404, "not found")
       }
     } catch {

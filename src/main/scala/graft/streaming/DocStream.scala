@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus ingestion — the streaming twin of the batch dedup
+  * suite for continuously-arriving documents (north-star §2.9 extension;
+  * a 100 TB training-data pipeline ingests incrementally and must drop
+  * duplicates ONLINE, not in a nightly batch).
+  *
+  * The dedup key is the banded-minhash signature (identical texts hash
+  * identically, so near-dup signature dedup subsumes exact dedup); docs
+  * too short to shingle fall back to the exact md5 key. State is bounded
+  * by the watermark via `dropDuplicatesWithinWatermark` — a duplicate
+  * arriving within the watermark interval of its original is dropped,
+  * later re-arrivals are the source's replay concern, and state for
+  * expired keys is evicted (unbounded-state dedup is the classic
+  * streaming-pipeline OOM).
+  */
+object DocStream {
+
+  /** Streaming source over a documents parquet directory. Ingest event
+    * time is synthesized deterministically from doc_id (the fixture
+    * corpus carries no timestamp; a production source would supply its
+    * own arrival time).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir)
+      .withColumn("ingest_ts", timestamp_seconds(lit(1704067200L) + col("doc_id") % 3600))
+
+  /** Signature key: banded-minhash signature for shingleable docs, md5
+    * fallback for short ones (an all-empty shingle set must not collapse
+    * every short doc into one key).
+    */
+  def dedupKey(text: org.apache.spark.sql.Column, k: Int = 8): org.apache.spark.sql.Column = {
+    val sh = Dedup.shingles3(text)
+    when(size(sh) > 0, concat_ws(",", Dedup.minhashSig(sh, k))).otherwise(md5(text))
+  }
+
+  /** Watermarked streaming dedup: first doc per signature survives. */
+  def dedupDocs(docs: DataFrame, k: Int = 8): DataFrame =
+    docs
+      .withWatermark("ingest_ts", "1 hour")
+      .withColumn("dedup_key", dedupKey(col("text"), k))
+      .dropDuplicatesWithinWatermark("dedup_key")
+}

@@ -59,6 +59,16 @@ class RestServerSpec extends SparkSpec {
     assert(b.contains(""""meta_timestamp":{"Earliest":""")) // time range
   }
 
+  test("pyramid routes: build once, serve viewports as pruned scans") {
+    val id = engine.list().head.id
+    val b = post(s"/api/clusters/$id/pyramid", """{"zMin": 0, "zMax": 4}""")
+    assert(b.statusCode() == 200 && b.body().contains("Pyramid built"), b.body())
+    val r = get(s"/api/clusters/$id/pyramid?$viewport")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(r.body().contains(""""cluster":true"""))
+  }
+
   test("POST /api/clusters/{id}/load + bad params; shutdown") {
     val id = engine.list().head.id
     val r = post(s"/api/clusters/$id/load", "")

@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming doc dedup drops replayed + same-signature docs online") {
+    val dir = Files.createTempDirectory("graft-stream5")
+    // replayed corpus = at-least-once ingestion
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = graft.streaming.DocStream.dedupDocs(
+        graft.streaming.DocStream.readDocs(spark, dir.toString))
+      .writeStream.outputMode("append").format("memory").queryName("docdedup_out").start()
+    try {
+      q.processAllAvailable()
+      val survivors = spark.table("docdedup_out")
+      // batch twin: one survivor per distinct signature key
+      val batch = spark.read.parquet(s"$dir/docs_a.parquet")
+        .withColumn("dedup_key", graft.streaming.DocStream.dedupKey(
+          org.apache.spark.sql.functions.col("text")))
+        .select("dedup_key").distinct()
+      assert(survivors.count() == batch.count())
+      assert(survivors.select("dedup_key").exceptAll(batch).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     val dir = Files.createTempDirectory("graft-stream4")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
