@@ -53,4 +53,21 @@ class MercatorExpressionsSpec extends SparkSpec {
     MercatorExpressions.register(s2)
     assert(s2.sql(s"SELECT graft_mercator_x(0.0, $se) AS x").head().getDouble(0) == se / 2)
   }
+
+  test("embedding/text expressions usable from pure SQL") {
+    graft.plans.SimilarityExpressions.register(spark)
+    graft.plans.TextExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dot,
+        |  graft_hsig(array(1.0D, 0.0D), 4, 2) AS sig,
+        |  graft_shingles('a b c d', 3) AS sh,
+        |  graft_minhash(array('x'), 2) AS mh""".stripMargin).head()
+    assert(r.getAs[Double]("dot") == 32.0)
+    assert(r.getAs[String]("sig").matches("[01]{4}"))
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq == Seq("a b c", "b c d"))
+    // element 0 = md5("0|x"), checkable against Spark's builtin md5
+    val expect = spark.sql("SELECT md5('0|x') AS h").head().getString(0)
+    assert(r.getAs[scala.collection.Seq[String]]("mh").head == expect)
+  }
 }
