@@ -81,7 +81,10 @@ object Events {
 
   }
 
-  val qSessionizeSql: String =
+  /** Sessionize SELECT without the final ORDER BY (reused as a CTE by
+    * the range-join oracle).
+    */
+  private val sessionizeBody: String =
     """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
       |       min(ts) AS t_start, max(ts) AS t_end,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -97,6 +100,32 @@ object Events {
       |    )
       |  )
       |)
-      |GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin
+      |GROUP BY user_id, session_id""".stripMargin
+
+  val qSessionizeSql: String =
+    s"$sessionizeBody\nORDER BY user_id, session_id"
+
+  /** Range join (bucketed): assign every event to the session interval
+    * containing it — `ts BETWEEN t_start AND t_end` on the same user,
+    * executed as the equi-join-on-(key, bucket) rewrite
+    * ([[graft.operators.RangeJoin]]). Sessions partition each user's
+    * timeline, so exactly one row per event comes back.
+    */
+  def qRangeJoin(events: DataFrame): DataFrame = {
+    val sess = qSessionize(events)
+      .select(col("user_id"), col("session_id"), col("t_start"), col("t_end"))
+    graft.operators.RangeJoin.bucketed(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      sess, key = "user_id", t = "ts", lo = "t_start", hi = "t_end")
+      .select(col("event_id"), col("user_id"), col("session_id"))
+      .orderBy("event_id")
+  }
+
+  val qRangeJoinSql: String =
+    s"""WITH sess AS ($sessionizeBody)
+       |SELECT e.event_id, e.user_id, s.session_id
+       |FROM events e
+       |JOIN sess s ON e.user_id = s.user_id
+       |            AND e.ts >= s.t_start AND e.ts <= s.t_end
+       |ORDER BY e.event_id""".stripMargin
 }
