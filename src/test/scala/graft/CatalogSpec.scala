@@ -67,13 +67,20 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("idle entries evict on next access (reference's 30-min ticker)") {
-    val cat = new Catalog(spark, warehouse, maxCached = 5, idleEvictMs = 150L)
+    // idleEvictMs = -1: every previously-cached entry counts as idle on
+    // the next access (age 0 > -1) — deterministic on any machine, no
+    // sleeps (0 would race same-millisecond accesses)
+    val cat = new Catalog(spark, warehouse, maxCached = 5, idleEvictMs = -1L)
     cat.load("cluster-10p-t2-lru1")
-    cat.load("cluster-10p-t2-lru2")
-    Thread.sleep(60)
-    cat.load("cluster-10p-t2-lru2") // touch lru2; lru1 keeps aging
-    Thread.sleep(100)               // lru1 now idle > 150ms, lru2 not
-    cat.load("cluster-10p-t2-lru3")
-    assert(cat.cachedIds.toSet == Set("cluster-10p-t2-lru2", "cluster-10p-t2-lru3"))
+    cat.load("cluster-10p-t2-lru2") // evicts idle lru1
+    assert(cat.cachedIds == Seq("cluster-10p-t2-lru2"))
+    cat.load("cluster-10p-t2-lru2") // self-access never self-evicts
+    assert(cat.cachedIds == Seq("cluster-10p-t2-lru2"))
+    // and with a generous window nothing evicts
+    val lazyCat = new Catalog(spark, warehouse, maxCached = 5, idleEvictMs = Long.MaxValue)
+    lazyCat.load("cluster-10p-t2-lru1")
+    lazyCat.load("cluster-10p-t2-lru2")
+    assert(lazyCat.cachedIds.toSet ==
+      Set("cluster-10p-t2-lru1", "cluster-10p-t2-lru2"))
   }
 }
