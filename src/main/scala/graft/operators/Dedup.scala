@@ -185,12 +185,23 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash+LSH near-dup: banded candidate generation then exact
-    * Jaccard verification of only the candidates. Output: id_a, id_b,
-    * jaccard_ppm (verified ≥ threshold).
+  /** [[minhashPairs]] plus a total order on the pair key — the
+    * user-facing result shape. Consumers that only need the pair SET
+    * (e.g. [[nearDupGroups]]) should take [[minhashPairs]] directly:
+    * the global sort costs a range-partition sample pass + sort shuffle
+    * that a set consumer immediately throws away.
     */
   def minhashLsh(docs: DataFrame, k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashPairs(docs, k, bands, threshold, textCol, idCol)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash+LSH near-dup: banded candidate generation then exact
+    * Jaccard verification of only the candidates. Output (UNORDERED):
+    * id_a, id_b, jaccard_ppm (verified ≥ threshold).
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // same rationale as ngramJaccard: shingles feed signature + both
     // verification branches
     val sh = docShingles(docs, textCol, idCol)
@@ -211,7 +222,6 @@ object Dedup {
     verifyJaccard(cand, sh, idCol, threshold)
       .select(col("id_a"), col("id_b"),
         round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Connected components over near-duplicate pairs — the "keep one
@@ -219,40 +229,80 @@ object Dedup {
     * every doc appearing in ≥1 pair gets group_id = the minimum doc id
     * reachable through the pair graph. Deterministic min-label
     * propagation to fixpoint (the standard distributed-CC shape; one
-    * join + one agg per round, iterations = component diameter — near-
-    * dup components are shallow, `maxIter` is a safety bound). The
-    * per-round driver `count` is the convergence check, not data
-    * movement. Output: doc_id, group_id.
+    * neighbor-propagate join+agg plus one pointer-jumping shortcut join
+    * per round — the shortcut rewrites each label to its label's label,
+    * so convergence is O(log diameter) rounds instead of O(diameter)).
+    * The per-round driver `count` is the convergence check, not data
+    * movement.
+    *
+    * The incoming `pairs` plan — typically the expensive minhash
+    * candidate-join + verify subtree — is referenced by BOTH branches of
+    * the bidirectional edge union, so it is persisted and materialized
+    * ONCE here before the union is built (an unpersisted plan referenced
+    * N times executes N times), and released as soon as the edge set is
+    * materialized. Output (UNORDERED — downstream consumers are joins;
+    * order at the query edge if you need it): doc_id, group_id.
     */
   def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val p = pairs.persist(lvl)
+    p.count() // materialize: both union branches below read the cache
+    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(lvl)
     var labels = edges.groupBy(col("u"))
       .agg(min(col("v")).as("nbr_min"))
       .select(col("u").as("doc_id"), least(col("u"), col("nbr_min")).as("group_id"))
       .persist(lvl)
-    var changed = 1L
+    // Convergence via the monotone label-sum invariant: every step takes
+    // a least() against the previous label, so labels are per-row
+    // non-increasing and the (exact, decimal) total strictly decreases
+    // iff ANY label changed. One tiny aggregation per round — no
+    // old-vs-new join; the same action also materializes the round's
+    // label cache (and, on the first call, the edge cache).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("group_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val byV = labels.select(col("doc_id").as("v"), col("group_id").as("v_label"))
       val prop = edges.join(byV, "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("v_label")).as("nbr_min"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
+      val stepped = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+      // pointer jumping: each group_id is itself a doc id, so shortcut
+      // every label through that doc's label — the remaining path to the
+      // component minimum roughly halves every round (O(log diameter)
+      // rounds instead of O(diameter)). The parent table is the CACHED
+      // previous-round `labels` (referencing `stepped` twice would
+      // recompute its join): slightly staler than a post-step self-join
+      // but still geometric, with no extra materialization per round.
+      // Fixpoint is unchanged — labels are monotone non-increasing,
+      // bounded below by the component minimum, and stable exactly when
+      // plain propagation is.
+      val parents = labels.select(col("doc_id").as("group_id"), col("group_id").as("gp"))
+      val next = stepped.join(parents, Seq("group_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("gp"), col("group_id"))).as("group_id"))
         .persist(lvl)
-      changed = next.join(
-          labels.select(col("doc_id"), col("group_id").as("old_label")), "doc_id")
-        .filter(col("group_id") =!= col("old_label")).count()
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels.unpersist()
       labels = next
       iter += 1
     }
+    p.unpersist()
     edges.unpersist()
-    labels.orderBy("doc_id")
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupGroups stopped at maxIter=$maxIter before reaching a fixpoint — " +
+          "component diameter exceeds 2^maxIter; labels are NOT the full transitive closure")
+    labels
   }
 
   /** Per-doc SimHash signature + size of its signature bucket.

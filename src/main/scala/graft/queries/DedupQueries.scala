@@ -99,7 +99,8 @@ object DedupQueries {
     * computing the same fixpoint, like the DuckDB-native ASOF check).
     */
   def qGroups(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupGroups(Dedup.minhashLsh(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
+    Dedup.nearDupGroups(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
+      .orderBy("doc_id")
 
   /** CTE chain (recursive) ending in `grp` = (doc_id, group_id) labels
     * over the minhash pair graph.

@@ -358,7 +358,9 @@ object PipelineQueries {
     // survivors of exact dedup: docs that ARE their group's canonical id
     val exactCanon = Dedup.exactDedup(d).select(col("canonical_id").as("doc_id"))
     // demoted by near-dup grouping: members that are NOT the representative
-    val demoted = Dedup.nearDupGroups(Dedup.minhashLsh(d, k = 8, bands = 4, threshold = 0.5))
+    // the UNORDERED pair set: the grouping consumes a set, and the
+    // user-facing orderBy would cost a sample pass + sort shuffle here
+    val demoted = Dedup.nearDupGroups(Dedup.minhashPairs(d, k = 8, bands = 4, threshold = 0.5))
       .filter(col("doc_id") =!= col("group_id")).select("doc_id")
     scored
       .filter(col("lang") === "en" && col("quality") >= 0.5)
