@@ -371,18 +371,46 @@ object SparkEntry {
       .orderBy("zoom", "id")
 
   /** Shared CTE chain ending in `pyr` = the zooms-0..3 cluster pyramid
-    * (used by both the full-pyramid oracle and the serving-path oracle).
+    * (used by the full-pyramid, pyramid-metadata and serving-path
+    * oracles). With `withMeta`, each cluster row additionally carries
+    * the event_type "value:ppm" frequency string — mirroring
+    * [[graft.operators.TilePyramid.build]]'s metaCols join.
     */
-  private def pyramidCte: String = {
+  private def pyramidCte(withMeta: Boolean = false): String = {
     val mp = flagOpts.minPoints
     val zr = "(CAST(z.zoom AS DOUBLE) / 16.0)"
+    val metaCol = if (withMeta) ", event_type" else ""
+    val freqCtes = if (!withMeta) "" else
+      s"""
+         |va AS (
+         |  SELECT zoom, cell_x, cell_y, event_type, count(*) AS vc,
+         |         sum(count(*)) OVER (PARTITION BY zoom, cell_x, cell_y) AS total
+         |  FROM celled WHERE event_type IS NOT NULL
+         |  GROUP BY zoom, cell_x, cell_y, event_type
+         |),
+         |fr AS (
+         |  SELECT zoom, cell_x, cell_y,
+         |         string_agg(event_type || ':' ||
+         |                    CAST(round(vc * 1000000.0 / total) AS BIGINT),
+         |                    ',' ORDER BY event_type) AS event_type_freq
+         |  FROM va GROUP BY zoom, cell_x, cell_y
+         |),""".stripMargin
+    val clusterFreq = if (withMeta) ", fr.event_type_freq" else ""
+    val clusterFrom = if (withMeta)
+      "FROM agg LEFT JOIN fr ON agg.zoom = fr.zoom AND agg.cell_x = fr.cell_x AND agg.cell_y = fr.cell_y"
+    else "FROM agg"
+    val singleFreq = if (withMeta)
+      """,
+        |         CASE WHEN c.event_type IS NULL THEN NULL
+        |              ELSE c.event_type || ':1000000' END AS event_type_freq""".stripMargin
+    else ""
     s"""pts AS ($pointsSql),
        |params AS (SELECT count(*) AS n FROM pts),
        |celled AS (
-       |  SELECT id, value, lon, lat, zoom, px, py,
+       |  SELECT id, value, lon, lat, zoom, px, py$metaCol,
        |         floor(px / cs) AS cell_x, floor(py / cs) AS cell_y
        |  FROM (
-       |    SELECT p.id, p.value, p.lon, p.lat, z.zoom,
+       |    SELECT p.id, p.value, p.lon, p.lat, z.zoom${if (withMeta) ", p.event_type" else ""},
        |           (p.lon + 180.0) / 360.0 * (pow(2.0, z.zoom) * 512.0) AS px,
        |           (0.5 - 0.25 * ln((1.0 + p.s) / (1.0 - p.s)) / pi()) * (pow(2.0, z.zoom) * 512.0) AS py,
        |           40.0 * ((CASE WHEN z.zoom < 4 THEN 1.1 - 0.75 * $zr
@@ -407,19 +435,19 @@ object SparkEntry {
        |         CAST(sum(CAST(py AS DECIMAL(38,6))) AS DOUBLE) AS sy, min(id) AS min_id,
        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        |  FROM celled GROUP BY zoom, cell_x, cell_y
-       |),
+       |),$freqCtes
        |clusters AS (
-       |  SELECT CAST(zoom AS BIGINT) AS zoom, min_id AS id,
+       |  SELECT CAST(agg.zoom AS BIGINT) AS zoom, min_id AS id,
        |         slon / cnt AS lon,
-       |         round(((atan(exp((1.0 - (sy / cnt) / (pow(2.0, zoom) * 512.0) * 2.0) * pi())) * 2.0 - pi() / 2)
+       |         round(((atan(exp((1.0 - (sy / cnt) / (pow(2.0, agg.zoom) * 512.0) * 2.0) * pi())) * 2.0 - pi() / 2)
        |               * 180.0 / pi()) * 100000.0) / 100000.0 AS lat,
-       |         cnt AS "count", TRUE AS is_cluster, sum_value AS value
-       |  FROM agg WHERE cnt >= $mp
+       |         cnt AS "count", TRUE AS is_cluster, sum_value AS value$clusterFreq
+       |  $clusterFrom WHERE cnt >= $mp
        |),
        |singles AS (
        |  SELECT CAST(c.zoom AS BIGINT) AS zoom, c.id,
        |         c.lon, round((c.lat) * 100000.0) / 100000.0 AS lat,
-       |         CAST(1 AS BIGINT) AS "count", FALSE AS is_cluster, c.value AS value
+       |         CAST(1 AS BIGINT) AS "count", FALSE AS is_cluster, c.value AS value$singleFreq
        |  FROM celled c
        |  JOIN agg a ON c.zoom = a.zoom AND c.cell_x = a.cell_x AND c.cell_y = a.cell_y
        |  WHERE a.cnt < $mp
@@ -428,7 +456,7 @@ object SparkEntry {
   }
 
   private def tilePyramidSql: String =
-    s"WITH $pyramidCte\nSELECT * FROM pyr ORDER BY zoom, id"
+    s"WITH ${pyramidCte()}\nSELECT * FROM pyr ORDER BY zoom, id"
 
   // ------------------------------------------------------- pyramid serving
 
@@ -453,9 +481,11 @@ object SparkEntry {
     pyramidHandles.getOrElseUpdate(dir, {
       val wh = "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val cat = new graft.sources.Catalog(s, wh)
+      // metric sums AND metadata frequency maps are persisted — the
+      // serving path has full ClusterNode parity (round-2 verdict #1)
       val path = cat.savePyramid("events",
         graft.operators.TilePyramid.build(eventPoints(s, dir), 0, 3, flagOpts,
-          metricCols = Seq("value")))
+          metricCols = Seq("value"), metaCols = Seq("event_type")))
       s.read.parquet(path)
     })
 
@@ -495,12 +525,72 @@ object SparkEntry {
 
   private def pyramidServeSql: String = {
     val b = serveBounds
-    s"""WITH $pyramidCte
+    s"""WITH ${pyramidCte()}
        |SELECT * FROM pyr
        |WHERE zoom = $serveZoom
        |  AND lon >= ${d(b.minLon)} AND lon <= ${d(b.maxLon)}
        |  AND lat >= ${d(b.minLat)} AND lat <= ${d(b.maxLat)}
        |ORDER BY id""".stripMargin
+  }
+
+  /** ClusterNode parity THROUGH the persisted pyramid: the full
+    * zooms-0..3 pyramid read back from the serving parquet with its
+    * persisted metadata frequency strings (round-2 verdict #1 — the
+    * scale path must not silently drop metadata). Oracle = the pyramid
+    * CTE chain with the per-(zoom, cell) frequency rollup.
+    */
+  private def qPyramidMeta(s: SparkSession, dir: String): DataFrame =
+    pyramidHandle(s, dir)
+      .select(col("zoom").cast("long").as("zoom"), col("id"), col("lon"),
+        r5(col("lat")).as("lat"), col("count"), col("is_cluster"), col("value"),
+        col("event_type_freq"))
+      .orderBy("zoom", "id")
+
+  private def pyramidMetaSql: String =
+    s"WITH ${pyramidCte(withMeta = true)}\nSELECT * FROM pyr ORDER BY zoom, id"
+
+  /** GetMetadata on the serving path: the one-row viewport summary
+    * aggregated from the SAME persisted-pyramid slice `q_pyramid_serve`
+    * reads — counts + the reference's cluster-level metric stats
+    * (min/max/sum and the quirky avg-of-cluster-sums), no re-clustering.
+    * Cached per sf dir; [[Bench]] times `.collect()` on this as
+    * `pyramid_summary_warm_sec`.
+    */
+  private val summaryPlans = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def pyramidSummaryServe(s: SparkSession, dir: String): DataFrame =
+    summaryPlans.getOrElseUpdate(dir, {
+      pyramidServe(s, dir).agg(
+        sum(col("count")).as("total_points"),
+        sum(when(col("is_cluster"), 1L).otherwise(0L)).as("num_clusters"),
+        sum(when(col("is_cluster"), 0L).otherwise(1L)).as("num_single_points"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        GridCluster.exactSum(col("value")).as("value_sum"))
+      .withColumn("value_avg",
+        col("value_sum") / (col("num_clusters") + col("num_single_points")))
+    })
+
+  private def qPyramidSummary(s: SparkSession, dir: String): DataFrame =
+    pyramidSummaryServe(s, dir)
+
+  private def pyramidSummarySql: String = {
+    val b = serveBounds
+    s"""WITH ${pyramidCte()},
+       |win AS (
+       |  SELECT * FROM pyr
+       |  WHERE zoom = $serveZoom
+       |    AND lon >= ${d(b.minLon)} AND lon <= ${d(b.maxLon)}
+       |    AND lat >= ${d(b.minLat)} AND lat <= ${d(b.maxLat)}
+       |)
+       |SELECT CAST(sum("count") AS BIGINT) AS total_points,
+       |       CAST(sum(CASE WHEN is_cluster THEN 1 ELSE 0 END) AS BIGINT) AS num_clusters,
+       |       CAST(sum(CASE WHEN is_cluster THEN 0 ELSE 1 END) AS BIGINT) AS num_single_points,
+       |       min(value) AS value_min, max(value) AS value_max,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |         / (CAST(sum(CASE WHEN is_cluster THEN 1 ELSE 0 END) AS BIGINT)
+       |            + CAST(sum(CASE WHEN is_cluster THEN 0 ELSE 1 END) AS BIGINT)) AS value_avg
+       |FROM win""".stripMargin
   }
 
   /** SC11: GeoJSON feature shaping (no SQL oracle — JSON string
@@ -594,6 +684,8 @@ object SparkEntry {
     "q_ivf_search_trained" -> (PipelineQueries.qIvfSearchTrained _),
     "q_tile_pyramid" -> (qTilePyramid _),
     "q_pyramid_serve" -> (qPyramidServe _),
+    "q_pyramid_meta" -> (qPyramidMeta _),
+    "q_pyramid_summary" -> (qPyramidSummary _),
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_cluster_meta" -> (qClusterMeta _),
@@ -639,6 +731,8 @@ object SparkEntry {
     "q_ivf_search_trained" -> PipelineQueries.qIvfSearchTrainedSql,
     "q_tile_pyramid" -> tilePyramidSql,
     "q_pyramid_serve" -> pyramidServeSql,
+    "q_pyramid_meta" -> pyramidMetaSql,
+    "q_pyramid_summary" -> pyramidSummarySql,
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
     "q_cluster_meta" -> clusterMetaSql,

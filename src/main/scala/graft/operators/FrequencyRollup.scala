@@ -45,25 +45,30 @@ object FrequencyRollup {
         metaCols.map(c => col(s"${c}_freq")): _*)
   }
 
-  /** One `(cell_x, cell_y, {c}_freq)` frame per metadata column — the
+  /** One `(keyCols..., {c}_freq)` frame per metadata column — the
     * per-cell canonical "value:ppm" strings. Shared by
-    * [[clusterFrequencies]] and [[GridCluster.cluster]] (which joins
-    * them onto its cluster output, mirroring the reference's
-    * metadata-bearing `ClusterNode` — cluster/cluster.go:1939-1944).
+    * [[clusterFrequencies]], [[GridCluster.cluster]] and
+    * [[TilePyramid.build]] (which join them onto their cluster output,
+    * mirroring the reference's metadata-bearing `ClusterNode` —
+    * cluster/cluster.go:1939-1944). `keyCols` is the cell key: the
+    * viewport operators group per (cell_x, cell_y); the pyramid adds the
+    * zoom dimension.
     */
-  def cellFrequencies(celled: DataFrame, metaCols: Seq[String]): Seq[DataFrame] =
+  def cellFrequencies(celled: DataFrame, metaCols: Seq[String],
+                      keyCols: Seq[String] = Seq("cell_x", "cell_y")): Seq[DataFrame] =
     metaCols.map { c =>
-      val w = Window.partitionBy(col("cell_x"), col("cell_y"))
+      val keys = keyCols.map(col)
+      val w = Window.partitionBy(keys: _*)
       // Per-key totals over points that HAVE the key (reference skips
       // absent metadata keys — cluster.go:222-227): nulls drop out both
       // of the counts and the denominators.
       celled
         .filter(col(c).isNotNull)
-        .groupBy(col("cell_x"), col("cell_y"), col(c))
+        .groupBy(keys :+ col(c): _*)
         .agg(count(lit(1)).as("vc"))
         .withColumn("total", sum(col("vc")).over(w))
         .withColumn("ppm", round(col("vc") * lit(1000000.0) / col("total")).cast("long"))
-        .groupBy(col("cell_x"), col("cell_y"))
+        .groupBy(keys: _*)
         .agg(array_join(
           transform(
             array_sort(collect_list(struct(col(c).as("v"), col("ppm").as("p")))),

@@ -34,8 +34,11 @@ import java.time.Instant
 final class RestServer(engine: ClusterEngine, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // most-RECENT dataset is the initial default (main.go:70-72) — by
+  // createdAtMs, not list order (Catalog.list sorts lexicographically
+  // by id, where "cluster-800p-…" sorts after "cluster-1000p-…")
   @volatile private var defaultClusterId: String =
-    engine.list().lastOption.map(_.id).getOrElse("")
+    engine.list().maxByOption(_.createdAtMs).map(_.id).getOrElse("")
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -100,8 +103,10 @@ final class RestServer(engine: ClusterEngine, port: Int = 0) {
         q.getOrElse(k, throw new IllegalArgumentException(s"invalid $k parameter")).toDouble
       Right((zoom, Bounds(f("west"), f("south"), f("east"), f("north"))))
     } catch {
-      case e: IllegalArgumentException => Left(Option(e.getMessage).getOrElse("invalid parameters"))
+      // NumberFormatException IS an IllegalArgumentException — match the
+      // subtype first or malformed numerics leak raw JDK messages
       case _: NumberFormatException => Left("invalid numeric parameter")
+      case e: IllegalArgumentException => Left(Option(e.getMessage).getOrElse("invalid parameters"))
     }
 
   // ------------------------------------------------------------- handlers
@@ -192,7 +197,31 @@ final class RestServer(engine: ClusterEngine, port: Int = 0) {
       case Right((zoom, bounds)) =>
         val df = engine.getClustersFromPyramid(id, zoom, bounds).drop("zoom")
         val mc = df.columns.filter(_.startsWith("metric_")).toSeq
-        respond(ex, 200, graft.geo.GeoJson.featureCollection(df, mc))
+        // metadata frequency maps persisted in the pyramid flow into
+        // feature properties, same as the live route (ClusterNode parity)
+        val cm = df.columns.filter(_.endsWith("_freq")).map(_.stripSuffix("_freq")).toSeq
+        respond(ex, 200, graft.geo.GeoJson.featureCollection(df, mc, cm))
+    }
+
+  /** GetMetadata served from the persisted pyramid (no re-clustering). */
+  private def handlePyramidSummary(ex: HttpExchange, id: String): Unit =
+    zoomAndBounds(query(ex)) match {
+      case Left(m) => err(ex, 400, m)
+      case Right((zoom, bounds)) =>
+        val row = engine.getSummaryFromPyramid(id, zoom, bounds).collect().head
+        val metricNames = row.schema.fieldNames.filter(_.endsWith("_sum")).map(_.stripSuffix("_sum"))
+        val metrics = metricNames.map { m =>
+          s"${jstr(m)}:{" +
+            s""""Min":${jnum(row.getAs[Double](s"${m}_min"))},""" +
+            s""""Max":${jnum(row.getAs[Double](s"${m}_max"))},""" +
+            s""""Sum":${jnum(row.getAs[Double](s"${m}_sum"))},""" +
+            s""""Average":${jnum(row.getAs[Double](s"${m}_avg"))}}"""
+        }.mkString("{", ",", "}")
+        respond(ex, 200,
+          s"""{"totalPoints":${row.getAs[Long]("total_points")},""" +
+            s""""numClusters":${row.getAs[Long]("num_clusters")},""" +
+            s""""numSinglePoints":${row.getAs[Long]("num_single_points")},""" +
+            s""""metricsSummary":$metrics}""")
     }
 
   private def handleLoad(ex: HttpExchange, id: String): Unit =
@@ -222,6 +251,7 @@ final class RestServer(engine: ClusterEngine, port: Int = 0) {
         case ("GET", List(id)) => handleGetClusters(ex, id)
         case ("GET", List(id, "metadata")) => handleMetadata(ex, id)
         case ("GET", List(id, "pyramid")) => handlePyramidGet(ex, id)
+        case ("GET", List(id, "pyramid", "metadata")) => handlePyramidSummary(ex, id)
         case ("POST", Nil) => handleCreate(ex)
         case ("POST", List(id, "load")) => handleLoad(ex, id)
         case ("POST", List(id, "pyramid")) => handlePyramidBuild(ex, id)

@@ -67,6 +67,21 @@ class RestServerSpec extends SparkSpec {
     assert(r.statusCode() == 200, r.body())
     assert(r.body().startsWith("""{"type":"FeatureCollection","features":["""))
     assert(r.body().contains(""""cluster":true"""))
+    // ClusterNode parity on the serving path (round-2 verdict #1): the
+    // persisted pyramid carries metadata frequency maps into properties
+    assert(r.body().contains(""""meta_category_freq":"""), r.body().take(500))
+    assert(r.body().contains(""""meta_region_freq":"""), r.body().take(500))
+  }
+
+  test("pyramid metadata route: summary served from the persisted pyramid") {
+    val id = engine.list().head.id
+    val r = get(s"/api/clusters/$id/pyramid/metadata?$viewport")
+    assert(r.statusCode() == 200, r.body())
+    val b = r.body()
+    assert(b.contains(""""totalPoints":800"""), b)
+    assert(b.contains(""""numClusters":""") && b.contains(""""numSinglePoints":"""), b)
+    assert(b.contains(""""metricsSummary":{""""), b)
+    assert(b.contains(""""metric_sales":{"Min":"""), b)
   }
 
   test("POST /api/clusters/{id}/load + bad params; shutdown") {
@@ -74,6 +89,10 @@ class RestServerSpec extends SparkSpec {
     val r = post(s"/api/clusters/$id/load", "")
     assert(r.statusCode() == 200 && r.body().contains("Cluster loaded successfully"))
     assert(get("/api/clusters?west=0").statusCode() == 400) // missing zoom/bounds
+    // malformed numerics get the intended message (NumberFormatException
+    // must match before its IllegalArgumentException supertype)
+    val bad = get(s"/api/clusters?zoom=abc&west=0&south=0&east=1&north=1")
+    assert(bad.statusCode() == 400 && bad.body().contains("invalid numeric parameter"), bad.body())
     assert(post("/api/clusters/nope-load/load", "").statusCode() == 400)
     server.stop() // last test doubles as teardown (suite runs in order)
   }
