@@ -22,12 +22,13 @@ object Similarity {
     * to the unrolled left-associated chain the DuckDB oracles use, but a
     * generated LOOP instead of a ~190-node tree (which blew Janino's
     * 64 KB method limit at dims=64 and silently fell back to interpreted
-    * execution in round 1). `dims` is kept for API stability; the fused
-    * loop runs over min(|a|, |b|).
+    * execution in round 1). The loop runs over min(|a|, |b|, dims) — the
+    * `dims` cap is part of the contract (truncate-to-dims over longer
+    * arrays), enforced inside the fused loop at zero cost.
     */
   def dot(a: Column, b: Column, dims: Int): Column = {
     graft.plans.SimilarityExpressions.ensureRegistered()
-    call_function("graft_dot", a, b)
+    call_function("graft_dot", a, b, lit(dims))
   }
 
   def norm(a: Column, dims: Int): Column = sqrt(dot(a, a, dims))
@@ -94,10 +95,12 @@ object Similarity {
                          bands: Int = 4, targetBucketSize: Int = 8,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bitsPerBand = scaledBits(embs.count(), targetBucketSize)
-    val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
+    // persisted through the bounded CachePool: the signature table backs
+    // a lazy result, so its cache is evicted FIFO instead of accumulating
+    // across queries in a long-lived session (round-2 advice)
+    val sigs = CachePool.track(embs.select(col(idCol).as("id"), col(embCol).as("e"),
       norm(col(embCol), dims).as("nrm"),
-      hyperplaneBandKeys(col(embCol), bands, bitsPerBand, dims).as("bks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hyperplaneBandKeys(col(embCol), bands, bitsPerBand, dims).as("bks")))
     val keys = sigs.select(col("id"), explode(col("bks")).as("k"))
       .select(col("id"), col("k.band").as("band"), col("k.bk").as("bk"))
     val cand = keys.as("x").join(keys.as("y"),
@@ -151,11 +154,10 @@ object Similarity {
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     // signatures and norms are per-VECTOR arithmetic feeding both sides
     // of the bucket join — materialize once (norm per pair was 2/3 of
-    // the cosine cost in round 1)
-    val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
+    // the cosine cost in round 1); bounded-lifecycle via CachePool
+    val sigs = CachePool.track(embs.select(col(idCol).as("id"), col(embCol).as("e"),
       hyperplaneSig(col(embCol), bits, dims).as("sig"),
-      norm(col(embCol), dims).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      norm(col(embCol), dims).as("nrm")))
     sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -188,36 +190,56 @@ object Similarity {
   def kmeansTrain(embs: DataFrame, k: Int, iters: Int, dims: Int,
                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pe = embs
-      .select(col(idCol).as("vec_id"), posexplode(col(embCol)).as(Seq("pos0", "e")))
-      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
-        round(col("e").cast("double") * lit(1000000.0)).cast("long").as("v"))
-      .persist(lvl)
-    var cents = pe.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("pos"), col("v").as("c"))
+    // Micro-unit vectors as ARRAY<DOUBLE> whose elements are exact
+    // integers: |micro| ≤ 2e6, so squared norms and dot products stay
+    // ≤ dims·4e12 ≈ 2.6e14 ≪ 2^53 — every sum/product below is an
+    // EXACTLY-represented integer in double, bit-identical to the
+    // oracle's BIGINT lattice. Keeping the vector as one array (instead
+    // of round 2's posexplode into n·dims rows joined against k
+    // centroids per position = n·dims·k intermediate rows per round)
+    // lets the fused graft_dot loop compute each distance in one call:
+    // the assignment pass creates only n·k rows map-side, collapsed by
+    // partial aggregation to n before the shuffle.
+    val ve = CachePool.track(embs
+      .select(col(idCol).as("vec_id"),
+        transform(col(embCol), e => round(e.cast("double") * lit(1000000.0))).as("mv"))
+      .withColumn("nn", dot(col("mv"), col("mv"), dims)))
+    var cents = ve.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("mv").as("cv"), col("nn").as("cn"))
       .persist(lvl)
     for (_ <- 1 to iters) {
-      val dd = col("v") - col("c")
+      // |v−c|² = |v|² + |c|² − 2·v·c, all terms exact integers in double
+      val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("mv"), col("cv"), dims)
       // argmin as min(struct(d2, cent_id)) — lexicographic struct order
       // IS the (distance, id-tie-break) order; one agg instead of a
       // window's extra shuffle+sort per iteration
-      val assign = pe.join(broadcast(cents), "pos")
-        .groupBy(col("vec_id"), col("cent_id"))
-        .agg(sum(dd * dd).as("d2"))
+      val assign = ve.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"), d2.as("d2"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cent_id"))).getField("cent_id").as("cent_id"))
-      val upd = pe.join(assign, "vec_id")
-        .groupBy(col("cent_id"), col("pos"))
-        .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c_new"))
-      val next = cents.join(upd, Seq("cent_id", "pos"), "left")
-        .select(col("cent_id"), col("pos"), coalesce(col("c_new"), col("c")).as("c"))
+      // mean update explodes n·dims rows ONCE (no ×k): same exact
+      // round(sum/count) per position as the long-lattice form
+      val upd = ve.join(assign, "vec_id")
+        .select(col("cent_id"), posexplode(col("mv")).as(Seq("pos0", "v")))
+        .groupBy(col("cent_id"), col("pos0"))
+        .agg(round(sum(col("v")) / count(lit(1))).as("c"))
+      val newCents = upd.groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("c")))),
+          e => e.getField("c")).as("cv_new"))
+      // empty clusters keep their previous centroid (whole-array: a
+      // non-empty cluster updates every position)
+      val next = cents.select(col("cent_id"), col("cv").as("cv_old"))
+        .join(newCents, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv_new"), col("cv_old")).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv"), dims))
         .persist(lvl)
       next.count() // materialize before unpersisting the parent lineage
       cents.unpersist()
       cents = next
     }
-    cents.select(col("cent_id"), col("pos"),
-        (col("c").cast("double") / lit(1000000.0)).as("cval"))
+    cents.select(col("cent_id"), posexplode(col("cv")).as(Seq("pos0", "c")))
+      .select(col("cent_id"), (col("pos0") + 1).cast("long").as("pos"),
+        (col("c") / lit(1000000.0)).as("cval"))
       .orderBy("cent_id", "pos")
   }
 
@@ -309,10 +331,9 @@ object Similarity {
     */
   def lshNearestInBucket(embs: DataFrame, bits: Int, dims: Int,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val sigs = embs.select(col(idCol).as("id"), col(embCol).as("e"),
+    val sigs = CachePool.track(embs.select(col(idCol).as("id"), col(embCol).as("e"),
       hyperplaneSig(col(embCol), bits, dims).as("sig"),
-      norm(col(embCol), dims).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      norm(col(embCol), dims).as("nrm")))
     val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("nn_id"),

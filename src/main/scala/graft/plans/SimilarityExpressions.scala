@@ -25,10 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit-for-bit. Element casts float→double are exact.
   */
 /** Fused dot product of two float/double array columns, left-to-right
-  * accumulation. Iterates min(|a|, |b|) elements; elements are assumed
-  * non-null (embedding columns are dense).
+  * accumulation. Iterates min(|a|, |b|, cap) elements (cap < 0 = no
+  * cap) — the cap carries [[graft.operators.Similarity.dot]]'s
+  * truncate-to-`dims` contract into the fused loop. Elements are
+  * assumed non-null (embedding columns are dense).
   */
-case class ArrayDotProduct(left: Expression, right: Expression)
+case class ArrayDotProduct(left: Expression, right: Expression, cap: Int = -1)
     extends BinaryExpression {
   override def prettyName: String = "graft_dot"
   override def dataType: DataType = DoubleType
@@ -57,7 +59,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     val ra = r.asInstanceOf[ArrayData]
     val lt = elemType(left)
     val rt = elemType(right)
-    val n = math.min(la.numElements(), ra.numElements())
+    var n = math.min(la.numElements(), ra.numElements())
+    if (cap >= 0 && cap < n) n = cap
     var s = 0.0
     var i = 0
     while (i < n) { s += get(la, lt, i) * get(ra, rt, i); i += 1 }
@@ -71,7 +74,10 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val s = ctx.freshName("sum")
       val lv = CodeGenerator.getValue(l, elemType(left), i)
       val rv = CodeGenerator.getValue(r, elemType(right), i)
-      s"""int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+      val capped =
+        if (cap >= 0) s"java.lang.Math.min($cap, java.lang.Math.min($l.numElements(), $r.numElements()))"
+        else s"java.lang.Math.min($l.numElements(), $r.numElements())"
+      s"""int $n = $capped;
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double)($lv) * (double)($rv);
@@ -179,7 +185,9 @@ object SimilarityExpressions {
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (es => ArrayDotProduct(es(0), es(1))),
+    "graft_dot" -> (es =>
+      if (es.length >= 3) ArrayDotProduct(es(0), es(1), intLit(es(2)))
+      else ArrayDotProduct(es(0), es(1))),
     "graft_hsig" -> (es => HyperplaneSig(es(0), intLit(es(1)), intLit(es(2)))))
 
   /** Register on an existing session (idempotent temp functions). */

@@ -69,6 +69,22 @@ class GridClusterSpec extends SparkSpec {
     assert(out.head.getAs[Double]("customers") == 60.0)
   }
 
+  test("sequential viewport queries keep a bounded cache footprint") {
+    // round-2 verdict #3: each cluster() call persists a viewport
+    // projection; a long-lived serving process must not accumulate them.
+    // The CachePool bounds live entries FIFO — N sequential queries keep
+    // the session's persisted-RDD count constant.
+    val df = sources.PointGen.uniformPoints(spark, 1000, Bounds.World, seed = 9L)
+    operators.CachePool.clear()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 20).foreach { i =>
+      GridCluster.cluster(df, 2 + (i % 3), Bounds.World, opts).count()
+    }
+    assert(operators.CachePool.liveCount <= 12)
+    val grown = spark.sparkContext.getPersistentRDDs.size - before
+    assert(grown <= 12, s"persisted RDDs grew by $grown after 20 queries")
+  }
+
   test("conservation: counts and metric mass preserved across zooms") {
     // 2-decimal metric so the operator's DECIMAL(18,2) sums are lossless
     // and conservation is exact.

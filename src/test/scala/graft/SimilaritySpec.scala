@@ -38,6 +38,15 @@ class SimilaritySpec extends SparkSpec {
     assert(nn.get(1L).contains(0L))
   }
 
+  test("dot honors the dims cap over longer arrays") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val capped = df.select(Similarity.dot(col("a"), col("b"), 2).as("d")).head.getDouble(0)
+    assert(capped == 1.0 * 4.0 + 2.0 * 5.0) // third element excluded by dims
+    val full = df.select(Similarity.dot(col("a"), col("b"), 3).as("d")).head.getDouble(0)
+    assert(full == 1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0)
+  }
+
   test("scaledBits keeps expected bucket size constant as n grows") {
     val target = 8
     for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)) {
