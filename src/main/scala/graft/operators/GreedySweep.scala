@@ -36,14 +36,36 @@ import org.apache.spark.sql.types._
   */
 object GreedySweep {
 
-  /** @return columns: id, lon, lat, count, is_cluster, <metricCols...> */
+  /** @param maxSweepPoints per-tile memory guard: a tile whose point
+    *                        count exceeds this is NOT buffered for the
+    *                        O(k²) sweep — it spills to streaming grid
+    *                        semantics (snap-to-cell, constant memory per
+    *                        cell), mirroring the reference dispatcher's
+    *                        own cutoff away from the greedy method for
+    *                        big inputs (cluster/cluster.go:2442-2458 via
+    *                        :930-940). A pathological dense tile can
+    *                        therefore never OOM an executor: resident
+    *                        state is bounded by maxSweepPoints rows plus
+    *                        |cells|·(minPoints−1) buffered singles.
+    * @param fallbackTiles   optional accumulator counting tiles that
+    *                        engaged the grid fallback (test/ops hook)
+    * @return columns: id, lon, lat, count, is_cluster, <metricCols...>
+    */
   def cluster(points: DataFrame, zoom: Int, bounds: Bounds,
               opts: ClusterOptions = ClusterOptions(),
               metricCols: Seq[String] = Nil,
-              idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+              idCol: String = "id", lonCol: String = "lon", latCol: String = "lat",
+              maxSweepPoints: Int = 50000,
+              fallbackTiles: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val se = opts.scaleExtent(zoom)
     val radius = opts.radius
     val tileW = radius * 32.0
+    // Fallback cell size: the density factor normally depends on the
+    // viewport count, unknown mid-stream — the fallback only engages for
+    // tiles already past the cutoff, so it deterministically uses the
+    // threshold itself as the count (the "big input" branch the
+    // reference dispatcher routes to grid).
+    val fallbackCellSize = opts.cellSize(zoom, maxSweepPoints.toLong + 1)
     val proj = GridCluster.projectToViewport(points, zoom, bounds, opts, lonCol, latCol)
       .select(Seq(col(idCol).cast("long").as("_id"), col("px"), col("py")) ++
         metricCols.map(m => col(m).cast("double")): _*)
@@ -112,16 +134,76 @@ object GreedySweep {
           }
         }
 
-        // rows arrive tile-sorted: sweep each tile's contiguous run
+        // Streaming grid fallback state for one oversized tile: per-cell
+        // aggregates, with member rows buffered only while the cell is
+        // still below minPoints (they may need to be emitted as
+        // singles) — memory per cell is O(minPoints), not O(points).
+        final class CellState {
+          var cnt = 0L
+          var sx = 0.0
+          var sy = 0.0
+          var minId = Long.MaxValue
+          val sums = new Array[Double](nMetrics)
+          var members: scala.collection.mutable.ArrayBuffer[Row] =
+            scala.collection.mutable.ArrayBuffer.empty
+        }
+        var grid: scala.collection.mutable.HashMap[(Long, Long), CellState] = null
+
+        def addToGrid(r: Row): Unit = {
+          val key = (math.floor(r.getDouble(1) / fallbackCellSize).toLong,
+            math.floor(r.getDouble(2) / fallbackCellSize).toLong)
+          val st = grid.getOrElseUpdate(key, new CellState)
+          st.cnt += 1
+          st.sx += r.getDouble(1)
+          st.sy += r.getDouble(2)
+          if (r.getLong(0) < st.minId) st.minId = r.getLong(0)
+          var m = 0
+          while (m < nMetrics) { st.sums(m) += r.getDouble(3 + m); m += 1 }
+          if (st.cnt < minPoints) st.members += r
+          else st.members = null // cluster-bound: member rows not needed
+        }
+
+        // deterministic emission order: cells sorted by (cell_x, cell_y)
+        def emitGrid(): Unit = {
+          grid.toSeq.sortBy(_._1).foreach { case (_, st) =>
+            if (st.cnt >= minPoints)
+              out += Row.fromSeq(
+                Seq(st.minId, Mercator.invXs(st.sx / st.cnt, se),
+                  Mercator.invYs(st.sy / st.cnt, se), st.cnt, true) ++ st.sums.toSeq)
+            else st.members.foreach { p =>
+              out += Row.fromSeq(
+                Seq(p.getLong(0), Mercator.invXs(p.getDouble(1), se),
+                  Mercator.invYs(p.getDouble(2), se), 1L, false) ++
+                  (0 until nMetrics).map(m => p.getDouble(3 + m)))
+            }
+          }
+          grid = null
+        }
+
+        // rows arrive tile-sorted: process each tile's contiguous run —
+        // buffered sweep below the cutoff, streaming grid above it
         val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
         var tile = Long.MinValue
+        def flushTile(): Unit = {
+          if (grid != null) emitGrid()
+          else if (buf.nonEmpty) sweep(buf)
+          buf.clear()
+        }
         it.foreach { r =>
           val t = r.getLong(3 + nMetrics) // _tile is the last column
-          if (t != tile && buf.nonEmpty) { sweep(buf); buf.clear() }
-          tile = t
-          buf += r
+          if (t != tile) { flushTile(); tile = t }
+          if (grid != null) addToGrid(r)
+          else {
+            buf += r
+            if (buf.length > maxSweepPoints) {
+              fallbackTiles.foreach(_.add(1))
+              grid = scala.collection.mutable.HashMap.empty
+              buf.foreach(addToGrid)
+              buf.clear()
+            }
+          }
         }
-        if (buf.nonEmpty) sweep(buf)
+        flushTile()
         out.iterator
       }(RowEncoder.encoderFor(outSchema))
 

@@ -47,6 +47,30 @@ class GreedySweepSpec extends SparkSpec {
     assert(math.abs(total - expected) < 1e-6)
   }
 
+  test("oversized tile spills to the streaming grid fallback, deterministically") {
+    // one dense hotspot: 500 points in a ~0.05° square land in a single
+    // 32·radius tile; a threshold of 100 forces the memory guard
+    val pts = (1L to 500L)
+      .map(i => (i, 10.0 + (i % 50) * 0.001, 20.0 + (i / 50) * 0.001))
+      .toDF("id", "lon", "lat")
+    val world = Bounds(-170.0, -80.0, 170.0, 80.0)
+    val acc = spark.sparkContext.longAccumulator("fallbacks")
+    val run1 = GreedySweep.cluster(pts, 8, world, opts,
+      maxSweepPoints = 100, fallbackTiles = Some(acc)).collect()
+    assert(acc.value >= 1, "grid fallback did not engage on the hotspot tile")
+    // conservation through the fallback path
+    assert(run1.map(_.getAs[Long]("count")).sum == 500)
+    // deterministic: same input ⇒ same output
+    val run2 = GreedySweep.cluster(pts, 8, world, opts,
+      maxSweepPoints = 100).collect()
+    assert(run1.map(_.toString).sorted.sameElements(run2.map(_.toString).sorted))
+    // below the cutoff the sweep path is untouched
+    val accOff = spark.sparkContext.longAccumulator("noFallbacks")
+    GreedySweep.cluster(pts, 8, world, opts,
+      maxSweepPoints = 100000, fallbackTiles = Some(accOff)).collect()
+    assert(accOff.value == 0)
+  }
+
   test("dispatcher picks grid for low zoom / big viewports, greedy otherwise") {
     val pts = PointGen.uniformPoints(spark, 2000, Bounds.World, seed = 6L)
     // zoom 2 < maxZoom/4 → grid path (deterministic min-id ids)
