@@ -252,6 +252,39 @@ object SparkEntry {
        |SELECT * FROM clusters UNION ALL SELECT * FROM singles ORDER BY id""".stripMargin
   }
 
+  /** ClusterNode.Children parity (round-2 verdict: missing #3): each
+    * cluster row carries its sorted member-id list (comma-joined string
+    * — canonical and hash-comparable); singles carry themselves. Opt-in
+    * on [[GridCluster.cluster]] because a low-zoom 100 TB cluster's
+    * member list is unboundedly wide; the reference keeps the field
+    * internal (cluster/cluster.go:448).
+    */
+  private def qClusterChildren(s: SparkSession, dir: String): DataFrame =
+    GridCluster.cluster(eventPoints(s, dir), flagZoom, flagBounds, flagOpts,
+      includeChildren = true)
+      .select(col("id"), col("count"), col("is_cluster"), col("children"))
+      .orderBy("id")
+
+  private def clusterChildrenSql: String =
+    s"""WITH ${gridCellsSql(flagZoom, flagBounds, flagOpts)},
+       |agg AS (
+       |  SELECT cell_x, cell_y, count(*) AS cnt, min(id) AS min_id,
+       |         string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS children
+       |  FROM cells GROUP BY cell_x, cell_y
+       |),
+       |clusters AS (
+       |  SELECT min_id AS id, cnt AS "count", TRUE AS is_cluster, children
+       |  FROM agg WHERE cnt >= ${flagOpts.minPoints}
+       |),
+       |singles AS (
+       |  SELECT c.id, CAST(1 AS BIGINT) AS "count", FALSE AS is_cluster,
+       |         CAST(c.id AS VARCHAR) AS children
+       |  FROM cells c
+       |  JOIN agg a ON c.cell_x = a.cell_x AND c.cell_y = a.cell_y
+       |  WHERE a.cnt < ${flagOpts.minPoints}
+       |)
+       |SELECT * FROM clusters UNION ALL SELECT * FROM singles ORDER BY id""".stripMargin
+
   /** A1 faithful mode: deterministic per-tile greedy sweep (no SQL
     * oracle — the sweep is iterative/order-dependent and not
     * SQL-expressible; driver records the rows-only check. Determinism
@@ -689,6 +722,7 @@ object SparkEntry {
     "q_cluster_grid" -> qCluster(flagZoom) _,
     "q_cluster_high" -> qCluster(highZoom) _,
     "q_cluster_meta" -> (qClusterMeta _),
+    "q_cluster_children" -> (qClusterChildren _),
     "q_greedy_sweep" -> (qGreedySweep _),
     "q_viewport_points" -> (qViewportPoints _),
     "q_freq_rollup" -> (qFreqRollup _),
@@ -736,6 +770,7 @@ object SparkEntry {
     "q_cluster_grid" -> clusterSql(flagZoom, flagBounds, flagOpts),
     "q_cluster_high" -> clusterSql(highZoom, flagBounds, flagOpts),
     "q_cluster_meta" -> clusterMetaSql,
+    "q_cluster_children" -> clusterChildrenSql,
     "q_viewport_points" -> viewportPointsSql,
     "q_freq_rollup" -> freqRollupSql,
     "q_cluster_summary" -> clusterSummarySql

@@ -134,14 +134,22 @@ object GridCluster {
     *                   returns these inside every `ClusterNode` —
     *                   cluster/cluster.go:1939-1944); singles carry
     *                   their own value as "value:1000000"
+    * @param includeChildren also emit each cluster's member point ids as
+    *                   a sorted comma-joined string — the reference's
+    *                   `ClusterNode.Children` (cluster/cluster.go:448;
+    *                   internal there, never serialized). Opt-in: at
+    *                   scale a low-zoom cluster can hold millions of
+    *                   members, so only cluster-expansion UIs at high
+    *                   zoom should request it.
     * @return columns: id, lon, lat, count, is_cluster, <metricCols...>,
-    *         <metaCols..._freq>
+    *         <metaCols..._freq>[, children]
     */
   def cluster(points: DataFrame, zoom: Int, bounds: Bounds,
               opts: ClusterOptions = ClusterOptions(),
               metricCols: Seq[String] = Nil,
               metaCols: Seq[String] = Nil,
-              idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+              idCol: String = "id", lonCol: String = "lon", latCol: String = "lat",
+              includeChildren: Boolean = false): DataFrame = {
     val (celled, se, _) = cellAssign(points, zoom, bounds, opts, lonCol, latCol)
 
     val aggs = Seq(
@@ -149,7 +157,11 @@ object GridCluster {
       sum(col(lonCol).cast(DecimalType(28, 10))).cast(DoubleType).as("slon"),
       stableSum(col("py")).as("sy"),
       min(col(idCol)).as("min_id")
-    ) ++ metricCols.map(m => exactSum(col(m)).as(s"sum_$m"))
+    ) ++ metricCols.map(m => exactSum(col(m)).as(s"sum_$m")) ++
+      (if (includeChildren)
+        Seq(array_join(transform(sort_array(collect_list(col(idCol))),
+          e => e.cast("string")), ",").as("children"))
+      else Nil)
 
     val cellAgg = celled.groupBy(col("cell_x"), col("cell_y")).agg(aggs.head, aggs.tail: _*)
 
@@ -170,7 +182,8 @@ object GridCluster {
           col("cnt").as("count"),
           lit(true).as("is_cluster")
         ) ++ metricCols.map(m => col(s"sum_$m").as(m))
-          ++ metaCols.map(c => col(s"${c}_freq")): _*)
+          ++ metaCols.map(c => col(s"${c}_freq"))
+          ++ (if (includeChildren) Seq(col("children")) else Nil): _*)
 
     // Two-pass explode-back (SURVEY §7.4): cells below MinPoints emit
     // their member points unchanged (reference "single point cluster",
@@ -193,7 +206,9 @@ object GridCluster {
         ) ++ metricCols.map(m => col(m))
           // a single point's frequency map is its own value at 100%
           ++ metaCols.map(c => when(col(c).isNotNull,
-            concat(col(c).cast("string"), lit(":1000000"))).as(s"${c}_freq")): _*)
+            concat(col(c).cast("string"), lit(":1000000"))).as(s"${c}_freq"))
+          // a single point's child list is itself
+          ++ (if (includeChildren) Seq(col(idCol).cast("string").as("children")) else Nil): _*)
 
     clusters.unionByName(singles)
   }

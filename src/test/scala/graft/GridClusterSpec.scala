@@ -69,6 +69,17 @@ class GridClusterSpec extends SparkSpec {
     assert(out.head.getAs[Double]("customers") == 60.0)
   }
 
+  test("opt-in children carries sorted member ids (ClusterNode.Children)") {
+    val out = GridCluster.cluster(points4, 5, viewport, opts, includeChildren = true)
+      .collect().sortBy(_.getAs[Long]("id"))
+    val cluster = out.find(_.getAs[Boolean]("is_cluster")).get
+    assert(cluster.getAs[String]("children") == "1,2,3")
+    val single = out.find(!_.getAs[Boolean]("is_cluster")).get
+    assert(single.getAs[String]("children") == "4")
+    // default output shape is unchanged
+    assert(!GridCluster.cluster(points4, 5, viewport, opts).columns.contains("children"))
+  }
+
   test("sequential viewport queries keep a bounded cache footprint") {
     // round-2 verdict #3: each cluster() call persists a viewport
     // projection; a long-lived serving process must not accumulate them.
