@@ -80,10 +80,35 @@ object Bench {
       () => { df.collect(); () }
     }
 
+    // Ingest + storage vs the reference's published per-1M-point
+    // figures (BASELINE.md: ~30 s load+index-build, ~100 MB on disk):
+    // generate 1M seeded points with metrics+metadata and run the full
+    // catalog save (tile partitioning + zstd parquet + meta file).
+    val ingest: Option[(Double, Double)] =
+      if (only.isDefined) None
+      else
+        try {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-bench-wh")
+          try {
+            val cat = new graft.sources.Catalog(spark, tmp.toString)
+            val pts = graft.sources.PointGen.uniformPoints(
+              spark, 1000000L, graft.model.Bounds.World, seed = 42L)
+            val t0 = System.nanoTime()
+            val info = cat.save(pts, "bench-1m")
+            Some(((System.nanoTime() - t0) / 1e9, info.fileSizeBytes / 1e6))
+          } finally {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        } catch { case e: Throwable => errs("ingest_1m") = errStr(e); None }
+
     val extras =
       warm.map(w => f""","flagship_warm_sec":$w%.3f""").getOrElse("") +
         pyramidWarm.map(w => f""","pyramid_warm_sec":$w%.3f""").getOrElse("") +
         summaryWarm.map(w => f""","pyramid_summary_warm_sec":$w%.3f""").getOrElse("") +
+        ingest.map { case (s, mb) =>
+          f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("") +
         (if (errs.isEmpty) ""
          else errs.map { case (k, m) => s""""${jesc(k)}":"${jesc(m)}"""" }
            .mkString(""","errors":{""", ",", "}"))
