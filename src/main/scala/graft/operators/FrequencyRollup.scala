@@ -56,23 +56,36 @@ object FrequencyRollup {
     */
   def cellFrequencies(celled: DataFrame, metaCols: Seq[String],
                       keyCols: Seq[String] = Seq("cell_x", "cell_y")): Seq[DataFrame] =
-    metaCols.map { c =>
-      val keys = keyCols.map(col)
-      val w = Window.partitionBy(keys: _*)
-      // Per-key totals over points that HAVE the key (reference skips
-      // absent metadata keys — cluster.go:222-227): nulls drop out both
-      // of the counts and the denominators.
-      celled
-        .filter(col(c).isNotNull)
-        .groupBy(keys :+ col(c): _*)
-        .agg(count(lit(1)).as("vc"))
-        .withColumn("total", sum(col("vc")).over(w))
-        .withColumn("ppm", round(col("vc") * lit(1000000.0) / col("total")).cast("long"))
-        .groupBy(keys: _*)
-        .agg(array_join(
-          transform(
-            array_sort(collect_list(struct(col(c).as("v"), col("ppm").as("p")))),
-            e => concat(e.getField("v"), lit(":"), e.getField("p").cast("string"))),
-          ",").as(s"${c}_freq"))
-    }
+    metaCols.map(c => countsToFreq(cellCounts(celled, c, keyCols), c, keyCols))
+
+  /** Per-(key, value) occurrence counts — the MERGEABLE form of a
+    * frequency rollup (counts are associative where ppm strings are
+    * not); [[graft.operators.TilePyramid]] maintains these
+    * incrementally. Per-key totals count only points that HAVE the key
+    * (reference skips absent metadata keys — cluster.go:222-227):
+    * nulls drop out both of the counts and the denominators.
+    * Output: keyCols..., c, vc.
+    */
+  def cellCounts(celled: DataFrame, c: String, keyCols: Seq[String]): DataFrame =
+    celled
+      .filter(col(c).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(c): _*)
+      .agg(count(lit(1)).as("vc"))
+
+  /** Canonical sorted "value:ppm" strings from a [[cellCounts]] table.
+    * Output: keyCols..., {c}_freq.
+    */
+  def countsToFreq(counts: DataFrame, c: String, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+    counts
+      .withColumn("total", sum(col("vc")).over(w))
+      .withColumn("ppm", round(col("vc") * lit(1000000.0) / col("total")).cast("long"))
+      .groupBy(keys: _*)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(c).as("v"), col("ppm").as("p")))),
+          e => concat(e.getField("v"), lit(":"), e.getField("p").cast("string"))),
+        ",").as(s"${c}_freq"))
+  }
 }

@@ -3,6 +3,31 @@ package graft.operators
 import graft.model.ClusterOptions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Mergeable pyramid partial state: per-(zoom, cell) aggregates with
+  * EXACT (decimal/long) accumulator types, plus per-(zoom, cell, value)
+  * metadata counts. Because every accumulator is associative and exact
+  * (decimal sums, long counts, min ids), states built over disjoint
+  * point batches merge into bit-for-bit the state a full rebuild would
+  * produce — the foundation of incremental pyramid maintenance at
+  * 100 TB (re-aggregate only the ingest batch, never the corpus).
+  *
+  * `densityN` is the corpus size the cell grid was pinned to when the
+  * epoch was created: [[ClusterOptions.cellSize]]'s density branch
+  * changes the grid itself, so every batch of one epoch MUST snap with
+  * the same pinned count ([[TilePyramid.mergeStates]] enforces it).
+  * Crossing a density threshold (5k/50k) requires a rebuild — the
+  * reference has no incremental path at all, so this matches its
+  * semantics exactly at every fixed corpus size.
+  *
+  * The frames are ordinary DataFrames: persist or write them like any
+  * table between batches (a production loop would parquet the state
+  * per ingest and read it back for the next merge).
+  */
+final case class PyramidState(cells: DataFrame,
+                              metaCounts: Seq[(String, DataFrame)],
+                              densityN: Long)
 
 /** Multi-zoom cluster pyramid: the whole-dataset clusters for every
   * zoom in [zMin, zMax] in ONE aggregation — the batch analog of
@@ -24,11 +49,23 @@ import org.apache.spark.sql.functions._
   * cluster ids. Grid cells do not nest across zooms (cell size is not
   * dyadic), so each zoom is clustered from raw points, not rolled up
   * from the next-finer level — rollup would change results.
+  *
+  * [[build]] = [[cellState]] + [[finalizePyramid]]; the split exists so
+  * ingest batches can maintain the state incrementally
+  * ([[mergeStates]]) and re-derive served rows on demand.
   */
 object TilePyramid {
 
+  // Canonical exact accumulator types. Spark's decimal SUM widens
+  // precision by 10 (capped at 38); merged states are cast back to
+  // these so merge-of-merges keeps a stable schema. All casts are
+  // widening — never lossy.
+  private val SlonType = DecimalType(38, 10) // Σ lon, input cast (28,10)
+  private val SyType = DecimalType(38, 6)    // Σ py, stableSum lattice
+  private val MetricType = DecimalType(38, 2) // Σ 2-decimal metrics
+
   /** Per-row cell-size column mirroring [[ClusterOptions.cellSize]]
-    * with a zoom column (n is the driver-side total count).
+    * with a zoom column (n is the driver-side pinned density count).
     */
   private def cellSizeCol(zoom: Column, n: Long, opts: ClusterOptions): Column = {
     val zr = zoom.cast("double") / lit(opts.maxZoom.toDouble)
@@ -38,6 +75,137 @@ object TilePyramid {
       .otherwise(lit(0.75))
     val m = if (n > 50000L) 1.1 else if (n < 5000L) 0.9 else 1.0
     lit(opts.radius) * (base * lit(m))
+  }
+
+  /** Points exploded across the zoom range and snapped to each zoom's
+    * grid, with the cell size pinned to `densityN`.
+    */
+  private def celledFor(points: DataFrame, zMin: Int, zMax: Int,
+                        opts: ClusterOptions, densityN: Long,
+                        lonCol: String, latCol: String): DataFrame = {
+    // per-row scale: 2^zoom · extent (exact doubles for zoom ≤ 16)
+    val se = pow(lit(2.0), col("zoom")) * lit(opts.extent.toDouble)
+    val lat = col(latCol)
+    val clamped = greatest(lit(-85.0511), least(lit(85.0511), lat))
+    val s = sin(clamped * lit(math.Pi) / lit(180.0))
+    val px = (col(lonCol) + lit(180.0)) / lit(360.0) * se
+    val py = (lit(0.5) - lit(0.25) * log((lit(1.0) + s) / (lit(1.0) - s)) / lit(math.Pi)) * se
+    val cs = cellSizeCol(col("zoom"), densityN, opts)
+    points
+      .withColumn("zoom", explode(sequence(lit(zMin), lit(zMax))))
+      .withColumn("px", px)
+      .withColumn("py", py)
+      .withColumn("cell_x", floor(col("px") / cs))
+      .withColumn("cell_y", floor(col("py") / cs))
+  }
+
+  private val pyramidKey = Seq("zoom", "cell_x", "cell_y")
+
+  /** Mergeable partial state over one point batch. `densityN` pins the
+    * epoch's grid (use the full corpus count; [[build]] does).
+    */
+  def cellState(points: DataFrame, zMin: Int, zMax: Int,
+                opts: ClusterOptions = ClusterOptions(),
+                metricCols: Seq[String] = Nil,
+                metaCols: Seq[String] = Nil,
+                densityN: Long,
+                idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): PyramidState = {
+    require(zMin >= 0 && zMax >= zMin && zMax <= opts.maxZoom, "bad zoom range")
+    val celled = celledFor(points, zMin, zMax, opts, densityN, lonCol, latCol)
+    val aggs = Seq(
+      count(lit(1)).as("cnt"),
+      sum(col(lonCol).cast(DecimalType(28, 10))).cast(SlonType).as("slon"),
+      sum(col("py").cast(DecimalType(38, 6))).cast(SyType).as("sy"),
+      min(col(idCol)).as("min_id")
+    ) ++ metricCols.map(m =>
+      sum(col(m).cast(DecimalType(18, 2))).cast(MetricType).as(s"sum_$m"))
+    val cells = celled.groupBy(pyramidKey.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val counts = metaCols.map(c =>
+      c -> FrequencyRollup.cellCounts(celled, c, pyramidKey))
+    PyramidState(cells, counts, densityN)
+  }
+
+  /** Exact associative merge of two states of the SAME epoch (equal
+    * pinned density counts — a different count means a different grid,
+    * and merging would mix incompatible cell keys).
+    */
+  def mergeStates(a: PyramidState, b: PyramidState): PyramidState = {
+    require(a.densityN == b.densityN,
+      s"cannot merge pyramid states of different epochs (densityN ${a.densityN} vs ${b.densityN})")
+    val cols = a.cells.columns.toSeq
+    val metricSums = cols.filter(_.startsWith("sum_"))
+    val aggs = Seq(
+      sum(col("cnt")).as("cnt"),
+      sum(col("slon")).cast(SlonType).as("slon"),
+      sum(col("sy")).cast(SyType).as("sy"),
+      min(col("min_id")).as("min_id")
+    ) ++ metricSums.map(m => sum(col(m)).cast(MetricType).as(m))
+    val cells = a.cells.unionByName(b.cells)
+      .groupBy(pyramidKey.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    require(a.metaCounts.map(_._1) == b.metaCounts.map(_._1), "meta column mismatch")
+    val counts = a.metaCounts.zip(b.metaCounts).map { case ((c, ca), (_, cb)) =>
+      c -> ca.unionByName(cb)
+        .groupBy((pyramidKey :+ c).map(col): _*)
+        .agg(sum(col("vc")).as("vc"))
+    }
+    PyramidState(cells, counts, a.densityN)
+  }
+
+  /** Served pyramid rows from a (possibly incrementally maintained)
+    * state. `points` must be the epoch's FULL accumulated point set —
+    * cells below minPoints explode back to their member rows, and those
+    * live in the catalog dataset, not the state (at scale the semi-join
+    * against the small-cell set is tile-partition pruned).
+    * @return columns: zoom, id, lon, lat, count, is_cluster,
+    *         metrics..., {metaCols}_freq...
+    */
+  def finalizePyramid(state: PyramidState, points: DataFrame, zMin: Int, zMax: Int,
+                      opts: ClusterOptions = ClusterOptions(),
+                      metricCols: Seq[String] = Nil,
+                      idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val seOut = pow(lit(2.0), col("zoom")) * lit(opts.extent.toDouble)
+    def invY(c: Column) = {
+      val y2 = (lit(1.0) - c / seOut * lit(2.0)) * lit(math.Pi)
+      (atan(exp(y2)) * lit(2.0) - lit(math.Pi / 2)) * lit(180.0) / lit(math.Pi)
+    }
+    val metaCols = state.metaCounts.map(_._1)
+    val cellAgg = state.cells
+
+    // frequency maps join on the SAME (zoom, cell) key right after the
+    // same-key agg — co-partitioned, no new shuffle pattern (the live
+    // path's GridCluster.cluster join, with zoom in the key)
+    val withFreqs = state.metaCounts
+      .map { case (c, counts) => FrequencyRollup.countsToFreq(counts, c, pyramidKey) }
+      .foldLeft(cellAgg.filter(col("cnt") >= opts.minPoints))(
+        (acc, f) => acc.join(f, pyramidKey, "left"))
+
+    val clusters = withFreqs
+      .select(
+        Seq(col("zoom"), col("min_id").as(idCol),
+          // exact linear shortcut — see GridCluster lon-centroid note
+          (col("slon").cast(DoubleType) / col("cnt")).as(lonCol),
+          invY(col("sy").cast(DoubleType) / col("cnt")).as(latCol),
+          col("cnt").as("count"), lit(true).as("is_cluster")
+        ) ++ metricCols.map(m => col(s"sum_$m").cast(DoubleType).as(m))
+          ++ metaCols.map(c => col(s"${c}_freq")): _*)
+
+    val celled = celledFor(points, zMin, zMax, opts, state.densityN, lonCol, latCol)
+    val smallCells = cellAgg.filter(col("cnt") < opts.minPoints)
+      .select("zoom", "cell_x", "cell_y")
+    val singles = celled
+      .join(smallCells, Seq("zoom", "cell_x", "cell_y"), "left_semi")
+      .select(
+        Seq(col("zoom"), col(idCol),
+          col(lonCol),
+          col(latCol),
+          lit(1L).as("count"), lit(false).as("is_cluster")
+        ) ++ metricCols.map(m => col(m))
+          // a single point's frequency map is its own value at 100%
+          ++ metaCols.map(c => when(col(c).isNotNull,
+            concat(col(c).cast("string"), lit(":1000000"))).as(s"${c}_freq")): _*)
+
+    clusters.unionByName(singles)
   }
 
   /** @param metaCols metadata columns rolled into per-cluster
@@ -57,74 +225,8 @@ object TilePyramid {
             metricCols: Seq[String] = Nil,
             metaCols: Seq[String] = Nil,
             idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
-    require(zMin >= 0 && zMax >= zMin && zMax <= opts.maxZoom, "bad zoom range")
     val n = points.count()
-
-    // per-row scale: 2^zoom · extent (exact doubles for zoom ≤ 16)
-    val se = pow(lit(2.0), col("zoom")) * lit(opts.extent.toDouble)
-    val lat = col(latCol)
-    val clamped = greatest(lit(-85.0511), least(lit(85.0511), lat))
-    val s = sin(clamped * lit(math.Pi) / lit(180.0))
-    val px = (col(lonCol) + lit(180.0)) / lit(360.0) * se
-    val py = (lit(0.5) - lit(0.25) * log((lit(1.0) + s) / (lit(1.0) - s)) / lit(math.Pi)) * se
-    val cs = cellSizeCol(col("zoom"), n, opts)
-
-    val celled = points
-      .withColumn("zoom", explode(sequence(lit(zMin), lit(zMax))))
-      .withColumn("px", px)
-      .withColumn("py", py)
-      .withColumn("cell_x", floor(col("px") / cs))
-      .withColumn("cell_y", floor(col("py") / cs))
-
-    val aggs = Seq(
-      count(lit(1)).as("cnt"),
-      sum(col(lonCol).cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-        .cast(org.apache.spark.sql.types.DoubleType).as("slon"),
-      GridCluster.stableSum(col("py")).as("sy"),
-      min(col(idCol)).as("min_id")
-    ) ++ metricCols.map(m => GridCluster.exactSum(col(m)).as(s"sum_$m"))
-
-    val cellAgg = celled.groupBy(col("zoom"), col("cell_x"), col("cell_y"))
-      .agg(aggs.head, aggs.tail: _*)
-
-    val seOut = pow(lit(2.0), col("zoom")) * lit(opts.extent.toDouble)
-    def invY(c: Column) = {
-      val y2 = (lit(1.0) - c / seOut * lit(2.0)) * lit(math.Pi)
-      (atan(exp(y2)) * lit(2.0) - lit(math.Pi / 2)) * lit(180.0) / lit(math.Pi)
-    }
-
-    // frequency maps join on the SAME (zoom, cell) key right after the
-    // same-key agg — co-partitioned, no new shuffle pattern (the live
-    // path's GridCluster.cluster join, with zoom in the key)
-    val pyramidKey = Seq("zoom", "cell_x", "cell_y")
-    val withFreqs = FrequencyRollup.cellFrequencies(celled, metaCols, pyramidKey)
-      .foldLeft(cellAgg.filter(col("cnt") >= opts.minPoints))(
-        (acc, f) => acc.join(f, pyramidKey, "left"))
-
-    val clusters = withFreqs
-      .select(
-        Seq(col("zoom"), col("min_id").as(idCol),
-          // exact linear shortcut — see GridCluster.exactLonMean
-          (col("slon") / col("cnt")).as(lonCol),
-          invY(col("sy") / col("cnt")).as(latCol),
-          col("cnt").as("count"), lit(true).as("is_cluster")
-        ) ++ metricCols.map(m => col(s"sum_$m").as(m))
-          ++ metaCols.map(c => col(s"${c}_freq")): _*)
-
-    val smallCells = cellAgg.filter(col("cnt") < opts.minPoints)
-      .select("zoom", "cell_x", "cell_y")
-    val singles = celled
-      .join(smallCells, Seq("zoom", "cell_x", "cell_y"), "left_semi")
-      .select(
-        Seq(col("zoom"), col(idCol),
-          col(lonCol),
-          col(latCol),
-          lit(1L).as("count"), lit(false).as("is_cluster")
-        ) ++ metricCols.map(m => col(m))
-          // a single point's frequency map is its own value at 100%
-          ++ metaCols.map(c => when(col(c).isNotNull,
-            concat(col(c).cast("string"), lit(":1000000"))).as(s"${c}_freq")): _*)
-
-    clusters.unionByName(singles)
+    val st = cellState(points, zMin, zMax, opts, metricCols, metaCols, n, idCol, lonCol, latCol)
+    finalizePyramid(st, points, zMin, zMax, opts, metricCols, idCol, lonCol, latCol)
   }
 }
