@@ -98,9 +98,54 @@ final class ClusterEngine(spark: SparkSession, warehouseDir: String,
     TilePyramid.build(df, zMin, zMax, opts, metricCols(df), catMetaCols(df))
   }
 
-  /** Precompute AND persist the pyramid (zoom+tile partitioned). */
-  def buildAndSavePyramid(id: String, zMin: Int, zMax: Int): String =
-    catalog.savePyramid(id, buildPyramid(id, zMin, zMax))
+  /** Precompute AND persist the pyramid (zoom+tile partitioned), plus
+    * the mergeable partial state that lets later ingest batches update
+    * it incrementally ([[maintainPyramid]]).
+    */
+  def buildAndSavePyramid(id: String, zMin: Int, zMax: Int): String = {
+    val df = load(id)
+    val n = df.count()
+    val st = TilePyramid.cellState(df, zMin, zMax, opts, metricCols(df), catMetaCols(df), n)
+    catalog.savePyramidState(id, st, zMin, zMax, metricCols(df))
+    val (stored, _, _, mc) = catalog.loadPyramidState(id).get // read back: bounded lineage
+    catalog.savePyramid(id, TilePyramid.finalizePyramid(stored, df, zMin, zMax, opts, mc))
+  }
+
+  /** Append an ingest batch to a dataset and update its persisted
+    * pyramid INCREMENTALLY: aggregate only the batch into a partial
+    * state (grid pinned to the epoch's density count), merge with the
+    * stored state — exact and associative, so the result is bit-for-bit
+    * what a full rebuild would produce — and re-finalize. Falls back to
+    * a full rebuild only when the corpus crosses a density band
+    * (5k/50k: the grid itself would change) or no state exists yet.
+    * Returns the updated catalog info.
+    */
+  def appendAndMaintain(id: String, batch: DataFrame): Catalog#SavedInfo = {
+    val info = catalog.append(batch, id)
+    catalog.loadPyramidState(id) match {
+      case Some((st, zMin, zMax, mc)) =>
+        val full = load(id)
+        if (TilePyramid.densityBand(info.numPoints) == TilePyramid.densityBand(st.densityN)) {
+          // same epoch: aggregate ONLY the batch, pinned to the epoch grid
+          val batchSt = TilePyramid.cellState(batch, zMin, zMax, opts, mc,
+            st.metaCounts.map(_._1), st.densityN)
+          catalog.savePyramidState(id, TilePyramid.mergeStates(st, batchSt), zMin, zMax, mc)
+        } else {
+          // band crossed: the grid changes — rebuild the epoch at the new count
+          val newSt = TilePyramid.cellState(full, zMin, zMax, opts, mc,
+            st.metaCounts.map(_._1), info.numPoints)
+          catalog.savePyramidState(id, newSt, zMin, zMax, mc)
+        }
+        val (stored, _, _, mc2) = catalog.loadPyramidState(id).get
+        catalog.savePyramid(id, TilePyramid.finalizePyramid(stored, full, zMin, zMax, opts, mc2))
+      case None => () // no pyramid yet — nothing to maintain
+    }
+    info
+  }
+
+  /** [[appendAndMaintain]] with a generated batch (service path). */
+  def appendPoints(id: String, numPoints: Long, seed: Long = 43L): Catalog#SavedInfo =
+    appendAndMaintain(id, PointGen.uniformPoints(spark, numPoints, Bounds.World, seed))
 
   /** Serve a viewport from the precomputed pyramid: a pure scan with
     * zoom directory pruning, tile/lon/lat row-group skipping (the files

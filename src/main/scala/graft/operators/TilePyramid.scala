@@ -64,6 +64,16 @@ object TilePyramid {
   private val SyType = DecimalType(38, 6)    // Σ py, stableSum lattice
   private val MetricType = DecimalType(38, 2) // Σ 2-decimal metrics
 
+  /** The density band of a corpus size. [[ClusterOptions.cellSize]]'s
+    * multiplier — and therefore the grid itself — depends only on this
+    * band, not the exact count, so an incremental epoch stays valid for
+    * any growth WITHIN its band; crossing a band edge (5k / 50k) means
+    * a full rebuild would use a different grid, and the maintainer must
+    * rebuild to preserve incremental ≡ rebuild.
+    */
+  def densityBand(n: Long): Int =
+    if (n > 50000L) 2 else if (n < 5000L) 0 else 1
+
   /** Per-row cell-size column mirroring [[ClusterOptions.cellSize]]
     * with a zoom column (n is the driver-side pinned density count).
     */

@@ -177,6 +177,22 @@ final class RestServer(engine: ClusterEngine, port: Int = 0) {
     }
   }
 
+  /** Append an ingest batch; the persisted pyramid (if any) is updated
+    * INCREMENTALLY — only the batch is re-aggregated (exact mergeable
+    * state; see [[graft.operators.TilePyramid]]).
+    */
+  private def handleAppend(ex: HttpExchange, id: String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val n = "\"numPoints\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    (n, engine.describe(id)) match {
+      case (None, _) => err(ex, 400, "Invalid request")
+      case (_, None) => err(ex, 400, s"unknown cluster $id")
+      case (Some(num), Some(info)) =>
+        respond(ex, 200,
+          s"""{"message":"Appended","clusterInfo":${infoJson(engine.appendPoints(info.id, num))}}""")
+    }
+  }
+
   private def handlePyramidBuild(ex: HttpExchange, id: String): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     def intField(k: String, dflt: Int): Int =
@@ -254,6 +270,7 @@ final class RestServer(engine: ClusterEngine, port: Int = 0) {
         case ("GET", List(id, "pyramid", "metadata")) => handlePyramidSummary(ex, id)
         case ("POST", Nil) => handleCreate(ex)
         case ("POST", List(id, "load")) => handleLoad(ex, id)
+        case ("POST", List(id, "append")) => handleAppend(ex, id)
         case ("POST", List(id, "pyramid")) => handlePyramidBuild(ex, id)
         case _ => err(ex, 404, "not found")
       }

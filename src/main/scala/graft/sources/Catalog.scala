@@ -101,6 +101,35 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     info
   }
 
+  /** Append an ingest batch to an existing dataset (same tile
+    * partitioning and compression; parquet append). The cached handle
+    * is invalidated — a cached plan pins its file listing and would
+    * silently miss the new files. Meta counts accumulate.
+    */
+  def append(points: DataFrame, id: String): SavedInfo = {
+    val prev = list().find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"unknown dataset $id"))
+    val path = dsPath(id)
+    val obs = org.apache.spark.sql.Observation(s"graft_append_${id}_${System.nanoTime()}")
+    points
+      .observe(obs, count(lit(1)).as("n"))
+      .withColumn("tile_z5", tileZ5(col("lon"), col("lat")))
+      .repartition(col("tile_z5"))
+      .write.mode("append")
+      .option("compression", "zstd")
+      .partitionBy("tile_z5")
+      .parquet(path)
+    val added = obs.get("n").asInstanceOf[Long]
+    synchronized {
+      lru.remove(id).foreach(_.unpersist())
+      lastAccessMs.remove(id)
+    }
+    val info = SavedInfo(id, prev.numPoints + added, prev.createdAtMs, path, dirSize(path))
+    Files.writeString(Paths.get(path, "_graft_meta.json"),
+      s"""{"id":"$id","numPoints":${info.numPoints},"createdAtMs":${info.createdAtMs},"fileSizeBytes":${info.fileSizeBytes}}""")
+    info
+  }
+
   /** Persist a precomputed cluster pyramid for a dataset. Layout chosen
     * for serving: directory-partitioned by `zoom` (a viewport request
     * prunes to one dir at planning time), and *within* a zoom the rows
@@ -129,6 +158,65 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
 
   def loadPyramid(id: String): DataFrame =
     spark.read.parquet(s"${dsPath(id)}/_pyramid")
+
+  /** Persist the mergeable pyramid partial state
+    * ([[graft.operators.PyramidState]]) so ingest batches can maintain
+    * the pyramid incrementally across processes. Decimal accumulator
+    * columns round-trip parquet exactly. Underscore prefix keeps the
+    * state invisible to the main dataset scan.
+    */
+  private def stateMetaPath(id: String) = Paths.get(dsPath(id), "_pyramid_state_meta.json")
+
+  private def stateMetaField(j: String, k: String): Long =
+    s""""$k":(-?\\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+
+  /** Persist the mergeable pyramid partial state
+    * ([[graft.operators.PyramidState]]) so ingest batches can maintain
+    * the pyramid incrementally across processes. VERSIONED dirs: a
+    * merged state's plan READS the previous version, so overwriting in
+    * place would destroy its own input — each save writes `v{k+1}`,
+    * flips the meta pointer, then best-effort deletes `v{k}`. Decimal
+    * accumulator columns round-trip parquet exactly.
+    */
+  def savePyramidState(id: String, st: graft.operators.PyramidState,
+                       zMin: Int, zMax: Int, metricCols: Seq[String]): Unit = {
+    val cur = if (Files.isRegularFile(stateMetaPath(id)))
+      stateMetaField(Files.readString(stateMetaPath(id)), "version") else 0L
+    val v = cur + 1
+    val base = s"${dsPath(id)}/_pyramid_state/v$v"
+    st.cells.write.mode("overwrite").option("compression", "zstd").parquet(s"$base/cells")
+    st.metaCounts.foreach { case (c, df) =>
+      df.write.mode("overwrite").option("compression", "zstd").parquet(s"$base/meta_$c")
+    }
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    Files.writeString(stateMetaPath(id),
+      s"""{"version":$v,"densityN":${st.densityN},"zMin":$zMin,"zMax":$zMax,""" +
+        s""""metricCols":${arr(metricCols)},"metaCols":${arr(st.metaCounts.map(_._1))}}""")
+    if (cur > 0) { // previous version no longer referenced
+      val old = Paths.get(s"${dsPath(id)}/_pyramid_state/v$cur")
+      if (Files.isDirectory(old)) {
+        val s = Files.walk(old)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally s.close()
+      }
+    }
+  }
+
+  /** Load a persisted pyramid state: (state, zMin, zMax, metricCols). */
+  def loadPyramidState(id: String): Option[(graft.operators.PyramidState, Int, Int, Seq[String])] = {
+    if (!Files.isRegularFile(stateMetaPath(id))) return None
+    val j = Files.readString(stateMetaPath(id))
+    def num(k: String): Long = stateMetaField(j, k)
+    def strs(k: String): Seq[String] =
+      s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(j).get.group(1)
+        .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val base = s"${dsPath(id)}/_pyramid_state/v${num("version")}"
+    val cells = spark.read.parquet(s"$base/cells")
+    val metaCounts = strs("metaCols").map(c => c -> spark.read.parquet(s"$base/meta_$c"))
+    Some((graft.operators.PyramidState(cells, metaCounts, num("densityN")),
+      num("zMin").toInt, num("zMax").toInt, strs("metricCols")))
+  }
 
   /** S5/Q4: load (cached, LRU-admitted). Entries idle past `idleEvictMs`
     * are evicted on the next access — the reference runs a 30-minute

@@ -56,6 +56,39 @@ class PyramidIncrementSpec extends SparkSpec {
     intercept[IllegalArgumentException](TilePyramid.mergeStates(a, b))
   }
 
+  test("engine append path: incremental maintenance == rebuild, band crossing rebuilds") {
+    val wh = Files.createTempDirectory("graft-incr-engine").toString
+    val engine = new ClusterEngine(spark, wh)
+    engine.createDataset("incr-a", 1200, seed = 21L)
+    engine.buildAndSavePyramid("incr-a", 0, 3)
+    val before = engine.catalog.loadPyramidState("incr-a").get._1.densityN
+
+    // same band (1200 + 800 < 5000): merged state, epoch unchanged
+    engine.appendPoints("incr-a", 800, seed = 22L)
+    val st = engine.catalog.loadPyramidState("incr-a").get._1
+    assert(st.densityN == before, "same-band append must keep the epoch")
+    val full = engine.load("incr-a")
+    val rebuilt = TilePyramid.build(full, 0, 3, graft.model.ClusterOptions.service,
+      full.columns.filter(_.startsWith("metric_")).toSeq,
+      full.columns.filter(c => c == "meta_category" || c == "meta_region").toSeq)
+    // partitioned parquet reads the zoom column last — align by name
+    val served = engine.catalog.loadPyramid("incr-a")
+      .select(rebuilt.columns.map(col): _*)
+    assertSame(served, rebuilt)
+
+    // crossing the 5k band edge forces a new epoch
+    engine.appendPoints("incr-a", 4000, seed = 23L)
+    val st2 = engine.catalog.loadPyramidState("incr-a").get._1
+    assert(st2.densityN == 6000L, s"band crossing must rebuild the epoch (got ${st2.densityN})")
+    val full2 = engine.load("incr-a")
+    val rebuilt2 = TilePyramid.build(full2, 0, 3, graft.model.ClusterOptions.service,
+      full2.columns.filter(_.startsWith("metric_")).toSeq,
+      full2.columns.filter(c => c == "meta_category" || c == "meta_region").toSeq)
+    val served2 = engine.catalog.loadPyramid("incr-a")
+      .select(rebuilt2.columns.map(col): _*)
+    assertSame(served2, rebuilt2)
+  }
+
   test("streaming ingest maintains the state via foreachBatch") {
     val all = pts
     val n = all.count()

@@ -84,6 +84,20 @@ class RestServerSpec extends SparkSpec {
     assert(b.contains(""""metric_sales":{"Min":"""), b)
   }
 
+  test("append route: ingest batch updates catalog and pyramid incrementally") {
+    val id = engine.list().head.id
+    val r = post(s"/api/clusters/$id/append", """{"numPoints": 200}""")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains(""""numPoints":1000"""), r.body()) // 800 + 200
+    // the maintained pyramid serves the grown corpus with metadata intact
+    val g = get(s"/api/clusters/$id/pyramid?$viewport")
+    assert(g.statusCode() == 200, g.body())
+    assert(g.body().contains(""""meta_category_freq":"""), g.body().take(300))
+    val m = get(s"/api/clusters/$id/pyramid/metadata?$viewport")
+    assert(m.statusCode() == 200 && m.body().contains(""""totalPoints":1000"""), m.body())
+    assert(post("/api/clusters/nope/append", """{"numPoints": 1}""").statusCode() == 400)
+  }
+
   test("POST /api/clusters/{id}/load + bad params; shutdown") {
     val id = engine.list().head.id
     val r = post(s"/api/clusters/$id/load", "")
