@@ -733,6 +733,8 @@ object SparkEntry {
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
     "q_embed_neardup" -> (PipelineQueries.qEmbedNearDup _),
     "q_token_count" -> (PipelineQueries.qTokenCount _),
+    "q_pack_sequences" -> (PipelineQueries.qPackSequences _),
+    "q_sample_mix" -> (PipelineQueries.qSampleMix _),
     "q_frames" -> (PipelineQueries.qFrames _),
     "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
@@ -782,6 +784,8 @@ object SparkEntry {
     "q_multimodal" -> PipelineQueries.qMultimodalSql,
     "q_embed_neardup" -> PipelineQueries.qEmbedNearDupSql,
     "q_token_count" -> PipelineQueries.qTokenCountSql,
+    "q_pack_sequences" -> PipelineQueries.qPackSequencesSql,
+    "q_sample_mix" -> PipelineQueries.qSampleMixSql,
     "q_frames" -> PipelineQueries.qFramesSql,
     "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
     "q_ivf_search" -> PipelineQueries.qIvfSearchSql,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch preparation operators (north-star extension scope —
+  * the steps between a cleaned corpus and a tokenized training run).
+  *
+  * Both operators are deterministic and engine-portable by
+  * construction, so they carry full DuckDB oracles:
+  *  - packing is pure integer window arithmetic over a fixed document
+  *    order;
+  *  - sampling decides via a lexicographic threshold on an md5 hex
+  *    prefix (md5 is the one hash primitive both engines share
+  *    bit-for-bit; comparing the hex PREFIX as a string avoids any
+  *    hex→int conversion semantics).
+  */
+object TrainingPrep {
+
+  /** Contiguous-fill sequence packing — the standard pretraining shape:
+    * concatenate the token stream in a fixed order and cut it into
+    * `budget`-token bins, documents crossing bin edges (offset says
+    * where a doc starts inside its bin; a doc with
+    * offset + n_tokens > budget continues into the next bin).
+    *
+    * Scale: a single global order would serialize the cumsum into one
+    * partition, so the stream is sharded by `id % shards` and packed
+    * per shard — each shard's window runs in parallel, bins are
+    * identified by (shard, bin). At 100 TB pick shards ≈ cluster
+    * parallelism; determinism holds for any fixed shard count.
+    *
+    * Output: idCol, shard, n_tokens, bin, bin_offset.
+    */
+  def packSequences(docs: DataFrame, budget: Int, shards: Int,
+                    tokenCountCol: Column,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0 && shards > 0, "bad packing parameters")
+    val shard = pmod(col(idCol), lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), shard.as("shard"), tokenCountCol.cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer division/modulo on longs — exact and identical in DuckDB
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("bin"),
+        (col("cum_before") % budget).as("bin_offset"))
+  }
+
+  /** Keep-decision for deterministic hash sampling at `rate`: the first
+    * 6 hex chars of md5(id) are uniform on [0, 16^6); comparing them
+    * lexicographically against the 6-hex-digit threshold
+    * round(rate·16^6) keeps exactly that fraction, identically in any
+    * engine with a bit-exact md5. Stateless and per-row: no shuffle,
+    * stable under reruns, appends, and repartitioning.
+    */
+  def hashKeep(id: Column, rate: Double): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"bad sample rate $rate")
+    val threshold = f"${math.round(rate * 0x1000000).toInt}%06x"
+    substring(md5(id.cast("string")), 1, 6) < lit(threshold)
+  }
+
+  /** Hex threshold literal for [[hashKeep]] — exposed so oracle SQL can
+    * embed the identical constant.
+    */
+  def hexThreshold(rate: Double): String = f"${math.round(rate * 0x1000000).toInt}%06x"
+
+  /** Stratified deterministic sampling: per-stratum rates (e.g. a
+    * training-mixture recipe "50% en, 20% everything else"). Strata
+    * absent from `rates` fall back to `defaultRate`. Per-row hash
+    * decision — embarrassingly parallel, no shuffle, reproducible.
+    */
+  def sampleStrata(docs: DataFrame, stratumCol: String,
+                   rates: Map[String, Double], defaultRate: Double,
+                   idCol: String = "doc_id"): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (v, r)) =>
+      when(col(stratumCol) === v, lit(r)).otherwise(acc)
+    }
+    // threshold per stratum as a column: rates are compile-time
+    // constants, so the when-chain stays a constant-folded literal tree
+    val thresholdCol = rates.foldLeft(lit(hexThreshold(defaultRate))) { case (acc, (v, r)) =>
+      when(col(stratumCol) === v, lit(hexThreshold(r))).otherwise(acc)
+    }
+    docs.filter(substring(md5(col(idCol).cast("string")), 1, 6) < thresholdCol)
+      .withColumn("sample_rate", rateCol)
+  }
+}

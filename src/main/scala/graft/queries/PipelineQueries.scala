@@ -388,6 +388,55 @@ object PipelineQueries {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- training-batch prep
+
+  /** Contiguous-fill sequence packing (see
+    * [[graft.operators.TrainingPrep.packSequences]]): shard the doc
+    * stream, cut each shard's concatenated token stream into
+    * 2048-token bins. Pure integer window arithmetic — hash-exact.
+    */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.packSequences(docs(s, dir), budget = 2048, shards = 8,
+      tokenCountCol = size(split(col("text"), " ")))
+      .orderBy("doc_id")
+
+  val qPackSequencesSql: String =
+    """SELECT doc_id, doc_id % 8 AS shard, nt AS n_tokens,
+      |       cb // 2048 AS bin, cb % 2048 AS bin_offset
+      |FROM (
+      |  SELECT doc_id, nt,
+      |         COALESCE(SUM(nt) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                  0) AS cb
+      |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |        FROM documents)
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling — a training-mixture recipe
+    * (50% en, 20% everything else) decided by an md5 hex-prefix
+    * threshold ([[graft.operators.TrainingPrep.hashKeep]]): md5 is
+    * bit-identical across engines and the prefix comparison is plain
+    * string order, so the keep set is hash-exact.
+    */
+  def qSampleMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.sampleStrata(docs(s, dir), "lang",
+      rates = Map("en" -> 0.5), defaultRate = 0.2)
+      .select(col("doc_id"), col("lang"), col("sample_rate"))
+      .orderBy("doc_id")
+
+  val qSampleMixSql: String = {
+    val en = graft.operators.TrainingPrep.hexThreshold(0.5)
+    val rest = graft.operators.TrainingPrep.hexThreshold(0.2)
+    s"""SELECT doc_id, lang,
+       |       CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)
+       |            ELSE CAST(0.2 AS DOUBLE) END AS sample_rate
+       |FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+       |      CASE WHEN lang = 'en' THEN '$en' ELSE '$rest' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- multimodal
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
