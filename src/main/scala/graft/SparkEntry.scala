@@ -735,6 +735,8 @@ object SparkEntry {
     "q_token_count" -> (PipelineQueries.qTokenCount _),
     "q_pack_sequences" -> (PipelineQueries.qPackSequences _),
     "q_sample_mix" -> (PipelineQueries.qSampleMix _),
+    "q_decontaminate" -> (PipelineQueries.qDecontaminate _),
+    "q_repetition" -> (PipelineQueries.qRepetition _),
     "q_frames" -> (PipelineQueries.qFrames _),
     "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
@@ -786,6 +788,8 @@ object SparkEntry {
     "q_token_count" -> PipelineQueries.qTokenCountSql,
     "q_pack_sequences" -> PipelineQueries.qPackSequencesSql,
     "q_sample_mix" -> PipelineQueries.qSampleMixSql,
+    "q_decontaminate" -> PipelineQueries.qDecontaminateSql,
+    "q_repetition" -> PipelineQueries.qRepetitionSql,
     "q_frames" -> PipelineQueries.qFramesSql,
     "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
     "q_ivf_search" -> PipelineQueries.qIvfSearchSql,

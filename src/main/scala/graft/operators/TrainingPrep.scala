@@ -85,4 +85,50 @@ object TrainingPrep {
     docs.filter(substring(md5(col(idCol).cast("string")), 1, 6) < thresholdCol)
       .withColumn("sample_rate", rateCol)
   }
+
+  /** Benchmark decontamination: corpus docs sharing ANY word-3-gram
+    * shingle with the evaluation set, with how many distinct shingles
+    * they share — the standard pre-training scrub against eval
+    * leakage. The eval shingle set is tiny relative to the corpus
+    * (benchmarks are small), so it is deduplicated and BROADCAST: the
+    * corpus side streams map-side through the semi-style join and only
+    * the contaminated (doc, shingle) pairs reach the one aggregation
+    * shuffle. Output: idCol, n_shared.
+    */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalShingles = Dedup.docShingles(evalSet, textCol, idCol)
+      .select(explode(col("s")).as("shingle")).distinct()
+    Dedup.docShingles(corpus, textCol, idCol)
+      .select(col(idCol), explode(col("s")).as("shingle"))
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+  }
+
+  /** Repetition quality stats (the Gopher-style repetition filters):
+    * per doc, the share of the most-repeated word 2-gram among all
+    * 2-grams and the share of duplicated tokens — both as exact
+    * integer ppm. Docs need ≥ 2 tokens (no 2-grams otherwise).
+    * Per-row array arithmetic + one (doc, gram) aggregation; no other
+    * shuffle. Output: idCol, n_grams, top_n, top_gram_ppm,
+    * dup_token_ppm.
+    */
+  def repetitionStats(docs: DataFrame,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = split(col(textCol), " ")
+    val base = docs.select(col(idCol), size(t).cast("long").as("nt"),
+        size(array_distinct(t)).cast("long").as("nu"))
+      .filter(col("nt") >= 2)
+    val grams = docs.filter(size(t) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("g"))
+    val per = grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_n"))
+    base.join(per, idCol)
+      .select(col(idCol), col("n_grams"), col("top_n"),
+        round(col("top_n") * lit(1000000.0) / col("n_grams")).cast("long").as("top_gram_ppm"),
+        round((col("nt") - col("nu")) * lit(1000000.0) / col("nt")).cast("long").as("dup_token_ppm"))
+  }
 }

@@ -437,6 +437,60 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Benchmark decontamination: eval set = every 97th doc (a stand-in
+    * benchmark); report corpus docs sharing any 3-gram shingle with it.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.TrainingPrep.contaminationReport(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+      |corp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT c.doc_id, CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared
+      |FROM corp c JOIN ev ON c.shingle = ev.shingle
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
+  /** Gopher-style repetition stats: most-repeated-2-gram share and
+    * duplicated-token share, exact integer ppm.
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.repetitionStats(docs(s, dir))
+      .orderBy("doc_id")
+
+  val qRepetitionSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+      |         CAST(len(list_distinct(t)) AS BIGINT) AS nu
+      |  FROM toks WHERE len(t) >= 2
+      |),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1])) AS gr
+      |  FROM toks WHERE len(t) >= 2
+      |),
+      |gc AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY doc_id, gr),
+      |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |             CAST(max(c) AS BIGINT) AS top_n
+      |      FROM gc GROUP BY doc_id)
+      |SELECT b.doc_id, n_grams, top_n,
+      |       CAST(round(top_n * 1000000.0 / n_grams) AS BIGINT) AS top_gram_ppm,
+      |       CAST(round((nt - nu) * 1000000.0 / nt) AS BIGINT) AS dup_token_ppm
+      |FROM b JOIN p ON b.doc_id = p.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame =

@@ -33,6 +33,32 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.filter(pmod(col("doc_id"), lit(8L)) =!= col("shard")).isEmpty)
   }
 
+  test("decontamination flags exactly the docs sharing an eval shingle") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over"),   // shares "the quick brown"
+      (2L, "totally unrelated text goes here"),
+      (3L, "again the quick brown fox appears") // shares two eval shingles
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val out = TrainingPrep.contaminationReport(corpus, eval).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(out == Map(1L -> 2L, 3L -> 2L)) // eval has shingles {t q b, q b f}
+  }
+
+  test("repetition stats: top-gram and duplicate-token shares") {
+    val docsDf = Seq(
+      (1L, "a b a b a b"),       // 2-grams: ab ba ab ba ab → top "a b" 3/5
+      (2L, "w x y z"),           // all distinct
+      (3L, "solo")               // <2 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.repetitionStats(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top_gram_ppm"), r.getAs[Long]("dup_token_ppm"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (600000L, 666667L)) // 3/5 grams; 4 of 6 tokens duplicated
+    assert(out(2L) == (333333L, 0L))      // 1 of 3 grams, no dup tokens
+  }
+
   test("hash sampling keeps ~rate deterministically, stratified by column") {
     val docs = spark.range(1, 20001).select(col("id").as("doc_id"),
       when(col("id") % 4 === 0, "en").otherwise("de").as("lang"))
