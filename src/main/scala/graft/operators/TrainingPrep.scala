@@ -110,25 +110,25 @@ object TrainingPrep {
     * per doc, the share of the most-repeated word 2-gram among all
     * 2-grams and the share of duplicated tokens — both as exact
     * integer ppm. Docs need ≥ 2 tokens (no 2-grams otherwise).
-    * Per-row array arithmetic + one (doc, gram) aggregation; no other
-    * shuffle. Output: idCol, n_grams, top_n, top_gram_ppm,
-    * dup_token_ppm.
+    *
+    * ZERO shuffle: the 2-gram counting is inherently per-document, so
+    * it runs as one compiled pass per row
+    * ([[graft.plans.TopGramStats]]) — the relational alternative
+    * (explode every gram, groupBy (doc, gram)) would shuffle roughly
+    * every token in the corpus. Output: idCol, n_grams, top_n,
+    * top_gram_ppm, dup_token_ppm.
     */
   def repetitionStats(docs: DataFrame,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.TextExpressions.ensureRegistered()
     val t = split(col(textCol), " ")
-    val base = docs.select(col(idCol), size(t).cast("long").as("nt"),
-        size(array_distinct(t)).cast("long").as("nu"))
-      .filter(col("nt") >= 2)
-    val grams = docs.filter(size(t) >= 2)
-      .select(col(idCol), explode(transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("g"))
-    val per = grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_n"))
-    base.join(per, idCol)
-      .select(col(idCol), col("n_grams"), col("top_n"),
-        round(col("top_n") * lit(1000000.0) / col("n_grams")).cast("long").as("top_gram_ppm"),
+    docs.select(col(idCol), size(t).cast("long").as("nt"),
+        size(array_distinct(t)).cast("long").as("nu"),
+        call_function("graft_topgram", col(textCol), lit(2)).as("tg"))
+      .filter(col("tg").isNotNull) // < 2 tokens: no 2-grams
+      .select(col(idCol),
+        col("tg.n_grams").as("n_grams"), col("tg.top_n").as("top_n"),
+        round(col("tg.top_n") * lit(1000000.0) / col("tg.n_grams")).cast("long").as("top_gram_ppm"),
         round((col("nt") - col("nu")) * lit(1000000.0) / col("nt")).cast("long").as("dup_token_ppm"))
   }
 }

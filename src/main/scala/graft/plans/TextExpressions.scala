@@ -54,7 +54,8 @@ object TextExpressions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1)))),
-    "graft_minhash" -> (es => MinhashSig(es(0), intLit(es(1)))))
+    "graft_minhash" -> (es => MinhashSig(es(0), intLit(es(1)))),
+    "graft_topgram" -> (es => TopGramStats(es(0), intLit(es(1)))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -149,6 +150,54 @@ case class MinhashSig(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-document word-n-gram repetition stats in ONE compiled pass:
+  * struct(n_grams, top_n) where n_grams = count of n-grams (with
+  * multiplicity) and top_n = the most frequent n-gram's count. Fewer
+  * than n tokens → null (no n-grams exist).
+  *
+  * Exists because the relational formulation — explode every n-gram
+  * and groupBy (doc, gram) — shuffles roughly every token in the
+  * corpus for what is inherently per-row work; here a per-row hashmap
+  * does the same counting with zero shuffle, and the downstream ppm
+  * arithmetic stays in whole-stage codegen.
+  */
+case class TopGramStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_topgram"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("top_n", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    // limit -1 keeps trailing empties — Spark's split() semantics
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val total = toks.length - n + 1
+    if (total <= 0) return null
+    val counts = new java.util.HashMap[String, Long](total * 2)
+    var top = 0L
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val key = sb.toString
+      val c = counts.merge(key, 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(total.toLong, top)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
