@@ -143,9 +143,16 @@ final class ClusterEngine(spark: SparkSession, warehouseDir: String,
     info
   }
 
-  /** [[appendAndMaintain]] with a generated batch (service path). */
-  def appendPoints(id: String, numPoints: Long, seed: Long = 43L): Catalog#SavedInfo =
-    appendAndMaintain(id, PointGen.uniformPoints(spark, numPoints, Bounds.World, seed))
+  /** [[appendAndMaintain]] with a generated batch (service path). New
+    * ids continue after the existing range — generated ids are 1-based
+    * per batch and would otherwise collide with the original dataset's.
+    */
+  def appendPoints(id: String, numPoints: Long, seed: Long = 43L): Catalog#SavedInfo = {
+    val existing = list().find(_.id == id).map(_.numPoints).getOrElse(0L)
+    appendAndMaintain(id,
+      PointGen.uniformPoints(spark, numPoints, Bounds.World, seed)
+        .withColumn("id", org.apache.spark.sql.functions.col("id") + existing))
+  }
 
   /** Serve a viewport from the precomputed pyramid: a pure scan with
     * zoom directory pruning, tile/lon/lat row-group skipping (the files

@@ -14,7 +14,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else
       Seq("q1_agg", "q3_shipping", "q5_region", "q6_forecast",
         "q_cluster_grid", "q_cluster_meta", "q_sim_topk", "q_dedup_minhash",
-        "q_dedup_ngram", "q_ann_nearest", "q_pyramid_serve", "q_greedy_sweep")
+        "q_dedup_ngram", "q_ann_nearest", "q_pyramid_serve", "q_greedy_sweep",
+        "q_ivf_train", "q_pyramid_summary", "q_pack_sequences",
+        "q_repetition", "q_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
