@@ -261,7 +261,9 @@ object Dedup {
     // old-vs-new join; the same action also materializes the round's
     // label cache (and, on the first call, the edge cache).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("group_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      df.agg(coalesce( // empty label set (no pairs at all) sums to 0, not null
+          sum(col("group_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false

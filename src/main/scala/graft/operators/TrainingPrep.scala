@@ -55,16 +55,20 @@ object TrainingPrep {
     * engine with a bit-exact md5. Stateless and per-row: no shuffle,
     * stable under reruns, appends, and repartitioning.
     */
-  def hashKeep(id: Column, rate: Double): Column = {
-    require(rate >= 0.0 && rate <= 1.0, s"bad sample rate $rate")
-    val threshold = f"${math.round(rate * 0x1000000).toInt}%06x"
-    substring(md5(id.cast("string")), 1, 6) < lit(threshold)
-  }
+  def hashKeep(id: Column, rate: Double): Column =
+    substring(md5(id.cast("string")), 1, 6) < lit(hexThreshold(rate))
 
   /** Hex threshold literal for [[hashKeep]] — exposed so oracle SQL can
-    * embed the identical constant.
+    * embed the identical constant. rate=1.0 maps to "g", which is
+    * lexicographically above every hex digit (the naive "1000000" is 7
+    * chars and would compare GREATER than most 6-char prefixes,
+    * silently keeping only ~1/16 of rows).
     */
-  def hexThreshold(rate: Double): String = f"${math.round(rate * 0x1000000).toInt}%06x"
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"bad sample rate $rate")
+    val t = math.round(rate * 0x1000000).toInt
+    if (t >= 0x1000000) "g" else f"$t%06x"
+  }
 
   /** Stratified deterministic sampling: per-stratum rates (e.g. a
     * training-mixture recipe "50% en, 20% everything else"). Strata

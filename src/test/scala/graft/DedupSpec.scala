@@ -68,6 +68,11 @@ class DedupSpec extends SparkSpec {
     assert(acc.value == 2, s"pair plan computed ${acc.value} partition(s); expected 2 (once each)")
   }
 
+  test("nearDupGroups on an empty pair set returns no groups") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupGroups(empty).collect().isEmpty)
+  }
+
   test("simhash: identical docs share a signature bucket") {
     val out = Dedup.simhashBuckets(docs).collect()
     val byId = out.map(r => r.getAs[Long]("doc_id") ->

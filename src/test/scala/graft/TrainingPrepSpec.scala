@@ -59,6 +59,12 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out(2L) == (333333L, 0L))      // 1 of 3 grams, no dup tokens
   }
 
+  test("hash sampling boundary rates: 1.0 keeps all, 0.0 keeps none") {
+    val docs = spark.range(1, 501).select(col("id").as("doc_id"), lit("en").as("lang"))
+    assert(TrainingPrep.sampleStrata(docs, "lang", Map("en" -> 1.0), 1.0).count() == 500)
+    assert(TrainingPrep.sampleStrata(docs, "lang", Map("en" -> 0.0), 0.0).count() == 0)
+  }
+
   test("hash sampling keeps ~rate deterministically, stratified by column") {
     val docs = spark.range(1, 20001).select(col("id").as("doc_id"),
       when(col("id") % 4 === 0, "en").otherwise("de").as("lang"))
