@@ -210,13 +210,21 @@ object Similarity {
     for (_ <- 1 to iters) {
       // |v−c|² = |v|² + |c|² − 2·v·c, all terms exact integers in double
       val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("mv"), col("cv"), dims)
-      // argmin as min(struct(d2, cent_id)) — lexicographic struct order
-      // IS the (distance, id-tie-break) order; one agg instead of a
-      // window's extra shuffle+sort per iteration
+      // argmin as min over ONE long key: d2·k + cent_id. Because d2 is
+      // an exact integer and cent_id ∈ [0, k), the packed key's numeric
+      // order IS the (distance, id-tie-break) lexicographic order — and
+      // min(long) stays in whole-stage-codegen HashAggregate, where the
+      // struct formulations (min(struct), min_by) plan Sort +
+      // SortAggregate and sort the n·k distance rows map-side every
+      // round. Bound: d2 ≤ dims·(4e6)² ≈ 1.0e15, so k·d2 fits a long
+      // for k ≤ 8192 (IVF quantizers use k ≪ that).
+      require(k <= 8192, s"k=$k would overflow the packed argmin key")
       val assign = ve.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"), d2.as("d2"))
+        .select(col("vec_id"),
+          (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cent_id"))).getField("cent_id").as("cent_id"))
+        .agg(min(col("mk")).as("mk"))
+        .select(col("vec_id"), (col("mk") % k).as("cent_id"))
       // mean update explodes n·dims rows ONCE (no ×k): same exact
       // round(sum/count) per position as the long-lattice form
       val upd = ve.join(assign, "vec_id")
