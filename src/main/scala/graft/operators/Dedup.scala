@@ -300,6 +300,11 @@ object Dedup {
     }
     p.unpersist()
     edges.unpersist()
+    // the FINAL labels frame backs the lazy result handed to the caller
+    // — give its cache the bounded CachePool lifecycle instead of
+    // leaking one persisted table per call (same class of leak as the
+    // round-2 viewport-projection finding)
+    CachePool.track(labels)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"nearDupGroups stopped at maxIter=$maxIter before reaching a fixpoint — " +

@@ -55,8 +55,15 @@ object TrainingPrep {
     * engine with a bit-exact md5. Stateless and per-row: no shuffle,
     * stable under reruns, appends, and repartitioning.
     */
+  /** The uniform 6-hex-char sampling key of an id — the single
+    * definition both [[hashKeep]] and [[sampleStrata]] compare against
+    * [[hexThreshold]] constants (and that oracle SQL mirrors).
+    */
+  private def hexPrefix(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 6)
+
   def hashKeep(id: Column, rate: Double): Column =
-    substring(md5(id.cast("string")), 1, 6) < lit(hexThreshold(rate))
+    hexPrefix(id) < lit(hexThreshold(rate))
 
   /** Hex threshold literal for [[hashKeep]] — exposed so oracle SQL can
     * embed the identical constant. rate=1.0 maps to "g", which is
@@ -86,7 +93,7 @@ object TrainingPrep {
     val thresholdCol = rates.foldLeft(lit(hexThreshold(defaultRate))) { case (acc, (v, r)) =>
       when(col(stratumCol) === v, lit(hexThreshold(r))).otherwise(acc)
     }
-    docs.filter(substring(md5(col(idCol).cast("string")), 1, 6) < thresholdCol)
+    docs.filter(hexPrefix(col(idCol)) < thresholdCol)
       .withColumn("sample_rate", rateCol)
   }
 
