@@ -738,6 +738,12 @@ object SparkEntry {
     "q_decontaminate" -> (PipelineQueries.qDecontaminate _),
     "q_repetition" -> (PipelineQueries.qRepetition _),
     "q_frames" -> (PipelineQueries.qFrames _),
+    "q_source_overlap" -> (PipelineQueries.qSourceOverlap _),
+    "q_shuffle_shard" -> (PipelineQueries.qShuffleShard _),
+    "q_tfidf" -> (PipelineQueries.qTfidf _),
+    "q_pq_train" -> (PipelineQueries.qPqTrain _),
+    "q_pq_encode" -> (PipelineQueries.qPqEncode _),
+    "q_pq_search" -> (PipelineQueries.qPqSearch _),
     "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
     "q_ivf_train" -> (PipelineQueries.qIvfTrain _),
@@ -791,6 +797,12 @@ object SparkEntry {
     "q_decontaminate" -> PipelineQueries.qDecontaminateSql,
     "q_repetition" -> PipelineQueries.qRepetitionSql,
     "q_frames" -> PipelineQueries.qFramesSql,
+    "q_source_overlap" -> PipelineQueries.qSourceOverlapSql,
+    "q_shuffle_shard" -> PipelineQueries.qShuffleShardSql,
+    "q_tfidf" -> PipelineQueries.qTfidfSql,
+    "q_pq_train" -> PipelineQueries.qPqTrainSql,
+    "q_pq_encode" -> PipelineQueries.qPqEncodeSql,
+    "q_pq_search" -> PipelineQueries.qPqSearchSql,
     "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
     "q_ivf_search" -> PipelineQueries.qIvfSearchSql,
     "q_ivf_train" -> PipelineQueries.qIvfTrainSql,

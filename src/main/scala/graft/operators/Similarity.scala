@@ -333,6 +333,150 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Product quantization (the FAISS-style IVFPQ compression half,
+    * public knowledge — Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): split each `dims`-dim vector into
+    * `m` contiguous subvectors, run an independent k-means per subspace,
+    * and represent every vector as `m` small centroid codes. Memory per
+    * vector drops from dims·4 bytes to m·log₂(k) bits — the difference
+    * between "embeddings don't fit" and "codes fit in RAM" at 100 TB —
+    * and search becomes table lookups (see [[pqSearch]]).
+    *
+    * All `m` subspace quantizers train in ONE Lloyd loop: centroids are
+    * keyed (sub, cent_id), the assignment join is per-subspace
+    * (broadcast of m·k sub-centroids), so the round count is `iters`
+    * regardless of `m` and each round shuffles n·m assignment rows +
+    * one m·k·subDims mean update — the same distributed shape as
+    * [[kmeansTrain]]. Exactness is the same micro-unit lattice: every
+    * distance is an exact integer in double, so training, codes, and
+    * ADC distances are bit-identical to the unrolled-SQL oracle.
+    *
+    * Returns the internal state (subvector table, centroid table) the
+    * public wrappers format/consume.
+    */
+  private def pqFit(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
+                    idCol: String, embCol: String): (DataFrame, DataFrame) = {
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m subspaces")
+    val subDims = dims / m
+    // packed argmin key bound: d2 ≤ subDims·(4e6)²·... (micro diffs ≤
+    // 2e6 ⇒ d2 ≤ subDims·4e12); k·d2 must fit a long
+    require(k.toLong * subDims * 4_000_000_000_000L < Long.MaxValue / 2,
+      s"k=$k, subDims=$subDims would overflow the packed argmin key")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (vec_id, sub, sv, nn): n·m rows, each an exact micro-unit subvector
+    val sve = CachePool.track(embs
+      .select(col(idCol).as("vec_id"),
+        transform(col(embCol), e => round(e.cast("double") * lit(1000000.0))).as("mv"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s0 => slice(col("mv"), s0 * lit(subDims) + lit(1), lit(subDims))))
+        .as(Seq("sub", "sv")))
+      .withColumn("nn", dot(col("sv"), col("sv"), subDims)))
+    // init: subvectors of the first k stored vectors (deterministic)
+    var cents = sve.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv"), col("nn").as("cn"))
+      .persist(lvl)
+    for (_ <- 1 to iters) {
+      val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
+      // same packed-long argmin as kmeansTrain: numeric order of
+      // d2·k + cent_id IS (distance, id) lexicographic order, and
+      // min(long) stays in whole-stage-codegen HashAggregate
+      val assign = sve.join(broadcast(cents), "sub")
+        .select(col("vec_id"), col("sub"),
+          (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(col("mk")).as("mk"))
+        .select(col("vec_id"), col("sub"), (col("mk") % k).as("cent_id"))
+      // mean update: n·m·subDims = n·dims exploded rows ONCE (no ×k)
+      val upd = sve.join(assign, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cent_id"), posexplode(col("sv")).as(Seq("pos0", "v")))
+        .groupBy(col("sub"), col("cent_id"), col("pos0"))
+        .agg(round(sum(col("v")) / count(lit(1))).as("c"))
+      val newCents = upd.groupBy(col("sub"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("c")))),
+          e => e.getField("c")).as("cv_new"))
+      val next = cents.select(col("sub"), col("cent_id"), col("cv").as("cv_old"))
+        .join(newCents, Seq("sub", "cent_id"), "left")
+        .select(col("sub"), col("cent_id"), coalesce(col("cv_new"), col("cv_old")).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv"), subDims))
+        .persist(lvl)
+      next.count() // materialize before unpersisting the parent lineage
+      cents.unpersist()
+      cents = next
+    }
+    CachePool.track(cents)
+    (sve, cents)
+  }
+
+  /** Trained PQ codebook: (sub, cent_id, pos, cval) — m·k·(dims/m) rows
+    * of centroid coordinates on the 1e-6 lattice.
+    */
+  def pqTrain(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (_, cents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
+    cents.select(col("sub"), col("cent_id"), posexplode(col("cv")).as(Seq("pos0", "c")))
+      .select(col("sub").cast("long").as("sub"), col("cent_id"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        (col("c") / lit(1000000.0)).as("cval"))
+      .orderBy("sub", "cent_id", "pos")
+  }
+
+  /** PQ encoding: every vector compressed to its per-subspace nearest
+    * codebook entries. Output (vec_id, sub, code) — at scale this n·m
+    * code table (m·log₂k bits/vector) IS the searchable index; the raw
+    * embeddings are only read back for an exact re-rank of finalists.
+    */
+  def pqEncode(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (sve, cents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
+    val subDims = dims / m
+    val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
+    sve.join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"),
+        (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("mk")).as("mk"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), (col("mk") % k).as("code"))
+      .orderBy("vec_id", "sub")
+  }
+
+  /** PQ search via asymmetric distance computation (ADC): build the
+    * m·k lookup table of exact squared distances from the query's
+    * subvectors to every codebook entry, then score each encoded vector
+    * as the SUM of m table lookups — no per-pair vector arithmetic at
+    * all. At 100 TB the LUT is a broadcast of m·k longs and the scan
+    * touches only the code table; scores are exact integers (micro²),
+    * so ranking is engine-identical. Output: top `topK` (vec_id,
+    * adc_d2), ascending approximate distance.
+    */
+  def pqSearch(embs: DataFrame, queryVecId: Long, m: Int, k: Int, iters: Int,
+               topK: Int, dims: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (sve, cents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
+    val subDims = dims / m
+    val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
+    val codes = sve.join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"),
+        (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("mk")).as("mk"))
+      .select(col("vec_id"), col("sub"), (col("mk") % k).as("code"))
+    // LUT: exact squared distance from the query's sub-vectors to every
+    // codebook centroid — m·k rows, broadcast
+    val q = sve.filter(col("vec_id") === queryVecId)
+      .select(col("sub"), col("sv").as("qv"), col("nn").as("qn"))
+    val lut = cents.join(q, "sub")
+      .select(col("sub"), col("cent_id").as("code"),
+        (col("qn") + col("cn") - lit(2.0) * dot(col("qv"), col("cv"), subDims))
+          .cast("long").as("d2q"))
+    codes.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** LSH-restricted nearest neighbor: best cosine among same-bucket
     * vectors (approximate — exactly the candidate set a distributed ANN
     * would score). Vectors alone in their bucket produce no row.

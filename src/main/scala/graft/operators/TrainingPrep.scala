@@ -117,6 +117,39 @@ object TrainingPrep {
       .agg(countDistinct(col("shingle")).as("n_shared"))
   }
 
+  /** Deterministic epoch shuffle + sharding — the global permutation a
+    * training run reads the corpus in. Seeding the md5 sort key with an
+    * epoch string gives a DIFFERENT uniform permutation per epoch from
+    * the same corpus, with zero state: shard assignment and in-shard
+    * order are pure functions of (seed, id), stable under reruns and
+    * appends (new docs interleave, existing relative order within a
+    * shard is preserved only per fixed corpus — which is the training
+    * contract: the permutation is of a frozen snapshot).
+    *
+    * Scale: the only non-map work is the per-shard row_number, which
+    * sort-shuffles each shard independently — pick nShards ≈ cluster
+    * parallelism and no single global sort exists. Shards come from the
+    * first two hex chars of the key (uniform on [0,256); use an
+    * nShards dividing 256 for exact uniformity).
+    *
+    * Output: idCol, shard, ord (0-based position within shard).
+    */
+  def shuffleShards(docs: DataFrame, seed: String, nShards: Int = 8,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1 && nShards <= 256, "shards are cut from two hex chars")
+    // hex→int via position-in-alphabet: the one conversion both engines
+    // spell identically (instr/strpos); no hex-parse builtin needed
+    docs.select(col(idCol), md5(concat_ws("|", lit(seed), col(idCol).cast("string"))).as("skey"))
+      .withColumn("h2",
+        (expr("instr('0123456789abcdef', substring(skey, 1, 1))") - 1) * 16 +
+          (expr("instr('0123456789abcdef', substring(skey, 2, 1))") - 1))
+      .withColumn("shard", pmod(col("h2"), lit(nShards)).cast("long"))
+      .withColumn("ord",
+        (row_number().over(Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))) - 1)
+          .cast("long"))
+      .select(col(idCol), col("shard"), col("ord"))
+  }
+
   /** Repetition quality stats (the Gopher-style repetition filters):
     * per doc, the share of the most-repeated word 2-gram among all
     * 2-grams and the share of duplicated tokens — both as exact

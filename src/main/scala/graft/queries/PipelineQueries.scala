@@ -311,6 +311,196 @@ object PipelineQueries {
        |ORDER BY cos_sim DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------------- PQ
+
+  private val PqM = 8        // subspaces
+  private val PqK = 16       // codes per subspace
+  private val PqIters = 2    // Lloyd rounds per subspace quantizer
+  private val PqSub = Dims / PqM
+
+  /** The PQ training chain as DuckDB CTEs: `spe` = micro-unit
+    * subvector elements (vec_id, sub, pos, v), `pc0` = init codebook
+    * (subvectors of the first k stored vectors), then the SAME Lloyd
+    * iterations the Spark loop runs, ending in `pc2`. Everything is
+    * BIGINT lattice arithmetic — bit-identical to the Spark
+    * micro-unit doubles.
+    */
+  private val pqCte: String = {
+    def iteration(n: Int, cIn: String, cOut: String): String =
+      s"""pd$n AS (
+         |  SELECT pe.vec_id, pe.sub, c.cent_id,
+         |         SUM((pe.v - c.c) * (pe.v - c.c)) AS d2
+         |  FROM spe pe JOIN $cIn c ON pe.sub = c.sub AND pe.pos = c.pos
+         |  GROUP BY pe.vec_id, pe.sub, c.cent_id
+         |),
+         |pa$n AS (
+         |  SELECT vec_id, sub, cent_id FROM (
+         |    SELECT vec_id, sub, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY d2, cent_id) AS rn
+         |    FROM pd$n
+         |  ) WHERE rn = 1
+         |),
+         |pu$n AS (
+         |  SELECT a.sub, a.cent_id, pe.pos,
+         |         CAST(round(CAST(SUM(pe.v) AS DOUBLE) / count(*)) AS BIGINT) AS c_new
+         |  FROM spe pe JOIN pa$n a ON pe.vec_id = a.vec_id AND pe.sub = a.sub
+         |  GROUP BY a.sub, a.cent_id, pe.pos
+         |),
+         |$cOut AS (
+         |  SELECT c.sub, c.cent_id, c.pos, COALESCE(u.c_new, c.c) AS c
+         |  FROM $cIn c LEFT JOIN pu$n u
+         |    ON c.sub = u.sub AND c.cent_id = u.cent_id AND c.pos = u.pos
+         |)""".stripMargin
+    s"""spe AS (
+       |  SELECT vec_id, (i - 1) // $PqSub AS sub, (i - 1) % $PqSub + 1 AS pos,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dims)) AS i)
+       |),
+       |pc0 AS (SELECT sub, vec_id AS cent_id, pos, v AS c FROM spe WHERE vec_id < $PqK),
+       |${iteration(1, "pc0", "pc1")},
+       |${iteration(2, "pc1", "pc2")}""".stripMargin
+  }
+
+  /** Encoding CTE on top of [[pqCte]]: `penc` = each vector's
+    * per-subspace nearest trained code.
+    */
+  private val pqEncCte: String =
+    s"""pdE AS (
+       |  SELECT pe.vec_id, pe.sub, c.cent_id,
+       |         SUM((pe.v - c.c) * (pe.v - c.c)) AS d2
+       |  FROM spe pe JOIN pc2 c ON pe.sub = c.sub AND pe.pos = c.pos
+       |  GROUP BY pe.vec_id, pe.sub, c.cent_id
+       |),
+       |penc AS (
+       |  SELECT vec_id, sub, cent_id AS code FROM (
+       |    SELECT vec_id, sub, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d2, cent_id) AS rn
+       |    FROM pdE
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  /** Product-quantization codebook training (see
+    * [[graft.operators.Similarity.pqTrain]]): m per-subspace k-means
+    * codebooks in one Lloyd loop, exact micro-unit lattice.
+    */
+  def qPqTrain(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTrain(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims)
+
+  val qPqTrainSql: String =
+    s"""WITH $pqCte
+       |SELECT sub, cent_id, pos, CAST(c AS DOUBLE) / 1000000.0 AS cval
+       |FROM pc2 ORDER BY sub, cent_id, pos""".stripMargin
+
+  /** Every vector compressed to m codebook codes — the n·m·log₂(k)-bit
+    * representation a 100 TB ANN index actually stores.
+    */
+  def qPqEncode(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims)
+
+  val qPqEncodeSql: String =
+    s"""WITH $pqCte,
+       |$pqEncCte
+       |SELECT vec_id, sub, code FROM penc ORDER BY vec_id, sub""".stripMargin
+
+  /** ADC search: approximate top-10 for query vector 0 from codes +
+    * a broadcast m·k lookup table — exact integer scores.
+    */
+  def qPqSearch(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqSearch(embs(s, dir), queryVecId = 0L, m = PqM, k = PqK,
+      iters = PqIters, topK = 10, dims = Dims)
+
+  val qPqSearchSql: String =
+    s"""WITH $pqCte,
+       |$pqEncCte,
+       |lut AS (
+       |  SELECT c.sub, c.cent_id AS code,
+       |         SUM((q.v - c.c) * (q.v - c.c)) AS d2q
+       |  FROM spe q JOIN pc2 c ON q.sub = c.sub AND q.pos = c.pos
+       |  WHERE q.vec_id = 0
+       |  GROUP BY c.sub, c.cent_id
+       |)
+       |SELECT e.vec_id, CAST(SUM(l.d2q) AS BIGINT) AS adc_d2
+       |FROM penc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |WHERE e.vec_id <> 0
+       |GROUP BY e.vec_id
+       |ORDER BY adc_d2, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------- corpus stats
+
+  /** Cross-source shared-shingle contamination matrix (see
+    * [[graft.operators.CorpusStats.sourceOverlapMatrix]]).
+    */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.sourceOverlapMatrix(docs(s, dir))
+
+  val qSourceOverlapSql: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source AS src, shingle FROM (
+      |    SELECT source, unnest(list_transform(generate_series(1, len(t) - 2),
+      |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM toks WHERE len(t) >= 3
+      |  )
+      |)
+      |SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+      |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+      |GROUP BY a.src, b.src
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** Deterministic epoch-seeded corpus shuffle into shards (see
+    * [[graft.operators.TrainingPrep.shuffleShards]]).
+    */
+  def qShuffleShard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.shuffleShards(docs(s, dir), seed = "epoch1", nShards = 8)
+      .orderBy("doc_id")
+
+  val qShuffleShardSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('epoch1' || '|' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents
+      |),
+      |h AS (
+      |  SELECT doc_id, skey,
+      |         (strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16 +
+      |         (strpos('0123456789abcdef', substr(skey, 2, 1)) - 1) AS h2
+      |  FROM k
+      |)
+      |SELECT doc_id, CAST(h2 % 8 AS BIGINT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY h2 % 8 ORDER BY skey, doc_id) - 1
+      |            AS BIGINT) AS ord
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Per-source top-5 tf-idf terms (see
+    * [[graft.operators.CorpusStats.tfidfTopTerms]]).
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.tfidfTopTerms(docs(s, dir), k = 5)
+
+  val qTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id AS doc, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |),
+      |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc, term FROM tok)
+      |       GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.source, tf.term, tf.tf,
+      |         round(ln(CAST(n.n AS DOUBLE) / df.df) * 100000.0) / 100000.0 AS idf
+      |  FROM tf JOIN df ON tf.term = df.term, n
+      |)
+      |SELECT source, term, tf, idf, tfidf FROM (
+      |  SELECT source, term, tf, idf, tf * idf AS tfidf,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY tf * idf DESC, term) AS rn
+      |  FROM sc
+      |) WHERE rn <= 5
+      |ORDER BY source, term""".stripMargin
+
   def qIvfSearch(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearch(embs(s, dir), queryVecId = 0L, k = 8, probes = 2, topK = 10, dims = Dims)
 

@@ -111,6 +111,52 @@ class SimilaritySpec extends SparkSpec {
       Similarity.kmeansTrain(vecs, k = 2, iters = 2, dims = 4).collect().map(_.toString)))
   }
 
+  // two clean clusters per subspace: subspace 0 separates on dim 1,
+  // subspace 1 on dim 3; seeds 0/1 start one per cluster
+  private def pqVecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.5f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.5f)),
+    (2L, Array(1.2f, 0.0f, 0.7f, 0.0f)),
+    (3L, Array(0.0f, 0.8f, 0.0f, 0.3f))
+  ).toDF("vec_id", "embedding")
+
+  test("pq train: each subspace centroid is its cluster's subvector mean") {
+    val cents = Similarity.pqTrain(pqVecs, m = 2, k = 2, iters = 2, dims = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("sub"), r.getAs[Long]("cent_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Double]("cval")).toMap
+    assert(cents.size == 2 * 2 * 2) // m·k·subDims rows
+    assert(math.abs(cents((0L, 0L, 1L)) - 1.1) < 1e-9) // mean(1.0, 1.2)
+    assert(math.abs(cents((0L, 1L, 2L)) - 0.9) < 1e-9) // mean(1.0, 0.8)
+    assert(math.abs(cents((1L, 0L, 1L)) - 0.6) < 1e-9) // mean(0.5, 0.7)
+    assert(math.abs(cents((1L, 1L, 2L)) - 0.4) < 1e-9) // mean(0.5, 0.3)
+  }
+
+  test("pq encode: per-subspace nearest trained code, codes within [0, k)") {
+    val codes = Similarity.pqEncode(pqVecs, m = 2, k = 2, iters = 2, dims = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) -> r.getAs[Long]("code"))
+      .toMap
+    assert(codes.size == 4 * 2)
+    assert(codes.values.forall(c => c >= 0 && c < 2))
+    assert(codes((2L, 0L)) == 0L && codes((2L, 1L)) == 0L) // v2 tracks seed 0
+    assert(codes((3L, 0L)) == 1L && codes((3L, 1L)) == 1L) // v3 tracks seed 1
+  }
+
+  test("pq ADC search: exact integer micro^2 scores, nearest code-mate first") {
+    val out = Similarity.pqSearch(pqVecs, queryVecId = 0L, m = 2, k = 2, iters = 2,
+      topK = 3, dims = 4).collect()
+    assert(out.length == 3)
+    // v2 shares both codes with the query; its ADC distance is the
+    // query's distance to its own reconstruction: (1.0−1.1)² + (0.5−0.6)²
+    // in micro² = 2·(1e5)² = 2e10, exactly
+    assert(out.head.getAs[Long]("vec_id") == 2L)
+    assert(out.head.getAs[Long]("adc_d2") == 20000000000L)
+    // ascending approximate distance
+    val d = out.map(_.getAs[Long]("adc_d2"))
+    assert(d.sameElements(d.sorted))
+  }
+
   test("banded near-dup recovers pairs that longer signatures split") {
     import org.apache.spark.sql.functions._
     // 500 random vectors + a planted near-identical pair (ids 9000/9001)

@@ -59,6 +59,25 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out(2L) == (333333L, 0L))      // 1 of 3 grams, no dup tokens
   }
 
+  test("epoch shuffle: uniform shards, contiguous in-shard order, seed-keyed permutation") {
+    val docs = spark.range(1, 2001).select(col("id").as("doc_id"))
+    val e1 = TrainingPrep.shuffleShards(docs, seed = "epoch1", nShards = 8)
+    val rows = e1.collect()
+    assert(rows.length == 2000)
+    assert(rows.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 8))
+    // in-shard positions are exactly 0..count-1 (a permutation, no gaps)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    byShard.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("ord")).sorted.sameElements(0L until g.length))
+    }
+    // shards are near-uniform (md5 on [0,256) → 250 ± a few % per shard)
+    assert(byShard.values.map(_.length).forall(n => n > 180 && n < 320))
+    // deterministic for a fixed seed; a different epoch reorders
+    assert(e1.exceptAll(TrainingPrep.shuffleShards(docs, "epoch1", 8)).isEmpty)
+    val e2 = TrainingPrep.shuffleShards(docs, seed = "epoch2", nShards = 8)
+    assert(e1.join(e2, Seq("doc_id", "shard", "ord"), "inner").count() < 100)
+  }
+
   test("hash sampling boundary rates: 1.0 keeps all, 0.0 keeps none") {
     val docs = spark.range(1, 501).select(col("id").as("doc_id"), lit("en").as("lang"))
     assert(TrainingPrep.sampleStrata(docs, "lang", Map("en" -> 1.0), 1.0).count() == 500)
