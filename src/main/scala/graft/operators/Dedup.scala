@@ -236,19 +236,21 @@ object Dedup {
     * movement.
     *
     * The incoming `pairs` plan — typically the expensive minhash
-    * candidate-join + verify subtree — is referenced by BOTH branches of
-    * the bidirectional edge union, so it is persisted and materialized
-    * ONCE here before the union is built (an unpersisted plan referenced
-    * N times executes N times), and released as soon as the edge set is
-    * materialized. Output (UNORDERED — downstream consumers are joins;
-    * order at the query edge if you need it): doc_id, group_id.
+    * candidate-join + verify subtree — is referenced exactly ONCE: the
+    * bidirectional edge set comes from a per-row explode (each pair
+    * emits both directions in one pass), not a self-union, so the
+    * upstream subtree cannot execute twice no matter how the plan is
+    * consumed. This also drops the pre-materialization action the
+    * round-3 union formulation needed. Output (UNORDERED — downstream
+    * consumers are joins; order at the query edge if you need it):
+    * doc_id, group_id.
     */
   def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val p = pairs.persist(lvl)
-    p.count() // materialize: both union branches below read the cache
-    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(lvl)
     var labels = edges.groupBy(col("u"))
       .agg(min(col("v")).as("nbr_min"))
@@ -298,7 +300,6 @@ object Dedup {
       labels = next
       iter += 1
     }
-    p.unpersist()
     edges.unpersist()
     // the FINAL labels frame backs the lazy result handed to the caller
     // — give its cache the bounded CachePool lifecycle instead of
