@@ -744,6 +744,7 @@ object SparkEntry {
     "q_pq_train" -> (PipelineQueries.qPqTrain _),
     "q_pq_encode" -> (PipelineQueries.qPqEncode _),
     "q_pq_search" -> (PipelineQueries.qPqSearch _),
+    "q_ivfpq_search" -> (PipelineQueries.qIvfPqSearch _),
     "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
     "q_ivf_train" -> (PipelineQueries.qIvfTrain _),
@@ -803,6 +804,7 @@ object SparkEntry {
     "q_pq_train" -> PipelineQueries.qPqTrainSql,
     "q_pq_encode" -> PipelineQueries.qPqEncodeSql,
     "q_pq_search" -> PipelineQueries.qPqSearchSql,
+    "q_ivfpq_search" -> PipelineQueries.qIvfPqSearchSql,
     "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
     "q_ivf_search" -> PipelineQueries.qIvfSearchSql,
     "q_ivf_train" -> PipelineQueries.qIvfTrainSql,

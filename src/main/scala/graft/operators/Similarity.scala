@@ -477,6 +477,72 @@ object Similarity {
       .limit(topK)
   }
 
+  /** End-to-end IVF+PQ search — the canonical two-stage large-scale
+    * ANN read path (FAISS IVFADC shape, public knowledge): the coarse
+    * quantizer prunes the corpus to `probes` cells, ADC over the PQ
+    * code table builds a `shortlist` of candidates with zero per-pair
+    * vector arithmetic, and only the shortlist is re-ranked by EXACT
+    * squared L2 (micro² integers — engine-identical). At 100 TB the
+    * scan fraction is probes/k_coarse of the code table (bits, not
+    * floats); raw vectors are read back only for the |shortlist| rows
+    * of the re-rank.
+    *
+    * Output: top `topK` (vec_id, d2) ascending exact micro² distance.
+    */
+  def ivfpqSearch(embs: DataFrame, coarse: DataFrame, queryVecId: Long,
+                  probes: Int, m: Int, k: Int, iters: Int,
+                  shortlist: Int, topK: Int, dims: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val subDims = dims / m
+    // stage 1: coarse pruning — same assignment/probe machinery as
+    // ivfSearchWith (rounded-cosine, centroid-id tie-break)
+    val assign = ivfAssignWith(embs, coarse, dims, idCol, embCol)
+      .select(col(idCol).as("vec_id"), col("cell"))
+    val q = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
+    val probed = coarse.crossJoin(broadcast(q))
+      .select(col("cent_id").as("cell"),
+        round(cosinePre(col("cent_emb"), col("q_emb"),
+          norm(col("cent_emb"), dims), col("q_nrm"), dims), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cell"))
+      .limit(probes)
+      .select(col("cell"))
+    val cand = assign.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"))
+    // stage 2: ADC shortlist over the probed cells' codes
+    val (sve, pcents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
+    val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
+    val codes = sve.join(broadcast(cand), "vec_id")
+      .join(broadcast(pcents), "sub")
+      .select(col("vec_id"), col("sub"),
+        (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("mk")).as("mk"))
+      .select(col("vec_id"), col("sub"), (col("mk") % k).as("code"))
+    val qs = sve.filter(col("vec_id") === queryVecId)
+      .select(col("sub"), col("sv").as("qv"), col("nn").as("qn"))
+    val lut = pcents.join(broadcast(qs), "sub")
+      .select(col("sub"), col("cent_id").as("code"),
+        (col("qn") + col("cn") - lit(2.0) * dot(col("qv"), col("cv"), subDims))
+          .cast("long").as("d2q"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(shortlist)
+    // stage 3: exact re-rank of the shortlist — full micro² L2 as the
+    // sum of per-subspace exact distances (the same lattice, no
+    // approximation), touching only |shortlist| vectors
+    val exact = sve.join(broadcast(adc.select(col("vec_id"))), "vec_id")
+      .join(broadcast(qs), "sub")
+      .select(col("vec_id"),
+        (col("nn") + col("qn") - lit(2.0) * dot(col("sv"), col("qv"), subDims)).as("pd2"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd2")).cast("long").as("d2"))
+    exact.orderBy(col("d2"), col("vec_id")).limit(topK)
+  }
+
   /** LSH-restricted nearest neighbor: best cosine among same-bucket
     * vectors (approximate — exactly the candidate set a distributed ANN
     * would score). Vectors alone in their bucket produce no row.

@@ -428,6 +428,72 @@ object PipelineQueries {
        |ORDER BY adc_d2, e.vec_id
        |LIMIT 10""".stripMargin
 
+  /** The full IVF+PQ read path (FAISS IVFADC shape): trained coarse
+    * quantizer prunes to 2 of 8 cells → PQ ADC shortlist of 50 → exact
+    * integer-L2 re-rank → top-10. Composes the `q_ivf_train` and
+    * `q_pq_*` machinery end-to-end; the oracle chains BOTH unrolled
+    * CTE pipelines and stays hash-exact.
+    */
+  def qIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val coarse = Similarity.centroidsAsVectors(
+      Similarity.kmeansTrain(e, k = 8, iters = 2, dims = Dims))
+    Similarity.ivfpqSearch(e, coarse, queryVecId = 0L, probes = 2,
+      m = PqM, k = PqK, iters = PqIters, shortlist = 50, topK = 10, dims = Dims)
+  }
+
+  val qIvfPqSearchSql: String =
+    s"""WITH $kmeansCte,
+       |cents AS (
+       |  SELECT cent_id, list(CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cent_emb
+       |  FROM c2 GROUP BY cent_id
+       |),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cent_id AS cell
+       |  FROM cents, q
+       |  ORDER BY round(${cosSql("cent_emb", "qe")}, 6) DESC, cent_id
+       |  LIMIT 2
+       |),
+       |cand AS (
+       |  SELECT a.vec_id FROM assign a JOIN probed p ON a.cell = p.cell
+       |  WHERE a.vec_id <> 0
+       |),
+       |$pqCte,
+       |$pqEncCte,
+       |lut AS (
+       |  SELECT c.sub, c.cent_id AS code,
+       |         SUM((qq.v - c.c) * (qq.v - c.c)) AS d2q
+       |  FROM spe qq JOIN pc2 c ON qq.sub = c.sub AND qq.pos = c.pos
+       |  WHERE qq.vec_id = 0
+       |  GROUP BY c.sub, c.cent_id
+       |),
+       |adc AS (
+       |  SELECT e.vec_id, SUM(l.d2q) AS adc_d2
+       |  FROM penc e
+       |  JOIN cand cd ON e.vec_id = cd.vec_id
+       |  JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |  GROUP BY e.vec_id
+       |  ORDER BY adc_d2, e.vec_id
+       |  LIMIT 50
+       |)
+       |SELECT s.vec_id, CAST(SUM((s.v - qv.v) * (s.v - qv.v)) AS BIGINT) AS d2
+       |FROM spe s
+       |JOIN adc ON s.vec_id = adc.vec_id
+       |JOIN spe qv ON qv.vec_id = 0 AND qv.sub = s.sub AND qv.pos = s.pos
+       |GROUP BY s.vec_id
+       |ORDER BY d2, s.vec_id
+       |LIMIT 10""".stripMargin
+
   // ------------------------------------------------------- corpus stats
 
   /** Cross-source shared-shingle contamination matrix (see

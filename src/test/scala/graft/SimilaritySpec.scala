@@ -157,6 +157,29 @@ class SimilaritySpec extends SparkSpec {
     assert(d.sameElements(d.sorted))
   }
 
+  test("ivfpq search: exact re-rank distances, ascending order, query excluded") {
+    import org.apache.spark.sql.functions._
+    val e = randomVectors(200)
+    val coarse = Similarity.centroidsAsVectors(
+      Similarity.kmeansTrain(e, k = 4, iters = 1, dims = 16))
+    val out = Similarity.ivfpqSearch(e, coarse, queryVecId = 0L, probes = 2,
+      m = 4, k = 8, iters = 1, shortlist = 30, topK = 5, dims = 16).collect()
+    assert(out.length == 5)
+    assert(!out.map(_.getAs[Long]("vec_id")).contains(0L))
+    val d = out.map(_.getAs[Long]("d2"))
+    assert(d.sameElements(d.sorted))
+    // the re-rank stage reports the EXACT micro-squared L2 to the query
+    // (ADC only selects the shortlist; it never contaminates the scores)
+    val mv = e.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * lit(1000000.0))).as("mv"))
+    val qv = mv.filter(col("vec_id") === 0L).select(col("mv").as("qmv"))
+    val exact = mv.crossJoin(qv).select(col("vec_id"),
+      (Similarity.dot(col("mv"), col("mv"), 16) + Similarity.dot(col("qmv"), col("qmv"), 16)
+        - lit(2.0) * Similarity.dot(col("mv"), col("qmv"), 16)).cast("long").as("d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getAs[Long]("d2") == exact(r.getAs[Long]("vec_id"))))
+  }
+
   test("banded near-dup recovers pairs that longer signatures split") {
     import org.apache.spark.sql.functions._
     // 500 random vectors + a planted near-identical pair (ids 9000/9001)
