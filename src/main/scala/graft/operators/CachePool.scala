@@ -34,7 +34,9 @@ object CachePool {
     * frames beyond [[maxLive]]. Returns the same DataFrame.
     */
   def track(df: DataFrame): DataFrame = synchronized {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    // idempotent: loop-persisted frames (e.g. the CC labels) arrive
+    // already cached — re-persisting would only log a CacheManager warn
+    if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
     live.addLast(df)
     while (live.size > maxLive) live.pollFirst().unpersist(true)
     df
