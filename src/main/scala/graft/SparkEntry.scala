@@ -741,6 +741,7 @@ object SparkEntry {
     "q_source_overlap" -> (PipelineQueries.qSourceOverlap _),
     "q_shuffle_shard" -> (PipelineQueries.qShuffleShard _),
     "q_tfidf" -> (PipelineQueries.qTfidf _),
+    "q_length_pctl" -> (PipelineQueries.qLengthPctl _),
     "q_pq_train" -> (PipelineQueries.qPqTrain _),
     "q_pq_encode" -> (PipelineQueries.qPqEncode _),
     "q_pq_search" -> (PipelineQueries.qPqSearch _),
@@ -801,6 +802,7 @@ object SparkEntry {
     "q_source_overlap" -> PipelineQueries.qSourceOverlapSql,
     "q_shuffle_shard" -> PipelineQueries.qShuffleShardSql,
     "q_tfidf" -> PipelineQueries.qTfidfSql,
+    "q_length_pctl" -> PipelineQueries.qLengthPctlSql,
     "q_pq_train" -> PipelineQueries.qPqTrainSql,
     "q_pq_encode" -> PipelineQueries.qPqEncodeSql,
     "q_pq_search" -> PipelineQueries.qPqSearchSql,

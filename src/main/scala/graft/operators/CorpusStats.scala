@@ -36,6 +36,32 @@ object CorpusStats {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Exact per-source token-count percentiles — the length-distribution
+    * report a data-quality dashboard tracks per split. Percentile p is
+    * the DISCRETE order statistic at rank ⌈p·n/100⌉, computed with pure
+    * integer arithmetic ((n·p + 99) div 100 — no float ranks), so the
+    * result is engine-identical; ties in the sort are harmless because
+    * any row at the selected rank carries the same value.
+    *
+    * Scale shape: one per-source sort (the rank window) and one
+    * aggregation — each source's partition sorts independently, no
+    * global ordering. Output: source, p25, p50, p90, p99.
+    */
+  def lengthPercentiles(docs: DataFrame, ps: Seq[Int] = Seq(25, 50, 90, 99),
+                        textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val ranked = docs
+      .select(col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("nt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("nt"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val aggs = ps.map(p =>
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("nt"))).as(s"p$p"))
+    ranked.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("source"))
+  }
+
   /** Top-`k` terms per source by tf-idf — the per-split vocabulary
     * fingerprint. tf is the term's occurrence count within the source,
     * idf = ln(N / df) over the whole corpus (df = docs containing the

@@ -539,6 +539,30 @@ object PipelineQueries {
       |            AS BIGINT) AS ord
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Exact per-source token-count percentiles (see
+    * [[graft.operators.CorpusStats.lengthPercentiles]]).
+    */
+  def qLengthPctl(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.lengthPercentiles(docs(s, dir))
+
+  val qLengthPctlSql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT source, nt,
+      |         row_number() OVER (PARTITION BY source ORDER BY nt) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM t
+      |)
+      |SELECT source,
+      |  max(CASE WHEN rn = (n * 25 + 99) // 100 THEN nt END) AS p25,
+      |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN nt END) AS p50,
+      |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN nt END) AS p90,
+      |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN nt END) AS p99
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-source top-5 tf-idf terms (see
     * [[graft.operators.CorpusStats.tfidfTopTerms]]).
     */

@@ -28,6 +28,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("n_shared") == 1L)
   }
 
+  test("length percentiles are the exact discrete order statistics") {
+    // srcA: token counts 1..10 → p25 = rank ceil(2.5)=3 → 3,
+    // p50 = rank 5 → 5, p90 = rank 9 → 9, p99 = rank ceil(9.9)=10 → 10
+    val docs = (1 to 10).map(i => (i.toLong, "srcA", Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = CorpusStats.lengthPercentiles(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("p25") == 3L)
+    assert(row.getAs[Long]("p50") == 5L)
+    assert(row.getAs[Long]("p90") == 9L)
+    assert(row.getAs[Long]("p99") == 10L)
+  }
+
   test("tfidf ranks source-specific terms above corpus-wide ones") {
     // "common" appears in every doc (idf = ln(1) = 0 → score 0);
     // each source repeats its own marker term
