@@ -364,14 +364,7 @@ object Similarity {
       s"k=$k, subDims=$subDims would overflow the packed argmin key")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // (vec_id, sub, sv, nn): n·m rows, each an exact micro-unit subvector
-    val sve = CachePool.track(embs
-      .select(col(idCol).as("vec_id"),
-        transform(col(embCol), e => round(e.cast("double") * lit(1000000.0))).as("mv"))
-      .select(col("vec_id"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          s0 => slice(col("mv"), s0 * lit(subDims) + lit(1), lit(subDims))))
-        .as(Seq("sub", "sv")))
-      .withColumn("nn", dot(col("sv"), col("sv"), subDims)))
+    val sve = CachePool.track(subVectors(embs, m, dims, idCol, embCol))
     // init: subvectors of the first k stored vectors (deterministic)
     var cents = sve.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv"), col("nn").as("cn"))
@@ -408,6 +401,59 @@ object Similarity {
     (sve, cents)
   }
 
+  /** Per-(vec, sub) nearest-centroid codes via the packed-long argmin
+    * (shared by encode/search/ivfpq): (vec_id, sub, code).
+    */
+  private def assignCodes(sve: DataFrame, cents: DataFrame, k: Int, subDims: Int): DataFrame = {
+    val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
+    sve.join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"),
+        (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("mk")).as("mk"))
+      .select(col("vec_id"), col("sub"), (col("mk") % k).as("code"))
+  }
+
+  /** The micro-unit subvector table of a corpus (vec_id, sub, sv, nn) —
+    * n·m rows, pure per-row arithmetic (no shuffle).
+    */
+  private def subVectors(embs: DataFrame, m: Int, dims: Int,
+                         idCol: String, embCol: String): DataFrame = {
+    val subDims = dims / m
+    embs
+      .select(col(idCol).as("vec_id"),
+        transform(col(embCol), e => round(e.cast("double") * lit(1000000.0))).as("mv"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s0 => slice(col("mv"), s0 * lit(subDims) + lit(1), lit(subDims))))
+        .as(Seq("sub", "sv")))
+      .withColumn("nn", dot(col("sv"), col("sv"), subDims))
+  }
+
+  /** [[pqTrain]]-format codebook (sub, cent_id, pos, cval) → the
+    * internal broadcastable centroid table (sub, cent_id, cv, cn) on
+    * the micro lattice.
+    */
+  def codebookAsCents(codebook: DataFrame, m: Int, dims: Int): DataFrame = {
+    val subDims = dims / m
+    codebook.groupBy(col("sub"), col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        e => round(e.getField("cval") * lit(1000000.0))).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv"), subDims))
+  }
+
+  /** Stateless PQ encoding against a FROZEN codebook — the online
+    * ingest shape: train once, then every new batch of vectors encodes
+    * with one broadcast join and per-row arithmetic; no training state,
+    * so batch-wise streaming encoding ≡ whole-corpus encoding row for
+    * row. Output: vec_id, sub, code.
+    */
+  def pqEncodeWith(embs: DataFrame, codebook: DataFrame, m: Int, k: Int, dims: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assignCodes(subVectors(embs, m, dims, idCol, embCol),
+      codebookAsCents(codebook, m, dims), k, dims / m)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+
   /** Trained PQ codebook: (sub, cent_id, pos, cval) — m·k·(dims/m) rows
     * of centroid coordinates on the 1e-6 lattice.
     */
@@ -429,14 +475,8 @@ object Similarity {
   def pqEncode(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val (sve, cents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
-    val subDims = dims / m
-    val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
-    sve.join(broadcast(cents), "sub")
-      .select(col("vec_id"), col("sub"),
-        (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("mk")).as("mk"))
-      .select(col("vec_id"), col("sub").cast("long").as("sub"), (col("mk") % k).as("code"))
+    assignCodes(sve, cents, k, dims / m)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
       .orderBy("vec_id", "sub")
   }
 
@@ -454,13 +494,7 @@ object Similarity {
                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val (sve, cents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
     val subDims = dims / m
-    val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
-    val codes = sve.join(broadcast(cents), "sub")
-      .select(col("vec_id"), col("sub"),
-        (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("mk")).as("mk"))
-      .select(col("vec_id"), col("sub"), (col("mk") % k).as("code"))
+    val codes = assignCodes(sve, cents, k, subDims)
     // LUT: exact squared distance from the query's sub-vectors to every
     // codebook centroid — m·k rows, broadcast
     val q = sve.filter(col("vec_id") === queryVecId)
@@ -510,16 +544,14 @@ object Similarity {
     val cand = assign.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"))
-    // stage 2: ADC shortlist over the probed cells' codes
+    // stage 2: ADC shortlist over the probed cells' codes. The
+    // candidate set is a probes/k FRACTION of the corpus — small here,
+    // billions of rows at 100 TB — so its join strategy is left to
+    // Catalyst/AQE (broadcast while it fits, shuffle when it doesn't);
+    // only genuinely bounded sides (probed cells, codebook, LUT,
+    // shortlist ids) are broadcast by hand.
     val (sve, pcents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
-    val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
-    val codes = sve.join(broadcast(cand), "vec_id")
-      .join(broadcast(pcents), "sub")
-      .select(col("vec_id"), col("sub"),
-        (d2.cast("long") * lit(k.toLong) + col("cent_id")).as("mk"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("mk")).as("mk"))
-      .select(col("vec_id"), col("sub"), (col("mk") % k).as("code"))
+    val codes = assignCodes(sve.join(cand, "vec_id"), pcents, k, subDims)
     val qs = sve.filter(col("vec_id") === queryVecId)
       .select(col("sub"), col("sv").as("qv"), col("nn").as("qn"))
     val lut = pcents.join(broadcast(qs), "sub")

@@ -126,4 +126,52 @@ class StreamingSpec extends SparkSpec {
       assert(joined.count() == streamed.count())
     } finally q.stop()
   }
+
+  test("streaming PQ encoding with a frozen codebook matches batch encoding") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-stream-pq")
+    // split the corpus into two ingest batches
+    // two append writes → part files land flat in the stream dir (the
+    // file source does not recurse into nested dataset directories)
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    full.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+
+    // codebook trained ONCE on the full corpus, then frozen — the
+    // online-ingest contract: encoding is stateless per row
+    val codebook = graft.operators.Similarity
+      .pqTrain(full, m = 8, k = 16, iters = 1, dims = 64)
+      .persist()
+    codebook.count()
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", 1) // force one batch per half
+      .parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enc = graft.operators.Similarity
+          .pqEncodeWith(batch, codebook, m = 8, k = 16, dims = 64).collect()
+        out.synchronized {
+          out ++= enc.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
+            r.getAs[Long]("code")))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batchEnc = graft.operators.Similarity
+        .pqEncodeWith(full, codebook, m = 8, k = 16, dims = 64).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"), r.getAs[Long]("code")))
+      assert(out.toSet == batchEnc.toSet) // batch-wise ≡ whole-corpus, row for row
+      assert(out.size == batchEnc.length)
+    } finally {
+      q.stop()
+      codebook.unpersist()
+    }
+  }
 }
