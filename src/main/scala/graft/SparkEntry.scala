@@ -742,6 +742,7 @@ object SparkEntry {
     "q_shuffle_shard" -> (PipelineQueries.qShuffleShard _),
     "q_tfidf" -> (PipelineQueries.qTfidf _),
     "q_length_pctl" -> (PipelineQueries.qLengthPctl _),
+    "q_chunk_docs" -> (PipelineQueries.qChunkDocs _),
     "q_pq_train" -> (PipelineQueries.qPqTrain _),
     "q_pq_encode" -> (PipelineQueries.qPqEncode _),
     "q_pq_search" -> (PipelineQueries.qPqSearch _),
@@ -803,6 +804,7 @@ object SparkEntry {
     "q_shuffle_shard" -> PipelineQueries.qShuffleShardSql,
     "q_tfidf" -> PipelineQueries.qTfidfSql,
     "q_length_pctl" -> PipelineQueries.qLengthPctlSql,
+    "q_chunk_docs" -> PipelineQueries.qChunkDocsSql,
     "q_pq_train" -> PipelineQueries.qPqTrainSql,
     "q_pq_encode" -> PipelineQueries.qPqEncodeSql,
     "q_pq_search" -> PipelineQueries.qPqSearchSql,

@@ -26,9 +26,11 @@ object CorpusStats {
     */
   def sourceOverlapMatrix(docs: DataFrame, textCol: String = "text",
                           sourceCol: String = "source"): DataFrame = {
-    val sh = docs
+    // both sides of the self-join read this — pool-persisted, or the
+    // explode + distinct aggregation runs twice
+    val sh = CachePool.track(docs
       .select(col(sourceCol).as("src"), explode(Dedup.shingles3(col(textCol))).as("shingle"))
-      .distinct()
+      .distinct())
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))

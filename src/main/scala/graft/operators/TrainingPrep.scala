@@ -117,6 +117,34 @@ object TrainingPrep {
       .agg(countDistinct(col("shingle")).as("n_shared"))
   }
 
+  /** Sliding-window document chunking — the embedding/retrieval prep
+    * step: cut each document's token stream into windows of `size`
+    * tokens advancing by `stride` (overlap = size − stride), so every
+    * token is covered and window boundaries straddle context. Chunk
+    * starts are 1, 1+stride, … while ≤ token count (the last window may
+    * be short). Pure per-row integer arithmetic + one explode — no
+    * shuffle, embarrassingly parallel at any corpus size.
+    *
+    * Output: idCol, chunk_id (0-based), chunk_start (1-based token
+    * index), chunk_len, chunk_text.
+    */
+  def chunkDocuments(docs: DataFrame, size: Int = 64, stride: Int = 48,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size, "bad chunking parameters")
+    val t = split(col(textCol), " ")
+    docs
+      .select(col(idCol), t.as("t"), size_(t).as("len"))
+      .select(col(idCol), col("t"), col("len"),
+        explode(sequence(lit(0), expr(s"(len - 1) div $stride").cast("int"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride + 1).cast("long").as("chunk_start"),
+        least(lit(size), col("len") - col("chunk_id") * stride).cast("long").as("chunk_len"),
+        array_join(slice(col("t"), col("chunk_id") * stride + 1, lit(size)), " ").as("chunk_text"))
+  }
+
+  // `size` the column fn is shadowed by the chunk parameter above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Deterministic epoch shuffle + sharding — the global permutation a
     * training run reads the corpus in. Seeding the md5 sort key with an
     * epoch string gives a DIFFERENT uniform permutation per epoch from

@@ -539,6 +539,31 @@ object PipelineQueries {
       |            AS BIGINT) AS ord
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window chunking for embedding/retrieval prep (see
+    * [[graft.operators.TrainingPrep.chunkDocuments]]): 64-token
+    * windows, stride 48.
+    */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.chunkDocuments(docs(s, dir), size = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  val qChunkDocsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         len(string_split(text, ' ')) AS len
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, t, len,
+      |         unnest(generate_series(0, (len - 1) // 48)) AS chunk_id
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |       CAST(chunk_id * 48 + 1 AS BIGINT) AS chunk_start,
+      |       CAST(least(64, len - chunk_id * 48) AS BIGINT) AS chunk_len,
+      |       array_to_string(t[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Exact per-source token-count percentiles (see
     * [[graft.operators.CorpusStats.lengthPercentiles]]).
     */

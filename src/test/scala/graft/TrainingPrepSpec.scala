@@ -59,6 +59,25 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out(2L) == (333333L, 0L))      // 1 of 3 grams, no dup tokens
   }
 
+  test("chunking: sliding windows cover every token with the configured overlap") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")                                   // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.chunkDocuments(docs, size = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len"), r.getAs[String]("chunk_text")))
+      .toMap
+    // doc 1: starts 1,4,7,10 → lens 4,4,4,1
+    assert(out((1L, 0L)) == (1L, 4L, "t1 t2 t3 t4"))
+    assert(out((1L, 1L)) == (4L, 4L, "t4 t5 t6 t7"))   // overlap of 1 token
+    assert(out((1L, 2L)) == (7L, 4L, "t7 t8 t9 t10"))
+    assert(out((1L, 3L)) == (10L, 1L, "t10"))           // short tail window
+    // doc 2: one short window
+    assert(out((2L, 0L)) == (1L, 3L, "a b c"))
+    assert(out.size == 5)
+  }
+
   test("epoch shuffle: uniform shards, contiguous in-shard order, seed-keyed permutation") {
     val docs = spark.range(1, 2001).select(col("id").as("doc_id"))
     val e1 = TrainingPrep.shuffleShards(docs, seed = "epoch1", nShards = 8)
