@@ -707,7 +707,8 @@ object PipelineQueries {
 
   val qPackSequencesSql: String =
     """SELECT doc_id, doc_id % 8 AS shard, nt AS n_tokens,
-      |       cb // 2048 AS bin, cb % 2048 AS bin_offset
+      |       CAST(cb // 2048 AS BIGINT) AS bin,
+      |       CAST(cb % 2048 AS BIGINT) AS bin_offset
       |FROM (
       |  SELECT doc_id, nt,
       |         COALESCE(SUM(nt) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id

@@ -52,6 +52,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         worst = 0.0
         for c in g.columns:
             a, b = g[c], w[c]
+            # the driver hashes typed values: an int64 Spark column vs a
+            # float64/object oracle column (DuckDB HUGEINT leaking out of
+            # SUM, un-cast //, etc.) hash-mismatches even when every value
+            # is numerically equal — flag the dtype-kind drift itself
+            if a.dtype.kind != b.dtype.kind:
+                bad.append(f"{c}: dtype kind {a.dtype} (spark) != {b.dtype} (oracle)")
+                continue
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 aa = a.astype(float)
                 bb = b.astype(float)
