@@ -743,6 +743,12 @@ object SparkEntry {
     "q_tfidf" -> (PipelineQueries.qTfidf _),
     "q_length_pctl" -> (PipelineQueries.qLengthPctl _),
     "q_chunk_docs" -> (PipelineQueries.qChunkDocs _),
+    "q_vocab_top" -> (PipelineQueries.qVocabTop _),
+    "q_unigram_nll" -> (PipelineQueries.qUnigramNll _),
+    "q_bm25" -> (PipelineQueries.qBm25 _),
+    "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
+    "q_sq8_search" -> (PipelineQueries.qSq8Search _),
+    "q_semantic_dedup" -> (PipelineQueries.qSemanticDedup _),
     "q_pq_train" -> (PipelineQueries.qPqTrain _),
     "q_pq_encode" -> (PipelineQueries.qPqEncode _),
     "q_pq_search" -> (PipelineQueries.qPqSearch _),
@@ -805,6 +811,12 @@ object SparkEntry {
     "q_tfidf" -> PipelineQueries.qTfidfSql,
     "q_length_pctl" -> PipelineQueries.qLengthPctlSql,
     "q_chunk_docs" -> PipelineQueries.qChunkDocsSql,
+    "q_vocab_top" -> PipelineQueries.qVocabTopSql,
+    "q_unigram_nll" -> PipelineQueries.qUnigramNllSql,
+    "q_bm25" -> PipelineQueries.qBm25Sql,
+    "q_mix_temperature" -> PipelineQueries.qMixTemperatureSql,
+    "q_sq8_search" -> PipelineQueries.qSq8SearchSql,
+    "q_semantic_dedup" -> PipelineQueries.qSemanticDedupSql,
     "q_pq_train" -> PipelineQueries.qPqTrainSql,
     "q_pq_encode" -> PipelineQueries.qPqEncodeSql,
     "q_pq_search" -> PipelineQueries.qPqSearchSql,

@@ -101,4 +101,118 @@ object CorpusStats {
       .select(col("source"), col("term"), col("tf"), col("idf"), col("tfidf"))
       .orderBy(col("source"), col("term"))
   }
+
+  /** Corpus-wide vocabulary heavy hitters — the term-frequency head a
+    * tokenizer-training run is built from: the top `k` terms by corpus
+    * count, with document frequency alongside. All-integer, so
+    * engine-exact trivially.
+    *
+    * Scale shape: both aggregations are term-keyed with map-side
+    * partial aggregation, so shuffle volume is bounded by vocabulary
+    * (not corpus); the final top-k is a TakeOrderedAndProject over the
+    * vocabulary table. Output: term, tf, df — k rows, ordered by
+    * (tf desc, term).
+    */
+  def vocabTop(docs: DataFrame, k: Int, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(split(col(textCol), " ")).as("term"))
+    // one term-keyed aggregation carries both stats: countDistinct(doc)
+    // absorbs the (doc, term) multiplicity without a separate distinct
+    tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Unigram language-model quality score per document — the CCNet-style
+    * perplexity proxy (public knowledge: Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * 2020): score each doc by the mean negative log-probability of its
+    * tokens under the corpus's own unigram distribution. High avg-NLL =
+    * rare-token soup (noise); low = repetitive boilerplate.
+    *
+    * Cross-engine exactness: p(t) = tf_t / T is one correctly-rounded
+    * double division of exact integers; ln is the only transcendental
+    * and is snapped to the 1e-5 lattice as an integer
+    * (round(−ln(p)·1e5), engines agree to ≤ 1 ulp, far inside the
+    * rounding); per-doc totals are then exact BIGINT sums — order-free —
+    * and the mean is one exact division.
+    *
+    * Scale shape: the vocabulary aggregation shuffles ≤ |vocab| rows
+    * after map-side combine; the token→vocab equi-join is term-keyed
+    * (AQE broadcasts the vocab side while it fits); the per-doc sum
+    * collapses map-side. No driver-side state.
+    *
+    * Output: doc_id, n_tokens, nll_total (Σ lattice units), avg_nll.
+    */
+  def unigramNll(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(split(col(textCol), " ")).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("t"))
+    val nllUnit = round(-log(col("tf").cast("double") / col("t")) * lit(100000.0))
+      .cast("long")
+    tok.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(nllUnit).as("nll_total"))
+      .withColumn("avg_nll", col("nll_total").cast("double") / col("n_tokens"))
+      .orderBy(idCol)
+  }
+
+  /** BM25 document ranking for a bag of query terms (public knowledge:
+    * Robertson & Zaragoza, "The Probabilistic Relevance Framework: BM25
+    * and Beyond", 2009) — the retrieval scorer a data pipeline uses for
+    * targeted corpus search and hard-negative mining.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Cross-engine exactness: tf, df, dl, N are integers; avgdl and every
+    * ratio is a correctly-rounded double op applied in an identical
+    * association both sides; ln is lattice-rounded (1e-5); each term's
+    * score is snapped to integer 1e-6 units so the per-doc Σ is an exact
+    * BIGINT sum (double summation order would otherwise differ).
+    *
+    * Scale shape: the corpus is filtered to query terms BEFORE any
+    * shuffle (the per-(doc,term) tf aggregation only sees matching
+    * tokens); df/avgdl/N are tiny aggregates broadcast back; the final
+    * top-k is a TakeOrderedAndProject. Output: doc_id, score_micro,
+    * score — topK rows by (score desc, doc_id).
+    */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], topK: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "empty BM25 query")
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(split(col(textCol), " ")).as("term"))
+    // corpus-wide stats: doc length + total/count → avgdl (exact ints)
+    val dl = docs.select(col(idCol).as("doc"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
+    val hit = tok.filter(col("term").isInCollection(queryTerms))
+    val tf = hit.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = hit.select(col("doc"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf on the 1e-5 lattice; the rest is a fixed-shape double chain
+    val idf = round(log(lit(1.0) + (col("n").cast("double") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5))) * lit(100000.0)) / lit(100000.0)
+    val avgdl = col("dl_sum").cast("double") / col("n")
+    val tfd = col("tf").cast("double")
+    val score = col("idf") * (tfd * lit(k1 + 1.0)
+      / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .select(col("doc"), col("term"), col("tf"), col("dl"),
+        col("n"), col("dl_sum"), idf.as("idf"))
+      .select(col("doc"), round(score * lit(1000000.0)).cast("long").as("sc"))
+      .groupBy(col("doc").as(idCol))
+      .agg(sum(col("sc")).as("score_micro"))
+      .withColumn("score", col("score_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(topK)
+  }
 }

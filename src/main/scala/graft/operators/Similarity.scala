@@ -575,6 +575,83 @@ object Similarity {
     exact.orderBy(col("d2"), col("vec_id")).limit(topK)
   }
 
+  /** Global symmetric int8 scalar quantization of an embedding column —
+    * the other standard compression next to PQ (4 bytes → 1 byte per
+    * dim): q_i = round(e_i / r · 127) for the corpus-wide absolute max
+    * r. Codes are exact small integers carried as doubles, so every
+    * downstream dot product is an exactly-represented integer
+    * (|q·q'| ≤ dims·127² ≪ 2^53) — engine-identical ranking with zero
+    * float comparisons.
+    *
+    * Output: idCol, q8 (array of ints in [−127, 127] as double).
+    */
+  def sq8Encode(embs: DataFrame, dims: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // corpus-wide scale: one max aggregation (exact — comparisons only),
+    // broadcast to the per-row encode pass
+    val r = embs.select(
+      max(array_max(transform(col(embCol), e => abs(e.cast("double"))))).as("r"))
+    embs.crossJoin(broadcast(r))
+      .select(col(idCol),
+        transform(col(embCol), e => round(e.cast("double") / col("r") * lit(127.0)))
+          .as("q8"))
+  }
+
+  /** Top-k search over int8 codes by exact integer dot product — the
+    * compressed-scan read path: at 100 TB the scan touches 1 byte/dim
+    * instead of 4, the query code is one broadcast row, and the top-k is
+    * a TakeOrderedAndProject. Ranking is exact integer comparison
+    * (ties → id), so results are engine-identical even though the
+    * quantization itself is lossy. Output: idCol, q_dot.
+    */
+  def sq8Search(embs: DataFrame, queryVecId: Long, topK: Int, dims: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // the code table feeds both the query row and the scan — pool-cache
+    // it so the scale aggregation + encode runs once, not twice
+    val coded = CachePool.track(sq8Encode(embs, dims, idCol, embCol))
+    val q = coded.filter(col(idCol) === queryVecId).select(col("q8").as("qq"))
+    coded.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), dot(col("q8"), col("qq"), dims).cast("long").as("q_dot"))
+      .orderBy(col("q_dot").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Semantic deduplication (public knowledge: Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): k-means-cluster the embedding space, then
+    * compare pairs only WITHIN a cluster and drop every vector that has
+    * a near-identical neighbor (rounded cosine ≥ `threshold`) with a
+    * smaller id — one deterministic representative per near-duplicate
+    * star survives.
+    *
+    * Scale shape: this is SemDeDup's own answer to the n² pair problem —
+    * the cluster assignment (broadcast k centroids, one pass) restricts
+    * the pair join to same-cluster pairs, ~n²/k when balanced; k grows
+    * with n (like [[scaledBits]]) to hold expected cluster size — and
+    * with it per-key join fan-out — constant. The banded-LSH variant
+    * ([[bandedNearDupPairs]]) remains the alternative when clustering is
+    * not wanted. Output (kept rows): idCol, cell.
+    */
+  def semanticDedup(embs: DataFrame, k: Int, iters: Int, threshold: Double, dims: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = centroidsAsVectors(kmeansTrain(embs, k, iters, dims, idCol, embCol))
+    val assign = ivfAssignWith(embs, cents, dims, idCol, embCol)
+      .select(col(idCol).as("id"), col("cell"))
+    // per-vector norms + cluster ids feed both sides of the pair join
+    val sides = CachePool.track(
+      embs.select(col(idCol).as("id"), col(embCol).as("e"), norm(col(embCol), dims).as("nrm"))
+        .join(assign, "id"))
+    val dups = sides.as("a").join(sides.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(round(cosinePre(col("a.e"), col("b.e"),
+        col("a.nrm"), col("b.nrm"), dims), 6) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    sides.join(dups, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+      .orderBy(idCol)
+  }
+
   /** LSH-restricted nearest neighbor: best cosine among same-bucket
     * vectors (approximate — exactly the candidate set a distributed ANN
     * would score). Vectors alone in their bucket produce no row.

@@ -178,6 +178,66 @@ object TrainingPrep {
       .select(col(idCol), col("shard"), col("ord"))
   }
 
+  /** md5-derived uniform integer on [0, 16^6) for an id — the sampling
+    * key [[temperatureMix]] compares against DATA-DEPENDENT thresholds
+    * (unlike [[hashKeep]]'s compile-time constants, which compare the
+    * hex prefix as a string). hex→int goes through
+    * position-in-alphabet (instr), the one conversion both engines
+    * spell identically; [[hex6IntSql]] is its oracle twin.
+    */
+  private[graft] def hex6Int(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    (1 to 6).map { i =>
+      call_function("instr", lit("0123456789abcdef"), substring(h, i, 1)).cast("long") - 1L
+    }.reduceLeft((acc, d) => acc * 16L + d)
+  }
+
+  /** DuckDB text of [[hex6Int]] over SQL expression `id`. */
+  private[graft] def hex6IntSql(id: String): String =
+    (1 to 6).map { i =>
+      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"
+    }.reduceLeft((acc, d) => s"($acc * 16 + $d)")
+
+  /** Temperature-based mixture resampling (public knowledge: the
+    * multilingual/source rebalancing of Lample & Conneau, "Cross-lingual
+    * Language Model Pretraining", 2019 — p_s ∝ n_s^α): sample source s
+    * at rate τ·N·w_s/(Σw·n_s) with w_s = n_s^α, capped at 1 — α < 1
+    * upsamples the tail relative to head sources, τ sets the expected
+    * output fraction. The keep decision is the deterministic md5 key of
+    * [[hex6Int]] against each source's threshold, so the sample is
+    * reproducible under reruns, appends, and repartitioning.
+    *
+    * Cross-engine exactness: n_s, N are integers; w_s = n_s^α is the one
+    * transcendental, snapped to integer 1e-6 units (engines agree to
+    * ≤ 1 ulp); Σw is then an exact integer sum (double summation order
+    * would differ); the rate is a fixed-shape chain of correctly-rounded
+    * double ops; thresholds are scale-0 rounds — integers both sides.
+    *
+    * Scale shape: the per-source count is one tiny aggregation broadcast
+    * back; the keep decision is per-row map-side arithmetic. No other
+    * shuffle. Output (kept rows): idCol, sourceCol, n_src, rate_ppm.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double, targetFrac: Double,
+                     sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"bad temperature alpha $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0, s"bad target fraction $targetFrac")
+    val bySrc = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        round(pow(col("n_src").cast("double"), lit(alpha)) * lit(1000000.0)).cast("long"))
+    val tot = bySrc.agg(sum(col("n_src")).as("n_total"), sum(col("w")).as("sw"))
+    val rate = least(lit(1.0),
+      lit(targetFrac) * col("n_total").cast("double") * col("w").cast("double")
+        / col("sw").cast("double") / col("n_src").cast("double"))
+    docs.join(broadcast(bySrc), sourceCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("rate", rate)
+      .filter(hex6Int(col(idCol)) < round(col("rate") * lit(16777216.0)).cast("long"))
+      .select(col(idCol), col(sourceCol), col("n_src"),
+        round(col("rate") * lit(1000000.0)).cast("long").as("rate_ppm"))
+      .orderBy(idCol)
+  }
+
   /** Repetition quality stats (the Gopher-style repetition filters):
     * per doc, the share of the most-repeated word 2-gram among all
     * 2-grams and the share of duplicated tokens — both as exact

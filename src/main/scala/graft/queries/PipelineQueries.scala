@@ -828,4 +828,181 @@ object PipelineQueries {
       |  FROM documents
       |)
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------- corpus LM / retrieval
+
+  /** Corpus vocabulary heavy hitters (top 100 by corpus count). */
+  def qVocabTop(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.vocabTop(docs(s, dir), k = 100)
+
+  val qVocabTopSql: String =
+    """SELECT term, CAST(count(*) AS BIGINT) AS tf,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term
+      |ORDER BY tf DESC, term
+      |LIMIT 100""".stripMargin
+
+  /** Unigram-LM quality score per doc (see
+    * [[graft.operators.CorpusStats.unigramNll]]): mean token NLL under
+    * the corpus's own unigram distribution, on the 1e-5 ln lattice.
+    */
+  def qUnigramNll(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.unigramNll(docs(s, dir))
+
+  val qUnigramNllSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+      |),
+      |vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM vocab)
+      |SELECT doc AS doc_id, n_tokens, nll_total,
+      |       CAST(nll_total AS DOUBLE) / n_tokens AS avg_nll
+      |FROM (
+      |  SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(CAST(round(-ln(CAST(tf AS DOUBLE) / t) * 100000.0) AS BIGINT))
+      |              AS BIGINT) AS nll_total
+      |  FROM tok JOIN vocab USING (term) CROSS JOIN tot
+      |  GROUP BY doc
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  private val Bm25Terms = Seq("spark", "vector", "join")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 top-20 docs for a fixed query-term bag (see
+    * [[graft.operators.CorpusStats.bm25TopDocs]]). Constants are
+    * embedded through [[Sql.d]] so both engines parse the identical
+    * doubles.
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bm25TopDocs(docs(s, dir), Bm25Terms, topK = 20,
+      k1 = Bm25K1, b = Bm25B)
+
+  val qBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val k1p1 = Sql.d(Bm25K1 + 1.0)
+    val k1 = Sql.d(Bm25K1)
+    val oneMinusB = Sql.d(1.0 - Bm25B)
+    val b = Sql.d(Bm25B)
+    s"""WITH tok AS (
+       |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+       |),
+       |dl AS (SELECT doc_id AS doc, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |       FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS dl_sum
+       |          FROM dl),
+       |hit AS (SELECT doc, term FROM tok WHERE term IN ($terms)),
+       |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM hit GROUP BY doc, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |       FROM (SELECT DISTINCT doc, term FROM hit) GROUP BY term),
+       |sc AS (
+       |  SELECT doc,
+       |         CAST(round(idf * (CAST(tf AS DOUBLE) * $k1p1
+       |           / (CAST(tf AS DOUBLE) + $k1 * ($oneMinusB + $b
+       |              * (CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n)))))
+       |           * 1000000.0) AS BIGINT) AS sc
+       |  FROM (
+       |    SELECT tf.doc, tf.tf, dl.dl, n, dl_sum,
+       |           round(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |                 * 100000.0) / 100000.0 AS idf
+       |    FROM tf JOIN df USING (term) JOIN dl ON tf.doc = dl.doc CROSS JOIN stats
+       |  )
+       |)
+       |SELECT doc AS doc_id, CAST(SUM(sc) AS BIGINT) AS score_micro,
+       |       CAST(CAST(SUM(sc) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+       |FROM sc GROUP BY doc
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** Temperature-based source mixing at α=0.5, τ=0.5 (see
+    * [[graft.operators.TrainingPrep.temperatureMix]]).
+    */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.temperatureMix(docs(s, dir), alpha = 0.5, targetFrac = 0.5)
+
+  val qMixTemperatureSql: String = {
+    val tau = Sql.d(0.5)
+    val h6 = graft.operators.TrainingPrep.hex6IntSql("doc_id")
+    s"""WITH bysrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+       |         CAST(round(pow(CAST(CAST(count(*) AS BIGINT) AS DOUBLE), 0.5)
+       |              * 1000000.0) AS BIGINT) AS w
+       |  FROM documents GROUP BY source
+       |),
+       |tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total,
+       |               CAST(SUM(w) AS BIGINT) AS sw FROM bysrc),
+       |r AS (
+       |  SELECT d.doc_id, d.source, b.n_src,
+       |         LEAST(1.0, $tau * CAST(n_total AS DOUBLE) * CAST(w AS DOUBLE)
+       |               / CAST(sw AS DOUBLE) / CAST(n_src AS DOUBLE)) AS rate
+       |  FROM documents d JOIN bysrc b USING (source) CROSS JOIN tot
+       |)
+       |SELECT doc_id, source, n_src,
+       |       CAST(round(rate * 1000000.0) AS BIGINT) AS rate_ppm
+       |FROM r
+       |WHERE $h6 < CAST(round(rate * 16777216.0) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Int8 scalar-quantized top-10 search (see
+    * [[graft.operators.Similarity.sq8Search]]): exact integer dot
+    * products over the quantized codes.
+    */
+  def qSq8Search(s: SparkSession, dir: String): DataFrame =
+    Similarity.sq8Search(embs(s, dir), queryVecId = 0L, topK = 10, dims = Dims)
+
+  val qSq8SearchSql: String = {
+    val qdot = (1 to Dims).map(i => s"a.q8[$i] * qq[$i]").mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT max(abs(CAST(e AS DOUBLE))) AS r
+       |  FROM (SELECT unnest(embedding) AS e FROM embeddings)
+       |),
+       |q8 AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |                        x -> round(CAST(x AS DOUBLE) / r * 127.0)) AS q8
+       |  FROM embeddings CROSS JOIN r
+       |),
+       |q AS (SELECT q8 AS qq FROM q8 WHERE vec_id = 0)
+       |SELECT a.vec_id, CAST($qdot AS BIGINT) AS q_dot
+       |FROM q8 a CROSS JOIN q
+       |WHERE a.vec_id <> 0
+       |ORDER BY q_dot DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** SemDeDup over the trained k-means cells (see
+    * [[graft.operators.Similarity.semanticDedup]]): the oracle replays
+    * the identical Lloyd lattice iterations ([[kmeansCte]]), the same
+    * (cos desc, cent_id) assignment, and the same keep-min-id rule.
+    */
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(embs(s, dir), k = 8, iters = 2, threshold = 0.2, dims = Dims)
+
+  val qSemanticDedupSql: String =
+    s"""WITH $kmeansCte,
+       |cents AS (
+       |  SELECT cent_id, list(CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cent_emb
+       |  FROM c2 GROUP BY cent_id
+       |),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |s AS (SELECT e.vec_id AS id, e.embedding AS e, a.cell
+       |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+       |dup AS (SELECT DISTINCT b.id
+       |        FROM s a JOIN s b ON a.cell = b.cell AND a.id < b.id
+       |        WHERE round(${cosSql("a.e", "b.e")}, 6) >= 0.2)
+       |SELECT id AS vec_id, cell FROM s
+       |WHERE id NOT IN (SELECT id FROM dup)
+       |ORDER BY vec_id""".stripMargin
 }

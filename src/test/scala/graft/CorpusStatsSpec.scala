@@ -61,6 +61,46 @@ class CorpusStatsSpec extends SparkSpec {
       .forall(_.getAs[Double]("tfidf") == 0.0))
   }
 
+  test("vocabTop counts corpus tf and distinct-doc df, k-bounded") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "c")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.vocabTop(docs, k = 2).collect()
+    // tf: a=3, c=2, b=1 → top-2 is a then c
+    assert(out.map(_.getAs[String]("term")).toSeq == Seq("a", "c"))
+    val byTerm = out.map(r => r.getAs[String]("term") ->
+      (r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    assert(byTerm("a") == (3L, 2L)) // 3 occurrences across 2 docs
+    assert(byTerm("c") == (2L, 2L))
+  }
+
+  test("unigram NLL matches the hand-computed lattice values") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // tf: a=2 b=2 c=1, T=5; nll(a)=nll(b)=round(-ln(0.4)e5)=91629,
+    // nll(c)=round(-ln(0.2)e5)=160944
+    val out = CorpusStats.unigramNll(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("nll_total"),
+          r.getAs[Double]("avg_nll"))).toMap
+    assert(out(1L) == (3L, 3 * 91629L, 91629.0))
+    assert(out(2L) == (2L, 91629L + 160944L, (91629L + 160944L) / 2.0))
+  }
+
+  test("bm25 ranks by query-term frequency and omits no-hit docs") {
+    val docs = Seq(
+      (1L, "spark spark is fast here"), // 2 hits
+      (2L, "spark is also neat here"),  // 1 hit, same length
+      (3L, "nothing relevant at all x") // 0 hits → absent
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bm25TopDocs(docs, Seq("spark"), topK = 10).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Long]("score_micro") > out(1).getAs[Long]("score_micro"))
+    assert(out.forall(r => r.getAs[Double]("score") ==
+      r.getAs[Long]("score_micro") / 1.0e6))
+  }
+
   test("tfidf emits at most k rows per source with term tie-break") {
     val docs = Seq(
       (1L, "srcA", "a b c d e f g h"),

@@ -180,6 +180,35 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("d2") == exact(r.getAs[Long]("vec_id"))))
   }
 
+  test("sq8: codes bounded by ±127, the corpus max hits 127, search ranks exactly") {
+    import org.apache.spark.sql.functions._
+    val coded = Similarity.sq8Encode(embs, dims).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    // corpus abs-max is 5.0 (vec 1) → its code is exactly 127; others scale
+    assert(coded(1L)(0) == 127.0)
+    assert(coded(0L)(0) == 25.0) // round(1/5*127)
+    assert(coded.values.forall(_.forall(c => c.abs <= 127.0 && c == c.floor)))
+    // integer-dot ranking mirrors the cosine order of the fixture
+    val out = Similarity.sq8Search(embs, queryVecId = 0L, topK = 3, dims = dims).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0).getAs[Long]("q_dot") == 25L * 127L)
+    assert(out(1).getAs[Long]("q_dot") == 25L * 25L)
+    assert(out(2).getAs[Long]("q_dot") == 0L)
+  }
+
+  test("semantic dedup drops the higher-id member of a near-identical pair only") {
+    // ids 0 and 1 are co-directional (cos 1 ≥ 0.9) and land in the same
+    // cell regardless of the trained centroids (cosine is scale-invariant,
+    // assignment is rank-deterministic); 2 and 3 are below the bar
+    val out = Similarity.semanticDedup(embs, k = 2, iters = 2, threshold = 0.9,
+      dims = dims).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out == Set(0L, 2L, 3L))
+    // a lower threshold also sweeps up the 45-degree vector (cos ~0.707 to both)
+    val loose = Similarity.semanticDedup(embs, k = 1, iters = 1, threshold = 0.7,
+      dims = dims).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(loose == Set(0L, 2L)) // 1 dups 0; 3 dups 0 (and 1); 2 orthogonal survives
+  }
+
   test("banded near-dup recovers pairs that longer signatures split") {
     import org.apache.spark.sql.functions._
     // 500 random vectors + a planted near-identical pair (ids 9000/9001)

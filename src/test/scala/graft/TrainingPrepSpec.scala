@@ -45,6 +45,32 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 2L)) // eval has shingles {t q b, q b f}
   }
 
+  test("temperature mix at alpha=1 is a uniform tau-rate sample; tau=1 keeps all") {
+    val docs = spark.range(1, 501).select(col("id").as("doc_id"),
+      when(col("id") % 5 === 0, "big").otherwise("small").as("source"))
+    val all = TrainingPrep.temperatureMix(docs, alpha = 1.0, targetFrac = 1.0)
+    assert(all.count() == 500) // rate = tau = 1 for every source
+    assert(all.filter(col("rate_ppm") =!= 1000000L).isEmpty)
+  }
+
+  test("temperature mix upsamples tail sources at the exact derived rates") {
+    // n_A=900, n_B=100, alpha=0.5: w=(30e6,10e6), sw=40e6, N=1000
+    // rate_A = .3*1000*30e6/(40e6*900) = 0.25; rate_B = .3*1000*10e6/(40e6*100) = 0.75
+    val docs = spark.range(1, 1001).select(col("id").as("doc_id"),
+      when(col("id") <= 900, "A").otherwise("B").as("source"))
+    val out = TrainingPrep.temperatureMix(docs, alpha = 0.5, targetFrac = 0.3)
+    val rates = out.select("source", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates == Map("A" -> 250000L, "B" -> 750000L))
+    // empirical keeps track the rates (md5 uniformity), deterministically
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("A") - 225.0) / 225.0 < 0.15, counts.toString)
+    assert(math.abs(counts("B") - 75.0) / 75.0 < 0.15, counts.toString)
+    assert(out.exceptAll(
+      TrainingPrep.temperatureMix(docs, alpha = 0.5, targetFrac = 0.3)).isEmpty)
+  }
+
   test("repetition stats: top-gram and duplicate-token shares") {
     val docsDf = Seq(
       (1L, "a b a b a b"),       // 2-grams: ab ba ab ba ab → top "a b" 3/5
