@@ -749,6 +749,12 @@ object SparkEntry {
     "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
     "q_sq8_search" -> (PipelineQueries.qSq8Search _),
     "q_semantic_dedup" -> (PipelineQueries.qSemanticDedup _),
+    "q_ann_join" -> (PipelineQueries.qAnnJoin _),
+    "q_matryoshka" -> (PipelineQueries.qMatryoshka _),
+    "q_bigram_nll" -> (PipelineQueries.qBigramNll _),
+    "q_dsir_weights" -> (PipelineQueries.qDsirWeights _),
+    "q_kcenter" -> (PipelineQueries.qKcenter _),
+    "q_split" -> (PipelineQueries.qSplit _),
     "q_pq_train" -> (PipelineQueries.qPqTrain _),
     "q_pq_encode" -> (PipelineQueries.qPqEncode _),
     "q_pq_search" -> (PipelineQueries.qPqSearch _),
@@ -817,6 +823,12 @@ object SparkEntry {
     "q_mix_temperature" -> PipelineQueries.qMixTemperatureSql,
     "q_sq8_search" -> PipelineQueries.qSq8SearchSql,
     "q_semantic_dedup" -> PipelineQueries.qSemanticDedupSql,
+    "q_ann_join" -> PipelineQueries.qAnnJoinSql,
+    "q_matryoshka" -> PipelineQueries.qMatryoshkaSql,
+    "q_bigram_nll" -> PipelineQueries.qBigramNllSql,
+    "q_dsir_weights" -> PipelineQueries.qDsirWeightsSql,
+    "q_kcenter" -> PipelineQueries.qKcenterSql,
+    "q_split" -> PipelineQueries.qSplitSql,
     "q_pq_train" -> PipelineQueries.qPqTrainSql,
     "q_pq_encode" -> PipelineQueries.qPqEncodeSql,
     "q_pq_search" -> PipelineQueries.qPqSearchSql,

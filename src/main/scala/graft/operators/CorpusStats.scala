@@ -162,6 +162,51 @@ object CorpusStats {
       .orderBy(idCol)
   }
 
+  /** Interpolated bigram-LM fluency score per document — the next step
+    * up from [[unigramNll]]: score each token position (from the second
+    * token on) by −ln(λ·p(t₂|t₁) + (1−λ)·p(t₂)) under the corpus's own
+    * counts. Word-salad documents score high even when their unigram
+    * profile looks normal — the bigram term catches broken word ORDER.
+    *
+    * Cross-engine exactness: p(t₂|t₁) = c(t₁,t₂)/c₁(t₁) and
+    * p(t₂) = tf/T are single divisions of exact integers; the λ-mix is
+    * one fixed-shape fma-free chain; ln is snapped to the 1e-5 integer
+    * lattice, so per-doc totals are exact BIGINT sums.
+    *
+    * Scale shape: bigrams come from a per-doc window (doc-keyed
+    * shuffle, the same partitioning the per-doc sum needs later); the
+    * bigram/unigram count tables are vocabulary-bounded aggregations
+    * with map-side combine; both probability joins are key-equi (AQE
+    * broadcasts them while they fit). Output: doc_id, n_bigrams,
+    * nll_total, avg_nll — docs with <2 tokens are excluded.
+    */
+  def bigramNll(docs: DataFrame, lambda: Double = 0.7, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"bad interpolation lambda $lambda")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val tok = docs.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    val bi = tok.withColumn("t1", lag(col("term"), 1).over(w))
+      .filter(col("t1").isNotNull)
+    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = uni.agg(sum(col("tf")).as("t"))
+    val biCounts = bi.groupBy(col("t1"), col("term")).agg(count(lit(1)).as("c2"))
+    // context counts (bigrams starting with t1), so p(·|t1) sums to 1
+    val c1 = bi.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+    val pMix = lit(lambda) * (col("c2").cast("double") / col("c1")) +
+      lit(1.0 - lambda) * (col("tf").cast("double") / col("t"))
+    val nllUnit = round(-log(pMix) * lit(100000.0)).cast("long")
+    bi.join(biCounts, Seq("t1", "term"))
+      .join(c1, "t1")
+      .join(uni, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(nllUnit).as("nll_total"))
+      .withColumn("avg_nll", col("nll_total").cast("double") / col("n_bigrams"))
+      .orderBy(idCol)
+  }
+
   /** BM25 document ranking for a bag of query terms (public knowledge:
     * Robertson & Zaragoza, "The Probabilistic Relevance Framework: BM25
     * and Beyond", 2009) — the retrieval scorer a data pipeline uses for

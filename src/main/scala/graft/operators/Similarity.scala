@@ -652,6 +652,124 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Batch ANN join — top-`k` approximate neighbors from `corpus` for
+    * EVERY row of `queries` (the retrieval-augmentation / hard-negative
+    * mining shape: a query TABLE, not a single vector). Candidates are
+    * restricted to pairs sharing the `bits`-bit hyperplane signature;
+    * within a query's candidate set the rank is exact rounded cosine.
+    *
+    * Scale shape: both sides compute signatures map-side; the candidate
+    * join is a plain sig-keyed equi-join (shuffle bounded by candidate
+    * pairs ~ |Q|·bucket, never |Q|·|C|); the per-query top-k is a window
+    * rank that Spark 4 pushes down as WindowGroupLimit before the final
+    * shuffle. Norms are materialized once per VECTOR, not per pair.
+    * Queries whose bucket holds no corpus vector yield no rows (the
+    * honest ANN contract; widen `bits` down or band to raise recall).
+    *
+    * Output: query_id, nn_id, nn_rank (1-based), cos_sim.
+    */
+  def annJoin(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int, dims: Int,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qs = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"),
+      norm(col(embCol), dims).as("qn"),
+      hyperplaneSig(col(embCol), bits, dims).as("sig"))
+    val cs = corpus.select(col(idCol).as("nn_id"), col(embCol).as("ce"),
+      norm(col(embCol), dims).as("cn"),
+      hyperplaneSig(col(embCol), bits, dims).as("sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    qs.join(cs, "sig")
+      .select(col("query_id"), col("nn_id"),
+        round(cosinePre(col("qe"), col("ce"), col("qn"), col("cn"), dims), 6).as("cos_sim"))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+      .orderBy(col("query_id"), col("nn_rank"))
+  }
+
+  /** Matryoshka-style adaptive retrieval (public knowledge: Kusupati et
+    * al., "Matryoshka Representation Learning", 2022): rank the corpus
+    * by cosine over only the FIRST `dPrefix` dimensions, keep a
+    * `shortlist`, then re-rank the shortlist with the full `dims`-dim
+    * cosine. The cheap pass does dPrefix/dims of the arithmetic; a
+    * deployment stores the prefix as its own column group so the first
+    * pass also reads a fraction of the bytes — here both passes share
+    * one scan and the win is compute.
+    *
+    * Both passes are deterministic ((rounded cos desc, id) order), so
+    * the result is engine-exact even though the shortlist is an
+    * approximation of the full-dim top-k. Output: vec_id, cos_prefix,
+    * cos_sim — topK rows by (cos_sim desc, vec_id).
+    */
+  def matryoshkaSearch(embs: DataFrame, queryVecId: Long, dPrefix: Int,
+                       shortlist: Int, topK: Int, dims: Int,
+                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(dPrefix > 0 && dPrefix <= dims, s"bad prefix dims $dPrefix")
+    val q = embs.filter(col(idCol) === queryVecId).select(col(embCol).as("qe"))
+    val short = embs.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(embCol), col("qe"),
+        round(cosine(col(embCol), col("qe"), dPrefix), 6).as("cos_prefix"))
+      .orderBy(col("cos_prefix").desc, col(idCol))
+      .limit(shortlist)
+    short
+      .select(col(idCol), col("cos_prefix"),
+        round(cosine(col(embCol), col("qe"), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Greedy k-center sampling (farthest-point traversal — the classic
+    * 2-approximation of Gonzalez, "Clustering to minimize the maximum
+    * intercluster distance", 1985): pick the min-id point, then k−1
+    * times the point farthest from everything chosen so far — the
+    * standard diversity-maximizing coreset selector for training-data
+    * subset curation.
+    *
+    * Exactness: vectors live on the integer micro-lattice
+    * (round(x·1e6) — elements ≤ ~4e6, d² sums ≤ dims·6.4e13 ≪ 2^53), so
+    * every distance is an exactly-represented integer and the
+    * (d² desc, id) argmax is engine-identical.
+    *
+    * Scale shape: one O(n) map pass per round against the single
+    * broadcast new center, a global top-1 (TakeOrdered), and a
+    * persisted running min — k·O(n) total, the distributed-greedy
+    * standard. The only driver traffic is one row per round.
+    *
+    * Output: sel_order (0-based), idCol, d2_sel (distance² to the
+    * previously-chosen set at selection time; 0 for the seed).
+    */
+  def kcenterSample(embs: DataFrame, k: Int, dims: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val spark = embs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val mv = CachePool.track(embs.select(col(idCol).as("id"),
+        transform(col(embCol), x => round(x.cast("double") * lit(1000000.0))).as("mv"))
+      .withColumn("nn", dot(col("mv"), col("mv"), dims)))
+    val seed = mv.orderBy(col("id")).limit(1).collect().head
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    selected += ((0L, seed.getLong(0), 0L))
+    // running state: min d² to the chosen set, updated against each new center
+    var state = mv.select(col("id"), col("mv"), col("nn"), lit(Double.MaxValue).as("mind2"))
+    var center = seed
+    for (round <- 1L until k.toLong) {
+      val cMv = center.getSeq[Double](1)
+      val cNn = center.getDouble(2)
+      val d2 = col("nn") + lit(cNn) - lit(2.0) * dot(col("mv"), typedLit(cMv), dims)
+      val next = state.select(col("id"), col("mv"), col("nn"),
+        least(col("mind2"), d2).as("mind2")).persist(StorageLevel.MEMORY_AND_DISK)
+      val far = next.orderBy(col("mind2").desc, col("id")).limit(1).collect().head
+      state.unpersist()
+      state = next
+      center = far
+      // mind2 is an exact micro²-lattice integer — carry it as BIGINT
+      selected += ((round, far.getLong(0), far.getDouble(3).toLong))
+    }
+    state.unpersist()
+    import spark.implicits._
+    selected.toSeq.toDF("sel_order", idCol, "d2_sel").orderBy(col("sel_order"))
+  }
+
   /** LSH-restricted nearest neighbor: best cosine among same-bucket
     * vectors (approximate — exactly the candidate set a distributed ANN
     * would score). Vectors alone in their bucket produce no row.

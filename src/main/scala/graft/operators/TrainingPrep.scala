@@ -238,6 +238,84 @@ object TrainingPrep {
       .orderBy(idCol)
   }
 
+  /** DSIR-style importance weighting (public knowledge: Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * 2023): featurize each document as hashed word-bigram counts over
+    * `buckets` buckets, fit Laplace-smoothed categorical distributions
+    * to a small TARGET corpus and the RAW corpus, and score every raw
+    * document by its log importance weight
+    * Σ_f c_doc(f)·(ln p_target(f) − ln p_raw(f)). High scores = "looks
+    * like the target domain"; resample raw data by this weight to steer
+    * a 100 TB crawl toward a curated distribution.
+    *
+    * Cross-engine exactness: bucket counts are integers; each smoothed
+    * probability (c+1)/(C+B) is one double division of exact integers;
+    * both lns are snapped to the 1e-5 integer lattice, their difference
+    * is an exact integer, and the per-doc Σ c·Δ is an exact BIGINT sum.
+    *
+    * Scale shape: both distributions are ≤`buckets`-row aggregates
+    * (map-side combined, broadcast back); the per-doc score is one
+    * bucket-keyed join against that broadcast table plus a doc-keyed
+    * aggregation. The target corpus is small by construction (a curated
+    * sample), the raw side streams. Output: idCol, n_feats, logw_total
+    * (lattice units), avg_logw — raw docs with ≥1 bigram, ordered by id.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, buckets: Int,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, s"bad bucket count $buckets")
+    def feats(df: DataFrame): DataFrame = {
+      val toks = split(col(textCol), " ")
+      df.select(col(idCol).as("doc"),
+          explode(transform(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+            (t, i) => concat(t, lit(" "), element_at(toks, i + 2)))).as("bigram"))
+        .select(col("doc"), pmod(hex6Int(col("bigram")), lit(buckets.toLong)).as("f"))
+    }
+    val rawFeats = CachePool.track(feats(raw))
+    // unseen buckets still carry smoothed mass: build the full bucket
+    // domain so ln p_target − ln p_raw is defined for every feature
+    val domain = raw.sparkSession.range(buckets).select(col("id").as("f"))
+    val tCnt = feats(target).groupBy(col("f")).agg(count(lit(1)).as("c"))
+    val tTot = feats(target).agg(count(lit(1)).as("ct"))
+    val rCnt = rawFeats.groupBy(col("f")).agg(count(lit(1)).as("c"))
+    val rTot = rawFeats.agg(count(lit(1)).as("ct"))
+    def lnSmoothed(cnt: DataFrame, totDf: DataFrame, name: String): DataFrame =
+      domain.join(broadcast(cnt), Seq("f"), "left")
+        .crossJoin(broadcast(totDf))
+        .select(col("f"),
+          round(log((coalesce(col("c"), lit(0L)) + lit(1.0))
+            / (col("ct") + lit(buckets.toDouble))) * lit(100000.0)).cast("long").as(name))
+    val lnT = lnSmoothed(tCnt, tTot, "ln_t")
+    val lnR = lnSmoothed(rCnt, rTot, "ln_r")
+    val table = broadcast(lnT.join(lnR, "f")
+      .select(col("f"), (col("ln_t") - col("ln_r")).as("dln")))
+    rawFeats.join(table, "f")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("dln")).as("logw_total"))
+      .withColumn("avg_logw", col("logw_total").cast("double") / col("n_feats"))
+      .orderBy(idCol)
+  }
+
+  /** Deterministic train/val/test assignment by the md5 sampling key —
+    * the split survives reruns, appends, and repartitioning, and a
+    * document NEVER migrates between splits when fractions are frozen.
+    * Thresholds are exact integers on the [0, 16⁶) key space.
+    * Output: idCol, split — every input row, tagged.
+    */
+  def assignSplit(docs: DataFrame, trainFrac: Double, valFrac: Double,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"bad split fractions ($trainFrac, $valFrac)")
+    val space = 16777216.0 // 16^6
+    val tTrain = math.round(trainFrac * space)
+    val tVal = math.round((trainFrac + valFrac) * space)
+    val h = hex6Int(col(idCol))
+    docs.select(col(idCol),
+      when(h < lit(tTrain), "train")
+        .when(h < lit(tVal), "val")
+        .otherwise("test").as("split"))
+      .orderBy(idCol)
+  }
+
   /** Repetition quality stats (the Gopher-style repetition filters):
     * per doc, the share of the most-repeated word 2-gram among all
     * 2-grams and the share of duplicated tokens — both as exact

@@ -110,11 +110,15 @@ object PipelineQueries {
 
   // ----------------------------------------------------------- similarity
 
-  private def dotSql(a: String, b: String): String =
-    (1 to Dims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private def dotSql(a: String, b: String): String = dotSqlN(a, b, Dims)
+
+  private def cosSqlN(a: String, b: String, n: Int): String =
+    s"(${dotSqlN(a, b, n)}) / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)}))"
+
+  private def cosSql(a: String, b: String): String = cosSqlN(a, b, Dims)
 
   def qSimTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embs(s, dir), queryVecId = 0L, k = 10, dims = Dims)
@@ -129,12 +133,14 @@ object PipelineQueries {
 
   private val AnnBits = 8
 
-  private def sigSql(e: String): String =
-    (0 until AnnBits).map { b =>
+  private def sigSqlBits(e: String, bits: Int): String =
+    (0 until bits).map { b =>
       val proj = (1 to Dims).map(i =>
         s"${Sql.d(Similarity.planeCoef(b, i, Dims))} * CAST($e[$i] AS DOUBLE)").mkString(" + ")
       s"CASE WHEN $proj > 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
+
+  private def sigSql(e: String): String = sigSqlBits(e, AnnBits)
 
   def qAnnBuckets(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBuckets(embs(s, dir), bits = AnnBits, dims = Dims)
@@ -1005,4 +1011,214 @@ object PipelineQueries {
        |SELECT id AS vec_id, cell FROM s
        |WHERE id NOT IN (SELECT id FROM dup)
        |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------- batch retrieval / curation
+
+  private val AnnJoinBits = 6
+  private val AnnJoinSplit = 25L // vec_id < split are queries, rest corpus
+
+  /** Batch ANN join: top-3 same-bucket neighbors for every query vector
+    * (see [[graft.operators.Similarity.annJoin]]).
+    */
+  def qAnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.annJoin(e.filter(col("vec_id") < AnnJoinSplit),
+      e.filter(col("vec_id") >= AnnJoinSplit), bits = AnnJoinBits, k = 3, dims = Dims)
+  }
+
+  val qAnnJoinSql: String =
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, ${sigSqlBits("embedding", AnnJoinBits)} AS sig
+       |  FROM embeddings WHERE vec_id < $AnnJoinSplit
+       |),
+       |cs AS (
+       |  SELECT vec_id AS nn_id, embedding AS ce, ${sigSqlBits("embedding", AnnJoinBits)} AS sig
+       |  FROM embeddings WHERE vec_id >= $AnnJoinSplit
+       |),
+       |pairs AS (
+       |  SELECT query_id, nn_id, round(${cosSql("qe", "ce")}, 6) AS cos_sim
+       |  FROM qs JOIN cs USING (sig)
+       |)
+       |SELECT query_id, nn_id, cos_sim, nn_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, nn_id) AS nn_rank
+       |  FROM pairs
+       |) WHERE nn_rank <= 3
+       |ORDER BY query_id, nn_rank""".stripMargin
+
+  /** Matryoshka adaptive retrieval: 16-dim prefix shortlist of 50,
+    * full-dim re-rank to top-10 (see
+    * [[graft.operators.Similarity.matryoshkaSearch]]).
+    */
+  def qMatryoshka(s: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaSearch(embs(s, dir), queryVecId = 0L, dPrefix = 16,
+      shortlist = 50, topK = 10, dims = Dims)
+
+  val qMatryoshkaSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |short AS (
+       |  SELECT vec_id, embedding, qe,
+       |         round(${cosSqlN("embedding", "qe", 16)}, 6) AS cos_prefix
+       |  FROM embeddings, q
+       |  WHERE vec_id <> 0
+       |  ORDER BY cos_prefix DESC, vec_id
+       |  LIMIT 50
+       |)
+       |SELECT vec_id, cos_prefix, round(${cosSql("embedding", "qe")}, 6) AS cos_sim
+       |FROM short
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  private val BigramLambda = 0.7
+
+  /** Interpolated bigram-LM fluency score (see
+    * [[graft.operators.CorpusStats.bigramNll]]).
+    */
+  def qBigramNll(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bigramNll(docs(s, dir), lambda = BigramLambda)
+
+  val qBigramNllSql: String = {
+    val lam = Sql.d(BigramLambda)
+    val oneMinus = Sql.d(1.0 - BigramLambda)
+    s"""WITH tok AS (
+       |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+       |),
+       |bi AS (
+       |  SELECT doc_id AS doc, bg.t1 AS t1, bg.t2 AS term FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+       |      i -> struct_pack(t1 := t[i], t2 := t[i+1]))) AS bg
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |    WHERE len(t) >= 2
+       |  )
+       |),
+       |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term),
+       |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM uni),
+       |bic AS (SELECT t1, term, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY t1, term),
+       |c1 AS (SELECT t1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY t1)
+       |SELECT doc AS doc_id, n_bigrams, nll_total,
+       |       CAST(nll_total AS DOUBLE) / n_bigrams AS avg_nll
+       |FROM (
+       |  SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(CAST(round(-ln($lam * (CAST(c2 AS DOUBLE) / c1)
+       |                              + $oneMinus * (CAST(tf AS DOUBLE) / t))
+       |                      * 100000.0) AS BIGINT)) AS BIGINT) AS nll_total
+       |  FROM bi JOIN bic USING (t1, term) JOIN c1 USING (t1) JOIN uni USING (term)
+       |       CROSS JOIN tot
+       |  GROUP BY doc
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val DsirBuckets = 4096
+  private val DsirTarget = "src0"
+
+  /** DSIR importance weights of the raw corpus against the `src0`
+    * target slice (see
+    * [[graft.operators.TrainingPrep.importanceWeights]]).
+    */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.TrainingPrep.importanceWeights(
+      d.filter(col("source") =!= DsirTarget), d.filter(col("source") === DsirTarget),
+      buckets = DsirBuckets)
+  }
+
+  val qDsirWeightsSql: String = {
+    val h6 = graft.operators.TrainingPrep.hex6IntSql("bg")
+    def featCte(name: String, pred: String) =
+      s"""$name AS (
+         |  SELECT doc_id AS doc, ($h6) % $DsirBuckets AS f FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |      i -> t[i] || ' ' || t[i+1])) AS bg
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |          WHERE $pred)
+         |    WHERE len(t) >= 2
+         |  )
+         |)""".stripMargin
+    s"""WITH ${featCte("rfeat", s"source <> '$DsirTarget'")},
+       |${featCte("tfeat", s"source = '$DsirTarget'")},
+       |dom AS (SELECT unnest(generate_series(0, ${DsirBuckets - 1})) AS f),
+       |tcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c FROM tfeat GROUP BY f),
+       |ttot AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM tfeat),
+       |rcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS c FROM rfeat GROUP BY f),
+       |rtot AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM rfeat),
+       |lnt AS (SELECT dom.f,
+       |               CAST(round(ln((COALESCE(c, 0) + 1.0) / (ct + ${DsirBuckets}.0))
+       |                    * 100000.0) AS BIGINT) AS ln_t
+       |        FROM dom LEFT JOIN tcnt USING (f) CROSS JOIN ttot),
+       |lnr AS (SELECT dom.f,
+       |               CAST(round(ln((COALESCE(c, 0) + 1.0) / (ct + ${DsirBuckets}.0))
+       |                    * 100000.0) AS BIGINT) AS ln_r
+       |        FROM dom LEFT JOIN rcnt USING (f) CROSS JOIN rtot),
+       |tbl AS (SELECT f, ln_t - ln_r AS dln FROM lnt JOIN lnr USING (f))
+       |SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |       CAST(SUM(dln) AS BIGINT) AS logw_total,
+       |       CAST(CAST(SUM(dln) AS BIGINT) AS DOUBLE) / count(*) AS avg_logw
+       |FROM rfeat JOIN tbl USING (f)
+       |GROUP BY doc
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val KcenterK = 4
+
+  /** Greedy k-center diversity sample, k=4 (see
+    * [[graft.operators.Similarity.kcenterSample]]); the oracle replays
+    * the identical farthest-point rounds on the micro² integer lattice.
+    */
+  def qKcenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kcenterSample(embs(s, dir), k = KcenterK, dims = Dims)
+
+  val qKcenterSql: String = {
+    def dotMv(a: String, b: String) =
+      (1 to Dims).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+    val rounds = (1 until KcenterK).map { r =>
+      val prev = if (r == 1) "m2" else s"d${r - 1}"
+      val mind2 = if (r == 1)
+        s"(p.nn + c.nn - 2.0 * (${dotMv("p.mv", "c.mv")}))"
+      else
+        s"LEAST(p.mind2, p.nn + c.nn - 2.0 * (${dotMv("p.mv", "c.mv")}))"
+      s"""d$r AS (
+         |  SELECT p.id, p.mv, p.nn, $mind2 AS mind2
+         |  FROM $prev p CROSS JOIN c${r - 1} c
+         |),
+         |c$r AS (SELECT * FROM d$r ORDER BY mind2 DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 until KcenterK).map(r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), id, CAST(mind2 AS BIGINT) FROM c$r")
+      .mkString("\n")
+    s"""WITH mv AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS mv
+       |  FROM embeddings
+       |),
+       |m2 AS (SELECT id, mv, ${dotMv("mv", "mv")} AS nn FROM mv),
+       |c0 AS (SELECT id, mv, nn FROM m2 ORDER BY id LIMIT 1),
+       |$rounds
+       |SELECT CAST(0 AS BIGINT) AS sel_order, id AS vec_id, CAST(0 AS BIGINT) AS d2_sel
+       |FROM c0
+       |$sel
+       |ORDER BY sel_order""".stripMargin
+  }
+
+  private val SplitTrain = 0.8
+  private val SplitVal = 0.1
+
+  /** Deterministic hash split 80/10/10 (see
+    * [[graft.operators.TrainingPrep.assignSplit]]).
+    */
+  def qSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.assignSplit(docs(s, dir), SplitTrain, SplitVal)
+
+  val qSplitSql: String = {
+    // the identical threshold arithmetic the operator performs
+    val tTrain = math.round(SplitTrain * 16777216.0)
+    val tVal = math.round((SplitTrain + SplitVal) * 16777216.0)
+    val h6 = graft.operators.TrainingPrep.hex6IntSql("doc_id")
+    s"""SELECT doc_id,
+       |       CASE WHEN $h6 < $tTrain THEN 'train'
+       |            WHEN $h6 < $tVal THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
 }

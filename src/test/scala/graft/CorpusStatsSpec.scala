@@ -88,6 +88,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2L) == (2L, 91629L + 160944L, (91629L + 160944L) / 2.0))
   }
 
+  test("bigram NLL interpolates bigram and unigram probabilities on the lattice") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // uni: a=3 b=2 c=1 solo=1 (T=7 — ALL tokens, incl. short docs');
+    // bi: (a,b)=2 (a,c)=1; context c1(a)=3
+    def nll(pBi: Double, pUni: Double): Long =
+      math.round(-math.log(0.7 * pBi + 0.3 * pUni) * 100000.0)
+    val out = CorpusStats.bigramNll(docs, lambda = 0.7).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_total"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // <2-token doc has no bigrams
+    assert(out(1L) == (1L, nll(2.0 / 3, 2.0 / 7)))
+    assert(out(2L) == out(1L))
+    assert(out(3L) == (1L, nll(1.0 / 3, 1.0 / 7)))
+    // the rarer continuation scores strictly worse
+    assert(out(3L)._2 > out(1L)._2)
+  }
+
   test("bm25 ranks by query-term frequency and omits no-hit docs") {
     val docs = Seq(
       (1L, "spark spark is fast here"), // 2 hits

@@ -209,6 +209,57 @@ class SimilaritySpec extends SparkSpec {
     assert(loose == Set(0L, 2L)) // 1 dups 0; 3 dups 0 (and 1); 2 orthogonal survives
   }
 
+  test("ann join returns per-query ranked same-bucket neighbors") {
+    import org.apache.spark.sql.functions._
+    val queries = Seq((100L, basis(0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, basis(0, 5.0f)), // same direction → same sig, cos 1
+      (2L, basis(1)),
+      (3L, Array.tabulate(dims)(j => if (j <= 1) 1.0f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.annJoin(queries, corpus, bits = 8, k = 3, dims = dims).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("query_id") == 100L)
+    assert(out.head.getAs[Long]("nn_id") == 1L)     // rank 1 = co-directional
+    assert(out.head.getAs[Long]("nn_rank") == 1L)
+    assert(out.head.getAs[Double]("cos_sim") == 1.0)
+    // ranks are contiguous from 1 and cosine is non-increasing
+    val ranks = out.map(_.getAs[Long]("nn_rank")).toSeq
+    assert(ranks == (1L to ranks.length))
+    val sims = out.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("matryoshka: prefix shortlist can exclude, full-dim order decides") {
+    val e = Seq(
+      (0L, basis(0)),                                              // query
+      (1L, basis(0)),                                              // prefix 1, full 1
+      (2L, Array.tabulate(dims)(j => if (j == 0 || j == 10) 1.0f else 0.0f)), // prefix 1, full .707
+      (3L, Array.tabulate(dims)(j => if (j == 0) -0.1f else if (j == 10) 1.0f else 0.0f))
+    ).toDF("vec_id", "embedding") // 3: prefix cos −1 → shortlisted out
+    val out = Similarity.matryoshkaSearch(e, queryVecId = 0L, dPrefix = 4,
+      shortlist = 2, topK = 3, dims = dims).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Double]("cos_sim") == 1.0)
+    assert(math.abs(out(1).getAs[Double]("cos_sim") - 0.707107) < 1e-6)
+  }
+
+  test("k-center greedily selects farthest points with exact lattice distances") {
+    def pt(x: Double): Array[Float] = {
+      val a = Array.fill(dims)(0.0f); a(0) = x.toFloat; a
+    }
+    val e = Seq((0L, pt(0.0)), (1L, pt(1.0)), (2L, pt(10.0)), (3L, pt(10.1)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kcenterSample(e, k = 4, dims = dims).collect()
+      .map(r => (r.getAs[Long]("sel_order"), r.getAs[Long]("vec_id"), r.getAs[Long]("d2_sel")))
+    // seed = min id; then 10.1 (farthest from 0), then 1.0, then 10.0
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L),
+      (1L, 3L, 102010000000000L),  // (10.1e6)²  — exact micro² integer
+      (2L, 1L, 1000000000000L),    // (1e6)²
+      (3L, 2L, 10000000000L)))     // (0.1e6)² to the 10.1 center
+  }
+
   test("banded near-dup recovers pairs that longer signatures split") {
     import org.apache.spark.sql.functions._
     // 500 random vectors + a planted near-identical pair (ids 9000/9001)

@@ -71,6 +71,38 @@ class TrainingPrepSpec extends SparkSpec {
       TrainingPrep.temperatureMix(docs, alpha = 0.5, targetFrac = 0.3)).isEmpty)
   }
 
+  test("dsir: target-like docs outscore off-target docs, feature counts exact") {
+    val raw = Seq(
+      (1L, "x x x x"),     // 3 × bigram "x x" — matches the target
+      (2L, "y z y z")      // bigrams unseen in the target
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "x x x x x x")).toDF("doc_id", "text")
+    val out = TrainingPrep.importanceWeights(raw, target, buckets = 4096).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("logw_total"))).toMap
+    assert(out(1L)._1 == 3L && out(2L)._1 == 3L)
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out(1L)._2 > 0L)  // "x x" is MORE likely under the target
+    assert(out(2L)._2 < 0L)  // unseen-in-target features: smoothing mass only
+  }
+
+  test("split assignment is exhaustive, stable under subsetting, near the fractions") {
+    val docs = spark.range(1, 2001).select(col("id").as("doc_id"))
+    val out = TrainingPrep.assignSplit(docs, trainFrac = 0.8, valFrac = 0.1)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 1600.0) / 1600.0 < 0.08, counts.toString)
+    assert(math.abs(counts("val") - 200.0) / 200.0 < 0.30, counts.toString)
+    assert(math.abs(counts("test") - 200.0) / 200.0 < 0.30, counts.toString)
+    // a doc's split never changes when the table is subset or appended
+    val subset = TrainingPrep.assignSplit(docs.filter(col("doc_id") < 100), 0.8, 0.1)
+    assert(subset.exceptAll(out.filter(col("doc_id") < 100)).isEmpty)
+    // degenerate fractions: everything is train
+    assert(TrainingPrep.assignSplit(docs, 1.0, 0.0)
+      .filter(col("split") =!= "train").isEmpty)
+  }
+
   test("repetition stats: top-gram and duplicate-token shares") {
     val docsDf = Seq(
       (1L, "a b a b a b"),       // 2-grams: ab ba ab ba ab → top "a b" 3/5
