@@ -218,7 +218,18 @@ object TrainingPrep {
     * shuffle. Output (kept rows): idCol, sourceCol, n_src, rate_ppm.
     */
   def temperatureMix(docs: DataFrame, alpha: Double, targetFrac: Double,
-                     sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+                     sourceCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    temperatureMixWith(docs, mixRates(docs, alpha, targetFrac, sourceCol),
+      sourceCol, idCol).orderBy(idCol)
+
+  /** The mixing POLICY of [[temperatureMix]] as a standalone small
+    * table — (sourceCol, n_src, rate) — so it can be fit once on a
+    * corpus snapshot and applied frozen to later arrivals (the
+    * streaming-ingest contract; see
+    * [[graft.streaming.DocStream.resampleDocs]]).
+    */
+  def mixRates(docs: DataFrame, alpha: Double, targetFrac: Double,
+               sourceCol: String = "source"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"bad temperature alpha $alpha")
     require(targetFrac > 0.0 && targetFrac <= 1.0, s"bad target fraction $targetFrac")
     val bySrc = docs.groupBy(col(sourceCol))
@@ -229,14 +240,20 @@ object TrainingPrep {
     val rate = least(lit(1.0),
       lit(targetFrac) * col("n_total").cast("double") * col("w").cast("double")
         / col("sw").cast("double") / col("n_src").cast("double"))
-    docs.join(broadcast(bySrc), sourceCol)
-      .crossJoin(broadcast(tot))
-      .withColumn("rate", rate)
+    bySrc.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_src"), rate.as("rate"))
+  }
+
+  /** Apply a frozen [[mixRates]] policy: the per-row md5 keep decision
+    * only — stateless, shuffle-free past the broadcast, and safe inside
+    * a streaming micro-batch (no sort, no corpus-wide aggregation).
+    */
+  def temperatureMixWith(docs: DataFrame, rates: DataFrame,
+                         sourceCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    docs.join(broadcast(rates), sourceCol)
       .filter(hex6Int(col(idCol)) < round(col("rate") * lit(16777216.0)).cast("long"))
       .select(col(idCol), col(sourceCol), col("n_src"),
         round(col("rate") * lit(1000000.0)).cast("long").as("rate_ppm"))
-      .orderBy(idCol)
-  }
 
   /** DSIR-style importance weighting (public knowledge: Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
@@ -274,10 +291,14 @@ object TrainingPrep {
     // unseen buckets still carry smoothed mass: build the full bucket
     // domain so ln p_target − ln p_raw is defined for every feature
     val domain = raw.sparkSession.range(buckets).select(col("id").as("f"))
-    val tCnt = feats(target).groupBy(col("f")).agg(count(lit(1)).as("c"))
-    val tTot = feats(target).agg(count(lit(1)).as("ct"))
-    val rCnt = rawFeats.groupBy(col("f")).agg(count(lit(1)).as("c"))
-    val rTot = rawFeats.agg(count(lit(1)).as("ct"))
+    // totals fold out of the (tiny, pool-cached) count tables — each
+    // corpus is featurized exactly once
+    val tCnt = CachePool.track(
+      feats(target).groupBy(col("f")).agg(count(lit(1)).as("c")))
+    val tTot = tCnt.agg(sum(col("c")).as("ct"))
+    val rCnt = CachePool.track(
+      rawFeats.groupBy(col("f")).agg(count(lit(1)).as("c")))
+    val rTot = rCnt.agg(sum(col("c")).as("ct"))
     def lnSmoothed(cnt: DataFrame, totDf: DataFrame, name: String): DataFrame =
       domain.join(broadcast(cnt), Seq("f"), "left")
         .crossJoin(broadcast(totDf))

@@ -46,4 +46,15 @@ object DocStream {
       .withWatermark("ingest_ts", "1 hour")
       .withColumn("dedup_key", dedupKey(col("text"), k))
       .dropDuplicatesWithinWatermark("dedup_key")
+
+  /** Online temperature resampling with a FROZEN policy — the streaming
+    * twin of [[graft.operators.TrainingPrep.temperatureMix]]: rates are
+    * fit once on a corpus snapshot ([[graft.operators.TrainingPrep
+    * .mixRates]]), broadcast, and applied statelessly per micro-batch.
+    * Because the keep decision is the deterministic md5 key, streaming
+    * arrival order cannot change which documents survive — stream ≡
+    * batch row for row (StreamingSpec proves it).
+    */
+  def resampleDocs(docs: DataFrame, rates: DataFrame): DataFrame =
+    graft.operators.TrainingPrep.temperatureMixWith(docs, rates)
 }

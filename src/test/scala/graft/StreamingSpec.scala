@@ -127,6 +127,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming temperature resampling with frozen rates matches batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-stream-mix")
+    val full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    full.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+
+    // policy fit ONCE on the snapshot, then frozen for the stream
+    val rates = graft.operators.TrainingPrep
+      .mixRates(full, alpha = 0.5, targetFrac = 0.5).persist()
+    rates.count()
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = graft.streaming.DocStream.resampleDocs(batch, rates).collect()
+        out.synchronized {
+          out ++= kept.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rate_ppm")))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batchKept = graft.operators.TrainingPrep
+        .temperatureMixWith(full, rates).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rate_ppm")))
+      assert(out.toSet == batchKept.toSet) // arrival order cannot change the sample
+      assert(out.size == batchKept.length)
+      assert(out.nonEmpty && out.size < full.count())
+    } finally {
+      q.stop()
+      rates.unpersist()
+    }
+  }
+
   test("streaming PQ encoding with a frozen codebook matches batch encoding") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-stream-pq")
