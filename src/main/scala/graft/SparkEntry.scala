@@ -717,6 +717,8 @@ object SparkEntry {
     "q_stream_window" -> ((s, dir) => Ev.qStreamWindow(events(s, dir))),
     "q_sessionize" -> ((s, dir) => Ev.qSessionize(events(s, dir))),
     "q_asof_join" -> ((s, dir) => Ev.qAsofJoin(events(s, dir))),
+    "q_funnel" -> ((s, dir) => Ev.qFunnel(events(s, dir))),
+    "q_retention" -> ((s, dir) => Ev.qRetention(events(s, dir))),
     "q_range_join" -> ((s, dir) => Ev.qRangeJoin(events(s, dir))),
     "q_dedup_exact" -> (DedupQueries.qExact _),
     "q_dedup_ngram" -> (DedupQueries.qNgram _),
@@ -791,6 +793,8 @@ object SparkEntry {
     "q_stream_window" -> Ev.qStreamWindowSql,
     "q_sessionize" -> Ev.qSessionizeSql,
     "q_asof_join" -> Ev.qAsofJoinSql,
+    "q_funnel" -> Ev.qFunnelSql,
+    "q_retention" -> Ev.qRetentionSql,
     "q_range_join" -> Ev.qRangeJoinSql,
     "q_dedup_exact" -> DedupQueries.qExactSql,
     "q_dedup_ngram" -> DedupQueries.qNgramSql,

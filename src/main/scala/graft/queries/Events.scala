@@ -128,4 +128,87 @@ object Events {
        |JOIN sess s ON e.user_id = s.user_id
        |            AND e.ts >= s.t_start AND e.ts <= s.t_end
        |ORDER BY e.event_id""".stripMargin
+
+  /** Ordered funnel: view → click → purchase, each step strictly AFTER
+    * the previous step's first completion — the classic step-chained
+    * conditional-min funnel. Partial funnels surface as NULL steps with
+    * `depth` counting completed stages.
+    *
+    * Scale shape: every stage is a user-keyed aggregation after a
+    * user-keyed join, so all shuffles share one partitioning and AQE
+    * collapses the co-partitioned exchanges; step tables shrink
+    * monotonically (only step-N completers reach stage N+1).
+    */
+  def qFunnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy(col("user_id"))
+  }
+
+  val qFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |       CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+      |            AS BIGINT) AS depth
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** Retention cohorts: users grouped by first-signup day, counted as
+    * retained on each later day they produced ANY event. Day numbers
+    * are exact integer µs-epoch divisions (never float) on both
+    * engines.
+    *
+    * Scale shape: cohort table and the distinct (user, day) activity
+    * set are both user-keyed; the final (cohort, offset) aggregation is
+    * map-side combined and bounded by cohorts × horizon, not events.
+    */
+  def qRetention(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000").as("day")
+    val cohort = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), day)
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val activity = events.select(col("user_id"), day).distinct()
+    activity.join(cohort, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val qRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |),
+      |activity AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |             FROM events)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM activity JOIN cohort USING (user_id)
+      |WHERE day >= cohort_day
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
 }
