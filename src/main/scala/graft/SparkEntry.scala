@@ -719,6 +719,8 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Ev.qAsofJoin(events(s, dir))),
     "q_funnel" -> ((s, dir) => Ev.qFunnel(events(s, dir))),
     "q_retention" -> ((s, dir) => Ev.qRetention(events(s, dir))),
+    "q_pivot" -> ((s, dir) => Ev.qPivot(events(s, dir))),
+    "q_moving_avg" -> ((s, dir) => Ev.qMovingAvg(events(s, dir))),
     "q_range_join" -> ((s, dir) => Ev.qRangeJoin(events(s, dir))),
     "q_dedup_exact" -> (DedupQueries.qExact _),
     "q_dedup_ngram" -> (DedupQueries.qNgram _),
@@ -795,6 +797,8 @@ object SparkEntry {
     "q_asof_join" -> Ev.qAsofJoinSql,
     "q_funnel" -> Ev.qFunnelSql,
     "q_retention" -> Ev.qRetentionSql,
+    "q_pivot" -> Ev.qPivotSql,
+    "q_moving_avg" -> Ev.qMovingAvgSql,
     "q_range_join" -> Ev.qRangeJoinSql,
     "q_dedup_exact" -> DedupQueries.qExactSql,
     "q_dedup_ngram" -> DedupQueries.qNgramSql,

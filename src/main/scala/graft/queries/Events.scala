@@ -129,6 +129,65 @@ object Events {
        |            AND e.ts >= s.t_start AND e.ts <= s.t_end
        |ORDER BY e.event_id""".stripMargin
 
+  /** Pivot: per-user event-type counts as columns — the
+    * `groupBy().pivot()` relational surface with a PINNED value list
+    * (an unpinned pivot runs a distinct-values job first and its column
+    * set depends on the data; never do that at 100 TB).
+    */
+  def qPivot(events: DataFrame): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    events.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .select(col("user_id") +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val qPivotSql: String = {
+    val cols = Seq("view", "click", "purchase", "signup", "error").map(t =>
+      s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS n_$t")
+      .mkString(",\n      |       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** Bounded sliding-frame window: each event's 4-row trailing sum and
+    * mean of `value` within its user's timeline (ROWS BETWEEN 3
+    * PRECEDING AND CURRENT ROW) — the frame-based window surface the
+    * running-total query (unbounded frame) doesn't cover. The frame sum
+    * is DECIMAL-exact; the mean is one double division by the exact
+    * frame row count.
+    */
+  def qMovingAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    events
+      .withColumn("mov_sum",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("mov_sum"), col("mov_n"),
+        (col("mov_sum") / col("mov_n")).as("mov_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  val qMovingAvgSql: String =
+    """SELECT event_id, user_id, value, mov_sum, mov_n, mov_sum / mov_n AS mov_avg
+      |FROM (
+      |  SELECT event_id, user_id, value,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+      |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_n
+      |  FROM events
+      |)
+      |ORDER BY event_id""".stripMargin
+
   /** Ordered funnel: view → click → purchase, each step strictly AFTER
     * the previous step's first completion — the classic step-chained
     * conditional-min funnel. Partial funnels surface as NULL steps with

@@ -36,6 +36,34 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("depth") == 3L)
   }
 
+  test("pivot: fixed event-type columns, zero-filled for absent combos") {
+    val events = ev(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "view"), (3L, 3000L, 1L, "click"),
+      (4L, 1000L, 2L, "error"))
+    val out = Events.qPivot(events).collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L))
+    val u1 = out.head
+    assert(u1.getAs[Long]("n_view") == 2L && u1.getAs[Long]("n_click") == 1L)
+    assert(u1.getAs[Long]("n_purchase") == 0L) // absent combo → 0, not null
+    assert(out(1).getAs[Long]("n_error") == 1L && out(1).getAs[Long]("n_view") == 0L)
+  }
+
+  test("moving window: 4-row trailing frame sums and means") {
+    val events = Seq(
+      (1L, 1000L, 1L, "view", 1.0), (2L, 2000L, 1L, "view", 2.0),
+      (3L, 3000L, 1L, "view", 3.0), (4L, 4000L, 1L, "view", 4.0),
+      (5L, 5000L, 1L, "view", 5.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+    val out = Events.qMovingAvg(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("mov_sum"), r.getAs[Long]("mov_n"), r.getAs[Double]("mov_avg"))).toMap
+    assert(out(1L) == (1.0, 1L, 1.0))
+    assert(out(4L) == (10.0, 4L, 2.5))   // full frame 1+2+3+4
+    assert(out(5L) == (14.0, 4L, 3.5))   // frame slides: 2+3+4+5
+  }
+
   test("retention counts distinct users per cohort-day offset") {
     val day = 86400000000L
     val events = ev(
