@@ -723,6 +723,7 @@ object SparkEntry {
     "q_moving_avg" -> ((s, dir) => Ev.qMovingAvg(events(s, dir))),
     "q_range_join" -> ((s, dir) => Ev.qRangeJoin(events(s, dir))),
     "q_dedup_exact" -> (DedupQueries.qExact _),
+    "q_dup_spans" -> (DedupQueries.qDupSpans _),
     "q_dedup_ngram" -> (DedupQueries.qNgram _),
     "q_dedup_minhash" -> (DedupQueries.qMinhash _),
     "q_dedup_simhash" -> (DedupQueries.qSimhash _),
@@ -801,6 +802,7 @@ object SparkEntry {
     "q_moving_avg" -> Ev.qMovingAvgSql,
     "q_range_join" -> Ev.qRangeJoinSql,
     "q_dedup_exact" -> DedupQueries.qExactSql,
+    "q_dup_spans" -> DedupQueries.qDupSpansSql,
     "q_dedup_ngram" -> DedupQueries.qNgramSql,
     "q_dedup_minhash" -> DedupQueries.qMinhashSql,
     "q_dedup_simhash" -> DedupQueries.qSimhashSql,

@@ -313,6 +313,45 @@ object Dedup {
     labels
   }
 
+  /** Exact duplicated-span report (public knowledge: Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2021 —
+    * their suffix-array substring dedup, here at a fixed span length):
+    * for every doc with ≥`spanLen` tokens, how many of its `spanLen`-
+    * token sliding spans occur MORE THAN ONCE corpus-wide (counting
+    * every position, including within-doc repeats) — the per-document
+    * memorization-risk signal substring dedup acts on.
+    *
+    * Spans travel as md5 hashes, never as token strings, so the
+    * multiplicity shuffle is 32 bytes/position regardless of span
+    * length. Scale shape: one hash-keyed count (map-side combined,
+    * bounded by distinct spans), one hash-keyed join back, one doc-keyed
+    * aggregation — the same partitioning trio every dedup op here uses.
+    *
+    * Output: idCol, n_spans, n_dup_spans, dup_ppm, max_mult.
+    */
+  def duplicatedSpans(docs: DataFrame, spanLen: Int = 8,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spanLen >= 2, s"bad span length $spanLen")
+    val toks = tokens(col(textCol))
+    // sequence() is DESCENDING for start>stop — gate short docs out first
+    val sp = CachePool.track(docs.filter(size(toks) >= spanLen)
+      .select(col(idCol).as("doc"), explode(transform(
+        sequence(lit(1), size(toks) - (spanLen - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(spanLen)))))).as("h")))
+    val mult = sp.groupBy(col("h")).agg(count(lit(1)).as("mult"))
+    sp.join(mult, "h")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("mult") >= 2, 1)).as("n_dup_spans"),
+        max(col("mult")).as("max_mult"))
+      .withColumn("dup_ppm",
+        round(col("n_dup_spans").cast("double") / col("n_spans") * lit(1000000.0))
+          .cast("long"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"), col("dup_ppm"),
+        col("max_mult"))
+      .orderBy(idCol)
+  }
+
   /** Per-doc SimHash signature + size of its signature bucket.
     * Output: doc_id, simhash, n_same_sig.
     */

@@ -129,6 +129,33 @@ object DedupQueries {
     s"""WITH RECURSIVE $groupsCte
        |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin
 
+  private val SpanLen = 8
+
+  /** Duplicated 8-token spans per doc (see
+    * [[graft.operators.Dedup.duplicatedSpans]]): the fixed-length form
+    * of suffix-array substring dedup's memorization signal.
+    */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), spanLen = SpanLen)
+
+  val qDupSpansSql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id AS doc, unnest(list_transform(
+       |    generate_series(1, len(t) - ${SpanLen - 1}),
+       |    i -> md5(array_to_string(t[i:i+${SpanLen - 1}], ' ')))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= $SpanLen
+       |),
+       |m AS (SELECT h, CAST(count(*) AS BIGINT) AS mult FROM sp GROUP BY h)
+       |SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(count(CASE WHEN mult >= 2 THEN 1 END) AS BIGINT) AS n_dup_spans,
+       |       CAST(round((CAST(count(CASE WHEN mult >= 2 THEN 1 END) AS DOUBLE)
+       |                   / count(*)) * 1000000.0) AS BIGINT) AS dup_ppm,
+       |       CAST(max(mult) AS BIGINT) AS max_mult
+       |FROM sp JOIN m USING (h)
+       |GROUP BY doc
+       |ORDER BY doc_id""".stripMargin
+
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(docs(s, dir))
 

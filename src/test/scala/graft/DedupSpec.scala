@@ -73,6 +73,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.nearDupGroups(empty).collect().isEmpty)
   }
 
+  test("duplicated spans: corpus-wide multiplicity at every sliding position") {
+    val corpus = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8 a1 a2"), // 3 spans; [s1..s8] shared with doc 2
+      (2L, "z0 s1 s2 s3 s4 s5 s6 s7 s8"),    // 2 spans; [s1..s8] shared
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"),       // 1 unique span
+      (4L, "too short")                       // <8 tokens → excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(corpus, spanLen = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_ppm"), r.getAs[Long]("max_mult"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == (3L, 1L, 333333L, 2L))
+    assert(out(2L) == (2L, 1L, 500000L, 2L))
+    assert(out(3L) == (1L, 0L, 0L, 1L))
+  }
+
   test("simhash: identical docs share a signature bucket") {
     val out = Dedup.simhashBuckets(docs).collect()
     val byId = out.map(r => r.getAs[Long]("doc_id") ->
