@@ -162,6 +162,54 @@ object CorpusStats {
       .orderBy(idCol)
   }
 
+  /** Zipf-law fit of the corpus term-frequency distribution — the
+    * corpus-health diagnostic (a healthy natural-language crawl has
+    * log-rank/log-frequency slope ≈ −1; spam farms and template soup
+    * bend it): ordinary least squares of y = ln(tf) on x = ln(rank),
+    * rank = 1-based position by (tf desc, term).
+    *
+    * Cross-engine exactness: x and y live on the 1e-5 integer ln
+    * lattice; all five OLS sums (Σx, Σy, Σxy, Σx², n) accumulate as
+    * DECIMAL(38,0) — exact at any corpus size (Σxy terms are ~2e12
+    * each; doubles would lose exactness past ~4k terms, BIGINT past
+    * ~4M) — and the slope/intercept are fixed-shape double expressions
+    * of those exact sums, snapped to ppm.
+    *
+    * Scale shape: one vocabulary aggregation, one global-rank sort of
+    * the VOCABULARY table (not the corpus), one single-partition sum —
+    * the same cost class as [[vocabTop]]. Output: one row — n_terms,
+    * slope_ppm, intercept_ppm.
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    val dec = "decimal(38,0)"
+    val lattice = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        round(log(col("rank").cast("double")) * lit(100000.0)).cast("long").as("x"),
+        round(log(col("tf").cast("double")) * lit(100000.0)).cast("long").as("y"))
+    val sums = lattice.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    // lattice units cancel in the slope; intercept comes back to ln units
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val intercept = (col("sy").cast("double") - col("slope_raw") * col("sx").cast("double")) /
+      col("n").cast("double") / lit(100000.0)
+    sums
+      .withColumn("slope_raw", slope)
+      .withColumn("intercept_raw", intercept)
+      .select(col("n").cast("long").as("n_terms"),
+        round(col("slope_raw") * lit(1000000.0)).cast("long").as("slope_ppm"),
+        round(col("intercept_raw") * lit(1000000.0)).cast("long").as("intercept_ppm"))
+  }
+
   /** Interpolated bigram-LM fluency score per document — the next step
     * up from [[unigramNll]]: score each token position (from the second
     * token on) by −ln(λ·p(t₂|t₁) + (1−λ)·p(t₂)) under the corpus's own
