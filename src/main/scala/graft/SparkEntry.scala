@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{Bounds, ClusterOptions}
 import graft.operators.GridCluster
-import graft.queries.{DedupQueries, PipelineQueries, Relational, Events => Ev}
+import graft.queries.{DedupQueries, PipelineQueries, QualityQueries, Relational, Events => Ev}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -748,6 +748,16 @@ object SparkEntry {
     "q_tfidf" -> (PipelineQueries.qTfidf _),
     "q_length_pctl" -> (PipelineQueries.qLengthPctl _),
     "q_chunk_docs" -> (PipelineQueries.qChunkDocs _),
+    "q_hybrid_rrf" -> (PipelineQueries.qHybridRrf _),
+    "q_gopher_quality" -> (QualityQueries.qGopher _),
+    "q_winnow" -> (QualityQueries.qWinnow _),
+    "q_kmv_distinct" -> (QualityQueries.qKmv _),
+    "q_simhash_near" -> (QualityQueries.qSimhashNear _),
+    "q_bpe_train" -> (QualityQueries.qBpeTrain _),
+    "q_bpe_encode" -> (QualityQueries.qBpeEncode _),
+    "q_json_props" -> (QualityQueries.qJsonProps _),
+    "q_phrase_search" -> (QualityQueries.qPhraseSearch _),
+    "q_curriculum" -> (QualityQueries.qCurriculum _),
     "q_vocab_top" -> (PipelineQueries.qVocabTop _),
     "q_unigram_nll" -> (PipelineQueries.qUnigramNll _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
@@ -827,6 +837,16 @@ object SparkEntry {
     "q_tfidf" -> PipelineQueries.qTfidfSql,
     "q_length_pctl" -> PipelineQueries.qLengthPctlSql,
     "q_chunk_docs" -> PipelineQueries.qChunkDocsSql,
+    "q_hybrid_rrf" -> PipelineQueries.qHybridRrfSql,
+    "q_gopher_quality" -> QualityQueries.qGopherSql,
+    "q_winnow" -> QualityQueries.qWinnowSql,
+    "q_kmv_distinct" -> QualityQueries.qKmvSql,
+    "q_simhash_near" -> QualityQueries.qSimhashNearSql,
+    "q_bpe_train" -> QualityQueries.qBpeTrainSql,
+    "q_bpe_encode" -> QualityQueries.qBpeEncodeSql,
+    "q_json_props" -> QualityQueries.qJsonPropsSql,
+    "q_phrase_search" -> QualityQueries.qPhraseSearchSql,
+    "q_curriculum" -> QualityQueries.qCurriculumSql,
     "q_vocab_top" -> PipelineQueries.qVocabTopSql,
     "q_unigram_nll" -> PipelineQueries.qUnigramNllSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,

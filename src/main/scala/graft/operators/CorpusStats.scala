@@ -255,6 +255,72 @@ object CorpusStats {
       .orderBy(idCol)
   }
 
+  /** Exact phrase search over a positional inverted index: posting
+    * lists (doc, position) per phrase slot, aligned to a common start
+    * position by integer offset, intersected with (doc, start)
+    * equi-joins — the standard positional-index phrase plan.
+    *
+    * Scale shape: the token stream is filtered to the phrase's terms
+    * BEFORE anything shuffles (the same prefilter as [[bm25TopDocs]]) —
+    * and the filtered postings are pool-persisted so the corpus scan
+    * runs ONCE, not once per phrase slot; each join is then key-equi on
+    * (doc, start) over the small cached postings (AQE broadcasts while
+    * they fit). All-integer → engine-exact.
+    *
+    * Output: doc_id, n_matches, first_pos (1-based) — docs containing
+    * the phrase at least once, ordered by doc_id.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    // every phrase slot branches off this subtree — cache it or the
+    // explode+filter scan executes once per slot (the round-2 lesson)
+    val tok = CachePool.track(docs.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(phrase.distinct)))
+    val starts = phrase.zipWithIndex.map { case (w, i) =>
+      tok.filter(col("term") === w)
+        .select(col("doc"), (col("pos") + 1 - i).cast("long").as("start"))
+    }
+    starts.reduce((a, b) => a.join(b, Seq("doc", "start")))
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+      .orderBy(idCol)
+  }
+
+  /** Per-source curriculum phases: docs bucketed into `phases` equal
+    * groups by ascending unigram-LM difficulty ([[unigramNll]] — easy,
+    * fluent text first), the data-ordering step of curriculum-learning
+    * pipelines (public knowledge: Bengio et al., "Curriculum
+    * Learning", ICML 2009).
+    *
+    * Cross-engine exactness: the ordering key is (avg_nll, doc_id) —
+    * one exact-integer division per doc and a unique tie-break — and
+    * ntile's fill rule (first n mod k buckets take one extra row) is
+    * shared by Spark and DuckDB.
+    *
+    * Scale shape: the ntile window partitions by SOURCE, so each
+    * partition sorts independently — no single-partition global window
+    * (a global curriculum would range-partition the sort the way
+    * `orderBy` does, then take phase boundaries per range).
+    *
+    * Output: doc_id, source, n_tokens, nll_total, phase — ordered by
+    * doc_id.
+    */
+  def curriculumPhases(docs: DataFrame, phases: Int = 4, textCol: String = "text",
+                       idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    require(phases >= 2, s"bad phase count $phases")
+    val nll = unigramNll(docs, textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("avg_nll"), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .join(nll, idCol)
+      .withColumn("phase", ntile(phases).over(w).cast("long"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("nll_total"), col("phase"))
+      .orderBy(idCol)
+  }
+
   /** BM25 document ranking for a bag of query terms (public knowledge:
     * Robertson & Zaragoza, "The Probabilistic Relevance Framework: BM25
     * and Beyond", 2009) — the retrieval scorer a data pipeline uses for

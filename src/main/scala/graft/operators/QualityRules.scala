@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document-quality rule filters and corpus sketches (north-star
+  * extension scope): the rule-based quality gate every pretraining
+  * pipeline runs before tokenization (public knowledge: Rae et al.,
+  * "Scaling Language Models: ... Gopher", 2021, §A.1.1 quality
+  * heuristics; Raffel et al., C4 filters), winnowing fingerprint
+  * selection (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms
+  * for Document Fingerprinting", SIGMOD 2003), and a KMV distinct-count
+  * sketch (Bar-Yossef et al., "Counting Distinct Elements in a Data
+  * Stream", 2002).
+  */
+object QualityRules {
+
+  /** Gopher-style per-document rule flags, each a pure integer
+    * comparison (no float ratios — `a/n ≤ p` is evaluated as
+    * `q·a ≤ p·q·n` on BIGINTs, so the flags are engine-exact by
+    * construction):
+    *
+    *  - `rule_word_count`: 30 ≤ n ≤ 1000
+    *  - `rule_word_len`:   4 ≤ mean word length ≤ 10
+    *    (character sum excludes separators: len(text) − (n−1))
+    *  - `rule_dup_frac`:   duplicate-token share (n − uniq)/n ≤ 0.6
+    *  - `rule_stopwords`:  ≥ 2 DISTINCT English stopwords present
+    *  - `rule_short_toks`: share of 1-char tokens ≤ 0.15
+    *
+    * `passes` is the conjunction. Scale shape: per-row map over the
+    * token array, shuffle-free — the gate composes into any downstream
+    * plan as a pushed filter. Output: doc_id, n_tokens, five flags,
+    * passes — ordered by doc_id.
+    */
+  def gopherFlags(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val n = size(t).cast("long")
+    val sumW = (length(col(textCol)) - (size(t) - 1)).cast("long")
+    val uniq = size(array_distinct(t)).cast("long")
+    val nShort = size(filter(t, x => length(x) <= 1)).cast("long")
+    val nStop = size(array_intersect(array_distinct(t),
+      typedLit(TextAnalysis.stopwords("en")))).cast("long")
+    val rules = Seq(
+      "rule_word_count" -> (n >= 30 && n <= 1000),
+      "rule_word_len" -> (sumW >= n * 4 && sumW <= n * 10),
+      "rule_dup_frac" -> ((n - uniq) * 10 <= n * 6),
+      "rule_stopwords" -> (nStop >= 2),
+      "rule_short_toks" -> (nShort * 20 <= n * 3))
+    docs.select(col(idCol) +: n.as("n_tokens") +:
+        rules.map { case (name, c) => c.as(name) } :+
+        rules.map(_._2).reduce(_ && _).as("passes"): _*)
+      .orderBy(idCol)
+  }
+
+  /** Winnowing fingerprint selection: hash every 3-token shingle
+    * positionally, slide a window of `w` consecutive shingle hashes,
+    * and keep the minimum of each window — the guarantee is that any
+    * shared run of ≥ w+k−1 tokens between two documents yields at least
+    * one shared selected fingerprint, at an expected density of 2/(w+1)
+    * instead of every position. This is the robust substring-attribution
+    * signal (MOSS) a corpus pipeline uses where exact-span dedup is too
+    * brittle.
+    *
+    * Cross-engine exactness: md5 hex strings compared lexicographically
+    * — no numeric conversion anywhere.
+    *
+    * Scale shape: hashing + window-min + distinct all happen per-row
+    * inside array expressions (zero shuffle); the exploded (doc, fp)
+    * output collapses map-side into whatever aggregation consumes it.
+    * Docs need ≥ w+2 tokens (w windows over n−2 shingles).
+    *
+    * Output: doc_id, fp — one row per distinct selected fingerprint,
+    * ordered by (doc_id, fp).
+    */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(w >= 1, s"bad winnow window $w")
+    graft.plans.TextExpressions.ensureRegistered()
+    val t = TextAnalysis.tokens(col(textCol))
+    // fused native pass ([[graft.plans.WinnowFps]]): the builtin
+    // transform/array_min/slice chain is interpreted and re-evaluates
+    // the md5 array once per window (184 s at sf0.1; the native
+    // single-pass is ~90×)
+    docs.filter(size(t) >= w + 2)
+      .select(col(idCol),
+        explode(call_function("graft_winnow", col(textCol), lit(w))).as("fp"))
+      .orderBy(idCol, "fp")
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per source over
+    * 3-token shingles: keep the k smallest md5-derived 60-bit hash
+    * values of the distinct shingle set; estimate
+    * D ≈ (k−1) · 2⁶⁰ / h₍ₖ₎. The point at 100 TB is mergeability —
+    * per-partition k-min buffers union into a global k-min with no
+    * second corpus pass, the property HyperLogLog-class cardinality
+    * sketches are built on; KMV is chosen here because md5 makes it
+    * bit-identical across engines where HLL register layouts are not.
+    *
+    * Cross-engine exactness: the hash is the first 15 md5 hex chars
+    * parsed as a 60-bit BIGINT; the k-th minimum is an order statistic
+    * on exact integers; the estimate divides doubles that are
+    * correctly-rounded casts of those integers (both engines round to
+    * nearest), snapped to 1e-3.
+    *
+    * Scale shape: the distinct collapses map-side; one per-source
+    * window sort ranks the hashes and ONE aggregation reads off both
+    * the k-th minimum and (for accuracy reporting here) the exact
+    * count — a single pass, no self-join. A production deployment that
+    * drops `n_exact` filters `rn ≤ k` instead, which Spark's
+    * WindowGroupLimit pushes map-side so shuffle volume is k·sources,
+    * independent of corpus size. Sketch path engages when a source has
+    * ≥ k distinct shingles; below k the estimate is the exact count
+    * (standard KMV).
+    *
+    * Output: source, n_exact, kth_hash, est_distinct — one row per
+    * source, ordered by source.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 64, textCol: String = "text",
+                  sourceCol: String = "source"): DataFrame = {
+    require(k >= 2, s"bad KMV k $k")
+    val hashed = docs
+      .select(col(sourceCol).as("source"),
+        explode(Dedup.shingles3(col(textCol))).as("sh"))
+      .distinct()
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val est = when(col("kth_hash").isNull, col("n_exact").cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
+        col("kth_hash").cast("double"))
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"), max(when(col("rn") === k, col("h"))).as("kth_hash"))
+      .select(col("source"), col("n_exact"), col("kth_hash"),
+        (round(est * lit(1000.0)) / lit(1000.0)).as("est_distinct"))
+      .orderBy("source")
+  }
+}

@@ -923,6 +923,100 @@ object PipelineQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (public knowledge:
+    * Cormack, Clarke & Buettcher, "Reciprocal Rank Fusion Outperforms
+    * Condorcet and Individual Rank Learning Methods", SIGIR 2009) of a
+    * BM25 lexical rank list and an embedding-cosine rank list for the
+    * same information need — the standard two-tower corpus-search
+    * composition. score = Σ 1/(60 + rank) over the lists that ranked
+    * the doc.
+    *
+    * Cross-engine exactness: ranks are integers with id tie-breaks;
+    * each reciprocal is one correctly-rounded double division; the
+    * two-term sum has a fixed association; the result is snapped to
+    * integer micro-units for ordering and output.
+    *
+    * Scale shape: both rank lists end in TakeOrderedAndProject(50); the
+    * fusion is a full-outer join of two 50-row lists — driver-free and
+    * broadcast-trivial. The corpus-scale work is exactly the BM25 scan
+    * (term-filtered before its first shuffle) and one embedding pass.
+    */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = graft.operators.CorpusStats
+      .bm25TopDocs(docs(s, dir), Bm25Terms, topK = 50, k1 = Bm25K1, b = Bm25B)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long").as("r_text"))
+    val cr = Similarity.bruteForceTopK(embs(s, dir), queryVecId = 0L, k = 50, dims = Dims)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long").as("r_vec"))
+    bm.join(cr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_text"), col("r_vec"),
+        round((coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))) * lit(1000000.0))
+          .cast("long").as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qHybridRrfSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val k1p1 = Sql.d(Bm25K1 + 1.0)
+    val k1 = Sql.d(Bm25K1)
+    val oneMinusB = Sql.d(1.0 - Bm25B)
+    val b = Sql.d(Bm25B)
+    s"""WITH tok AS (
+       |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+       |),
+       |dl AS (SELECT doc_id AS doc, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |       FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS dl_sum
+       |          FROM dl),
+       |hit AS (SELECT doc, term FROM tok WHERE term IN ($terms)),
+       |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM hit GROUP BY doc, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |       FROM (SELECT DISTINCT doc, term FROM hit) GROUP BY term),
+       |sc AS (
+       |  SELECT doc,
+       |         CAST(round(idf * (CAST(tf AS DOUBLE) * $k1p1
+       |           / (CAST(tf AS DOUBLE) + $k1 * ($oneMinusB + $b
+       |              * (CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n)))))
+       |           * 1000000.0) AS BIGINT) AS sc
+       |  FROM (
+       |    SELECT tf.doc, tf.tf, dl.dl, n, dl_sum,
+       |           round(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |                 * 100000.0) / 100000.0 AS idf
+       |    FROM tf JOIN df USING (term) JOIN dl ON tf.doc = dl.doc CROSS JOIN stats
+       |  )
+       |),
+       |bmtop AS (
+       |  SELECT doc AS doc_id, CAST(SUM(sc) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY doc ORDER BY score_micro DESC, doc_id LIMIT 50
+       |),
+       |bmr AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r_text
+       |  FROM bmtop
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ctop AS (
+       |  SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos_sim
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY cos_sim DESC, vec_id LIMIT 50
+       |),
+       |cr AS (
+       |  SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_vec
+       |  FROM ctop
+       |)
+       |SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id, r_text, r_vec,
+       |       CAST(round((COALESCE(1.0 / (60 + r_text), 0.0)
+       |                   + COALESCE(1.0 / (60 + r_vec), 0.0)) * 1000000.0) AS BIGINT)
+       |         AS rrf_micro
+       |FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id
+       |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Temperature-based source mixing at α=0.5, τ=0.5 (see
     * [[graft.operators.TrainingPrep.temperatureMix]]).
     */

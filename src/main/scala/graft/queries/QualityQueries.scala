@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.functions.TextAnalysis
+import graft.operators.{BpeTokenizer, Dedup, QualityRules}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query entries + DuckDB oracles for the quality-gate, fingerprinting,
+  * sketch, tokenizer-training, and semi-structured-extraction
+  * operators. Determinism notes live on the operators
+  * ([[graft.operators.QualityRules]], [[graft.operators.BpeTokenizer]],
+  * [[graft.operators.Dedup.simhashNearPairs]]).
+  */
+object QualityQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** `ts` is parquet TIMESTAMP(NANOS) — read as LONG (the column is
+    * unused here; see SparkEntry.events for the µs truncation story).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  // --------------------------------------------------- gopher quality gate
+
+  def qGopher(s: SparkSession, dir: String): DataFrame =
+    QualityRules.gopherFlags(docs(s, dir))
+
+  val qGopherSql: String = {
+    val en = inList(TextAnalysis.stopwords("en"))
+    s"""WITH s AS (
+       |  SELECT doc_id, len(t) AS n, length(text) - (len(t) - 1) AS sumw,
+       |         len(list_distinct(t)) AS uniq,
+       |         len(list_filter(t, x -> length(x) <= 1)) AS nshort,
+       |         len(list_intersect(list_distinct(t), [$en])) AS nstop
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+       |)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  n >= 30 AND n <= 1000 AS rule_word_count,
+       |  sumw >= n * 4 AND sumw <= n * 10 AS rule_word_len,
+       |  (n - uniq) * 10 <= n * 6 AS rule_dup_frac,
+       |  nstop >= 2 AS rule_stopwords,
+       |  nshort * 20 <= n * 3 AS rule_short_toks,
+       |  (n >= 30 AND n <= 1000) AND (sumw >= n * 4 AND sumw <= n * 10)
+       |    AND ((n - uniq) * 10 <= n * 6) AND (nstop >= 2)
+       |    AND (nshort * 20 <= n * 3) AS passes
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ winnowing fingerprints
+
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    QualityRules.winnowFingerprints(docs(s, dir), w = 4)
+
+  val qWinnowSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, len(t) AS n,
+      |         list_transform(generate_series(1, len(t) - 2),
+      |                        i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 6
+      |)
+      |SELECT doc_id, unnest(list_distinct(
+      |  list_transform(generate_series(1, n - 5), j -> list_min(hs[j:j+3])))) AS fp
+      |FROM h ORDER BY doc_id, fp""".stripMargin
+
+  // ------------------------------------------------ KMV cardinality sketch
+
+  def qKmv(s: SparkSession, dir: String): DataFrame =
+    QualityRules.kmvDistinct(docs(s, dir), k = 64)
+
+  val qKmvSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT source, shingle FROM (
+      |    SELECT source, unnest(list_transform(generate_series(1, len(t) - 2),
+      |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+      |    WHERE len(t) >= 3
+      |  )
+      |),
+      |hs AS (
+      |  SELECT DISTINCT source,
+      |         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+      |  FROM sh
+      |),
+      |r AS (
+      |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM hs
+      |),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+      |         max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+      |  FROM r GROUP BY source
+      |)
+      |SELECT source, n_exact, kth_hash,
+      |       round((CASE WHEN kth_hash IS NULL THEN CAST(n_exact AS DOUBLE)
+      |              ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE) END)
+      |             * 1000.0) / 1000.0 AS est_distinct
+      |FROM agg ORDER BY source""".stripMargin
+
+  // --------------------------------------------- simhash hamming near-dups
+
+  def qSimhashNear(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearStats(docs(s, dir), maxHam = 2)
+
+  val qSimhashNearSql: String = {
+    val bits = (1 to 16).map { j =>
+      s"""CASE WHEN list_sum(list_transform(t, tok ->
+         |  CASE WHEN substring(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+         |THEN ${1L << (16 - j)} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ints AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM toks),
+       |bk AS (
+       |  SELECT doc_id, sig, band, (sig >> (4 * (3 - band))) & 15 AS bv
+       |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM ints)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id, a.sig AS sig,
+       |         b.doc_id AS id_b, b.sig AS sig_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
+       |)
+       |SELECT id AS doc_id, sig, CAST(count(*) AS BIGINT) AS n_near,
+       |       CAST(min(id_b) AS BIGINT) AS min_near_id
+       |FROM cand WHERE bit_count(xor(sig, sig_b)) <= 2
+       |GROUP BY id, sig
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- BPE trainer
+
+  val BpeMerges = 8
+
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    BpeTokenizer.train(s, docs(s, dir), BpeMerges)
+
+  /** The word histogram, then `BpeMerges` unrolled iterations: distinct
+    * adjacent symbol pairs per word, occurrence counts via the
+    * non-overlapping replace scan, argmax with (count desc, pair asc)
+    * ties, then the merge applied with the SAME replace. `w{r}` /
+    * `t{r}` mirror the driver loop's state after round r.
+    */
+  private def bpeTrainCtes: String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c,
+        |         ' ' || array_to_string(list_transform(generate_series(1, length(w)),
+        |                                i -> w[i]), ' ') || ' ' AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |)""".stripMargin
+    val iters = (1 to BpeMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT DISTINCT s, c, s2[i] AS x, s2[i+1] AS y FROM (
+         |    SELECT s, c, s2, unnest(generate_series(1, len(s2) - 1)) AS i
+         |    FROM (SELECT s, c, string_split(trim(s), ' ') AS s2 FROM w${r - 1})
+         |  )
+         |),
+         |t$r AS (
+         |  SELECT x, y, CAST(SUM(((length(s) - length(replace(s, ' ' || x || ' ' || y || ' ', '')))
+         |                         // length(' ' || x || ' ' || y || ' ')) * c) AS BIGINT) AS cnt
+         |  FROM p$r GROUP BY x, y
+         |  ORDER BY cnt DESC, x, y LIMIT 1
+         |),
+         |w$r AS (
+         |  SELECT w, c, replace(s, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS s
+         |  FROM w${r - 1}, t$r
+         |)""".stripMargin
+    }
+    (w0 +: iters).mkString(",\n")
+  }
+
+  val qBpeTrainSql: String = {
+    val rows = (1 to BpeMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, x AS lft, y AS rgt, x || y AS merged, cnt AS pair_count FROM t$r"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $bpeTrainCtes\n$rows\nORDER BY rank"
+  }
+
+  // ----------------------------------------------------------- BPE encoder
+
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    BpeTokenizer.encode(d, BpeTokenizer.trainMerges(d, BpeMerges))
+  }
+
+  val qBpeEncodeSql: String = {
+    val encChain = (1 to BpeMerges).map { r =>
+      s"""e$r AS (
+         |  SELECT doc_id, n_tokens,
+         |         replace(s, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS s
+         |  FROM e${r - 1}, t$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |e0 AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         ' ' || replace(regexp_replace(text, '(.)', '\\1 ', 'g'), '   ', ' | ') AS s
+       |  FROM documents
+       |),
+       |$encChain
+       |SELECT doc_id, n_tokens,
+       |       CAST(len(string_split(trim(s), ' ')) AS BIGINT) - (n_tokens - 1) AS n_bpe,
+       |       md5(s) AS bpe_hash, substring(s, 1, 60) AS bpe_head
+       |FROM e$BpeMerges ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- phrase search
+
+  private val Phrase = Seq("table", "key", "filter")
+
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.phraseSearch(docs(s, dir), Phrase)
+
+  val qPhraseSearchSql: String = {
+    val slots = Phrase.zipWithIndex.map { case (w, i) =>
+      s"s$i AS (SELECT doc, pos - $i AS start FROM tok WHERE term = '$w')"
+    }.mkString(",\n")
+    val joins = (1 until Phrase.length).map(i => s"JOIN s$i USING (doc, start)").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS doc, i AS pos, t[i] AS term FROM (
+       |    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  )
+       |),
+       |$slots
+       |SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |       CAST(min(start) AS BIGINT) AS first_pos
+       |FROM s0 $joins
+       |GROUP BY doc ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ curriculum phases
+
+  def qCurriculum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.curriculumPhases(docs(s, dir), phases = 4)
+
+  val qCurriculumSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+      |),
+      |vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM vocab),
+      |nll AS (
+      |  SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(CAST(round(-ln(CAST(tf AS DOUBLE) / t) * 100000.0) AS BIGINT))
+      |              AS BIGINT) AS nll_total
+      |  FROM tok JOIN vocab USING (term) CROSS JOIN tot
+      |  GROUP BY doc
+      |)
+      |SELECT d.doc_id, d.source, n_tokens, nll_total,
+      |       CAST(ntile(4) OVER (PARTITION BY d.source
+      |                           ORDER BY CAST(nll_total AS DOUBLE) / n_tokens, d.doc_id)
+      |            AS BIGINT) AS phase
+      |FROM documents d JOIN nll ON d.doc_id = nll.doc
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------- semi-structured extraction
+
+  /** JSON property extraction + typed aggregation over `events.props` —
+    * the semi-structured-column surface (Spark `get_json_object` vs
+    * DuckDB `json_extract`, both pure per-row). All outputs integer.
+    */
+  def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  val qJsonPropsSql: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(k) AS BIGINT) AS n_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(MAX(k) AS BIGINT) AS max_k,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.BpeTokenizer
+
+class BpeTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("training learns the most frequent pair first, weighted by word count") {
+    // "aab" ×3, "ab" ×2 → pair counts: (a,a)=3, (a,b)=5 → first merge "ab"
+    val docs = Seq((1L, "aab aab ab"), (2L, "aab ab")).toDF("doc_id", "text")
+    val m = BpeTokenizer.trainMerges(docs, 1)
+    assert(m.length == 1)
+    assert((m.head.lft, m.head.rgt, m.head.pair_count) == (("a", "b", 5L)))
+  }
+
+  test("ties break by (count desc, left asc, right asc)") {
+    // "ab" and "cd" both appear twice — (a,b) wins on left asc
+    val docs = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
+    val m = BpeTokenizer.trainMerges(docs, 1)
+    assert((m.head.lft, m.head.rgt) == (("a", "b")))
+  }
+
+  test("merged symbols participate in later merges") {
+    // "abc" ×4: merge 1 = (a,b) [lex tie over (b,c)], merge 2 = (ab,c)
+    val docs = Seq((1L, "abc abc abc abc")).toDF("doc_id", "text")
+    val m = BpeTokenizer.trainMerges(docs, 2)
+    assert(m.map(x => (x.lft, x.rgt)) == Seq(("a", "b"), ("ab", "c")))
+    assert(m(1).merged == "abc")
+  }
+
+  test("repeat runs count via the non-overlapping replace scan") {
+    // " a a a a " contains TWO non-overlapping " a a " under the
+    // delimiter-consuming scan? No — one at pos 0, the next lacks its
+    // leading space → ONE. Both counting and merging must agree on it.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m = BpeTokenizer.trainMerges(docs, 1)
+    assert((m.head.lft, m.head.rgt, m.head.pair_count) == (("a", "a", 1L)))
+  }
+
+  test("encode applies merges in rank order and counts symbols") {
+    val docs = Seq((1L, "abc ab x"), (2L, "abc")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.trainMerges(docs, 2) // (a,b) then (ab,c)
+    val out = BpeTokenizer.encode(docs, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bpe"), r.getAs[String]("bpe_head"))).toMap
+    // doc 1: "abc"→[abc], "ab"→[ab], "x"→[x] → 3 symbols
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2.startsWith(" abc | ab | x "))
+    // doc 2: one symbol
+    assert(out(2L)._1 == 1L)
+  }
+
+  test("encode never merges across word boundaries") {
+    // words "a" and "b" adjacent: pair (a,b) learned from "ab" must not
+    // fuse the standalone words
+    val docs = Seq((1L, "ab ab a b")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.trainMerges(docs, 1)
+    assert((merges.head.lft, merges.head.rgt) == (("a", "b")))
+    val out = BpeTokenizer.encode(docs, merges).collect().head
+    // "ab","ab","a","b" → 2 merged + 2 singles = 4 symbols
+    assert(out.getAs[Long]("n_bpe") == 4L)
+    assert(out.getAs[String]("bpe_head").contains("| a | b"))
+  }
+
+  test("train DataFrame output matches the driver merge list") {
+    val docs = Seq((1L, "spark spark stream stream scan")).toDF("doc_id", "text")
+    val fromDf = BpeTokenizer.train(spark, docs, 4).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lft"),
+        r.getAs[String]("rgt"), r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    val direct = BpeTokenizer.trainMerges(docs, 4)
+      .map(m => (m.rank, m.lft, m.rgt, m.merged, m.pair_count))
+    assert(fromDf.toSeq == direct)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Dedup, QualityRules}
+
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, src: String = "s") =
+    (id, src, text)
+
+  test("gopher flags evaluate each rule independently and exactly") {
+    val good = (Seq("the", "of", "and") ++ (1 to 37).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      doc(1L, good),                                  // all rules pass
+      doc(2L, "the of short doc"),                    // fails word count (4 < 30)
+      doc(3L, (Seq("the", "of") ++ Seq.fill(38)("same")).mkString(" ")), // dup frac 37/40 > 0.6
+      doc(4L, (1 to 40).map(i => s"w$i").mkString(" "))  // no stopwords
+    ).toDF("doc_id", "source", "text")
+    val out = QualityRules.gopherFlags(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("rule_word_count"), r.getAs[Boolean]("rule_dup_frac"),
+          r.getAs[Boolean]("rule_stopwords"), r.getAs[Boolean]("passes"))).toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._4 == false)
+    assert(out(3L)._2 == false && out(3L)._4 == false)
+    assert(out(4L)._3 == false && out(4L)._4 == false)
+  }
+
+  test("gopher word-length rule uses the separator-free character sum") {
+    // 30 tokens of mean length 2 → fails the ≥4 bound; length ~5 passes
+    val docs = Seq(
+      doc(1L, (Seq.fill(28)("ab") :+ "the" :+ "of").mkString(" ")),
+      doc(2L, (Seq.fill(28)("abcde") :+ "the" :+ "of").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = QualityRules.gopherFlags(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("rule_word_len")).toMap
+    assert(out(1L) == false)
+    assert(out(2L) == true)
+  }
+
+  test("winnowing guarantees a shared fingerprint for a long shared run") {
+    // two docs share a 7-token run (≥ w+k-1 = 6) inside different noise
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      doc(1L, s"one two three $shared x y z"),
+      doc(2L, s"p q r s t $shared u v")
+    ).toDF("doc_id", "source", "text")
+    val fps = QualityRules.winnowFingerprints(docs, w = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[String]("fp")).toSet }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
+  test("winnowing selects at most one fingerprint per window and dedups") {
+    val docs = Seq(doc(1L, (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val n = QualityRules.winnowFingerprints(docs, w = 4).count()
+    // 18 shingles, 15 windows → ≤ 15 selected, ≥ ceil(15 / w) distinct
+    assert(n <= 15 && n >= 4)
+  }
+
+  test("winnowing drops docs below w + 2 tokens") {
+    val docs = Seq(doc(1L, "a b c d e"), doc(2L, "a b c d e f"))
+      .toDF("doc_id", "source", "text")
+    val ids = QualityRules.winnowFingerprints(docs, w = 4).select("doc_id")
+      .distinct().as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  test("KMV estimate is exact below k and within sketch error above") {
+    // source A: 5 distinct shingles < k=8 → exact; source B: 200 distinct
+    val fixed = Seq((1L, "A", "a b c d e f g")).toDF("doc_id", "source", "text")
+      .union((0 until 100).map(i =>
+        (10L + i, "B", s"w${2 * i} w${2 * i + 1} w${2 * i + 2} w${2 * i + 3}"))
+        .toDF("doc_id", "source", "text"))
+    val out = QualityRules.kmvDistinct(fixed, k = 8).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct"))).toMap
+    assert(out("A")._1 == 5L && out("A")._2 == 5.0)
+    val (nB, estB) = out("B")
+    assert(nB == 200L)
+    // k=8 KMV has relative error ~1/sqrt(k-2) ≈ 40%; allow 3σ
+    assert(estB > 40.0 && estB < 600.0, s"estimate $estB implausible for 200")
+  }
+
+  test("simhash near stats finds planted one-bit neighbors symmetrically") {
+    // identical docs have hamming 0; also distinct docs count each other
+    val docs = Seq(
+      doc(1L, "alpha beta gamma delta"),
+      doc(2L, "alpha beta gamma delta"),
+      doc(3L, "completely different words here entirely")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.simhashNearStats(docs, maxHam = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_near"), r.getAs[Long]("min_near_id"))).toMap
+    assert(out.get(1L).exists { case (n, m) => n >= 1 && m == 2L })
+    assert(out.get(2L).exists { case (n, m) => n >= 1 && m == 1L })
+  }
+
+  test("simhash near stats candidate set is lossless for hamming <= 3") {
+    // brute-force cross-check on a small corpus: every pair within
+    // hamming 2 found by banding must equal the exhaustive answer
+    val docs = (1 to 40).map(i =>
+      doc(i.toLong, (1 to 10).map(j => s"tok${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    import org.apache.spark.sql.functions._
+    val sigs = docs.select(col("doc_id"),
+      conv(Dedup.simhash16(split(col("text"), " ")), 2, 10).cast("long").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia != ib && java.lang.Long.bitCount(sa ^ sb) <= 2
+    } yield (ia, ib)).groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val banded = Dedup.simhashNearStats(docs, maxHam = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near")).toMap
+    assert(banded == brute)
+  }
+}
