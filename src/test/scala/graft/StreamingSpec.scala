@@ -216,4 +216,76 @@ class StreamingSpec extends SparkSpec {
       codebook.unpersist()
     }
   }
+
+  test("streaming quality gate matches batch (stateless per-row rules)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-stream-gate")
+    val full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    full.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the gate is pure per-row integer arithmetic — stateless per
+        // micro-batch, so arrival order cannot change who passes
+        val kept = graft.operators.QualityRules.gopherFlags(batch)
+          .filter(col("passes")).collect()
+        out.synchronized { out ++= kept.map(_.getAs[Long]("doc_id")) }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batchKept = graft.operators.QualityRules.gopherFlags(full)
+        .filter(col("passes")).collect().map(_.getAs[Long]("doc_id"))
+      assert(out.toSet == batchKept.toSet)
+      assert(out.size == batchKept.length)
+      assert(out.nonEmpty && out.size < full.count())
+    } finally q.stop()
+  }
+
+  test("streaming BPE encoding with frozen merges matches batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-stream-bpe")
+    val full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    full.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+
+    // merge table trained ONCE on the snapshot, then frozen — the
+    // deployed-tokenizer contract: encoding is stateless per row
+    val merges = graft.operators.BpeTokenizer.trainMerges(full, n = 8)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enc = graft.operators.BpeTokenizer.encode(batch, merges).collect()
+        out.synchronized {
+          out ++= enc.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe"),
+            r.getAs[String]("bpe_hash")))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batchEnc = graft.operators.BpeTokenizer.encode(full, merges).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe"),
+          r.getAs[String]("bpe_hash")))
+      assert(out.toSet == batchEnc.toSet)
+      assert(out.size == batchEnc.length)
+    } finally q.stop()
+  }
 }
