@@ -307,6 +307,35 @@ object SparkEntry {
        |SELECT id, lon, lat, round((px) * 100000.0) / 100000.0 AS px, round((py) * 100000.0) / 100000.0 AS py
        |FROM proj ORDER BY id""".stripMargin
 
+  /** Z-order storage-layout report over the point table (see
+    * [[graft.operators.ZOrder.layoutStats]]).
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrder.layoutStats(eventPoints(s, dir))
+
+  private val zorderSql: String = {
+    def mortonPart(c: String, off: Int): String =
+      s"""list_sum(list_transform(generate_series(0, 15),
+         |  j -> (($c >> j) & 1) << (2 * j + $off)))""".stripMargin
+    s"""WITH pts AS ($pointsSql),
+       |q AS (
+       |  SELECT CAST(least(65535, greatest(0,
+       |           floor((lon - (-180.0)) / 360.0 * 65536.0))) AS BIGINT) AS x,
+       |         CAST(least(65535, greatest(0,
+       |           floor((lat - (-85.0)) / 170.0 * 65536.0))) AS BIGINT) AS y
+       |  FROM pts
+       |),
+       |z AS (
+       |  SELECT x, y,
+       |         CAST(${mortonPart("x", 0)} + ${mortonPart("y", 1)} AS BIGINT) AS z
+       |  FROM q
+       |)
+       |SELECT z >> 26 AS zbucket, CAST(count(*) AS BIGINT) AS n_points,
+       |       MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+       |       CAST(count(DISTINCT ((x >> 9) << 7) + (y >> 9)) AS BIGINT) AS n_tiles
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   /** A8: per-cluster metadata frequency distributions. */
   private def qFreqRollup(s: SparkSession, dir: String): DataFrame =
     graft.operators.FrequencyRollup.clusterFrequencies(
@@ -789,6 +818,7 @@ object SparkEntry {
     "q_cluster_children" -> (qClusterChildren _),
     "q_greedy_sweep" -> (qGreedySweep _),
     "q_viewport_points" -> (qViewportPoints _),
+    "q_zorder" -> (qZorder _),
     "q_freq_rollup" -> (qFreqRollup _),
     "q_cluster_summary" -> (qClusterSummary _),
     "q_geojson" -> (qGeoJson _)
@@ -877,6 +907,7 @@ object SparkEntry {
     "q_cluster_meta" -> clusterMetaSql,
     "q_cluster_children" -> clusterChildrenSql,
     "q_viewport_points" -> viewportPointsSql,
+    "q_zorder" -> zorderSql,
     "q_freq_rollup" -> freqRollupSql,
     "q_cluster_summary" -> clusterSummarySql
   )
