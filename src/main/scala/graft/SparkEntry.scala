@@ -786,6 +786,7 @@ object SparkEntry {
     "q_bpe_encode" -> (QualityQueries.qBpeEncode _),
     "q_json_props" -> (QualityQueries.qJsonProps _),
     "q_phrase_search" -> (QualityQueries.qPhraseSearch _),
+    "q_prep_capstone" -> (QualityQueries.qPrepCapstone _),
     "q_curriculum" -> (QualityQueries.qCurriculum _),
     "q_vocab_top" -> (PipelineQueries.qVocabTop _),
     "q_unigram_nll" -> (PipelineQueries.qUnigramNll _),
@@ -876,6 +877,7 @@ object SparkEntry {
     "q_bpe_encode" -> QualityQueries.qBpeEncodeSql,
     "q_json_props" -> QualityQueries.qJsonPropsSql,
     "q_phrase_search" -> QualityQueries.qPhraseSearchSql,
+    "q_prep_capstone" -> QualityQueries.qPrepCapstoneSql,
     "q_curriculum" -> QualityQueries.qCurriculumSql,
     "q_vocab_top" -> PipelineQueries.qVocabTopSql,
     "q_unigram_nll" -> PipelineQueries.qUnigramNllSql,

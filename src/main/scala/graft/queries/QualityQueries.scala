@@ -261,6 +261,104 @@ object QualityQueries {
       |FROM documents d JOIN nll ON d.doc_id = nll.doc
       |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------------------- training-prep capstone
+
+  /** The TRAINING-PREP composition a pipeline runs after cleaning —
+    * quality gate → exact-dup canonical → tokenizer-aware token counts
+    * (BPE trained on the corpus snapshot) → temperature-mixed source
+    * resampling → token-budget sequence packing — in ONE plan, every
+    * stage individually oracled elsewhere; this query hash-checks the
+    * COMPOSITION. Scale shape: the gate/dedup/encode/mix stages are
+    * maps or key-equi joins on doc_id / md5; the pack window partitions
+    * by shard. The merge loop's histogram is the only driver traffic.
+    */
+  def qPrepCapstone(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val gated = d.join(
+      QualityRules.gopherFlags(d).filter(col("passes")).select("doc_id"), "doc_id")
+    val canon = gated.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val surv = gated.join(canon.select("doc_id"), "doc_id")
+    val merges = BpeTokenizer.trainMerges(d, BpeMerges) // snapshot tokenizer
+    val enc = BpeTokenizer.encode(surv, merges).select(col("doc_id"), col("n_bpe"))
+    val kept = graft.operators.TrainingPrep
+      .temperatureMix(surv, alpha = 0.5, targetFrac = 0.6)
+      .select(col("doc_id"), col("source"))
+    val packed = graft.operators.TrainingPrep.packSequences(
+      kept.join(enc, "doc_id"), budget = 256, shards = 8, tokenCountCol = col("n_bpe"))
+    kept.join(packed.withColumnRenamed("n_tokens", "n_bpe"), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_bpe"), col("shard"),
+        col("bin"), col("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  val qPrepCapstoneSql: String = {
+    val en = inList(TextAnalysis.stopwords("en"))
+    val tau = graft.queries.Sql.d(0.6)
+    val h6 = graft.operators.TrainingPrep.hex6IntSql("doc_id")
+    val encChain = (1 to BpeMerges).map { r =>
+      s"""e$r AS (
+         |  SELECT doc_id, replace(s, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS s
+         |  FROM e${r - 1}, t$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |gate AS (
+       |  SELECT doc_id, text, source FROM (
+       |    SELECT doc_id, text, source, len(t) AS n,
+       |           length(text) - (len(t) - 1) AS sumw,
+       |           len(list_distinct(t)) AS uniq,
+       |           len(list_filter(t, x -> length(x) <= 1)) AS nshort,
+       |           len(list_intersect(list_distinct(t), [$en])) AS nstop
+       |    FROM (SELECT doc_id, text, source, string_split(text, ' ') AS t FROM documents)
+       |  ) WHERE (n >= 30 AND n <= 1000) AND (sumw >= n * 4 AND sumw <= n * 10)
+       |    AND ((n - uniq) * 10 <= n * 6) AND (nstop >= 2) AND (nshort * 20 <= n * 3)
+       |),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY md5(text)),
+       |surv AS (SELECT g.* FROM gate g JOIN canon USING (doc_id)),
+       |e0 AS (
+       |  SELECT doc_id,
+       |         ' ' || replace(regexp_replace(text, '(.)', '\\1 ', 'g'), '   ', ' | ') AS s
+       |  FROM surv
+       |),
+       |$encChain,
+       |enc AS (
+       |  SELECT e.doc_id,
+       |         CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+       |           - (CAST(len(string_split(v.text, ' ')) AS BIGINT) - 1) AS n_bpe
+       |  FROM e$BpeMerges e JOIN surv v USING (doc_id)
+       |),
+       |bysrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+       |         CAST(round(pow(CAST(CAST(count(*) AS BIGINT) AS DOUBLE), 0.5)
+       |              * 1000000.0) AS BIGINT) AS w
+       |  FROM surv GROUP BY source
+       |),
+       |tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total,
+       |               CAST(SUM(w) AS BIGINT) AS sw FROM bysrc),
+       |kept AS (
+       |  SELECT doc_id, source FROM (
+       |    SELECT v.doc_id, v.source,
+       |           LEAST(1.0, $tau * CAST(n_total AS DOUBLE) * CAST(w AS DOUBLE)
+       |                 / CAST(sw AS DOUBLE) / CAST(n_src AS DOUBLE)) AS rate
+       |    FROM surv v JOIN bysrc b USING (source) CROSS JOIN tot
+       |  )
+       |  WHERE $h6 < CAST(round(rate * 16777216.0) AS BIGINT)
+       |),
+       |pack AS (
+       |  SELECT doc_id, shard, n_bpe,
+       |         COALESCE(SUM(n_bpe) OVER (PARTITION BY shard ORDER BY doc_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM (SELECT k.doc_id, k.doc_id % 8 AS shard, e.n_bpe
+       |        FROM kept k JOIN enc e USING (doc_id))
+       |)
+       |SELECT k.doc_id, k.source, p.n_bpe, p.shard,
+       |       CAST(p.cum_before // 256 AS BIGINT) AS bin,
+       |       CAST(p.cum_before % 256 AS BIGINT) AS bin_offset
+       |FROM kept k JOIN pack p USING (doc_id)
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   // ------------------------------------------- semi-structured extraction
 
   /** JSON property extraction + typed aggregation over `events.props` —
