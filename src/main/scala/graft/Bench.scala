@@ -42,17 +42,24 @@ object Bench {
     // queries between runs). Separated sweeps give independent samples
     // per query, so one storm cannot poison a timing. Override with
     // SPARK_GRAFT_REPS=1 for quick iteration.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    // malformed/zero reps would otherwise crash the whole run (NFE, or
+    // an empty sweep list dying at transpose)
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
     val sweeps = (1 to reps).map { _ =>
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(errStr(e)) }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // bench queries are independent: drop pool-tracked persists so
         // an earlier query's cached frames (dedup postings, signature
-        // tables) can't squeeze later queries' execution memory
+        // tables) can't squeeze later queries' execution memory. Runs
+        // OUTSIDE the timed region — unpersist(blocking) is teardown,
+        // not query work, and was skewing cache-heavy queries' minima.
         graft.operators.CachePool.clear()
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        (name, elapsed, err)
       }
     }
     val results = sweeps.transpose.map { timings =>

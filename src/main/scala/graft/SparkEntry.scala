@@ -314,15 +314,23 @@ object SparkEntry {
     graft.operators.ZOrder.layoutStats(eventPoints(s, dir))
 
   private val zorderSql: String = {
+    // every constant below is DERIVED from ZOrder's layout constants —
+    // the Scala operator and this oracle cannot silently desynchronize
+    import graft.operators.ZOrder._
+    val cells = 1L << CellBits
+    val cellMax = cells - 1
+    val bucketShift = 2 * CellBits - DefaultLog2Buckets
+    val tileAxisBits = CellBits - TileShift
+    def quantSql(c: String, lo: Double, hi: Double): String =
+      s"""CAST(least($cellMax, greatest(0,
+         |  floor(($c - ($lo)) / ${hi - lo} * $cells.0))) AS BIGINT)""".stripMargin
     def mortonPart(c: String, off: Int): String =
-      s"""list_sum(list_transform(generate_series(0, 15),
+      s"""list_sum(list_transform(generate_series(0, ${CellBits - 1}),
          |  j -> (($c >> j) & 1) << (2 * j + $off)))""".stripMargin
     s"""WITH pts AS ($pointsSql),
        |q AS (
-       |  SELECT CAST(least(65535, greatest(0,
-       |           floor((lon - (-180.0)) / 360.0 * 65536.0))) AS BIGINT) AS x,
-       |         CAST(least(65535, greatest(0,
-       |           floor((lat - (-85.0)) / 170.0 * 65536.0))) AS BIGINT) AS y
+       |  SELECT ${quantSql("lon", LonMin, LonMax)} AS x,
+       |         ${quantSql("lat", LatMin, LatMax)} AS y
        |  FROM pts
        |),
        |z AS (
@@ -330,9 +338,9 @@ object SparkEntry {
        |         CAST(${mortonPart("x", 0)} + ${mortonPart("y", 1)} AS BIGINT) AS z
        |  FROM q
        |)
-       |SELECT z >> 26 AS zbucket, CAST(count(*) AS BIGINT) AS n_points,
+       |SELECT z >> $bucketShift AS zbucket, CAST(count(*) AS BIGINT) AS n_points,
        |       MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
-       |       CAST(count(DISTINCT ((x >> 9) << 7) + (y >> 9)) AS BIGINT) AS n_tiles
+       |       CAST(count(DISTINCT ((x >> $TileShift) << $tileAxisBits) + (y >> $TileShift)) AS BIGINT) AS n_tiles
        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }
 
@@ -782,6 +790,7 @@ object SparkEntry {
     "q_winnow" -> (QualityQueries.qWinnow _),
     "q_kmv_distinct" -> (QualityQueries.qKmv _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
+    "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
     "q_bpe_train" -> (QualityQueries.qBpeTrain _),
     "q_bpe_encode" -> (QualityQueries.qBpeEncode _),
     "q_json_props" -> (QualityQueries.qJsonProps _),
@@ -873,6 +882,7 @@ object SparkEntry {
     "q_winnow" -> QualityQueries.qWinnowSql,
     "q_kmv_distinct" -> QualityQueries.qKmvSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
+    "q_simhash_wide" -> QualityQueries.qSimhashWideSql,
     "q_bpe_train" -> QualityQueries.qBpeTrainSql,
     "q_bpe_encode" -> QualityQueries.qBpeEncodeSql,
     "q_json_props" -> QualityQueries.qJsonPropsSql,

@@ -100,8 +100,14 @@ object BpeTokenizer {
 
   /** Encode every document with a learned merge list: apply the merges
     * in rank order as literal replaces — a per-row map chain, zero
-    * shuffle, with the merge table folded into the plan as literals
-    * (the broadcast-a-tokenizer deployment shape).
+    * shuffle, with the merge table carried as two array literals into
+    * ONE native expression ([[graft.plans.BpeApply]] — the
+    * broadcast-a-tokenizer deployment shape). The expression iterates
+    * the merges in a JVM loop, so plan/codegen depth is constant in the
+    * merge count: a realistic 10k–32k-entry vocabulary encodes exactly
+    * like the 8-merge test table (the earlier nested-replace chain grew
+    * the expression tree linearly and would hit analysis/Janino stack
+    * limits around a few thousand merges).
     *
     * Output: doc_id, n_tokens, n_bpe (symbols after merging), bpe_hash
     * (md5 of the full symbol string — full-fidelity check), bpe_head
@@ -109,9 +115,10 @@ object BpeTokenizer {
     */
   def encode(docs: DataFrame, merges: Seq[Merge], textCol: String = "text",
              idCol: String = "doc_id"): DataFrame = {
-    val enc = merges.foldLeft(docSymbols(textCol)) { (c, m) =>
-      call_function("replace", c, lit(s" ${m.lft} ${m.rgt} "), lit(s" ${m.merged} "))
-    }
+    graft.plans.TextExpressions.ensureRegistered()
+    val enc = call_function("graft_bpe_apply", docSymbols(textCol),
+      lit(merges.map(m => s" ${m.lft} ${m.rgt} ").toArray),
+      lit(merges.map(m => s" ${m.merged} ").toArray))
     val nTok = size(split(col(textCol), " ")).cast("long")
     docs.select(col(idCol), nTok.as("n_tokens"), enc.as("s"))
       .select(col(idCol), col("n_tokens"),

@@ -57,21 +57,35 @@ object Dedup {
       struct(b.cast("long").as("band"),
         md5(concat(element_at(sig, b * 2 + 1), element_at(sig, b * 2 + 2))).as("bk")))
 
-  /** 16-bit SimHash from the leading hex chars of per-token md5:
-    * bit j is the sign of Σ_tokens (md5(token)[j] ≥ '8' ? +1 : −1),
-    * token multiplicity acting as the weight. Computed in ONE aggregate
-    * pass with ONE md5 per token: the accumulator is the 16-slot bit-sum
-    * array, zip_with'd against the token digest's first 16 hex chars —
-    * the earlier 16-independent-aggregates form hashed every token 16×
-    * (interpreted, so no subexpression sharing rescued it). The single
-    * sums subtree is referenced exactly once via transform+array_join.
+  /** `bits`-bit SimHash from per-token md5 hex chars: bit j is the sign
+    * of Σ_tokens (hexstream(token)[j] ≥ '8' ? +1 : −1), token
+    * multiplicity acting as the weight. The hex stream is md5(token)
+    * for the first 32 bits, then md5("<s>|token") for each further
+    * 32-bit block — one digest per 32 signature bits, so a 64-bit
+    * signature costs exactly 2 md5 per token. Computed in ONE aggregate
+    * pass: the accumulator is the bits-slot bit-sum array, zip_with'd
+    * against the token's hex chars — the earlier bits-independent-
+    * aggregates form hashed every token `bits`× (interpreted, so no
+    * subexpression sharing rescued it). The single sums subtree is
+    * referenced exactly once via transform+array_join. Returns the
+    * signature as a binary string ("1011…"), MSB first.
     */
-  def simhash16(t: Column): Column = {
-    val sums = aggregate(t, array_repeat(lit(0), 16), (acc, tok) =>
-      zip_with(acc, slice(split(md5(tok), ""), 1, 16), (a, c) =>
-        a + when(c >= "8", 1).otherwise(-1)))
+  def simhashBitsStr(t: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"signature must fit a positive long, got $bits bits")
+    val streams = (bits + 31) / 32
+    def hexChars(tok: Column): Column = {
+      val hs = (0 until streams).map { s =>
+        split(if (s == 0) md5(tok) else md5(concat(lit(s + "|"), tok)), "")
+      }
+      slice(if (hs.size == 1) hs.head else concat(hs: _*), 1, bits)
+    }
+    val sums = aggregate(t, array_repeat(lit(0), bits), (acc, tok) =>
+      zip_with(acc, hexChars(tok), (a, c) => a + when(c >= "8", 1).otherwise(-1)))
     array_join(transform(sums, v => when(v > 0, lit("1")).otherwise(lit("0"))), "")
   }
+
+  /** The original 16-bit signature ([[simhashBitsStr]] at 16). */
+  def simhash16(t: Column): Column = simhashBitsStr(t, 16)
 
   // ------------------------------------------------------------- operators
 
@@ -365,40 +379,50 @@ object Dedup {
   /** SimHash NEAR-duplicate neighborhood stats within Hamming distance
     * `maxHam`, found by the pigeonhole banding trick (public knowledge:
     * Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
-    * Crawling", WWW 2007): split the 16-bit signature into 4 bands of
-    * 4 bits — any pair within Hamming ≤ 3 agrees EXACTLY on at least
-    * one band, so an equi-join on (band index, band value) is a
-    * lossless candidate filter, and `bit_count(xor)` verifies the exact
-    * distance. Exact-equality bucketing ([[simhashBuckets]]) misses a
-    * one-bit-flipped near-dup; this is the standard scale answer.
+    * Crawling", WWW 2007): split the `sigBits`-bit signature into
+    * `bands` equal bands — any pair within Hamming ≤ bands−1 agrees
+    * EXACTLY on at least one band, so an equi-join on (band index,
+    * band value) is a lossless candidate filter, and `bit_count(xor)`
+    * verifies the exact distance. Exact-equality bucketing
+    * ([[simhashBuckets]]) misses a one-bit-flipped near-dup; this is
+    * the standard scale answer.
     *
     * The output is PER-DOCUMENT (neighbor count + smallest neighbor
     * id), not per-pair: near-dup neighborhoods are quadratic in bucket
     * density, so the bounded per-doc rollup is what a pipeline persists
     * (the pair stream stays internal to the plan).
     *
-    * Cross-engine exactness: the signature integer is Σ 2^(16−j) over
-    * positive bit positions — pure integer arithmetic from md5 hex
+    * Cross-engine exactness: the signature integer is Σ 2^(sigBits−j)
+    * over positive bit positions — pure integer arithmetic from md5 hex
     * comparisons; the verify is integer xor/popcount.
     *
-    * Scale shape: 4 shuffled rows per doc (the band keys), candidates
-    * only within equal band buckets, distinct-pair dedup before the
-    * popcount verify, then one id-keyed count. No signature cross-join
-    * anywhere. At corpus scale the band width must grow with n the way
-    * [[graft.operators.Similarity]] scales its LSH bits — 4-bit bands
-    * are matched to the 16-bit signature here.
+    * Scale shape: `bands` shuffled rows per doc (the band keys),
+    * candidates only within equal band buckets, distinct-pair dedup
+    * before the popcount verify, then one id-keyed count. No signature
+    * cross-join anywhere. Random band agreement is 2^−(sigBits/bands),
+    * so candidate density is tuned by widening the signature: the
+    * 16-bit/4-band default buckets random pairs at 1/16 per band (fine
+    * to ~10^5 docs); 64-bit/4-band drops that to 1/65536 — grow
+    * sigBits with n the way [[graft.operators.Similarity]] scales its
+    * LSH bits.
     *
     * Output: doc_id, sig, n_near, min_near_id — docs with ≥ 1 neighbor
     * within `maxHam`, ordered by doc_id.
     */
   def simhashNearStats(docs: DataFrame, maxHam: Int = 2, textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    require(maxHam >= 1 && maxHam <= 3, s"4-band pigeonhole covers Hamming 1..3, got $maxHam")
+                       idCol: String = "doc_id", sigBits: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    require(bands >= 2 && sigBits % bands == 0,
+      s"signature must split into equal bands, got $sigBits bits / $bands bands")
+    require(maxHam >= 1 && maxHam <= bands - 1,
+      s"$bands-band pigeonhole covers Hamming 1..${bands - 1}, got $maxHam")
+    val width = sigBits / bands
+    val mask = (1L << width) - 1
     val sigs = docs.select(col(idCol).as("id"),
-      conv(simhash16(tokens(col(textCol))), 2, 10).cast("long").as("sig"))
-    val bandArr = array((0 to 3).map { b =>
+      conv(simhashBitsStr(tokens(col(textCol)), sigBits), 2, 10).cast("long").as("sig"))
+    val bandArr = array((0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
-        shiftright(col("sig"), 4 * (3 - b)).bitwiseAND(lit(15L)).as("bv"))
+        shiftright(col("sig"), width * (bands - 1 - b)).bitwiseAND(lit(mask)).as("bv"))
     }: _*)
     val banded = sigs.select(col("id"), col("sig"), explode(bandArr).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv"))

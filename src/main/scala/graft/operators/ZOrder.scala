@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
+  /** Layout constants — the single source of truth shared with the
+    * oracle SQL (SparkEntry derives its DuckDB query from these, so the
+    * two sides cannot silently desynchronize).
+    */
+  val CellBits = 16
+  val LonMin = -180.0; val LonMax = 180.0
+  val LatMin = -85.0; val LatMax = 85.0
+  val DefaultLog2Buckets = 6
+  /** 16-bit cell axis → z5-scale 7-bit tile axis. */
+  val TileShift: Int = CellBits - 7
+
   /** Quantize a coordinate to a `bits`-bit integer cell on [lo, hi).
     * The floor input is a fixed-shape double chain — cross-engine safe
     * because both engines evaluate the identical expression on
@@ -48,16 +59,18 @@ object ZOrder {
     * min_x, max_x, min_y, max_y, n_tiles — ordered by zbucket.
     */
   def layoutStats(points: DataFrame, lonCol: String = "lon", latCol: String = "lat",
-                  log2Buckets: Int = 6): DataFrame = {
-    require(log2Buckets >= 1 && log2Buckets <= 16, s"bad bucket bits $log2Buckets")
-    val x = quantize(col(lonCol), -180.0, 180.0, 16)
-    val y = quantize(col(latCol), -85.0, 85.0, 16)
+                  log2Buckets: Int = DefaultLog2Buckets): DataFrame = {
+    require(log2Buckets >= 1 && log2Buckets <= CellBits, s"bad bucket bits $log2Buckets")
+    val x = quantize(col(lonCol), LonMin, LonMax, CellBits)
+    val y = quantize(col(latCol), LatMin, LatMax, CellBits)
     points
       .select(x.as("x"), y.as("y"))
       .withColumn("z", morton16(col("x"), col("y")))
-      .withColumn("zbucket", shiftright(col("z"), 32 - log2Buckets))
+      .withColumn("zbucket", shiftright(col("z"), 2 * CellBits - log2Buckets))
       // z5-scale tile id: the top 7 bits of each 16-bit cell axis
-      .withColumn("tile", shiftleft(shiftright(col("x"), 9), 7) + shiftright(col("y"), 9))
+      .withColumn("tile",
+        shiftleft(shiftright(col("x"), TileShift), CellBits - TileShift)
+          + shiftright(col("y"), TileShift))
       .groupBy(col("zbucket"))
       .agg(count(lit(1)).as("n_points"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),

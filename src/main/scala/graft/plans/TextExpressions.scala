@@ -56,12 +56,19 @@ object TextExpressions {
     "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1)))),
     "graft_minhash" -> (es => MinhashSig(es(0), intLit(es(1)))),
     "graft_topgram" -> (es => TopGramStats(es(0), intLit(es(1)))),
-    "graft_winnow" -> (es => WinnowFps(es(0), intLit(es(1)))))
+    "graft_winnow" -> (es => WinnowFps(es(0), intLit(es(1)))),
+    "graft_bpe_apply" -> (es => BpeApply(es(0), strArrLit(es(1)), strArrLit(es(2)))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
     case l: Long => l.toInt
     case o => throw new IllegalArgumentException(s"expected integer literal, got $o")
+  }
+
+  private def strArrLit(e: Expression): Array[String] = e.eval(null) match {
+    case a: ArrayData =>
+      Array.tabulate(a.numElements())(i => a.getUTF8String(i).toString)
+    case o => throw new IllegalArgumentException(s"expected string-array literal, got $o")
   }
 
   def register(spark: SparkSession): Unit =
@@ -212,6 +219,40 @@ case class WinnowFps(child: Expression, w: Int)
     var p = 0
     while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Ordered literal-replace chain in ONE compiled call — the BPE merge
+  * applier. Semantically identical to folding `replace(s, pat_i,
+  * repl_i)` over the merge list in rank order (same left-to-right
+  * non-overlapping literal scan as `String.replace` / SQL `replace`),
+  * but the merge table lives in a plain JVM array instead of the
+  * expression tree: a realistic 10k–32k-entry tokenizer would blow
+  * analysis/codegen stack depth and Janino limits as a nested replace
+  * chain, while here tree depth is constant in the merge count.
+  */
+case class BpeApply(child: Expression, patterns: Array[String], repls: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  require(patterns.length == repls.length,
+    s"merge table arity mismatch: ${patterns.length} patterns, ${repls.length} replacements")
+  override def prettyName: String = "graft_bpe_apply"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    var s = v.asInstanceOf[UTF8String].toString
+    var i = 0
+    while (i < patterns.length) {
+      s = s.replace(patterns(i), repls(i))
+      i += 1
+    }
+    UTF8String.fromString(s)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -133,6 +133,45 @@ object QualityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The scale-parameterized variant: a 48-bit signature in 4 bands of
+    * 12 bits drops random band agreement from 2^−4 to 2^−12 — the
+    * candidate join touches ~1/256th the pairs of the 16-bit default
+    * at the same corpus size (the knob to turn as n grows).
+    */
+  def qSimhashWide(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearStats(docs(s, dir), maxHam = 2, sigBits = 48, bands = 4)
+
+  val qSimhashWideSql: String = {
+    // hex char j of the signature stream: md5(tok) carries bits 1..32,
+    // md5('1|' || tok) bits 33..48 — same construction as
+    // Dedup.simhashBitsStr
+    def hexChar(j: Int): String =
+      if (j <= 32) s"substring(md5(tok), $j, 1)"
+      else s"substring(md5('1|' || tok), ${j - 32}, 1)"
+    val bits = (1 to 48).map { j =>
+      s"""CASE WHEN list_sum(list_transform(t, tok ->
+         |  CASE WHEN ${hexChar(j)} >= '8' THEN 1 ELSE -1 END)) > 0
+         |THEN ${1L << (48 - j)} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ints AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM toks),
+       |bk AS (
+       |  SELECT doc_id, sig, band, (sig >> (12 * (3 - band))) & 4095 AS bv
+       |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM ints)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id, a.sig AS sig,
+       |         b.doc_id AS id_b, b.sig AS sig_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
+       |)
+       |SELECT id AS doc_id, sig, CAST(count(*) AS BIGINT) AS n_near,
+       |       CAST(min(id_b) AS BIGINT) AS min_near_id
+       |FROM cand WHERE bit_count(xor(sig, sig_b)) <= 2
+       |GROUP BY id, sig
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- BPE trainer
 
   val BpeMerges = 8

@@ -62,6 +62,26 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(out.getAs[String]("bpe_head").contains("| a | b"))
   }
 
+  test("encode handles a realistic-size merge table (constant plan depth)") {
+    // 12k synthetic merges — the nested-replace formulation would blow
+    // analysis/codegen stack depth here; the native BpeApply expression
+    // must analyze and run. Only the first two merges can fire on the
+    // data; the rest are no-op patterns exercising the loop.
+    val docs = Seq((1L, "abc ab x"), (2L, "abc")).toDF("doc_id", "text")
+    val real = BpeTokenizer.trainMerges(docs, 2) // (a,b), (ab,c)
+    val noise = (1 to 12000).map(i =>
+      BpeTokenizer.Merge(real.length + i.toLong, s"zz$i", s"qq$i", s"zz${i}qq$i", 0L))
+    val out = BpeTokenizer.encode(docs, real ++ noise).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L))
+    // and the result is identical to encoding with just the real merges
+    val expect = BpeTokenizer.encode(docs, real).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bpe_hash"))).toSet
+    val got = BpeTokenizer.encode(docs, real ++ noise).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bpe_hash"))).toSet
+    assert(got == expect)
+  }
+
   test("train DataFrame output matches the driver merge list") {
     val docs = Seq((1L, "spark spark stream stream scan")).toDF("doc_id", "text")
     val fromDf = BpeTokenizer.train(spark, docs, 4).collect()

@@ -115,4 +115,51 @@ class QualityRulesSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near")).toMap
     assert(banded == brute)
   }
+
+  test("wide simhash banding stays lossless at any width/band split") {
+    // the same brute-force cross-check at 48 bits / 4 bands — the
+    // scale parameterization must not change which pairs are found
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 40).map(i =>
+      doc(i.toLong, (1 to 10).map(j => s"tok${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val sigs = docs.select(col("doc_id"),
+      conv(Dedup.simhashBitsStr(split(col("text"), " "), 48), 2, 10).cast("long").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sigs.forall(_._2 >= 0L), "48-bit signature must stay a positive long")
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia != ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val banded = Dedup.simhashNearStats(docs, maxHam = 3, sigBits = 48, bands = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near")).toMap
+    assert(banded == brute)
+  }
+
+  test("wide simhash widens bands, not semantics: 16-bit prefix agrees") {
+    // bits 1..16 of the 48-bit signature come from the same md5 stream
+    // as simhash16 — the wide signature's top 16 bits must equal it
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 10).map(i =>
+      doc(i.toLong, (1 to 8).map(j => s"w${(i + j) % 5}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val both = docs.select(
+      conv(Dedup.simhash16(split(col("text"), " ")), 2, 10).cast("long").as("s16"),
+      conv(Dedup.simhashBitsStr(split(col("text"), " "), 48), 2, 10).cast("long").as("s48"))
+      .collect()
+    both.foreach { r =>
+      assert((r.getLong(1) >> 32) == r.getLong(0))
+    }
+  }
+
+  test("simhashNearStats rejects band splits pigeonhole cannot cover") {
+    val docs = Seq(doc(1L, "a b c")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearStats(docs, maxHam = 4, sigBits = 16, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearStats(docs, maxHam = 2, sigBits = 20, bands = 3)
+    }
+  }
 }
