@@ -418,14 +418,21 @@ object Dedup {
       s"$bands-band pigeonhole covers Hamming 1..${bands - 1}, got $maxHam")
     val width = sigBits / bands
     val mask = (1L << width) - 1
+    // native one-pass signature ([[graft.plans.SimhashLong]]): the
+    // builtin zip_with-in-aggregate form was interpreted and dominated
+    // this operator's cost at 48 bits
+    graft.plans.TextExpressions.ensureRegistered()
     val sigs = docs.select(col(idCol).as("id"),
-      conv(simhashBitsStr(tokens(col(textCol)), sigBits), 2, 10).cast("long").as("sig"))
+      call_function("graft_simhash", col(textCol), lit(sigBits)).as("sig"))
     val bandArr = array((0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
         shiftright(col("sig"), width * (bands - 1 - b)).bitwiseAND(lit(mask)).as("bv"))
     }: _*)
-    val banded = sigs.select(col("id"), col("sig"), explode(bandArr).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // both self-join sides read this — persist, or every token is
+    // md5'd twice (bounded lifecycle via the pool)
+    val banded = CachePool.track(
+      sigs.select(col("id"), col("sig"), explode(bandArr).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") =!= col("b.id"))

@@ -57,7 +57,8 @@ object TextExpressions {
     "graft_minhash" -> (es => MinhashSig(es(0), intLit(es(1)))),
     "graft_topgram" -> (es => TopGramStats(es(0), intLit(es(1)))),
     "graft_winnow" -> (es => WinnowFps(es(0), intLit(es(1)))),
-    "graft_bpe_apply" -> (es => BpeApply(es(0), strArrLit(es(1)), strArrLit(es(2)))))
+    "graft_bpe_apply" -> (es => BpeApply(es(0), strArrLit(es(1)), strArrLit(es(2)))),
+    "graft_simhash" -> (es => SimhashLong(es(0), intLit(es(1)))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -219,6 +220,79 @@ case class WinnowFps(child: Expression, w: Int)
     var p = 0
     while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `bits`-bit SimHash of a single-space-tokenized text as a positive
+  * long, in ONE compiled pass — bit-identical to
+  * `conv(Dedup.simhashBitsStr(split(text, " "), bits), 2, 10)`: bit j
+  * (MSB first) is the sign of Σ_tokens ±1 where the sign is hex char j
+  * of the token's digest stream ≥ '8' (i.e. nibble ≥ 8), the stream
+  * being md5(token) for bits 1..32 then md5("<s>|token") per further
+  * 32-bit block. Exists because the builtin formulation is a
+  * `bits`-slot zip_with inside an aggregate HOF — interpreted
+  * per-element lambda dispatch with a fresh digest per md5 — which at
+  * 48 bits was the dominant cost of the banded near-dup join (and runs
+  * TWICE there, once per self-join side). Here: one thread-local
+  * digest, nibble tests on the raw bytes, a bounded int array.
+  */
+case class SimhashLong(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 62, s"signature must fit a positive long, got $bits bits")
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+
+  private val streams = (bits + 31) / 32
+  private val prefixes: Array[Array[Byte]] =
+    (0 until streams).map(s =>
+      if (s == 0) Array.empty[Byte]
+      else (s + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    // limit -1 keeps trailing empties — Spark's split() semantics
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val sums = new Array[Int](bits)
+    val md = TextExpressions.md5()
+    var t = 0
+    while (t < toks.length) {
+      val tokBytes = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var s = 0
+      while (s < streams) {
+        md.reset()
+        if (prefixes(s).nonEmpty) md.update(prefixes(s))
+        md.update(tokBytes)
+        val d = md.digest()
+        val lo = s * 32
+        val hi = math.min(bits, lo + 32)
+        var j = lo
+        while (j < hi) {
+          // hex char j of the digest is nibble j: high nibble of byte
+          // j/2 for even j (0-based), low nibble for odd — char ≥ '8'
+          // ⟺ nibble ≥ 8
+          val idx = j - lo
+          val nib =
+            if ((idx & 1) == 0) (d(idx >> 1) >> 4) & 0xf else d(idx >> 1) & 0xf
+          sums(j) += (if (nib >= 8) 1 else -1)
+          j += 1
+        }
+        s += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) sig |= 1L << (bits - 1 - j)
+      j += 1
+    }
+    sig
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

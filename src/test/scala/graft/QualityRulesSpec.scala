@@ -153,6 +153,22 @@ class QualityRulesSpec extends SparkSpec {
     }
   }
 
+  test("native graft_simhash equals the builtin bit-string path exactly") {
+    import org.apache.spark.sql.functions._
+    graft.plans.TextExpressions.register(spark)
+    val docs = (Seq("", "one", "a b", "alpha beta gamma  double space") ++
+      (1 to 30).map(i => (1 to 12).map(j => s"w${(i * 3 + j) % 9}").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (bits <- Seq(16, 48)) {
+      val mismatches = docs.select(
+        call_function("graft_simhash", col("text"), lit(bits)).as("fast"),
+        conv(Dedup.simhashBitsStr(split(col("text"), " "), bits), 2, 10)
+          .cast("long").as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(mismatches == 0L, s"native/builtin simhash diverged at $bits bits")
+    }
+  }
+
   test("simhashNearStats rejects band splits pigeonhole cannot cover") {
     val docs = Seq(doc(1L, "a b c")).toDF("doc_id", "source", "text")
     intercept[IllegalArgumentException] {
