@@ -221,36 +221,50 @@ object CorpusStats {
     * one fixed-shape fma-free chain; ln is snapped to the 1e-5 integer
     * lattice, so per-doc totals are exact BIGINT sums.
     *
-    * Scale shape: bigrams come from a per-doc window (doc-keyed
-    * shuffle, the same partitioning the per-doc sum needs later); the
-    * bigram/unigram count tables are vocabulary-bounded aggregations
-    * with map-side combine; both probability joins are key-equi (AQE
-    * broadcasts them while they fit). Output: doc_id, n_bigrams,
-    * nll_total, avg_nll — docs with <2 tokens are excluded.
+    * Scale shape: bigrams are built PER ROW (array transform — no
+    * window, no doc-keyed sort shuffle) and immediately aggregated to
+    * (doc, t1, t2, multiplicity) with map-side combine — the smallest
+    * corpus-wide stream this computation admits. Every count table
+    * derives from that one cached aggregate (bigram counts and context
+    * counts are second-level rollups of it, NOT corpus re-scans), the
+    * per-distinct-bigram probability is scored once in a
+    * vocabulary-bounded table, and the final join is key-equi against
+    * it (AQE broadcasts while it fits) followed by the doc-keyed sum
+    * weighted by multiplicity. Output: doc_id, n_bigrams, nll_total,
+    * avg_nll — docs with <2 tokens are excluded.
     */
   def bigramNll(docs: DataFrame, lambda: Double = 0.7, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"bad interpolation lambda $lambda")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("pos"))
-    val tok = docs.select(col(idCol).as("doc"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
-    val bi = tok.withColumn("t1", lag(col("term"), 1).over(w))
-      .filter(col("t1").isNotNull)
+    val toks = split(col(textCol), " ")
+    val tok = docs.select(col(idCol).as("doc"), explode(toks).as("term"))
     val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
     val total = uni.agg(sum(col("tf")).as("t"))
-    val biCounts = bi.groupBy(col("t1"), col("term")).agg(count(lit(1)).as("c2"))
+    // (doc, bigram, multiplicity): the one corpus-wide aggregate —
+    // cached because the count rollups AND the final score join read it
+    val docBi = CachePool.track(docs
+      .filter(size(toks) >= 2)
+      .select(col(idCol).as("doc"), toks.as("ts"))
+      .select(col("doc"), explode(transform(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        (t, i) => struct(t.as("t1"), element_at(col("ts"), i + 2).as("term")))).as("bg"))
+      .groupBy(col("doc"), col("bg.t1").as("t1"), col("bg.term").as("term"))
+      .agg(count(lit(1)).as("m")))
+    val biCounts = docBi.groupBy(col("t1"), col("term")).agg(sum(col("m")).as("c2"))
     // context counts (bigrams starting with t1), so p(·|t1) sums to 1
-    val c1 = bi.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+    val c1 = biCounts.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
     val pMix = lit(lambda) * (col("c2").cast("double") / col("c1")) +
       lit(1.0 - lambda) * (col("tf").cast("double") / col("t"))
     val nllUnit = round(-log(pMix) * lit(100000.0)).cast("long")
-    bi.join(biCounts, Seq("t1", "term"))
+    // vocabulary-bounded: one nll per DISTINCT bigram, scored once
+    val scored = biCounts
       .join(c1, "t1")
       .join(uni, "term")
       .crossJoin(broadcast(total))
+      .select(col("t1"), col("term"), nllUnit.as("nll"))
+    docBi.join(scored, Seq("t1", "term"))
       .groupBy(col("doc").as(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(nllUnit).as("nll_total"))
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("nll")).as("nll_total"))
       .withColumn("avg_nll", col("nll_total").cast("double") / col("n_bigrams"))
       .orderBy(idCol)
   }

@@ -280,13 +280,14 @@ object TrainingPrep {
   def importanceWeights(raw: DataFrame, target: DataFrame, buckets: Int,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(buckets > 0, s"bad bucket count $buckets")
-    def feats(df: DataFrame): DataFrame = {
-      val toks = split(col(textCol), " ")
+    // native one-pass featurizer ([[graft.plans.BigramBuckets]]) — the
+    // builtin transform/concat/md5 chain was interpreted per bigram and
+    // dominated this operator's cost
+    graft.plans.TextExpressions.ensureRegistered()
+    def feats(df: DataFrame): DataFrame =
       df.select(col(idCol).as("doc"),
-          explode(transform(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-            (t, i) => concat(t, lit(" "), element_at(toks, i + 2)))).as("bigram"))
-        .select(col("doc"), pmod(hex6Int(col("bigram")), lit(buckets.toLong)).as("f"))
-    }
+        explode(call_function("graft_feat_buckets", col(textCol),
+          lit(buckets))).as("f"))
     val rawFeats = CachePool.track(feats(raw))
     // unseen buckets still carry smoothed mass: build the full bucket
     // domain so ln p_target − ln p_raw is defined for every feature

@@ -58,7 +58,8 @@ object TextExpressions {
     "graft_topgram" -> (es => TopGramStats(es(0), intLit(es(1)))),
     "graft_winnow" -> (es => WinnowFps(es(0), intLit(es(1)))),
     "graft_bpe_apply" -> (es => BpeApply(es(0), strArrLit(es(1)), strArrLit(es(2)))),
-    "graft_simhash" -> (es => SimhashLong(es(0), intLit(es(1)))))
+    "graft_simhash" -> (es => SimhashLong(es(0), intLit(es(1)))),
+    "graft_feat_buckets" -> (es => BigramBuckets(es(0), intLit(es(1)))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -293,6 +294,50 @@ case class SimhashLong(child: Expression, bits: Int)
       j += 1
     }
     sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hashed word-bigram feature buckets of a single-space-tokenized text
+  * in ONE compiled pass: element i is
+  * `hex6(md5(tok_i + " " + tok_{i+1})) % buckets` where hex6 is the
+  * 24-bit integer of the digest's first 6 hex chars (== its first 3
+  * bytes) — bit-identical to the builtin
+  * `pmod(hex6Int(concat(t_i, " ", t_{i+1})), buckets)` chain over a
+  * transform/slice bigram array, which ran per-element in the
+  * expression interpreter with a fresh digest per md5 (the dominant
+  * cost of the DSIR featurizer). Fewer than 2 tokens → empty array.
+  */
+case class BigramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0, s"bad bucket count $buckets")
+  override def prettyName: String = "graft_feat_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    // limit -1 keeps trailing empties — Spark's split() semantics
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val md = TextExpressions.md5()
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      md.reset()
+      md.update(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(' '.toByte)
+      md.update(toks(i + 1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val hex6 = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+      out(i) = (hex6 % buckets).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
