@@ -789,6 +789,7 @@ object SparkEntry {
     "q_gopher_quality" -> (QualityQueries.qGopher _),
     "q_winnow" -> (QualityQueries.qWinnow _),
     "q_kmv_distinct" -> (QualityQueries.qKmv _),
+    "q_kmv_setops" -> (QualityQueries.qKmvSetOps _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
     "q_bpe_train" -> (QualityQueries.qBpeTrain _),
@@ -802,6 +803,7 @@ object SparkEntry {
     "q_bm25" -> (PipelineQueries.qBm25 _),
     "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
     "q_sq8_search" -> (PipelineQueries.qSq8Search _),
+    "q_embed_dimstats" -> (PipelineQueries.qEmbedDimStats _),
     "q_semantic_dedup" -> (PipelineQueries.qSemanticDedup _),
     "q_ann_join" -> (PipelineQueries.qAnnJoin _),
     "q_matryoshka" -> (PipelineQueries.qMatryoshka _),
@@ -881,6 +883,7 @@ object SparkEntry {
     "q_gopher_quality" -> QualityQueries.qGopherSql,
     "q_winnow" -> QualityQueries.qWinnowSql,
     "q_kmv_distinct" -> QualityQueries.qKmvSql,
+    "q_kmv_setops" -> QualityQueries.qKmvSetOpsSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,
     "q_bpe_train" -> QualityQueries.qBpeTrainSql,
@@ -894,6 +897,7 @@ object SparkEntry {
     "q_bm25" -> PipelineQueries.qBm25Sql,
     "q_mix_temperature" -> PipelineQueries.qMixTemperatureSql,
     "q_sq8_search" -> PipelineQueries.qSq8SearchSql,
+    "q_embed_dimstats" -> PipelineQueries.qEmbedDimStatsSql,
     "q_semantic_dedup" -> PipelineQueries.qSemanticDedupSql,
     "q_ann_join" -> PipelineQueries.qAnnJoinSql,
     "q_matryoshka" -> PipelineQueries.qMatryoshkaSql,

@@ -120,13 +120,7 @@ object QualityRules {
   def kmvDistinct(docs: DataFrame, k: Int = 64, textCol: String = "text",
                   sourceCol: String = "source"): DataFrame = {
     require(k >= 2, s"bad KMV k $k")
-    val hashed = docs
-      .select(col(sourceCol).as("source"),
-        explode(Dedup.shingles3(col(textCol))).as("sh"))
-      .distinct()
-      .select(col("source"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
+    val hashed = shingleHashes(docs, textCol, sourceCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"))
     val est = when(col("kth_hash").isNull, col("n_exact").cast("double"))
@@ -139,5 +133,85 @@ object QualityRules {
       .select(col("source"), col("n_exact"), col("kth_hash"),
         (round(est * lit(1000.0)) / lit(1000.0)).as("est_distinct"))
       .orderBy("source")
+  }
+
+  /** Per-source distinct 60-bit shingle hashes — the KMV hash space
+    * shared by [[kmvDistinct]] and [[kmvSetOps]].
+    */
+  private def shingleHashes(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(Dedup.shingles3(col(textCol))).as("sh"))
+      .distinct()
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+
+  /** KMV sketch SET ALGEBRA (public knowledge: Beyer et al., "On
+    * Synopses for Distinct-Value Estimation Under Multiset Operations",
+    * SIGMOD 2007 — the K-Minimum-Values union/intersection estimators
+    * DataSketches' theta sketch productionizes): per source pair,
+    * estimate |A∪B| and |A∩B| of the 3-gram shingle vocabularies from
+    * the two k-min sketches ALONE.
+    *
+    * Union: the k smallest of S_A ∪ S_B is itself a valid KMV sketch of
+    * A∪B → est_union = (k−1)·2⁶⁰/τ with τ its k-th minimum (exact
+    * count when the merged sketch has < k hashes — the sketches are
+    * complete below k). Intersection: ρ = |merged-k ∩ S_A ∩ S_B| /
+    * k_eff is an unbiased Jaccard-style estimator → est_inter =
+    * ρ·est_union (reduces to the exact intersection below k).
+    *
+    * The 100 TB point is MERGEABILITY: each source's k-min sketch is
+    * built once (k·sources rows shuffle — WindowGroupLimit pushes the
+    * rank cutoff map-side), and every pairwise estimate is computed on
+    * sketches of size k, never rescanning the corpus — the same
+    * union-without-a-second-pass property HLL/theta sketches are
+    * deployed for.
+    *
+    * Cross-engine exactness: order statistics on exact 60-bit integers;
+    * the estimates divide correctly-rounded double casts of those
+    * integers in a fixed shape, snapped to 1e-3.
+    *
+    * Output: src_a, src_b (src_a < src_b), k_eff, n_both, est_union,
+    * est_inter — one row per source pair, ordered by (src_a, src_b).
+    */
+  def kmvSetOps(docs: DataFrame, k: Int = 64, textCol: String = "text",
+                sourceCol: String = "source"): DataFrame = {
+    require(k >= 2, s"bad KMV k $k")
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    // the per-source sketch: k smallest hashes (k·sources rows total)
+    val sk = shingleHashes(docs, textCol, sourceCol)
+      .withColumn("rn", row_number().over(bySrc))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+    // merged hash space per pair, tagged with which side(s) carry it
+    val merged = pairs
+      .join(broadcast(sk), col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(when(col("source") === col("src_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === col("src_b"), 1).otherwise(0)).as("in_b"))
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    val agg = merged
+      .withColumn("rn", row_number().over(byPair))
+      .filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_eff"),
+        max(when(col("rn") === k, col("h"))).as("tau"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+    val estUnion = when(col("tau").isNull, col("k_eff").cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) / col("tau").cast("double"))
+    agg
+      .withColumn("est_union", round(estUnion * lit(1000.0)) / lit(1000.0))
+      .select(col("src_a"), col("src_b"), col("k_eff"), col("n_both"),
+        col("est_union"),
+        (round(col("n_both").cast("double") / col("k_eff") * col("est_union")
+          * lit(1000.0)) / lit(1000.0)).as("est_inter"))
+      .orderBy("src_a", "src_b")
   }
 }

@@ -790,4 +790,47 @@ object Similarity {
       .filter(col("rn") === 1).drop("rn")
       .orderBy(col("vec_id"))
   }
+
+  /** Per-dimension distribution stats of an embedding column — the FIT
+    * half of feature scaling (z-score/min-max normalization, PCA
+    * centering) a training pipeline runs before quantizer training or
+    * whitening: for every dimension, the count, exact micro-unit sum /
+    * sum-of-squares / min / max, and the derived mean and (population)
+    * variance.
+    *
+    * Cross-engine exactness: micro values are exact integers, so sum
+    * (≤ n·2e6) and sumsq (≤ n·4e12) are exact BIGINT sums; the
+    * variance numerator n·sumsq − sum² is computed in DECIMAL (it
+    * overflows a long at n ≳ 2000) and mean/variance are single
+    * fixed-shape double divisions snapped to 1e-6.
+    *
+    * Scale shape: one narrow per-row explode and ONE aggregation keyed
+    * by dimension — key cardinality = dims (bounded), so map-side
+    * partial aggregation collapses the shuffle to dims·partitions rows
+    * regardless of corpus size. No join, no window.
+    *
+    * Output: dim (0-based), n_vecs, sum_micro, sumsq_micro, min_micro,
+    * max_micro, mean (1e-6), variance (1e-6, micro² units scaled back
+    * by 1e-12) — ordered by dim.
+    */
+  def dimStats(embs: DataFrame, dims: Int, embCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    embs
+      .select(posexplode(transform(col(embCol),
+        e => round(e.cast("double") * lit(1000000.0)).cast("long"))).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("v")).as("sum_micro"),
+        sum(col("v") * col("v")).as("sumsq_micro"),
+        min(col("v")).as("min_micro"),
+        max(col("v")).as("max_micro"))
+      .select(col("dim"), col("n_vecs"), col("sum_micro"), col("sumsq_micro"),
+        col("min_micro"), col("max_micro"),
+        (round(col("sum_micro").cast("double") / col("n_vecs")) / lit(1000000.0)).as("mean"),
+        (round((col("sumsq_micro").cast(dec) * col("n_vecs")
+            - col("sum_micro").cast(dec) * col("sum_micro")).cast("double")
+          / col("n_vecs") / col("n_vecs") / lit(1e12) * lit(1000000.0))
+          / lit(1000000.0)).as("variance"))
+      .orderBy("dim")
+  }
 }

@@ -1047,6 +1047,36 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-dimension embedding distribution stats (see
+    * [[graft.operators.Similarity.dimStats]]) — the feature-scaling
+    * fit table.
+    */
+  def qEmbedDimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(embs(s, dir), dims = Dims)
+
+  val qEmbedDimStatsSql: String =
+    """WITH m AS (
+      |  SELECT dim, CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS v FROM (
+      |    SELECT unnest(embedding) AS e,
+      |           unnest(generate_series(0, len(embedding) - 1)) AS dim
+      |    FROM embeddings
+      |  )
+      |),
+      |agg AS (
+      |  SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+      |         CAST(SUM(v) AS BIGINT) AS sum_micro,
+      |         CAST(SUM(v * v) AS BIGINT) AS sumsq_micro,
+      |         MIN(v) AS min_micro, MAX(v) AS max_micro
+      |  FROM m GROUP BY dim
+      |)
+      |SELECT dim, n_vecs, sum_micro, sumsq_micro, min_micro, max_micro,
+      |       round(CAST(sum_micro AS DOUBLE) / n_vecs) / 1000000.0 AS mean,
+      |       round(CAST(CAST(sumsq_micro AS HUGEINT) * n_vecs
+      |                  - CAST(sum_micro AS HUGEINT) * sum_micro AS DOUBLE)
+      |             / n_vecs / n_vecs / 1000000000000.0 * 1000000.0) / 1000000.0 AS variance
+      |FROM agg
+      |ORDER BY dim""".stripMargin
+
   /** Int8 scalar-quantized top-10 search (see
     * [[graft.operators.Similarity.sq8Search]]): exact integer dot
     * products over the quantized codes.

@@ -103,6 +103,68 @@ object QualityQueries {
       |             * 1000.0) / 1000.0 AS est_distinct
       |FROM agg ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ KMV sketch set algebra
+
+  def qKmvSetOps(s: SparkSession, dir: String): DataFrame =
+    QualityRules.kmvSetOps(docs(s, dir), k = 64)
+
+  val qKmvSetOpsSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT source, shingle FROM (
+      |    SELECT source, unnest(list_transform(generate_series(1, len(t) - 2),
+      |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+      |    WHERE len(t) >= 3
+      |  )
+      |),
+      |hs AS (
+      |  SELECT DISTINCT source,
+      |         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+      |  FROM sh
+      |),
+      |sk AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |    FROM hs
+      |  ) WHERE rn <= 64
+      |),
+      |srcs AS (SELECT DISTINCT source FROM sk),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM srcs a JOIN srcs b ON a.source < b.source
+      |),
+      |merged AS (
+      |  SELECT p.src_a, p.src_b, s.h,
+      |         max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+      |         max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+      |  GROUP BY p.src_a, p.src_b, s.h
+      |),
+      |topk AS (
+      |  SELECT * FROM (
+      |    SELECT src_a, src_b, h, in_a, in_b,
+      |           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+      |    FROM merged
+      |  ) WHERE rn <= 64
+      |),
+      |agg AS (
+      |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_eff,
+      |         max(CASE WHEN rn = 64 THEN h END) AS tau,
+      |         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      |  FROM topk GROUP BY src_a, src_b
+      |),
+      |est AS (
+      |  SELECT src_a, src_b, k_eff, n_both,
+      |         round((CASE WHEN tau IS NULL THEN CAST(k_eff AS DOUBLE)
+      |                ELSE 63.0 * 1152921504606846976.0 / CAST(tau AS DOUBLE) END)
+      |               * 1000.0) / 1000.0 AS est_union
+      |  FROM agg
+      |)
+      |SELECT src_a, src_b, k_eff, n_both, est_union,
+      |       round(CAST(n_both AS DOUBLE) / k_eff * est_union * 1000.0) / 1000.0 AS est_inter
+      |FROM est
+      |ORDER BY src_a, src_b""".stripMargin
+
   // --------------------------------------------- simhash hamming near-dups
 
   def qSimhashNear(s: SparkSession, dir: String): DataFrame =

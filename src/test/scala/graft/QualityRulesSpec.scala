@@ -83,6 +83,27 @@ class QualityRulesSpec extends SparkSpec {
     assert(estB > 40.0 && estB < 600.0, s"estimate $estB implausible for 200")
   }
 
+  test("KMV set ops are EXACT below k and consistent with the sketches") {
+    // two sources sharing exactly one distinct 3-gram vocabulary doc:
+    // below k=64 the merged sketch is the full union, so est_union and
+    // est_inter must be the exact distinct-shingle counts
+    val shared = "alpha beta gamma delta epsilon"           // 3 shingles
+    val onlyA = "one two three four"                        // 2 shingles
+    val onlyB = "five six seven eight nine"                 // 3 shingles
+    val docs = Seq(
+      (1L, "A", shared), (2L, "A", onlyA),
+      (3L, "B", shared), (4L, "B", onlyB)
+    ).toDF("doc_id", "source", "text")
+    val out = QualityRules.kmvSetOps(docs, k = 64).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[String]("src_a"), r.getAs[String]("src_b")) == (("A", "B")))
+    assert(r.getAs[Long]("k_eff") == 8L)       // |A∪B| = 3+2+3
+    assert(r.getAs[Long]("n_both") == 3L)      // the shared doc's shingles
+    assert(r.getAs[Double]("est_union") == 8.0)
+    assert(r.getAs[Double]("est_inter") == 3.0)
+  }
+
   test("simhash near stats finds planted one-bit neighbors symmetrically") {
     // identical docs have hamming 0; also distinct docs count each other
     val docs = Seq(

@@ -278,4 +278,19 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Double]("cos_sim"))
     assert(verified.forall(_ >= 0.999))
   }
+
+  test("dimStats computes exact per-dimension moments") {
+    // dim 0 values: 1.0, 3.0 → mean 2, var 1; dim 1: 0.5, 0.5 → var 0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f)),
+      (1L, Array(3.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(vecs, dims = 2).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_micro"),
+          r.getAs[Long]("sumsq_micro"), r.getAs[Double]("mean"),
+          r.getAs[Double]("variance"))).toMap
+    assert(out(0L) == ((2L, 4000000L, 10000000000000L, 2.0, 1.0)))
+    assert(out(1L) == ((2L, 1000000L, 500000000000L, 0.5, 0.0)))
+  }
 }
