@@ -62,17 +62,46 @@ object Bench {
         (name, elapsed, err)
       }
     }
-    val results = sweeps.transpose.map { timings =>
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val errByName = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    sweeps.transpose.foreach { timings =>
       val (name, _, _) = timings.head
-      val ok = timings.filter(_._3.isEmpty)
-      if (ok.isEmpty) timings.head
-      else (name, ok.map(_._2).min, None)
+      val good = timings.filter(_._3.isEmpty).map(_._2)
+      if (good.isEmpty) timings.head._3.foreach(errByName(name) = _)
+      else samples(name) = good
     }
-    val ok = results.filter(_._3.isEmpty)
-    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    results.foreach { case (n, _, e) => e.foreach(errs(n) = _) }
-    val qs = ok.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // Adaptive re-measure: samples disagreeing >3× are the noise-storm
+    // signature of this box (round-2 and round-4 driver benches were
+    // poisoned that way) — one extra sample decides which side was
+    // real. Bounded: worst 8 suspects, non-trivial queries only.
+    if (reps >= 2) {
+      val suspects = samples.toSeq
+        .map { case (n, ss) => (n, ss.min, ss.max / math.max(ss.min, 1e-9)) }
+        .filter { case (_, mn, spread) => mn > 0.5 && spread > 3.0 }
+        .sortBy(-_._3).take(8).map(_._1)
+      suspects.foreach { name =>
+        val fn = selected(name)
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable => Some(errStr(e)) }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        graft.operators.CachePool.clear()
+        if (err.isEmpty) samples(name) = samples(name) :+ elapsed
+      }
+    }
+    val ok = samples.toSeq.map { case (n, ss) => (n, ss.min) }
+    val errs = errByName
+    val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // surviving >2× spreads (post re-measure) — the honesty signal that a
+    // reported min may still sit inside a storm window
+    val spreads = samples.toSeq
+      .map { case (n, ss) => (n, ss.max / math.max(ss.min, 1e-9)) }
+      .filter { case (_, sp) => sp > 2.0 }
+    val spreadJson =
+      if (spreads.isEmpty) ""
+      else spreads.map { case (n, sp) => "\"" + n + f"\":$sp%.1f" }
+        .mkString(""","spread":{""", ",", "}")
 
     // Warm latencies are only meaningful on a full, healthy run.
     // flagship = live re-clustering over a cached DataFrame; pyramid =
@@ -139,7 +168,7 @@ object Bench {
          else errs.map { case (k, m) => s""""${jesc(k)}":"${jesc(m)}"""" }
            .mkString(""","errors":{""", ",", "}"))
 
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extras,"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$spreadJson$extras,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
