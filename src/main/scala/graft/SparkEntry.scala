@@ -790,6 +790,7 @@ object SparkEntry {
     "q_winnow" -> (QualityQueries.qWinnow _),
     "q_kmv_distinct" -> (QualityQueries.qKmv _),
     "q_kmv_setops" -> (QualityQueries.qKmvSetOps _),
+    "q_redact" -> (QualityQueries.qRedact _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
     "q_bpe_train" -> (QualityQueries.qBpeTrain _),
@@ -800,6 +801,7 @@ object SparkEntry {
     "q_curriculum" -> (QualityQueries.qCurriculum _),
     "q_vocab_top" -> (PipelineQueries.qVocabTop _),
     "q_unigram_nll" -> (PipelineQueries.qUnigramNll _),
+    "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
     "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
     "q_sq8_search" -> (PipelineQueries.qSq8Search _),
@@ -884,6 +886,7 @@ object SparkEntry {
     "q_winnow" -> QualityQueries.qWinnowSql,
     "q_kmv_distinct" -> QualityQueries.qKmvSql,
     "q_kmv_setops" -> QualityQueries.qKmvSetOpsSql,
+    "q_redact" -> QualityQueries.qRedactSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,
     "q_bpe_train" -> QualityQueries.qBpeTrainSql,
@@ -894,6 +897,7 @@ object SparkEntry {
     "q_curriculum" -> QualityQueries.qCurriculumSql,
     "q_vocab_top" -> PipelineQueries.qVocabTopSql,
     "q_unigram_nll" -> PipelineQueries.qUnigramNllSql,
+    "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,
     "q_mix_temperature" -> PipelineQueries.qMixTemperatureSql,
     "q_sq8_search" -> PipelineQueries.qSq8SearchSql,

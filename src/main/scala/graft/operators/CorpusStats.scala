@@ -113,6 +113,55 @@ object CorpusStats {
     * vocabulary table. Output: term, tf, df — k rows, ordered by
     * (tf desc, term).
     */
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * dataset cartography for mixture design (which slices are
+    * "typical", which are domain outliers; the same D(p_s ‖ p_corpus)
+    * lens DoReMi-style mixture tuning and CCNet-style filtering reason
+    * with — public knowledge: Xie et al., "DoReMi", 2023; Wenzek et
+    * al., "CCNet", 2020). KL(s) = Σ_t p_s(t) · ln(p_s(t)/p_g(t)),
+    * summed over the source's own terms (p_s(t) > 0, and every source
+    * term exists globally, so the sum is always defined).
+    *
+    * Cross-engine exactness: both probabilities are correctly-rounded
+    * double divisions of exact integer counts; the ln of their ratio is
+    * snapped per TERM to the 1e-5 lattice and weighted by the exact
+    * integer tf_s, so per-source totals are exact BIGINT sums; the
+    * final normalization is one double division snapped to 1e-6.
+    *
+    * Scale shape: one (source, term)-keyed count (map-side combined,
+    * bounded by sources × vocabulary), a term-keyed rollup of that SAME
+    * aggregate for the global counts (never a corpus re-scan), one
+    * term-keyed equi-join between the two vocab-bounded tables, and a
+    * source-keyed final sum. The corpus streams exactly once.
+    *
+    * Output: source, n_tokens, n_terms, kl_unit_total (Σ tf_s·lattice
+    * units), kl_nats (1e-6) — ordered by source.
+    */
+  def sourceKl(docs: DataFrame, textCol: String = "text",
+               sourceCol: String = "source"): DataFrame = {
+    // the one corpus-scale aggregate; global counts derive from it
+    val st = CachePool.track(docs
+      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf_s")))
+    val totS = st.groupBy(col("source")).agg(sum(col("tf_s")).as("t_s"))
+    val g = st.groupBy(col("term")).agg(sum(col("tf_s")).as("tf_g"))
+    val totG = g.agg(sum(col("tf_g")).as("t_g"))
+    val ratio = (col("tf_s").cast("double") / col("t_s")) /
+      (col("tf_g").cast("double") / col("t_g"))
+    val klUnit = round(log(ratio) * lit(100000.0)).cast("long")
+    st.join(g, "term")
+      .join(totS, "source")
+      .crossJoin(broadcast(totG))
+      .groupBy(col("source"))
+      .agg(sum(col("tf_s")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum(col("tf_s") * klUnit).as("kl_unit_total"))
+      .select(col("source"), col("n_tokens"), col("n_terms"), col("kl_unit_total"),
+        (round(col("kl_unit_total").cast("double") / col("n_tokens")
+          / lit(100000.0) * lit(1000000.0)) / lit(1000000.0)).as("kl_nats"))
+      .orderBy("source")
+  }
+
   def vocabTop(docs: DataFrame, k: Int, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),

@@ -135,6 +135,29 @@ object QualityRules {
       .orderBy("source")
   }
 
+  /** Pattern redaction — the PII-scrubbing step of a training-data
+    * pipeline (emails, phone numbers, keys), shaped as count + mask +
+    * full-fidelity hash so the scrub is auditable: for every row, how
+    * many spans matched, the masked text's md5, and its head.
+    *
+    * Pure per-row work (regexp_count + regexp_replace, both codegen'd
+    * builtins) — zero shuffle at any scale; the pattern must stay in
+    * the RE2 ∩ java.util.regex common subset (character classes,
+    * quantifiers, alternation — no backrefs/lookarounds) to be
+    * cross-engine exact.
+    *
+    * Output: idCol, n_hits, clean_hash, clean_head — ordered by idCol.
+    */
+  def redact(df: DataFrame, pattern: String, repl: String,
+             textCol: String, idCol: String): DataFrame = {
+    val cleaned = regexp_replace(col(textCol), pattern, repl)
+    df.select(col(idCol),
+        regexp_count(col(textCol), lit(pattern)).cast("long").as("n_hits"),
+        md5(cleaned).as("clean_hash"),
+        substring(cleaned, 1, 40).as("clean_head"))
+      .orderBy(idCol)
+  }
+
   /** Per-source distinct 60-bit shingle hashes — the KMV hash space
     * shared by [[kmvDistinct]] and [[kmvSetOps]].
     */

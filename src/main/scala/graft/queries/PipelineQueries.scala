@@ -849,6 +849,36 @@ object PipelineQueries {
       |ORDER BY tf DESC, term
       |LIMIT 100""".stripMargin
 
+  /** Per-source KL divergence from the corpus unigram distribution
+    * (see [[graft.operators.CorpusStats.sourceKl]]).
+    */
+  def qSourceKl(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.sourceKl(docs(s, dir))
+
+  val qSourceKlSql: String =
+    """WITH st AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY source, term
+      |),
+      |tots AS (SELECT source, CAST(SUM(tf_s) AS BIGINT) AS t_s FROM st GROUP BY source),
+      |g AS (SELECT term, CAST(SUM(tf_s) AS BIGINT) AS tf_g FROM st GROUP BY term),
+      |totg AS (SELECT CAST(SUM(tf_g) AS BIGINT) AS t_g FROM g),
+      |agg AS (
+      |  SELECT st.source, CAST(SUM(tf_s) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(SUM(tf_s * CAST(round(ln((CAST(tf_s AS DOUBLE) / t_s)
+      |                                       / (CAST(tf_g AS DOUBLE) / t_g))
+      |                              * 100000.0) AS BIGINT)) AS BIGINT) AS kl_unit_total
+      |  FROM st JOIN g USING (term) JOIN tots USING (source) CROSS JOIN totg
+      |  GROUP BY st.source
+      |)
+      |SELECT source, n_tokens, n_terms, kl_unit_total,
+      |       round(CAST(kl_unit_total AS DOUBLE) / n_tokens / 100000.0 * 1000000.0)
+      |         / 1000000.0 AS kl_nats
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
   /** Unigram-LM quality score per doc (see
     * [[graft.operators.CorpusStats.unigramNll]]): mean token NLL under
     * the corpus's own unigram distribution, on the 1e-5 ln lattice.

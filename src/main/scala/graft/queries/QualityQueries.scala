@@ -103,6 +103,24 @@ object QualityQueries {
       |             * 1000.0) / 1000.0 AS est_distinct
       |FROM agg ORDER BY source""".stripMargin
 
+  // --------------------------------------------------- pattern redaction
+
+  /** Scrub numeric literals out of the event payload JSON — the
+    * PII-redaction shape (count + mask + auditable hash) over the one
+    * testdata column that actually carries digit spans.
+    */
+  def qRedact(s: SparkSession, dir: String): DataFrame =
+    QualityRules.redact(events(s, dir), pattern = "[0-9]+", repl = "#",
+      textCol = "props", idCol = "event_id")
+
+  val qRedactSql: String =
+    """SELECT event_id,
+      |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits,
+      |       md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS clean_hash,
+      |       substring(regexp_replace(props, '[0-9]+', '#', 'g'), 1, 40) AS clean_head
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------ KMV sketch set algebra
 
   def qKmvSetOps(s: SparkSession, dir: String): DataFrame =
