@@ -802,6 +802,7 @@ object SparkEntry {
     "q_vocab_top" -> (PipelineQueries.qVocabTop _),
     "q_unigram_nll" -> (PipelineQueries.qUnigramNll _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
+    "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
     "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
     "q_sq8_search" -> (PipelineQueries.qSq8Search _),
@@ -898,6 +899,7 @@ object SparkEntry {
     "q_vocab_top" -> PipelineQueries.qVocabTopSql,
     "q_unigram_nll" -> PipelineQueries.qUnigramNllSql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
+    "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,
     "q_mix_temperature" -> PipelineQueries.qMixTemperatureSql,
     "q_sq8_search" -> PipelineQueries.qSq8SearchSql,

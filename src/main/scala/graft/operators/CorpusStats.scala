@@ -162,6 +162,46 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** Per-source vocabulary profile — the lexical-richness signal next
+    * to [[sourceKl]]'s distributional one: token/type counts, hapax
+    * legomena (terms occurring ONCE within the source — the Heaps'-law
+    * tail that dominates tokenizer OOV behavior), type-token ratio and
+    * hapax share, plus each source's share of corpus-wide hapaxes.
+    *
+    * All-integer except the two ppm ratios (single divisions of exact
+    * counts, snapped to the integer ppm lattice) — engine-exact.
+    *
+    * Scale shape: the same ONE (source, term) corpus pass as
+    * [[sourceKl]]; everything else is rollups of it. Corpus-wide term
+    * totals come from a term-keyed rollup joined back term-keyed
+    * (broadcast while the vocabulary fits).
+    *
+    * Output: source, n_tokens, n_terms, n_hapax (within-source),
+    * n_global_hapax (source's terms that are corpus-wide hapaxes),
+    * ttr_ppm, hapax_ppm — ordered by source.
+    */
+  def vocabProfile(docs: DataFrame, textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    val st = CachePool.track(docs
+      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf_s")))
+    val g = st.groupBy(col("term")).agg(sum(col("tf_s")).as("tf_g"))
+    st.join(g, "term")
+      .groupBy(col("source"))
+      .agg(sum(col("tf_s")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        count(when(col("tf_s") === 1, 1)).as("n_hapax"),
+        count(when(col("tf_g") === 1, 1)).as("n_global_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_terms"), col("n_hapax"),
+        col("n_global_hapax"),
+        round(col("n_terms").cast("double") / col("n_tokens") * lit(1000000.0))
+          .cast("long").as("ttr_ppm"),
+        round(col("n_hapax").cast("double") / col("n_terms") * lit(1000000.0))
+          .cast("long").as("hapax_ppm"))
+      .orderBy("source")
+  }
+
   def vocabTop(docs: DataFrame, k: Int, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),

@@ -849,6 +849,33 @@ object PipelineQueries {
       |ORDER BY tf DESC, term
       |LIMIT 100""".stripMargin
 
+  /** Per-source vocabulary profile (see
+    * [[graft.operators.CorpusStats.vocabProfile]]).
+    */
+  def qVocabProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.vocabProfile(docs(s, dir))
+
+  val qVocabProfileSql: String =
+    """WITH st AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY source, term
+      |),
+      |g AS (SELECT term, CAST(SUM(tf_s) AS BIGINT) AS tf_g FROM st GROUP BY term),
+      |agg AS (
+      |  SELECT source, CAST(SUM(tf_s) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(count(CASE WHEN tf_s = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+      |         CAST(count(CASE WHEN tf_g = 1 THEN 1 END) AS BIGINT) AS n_global_hapax
+      |  FROM st JOIN g USING (term)
+      |  GROUP BY source
+      |)
+      |SELECT source, n_tokens, n_terms, n_hapax, n_global_hapax,
+      |       CAST(round(CAST(n_terms AS DOUBLE) / n_tokens * 1000000.0) AS BIGINT) AS ttr_ppm,
+      |       CAST(round(CAST(n_hapax AS DOUBLE) / n_terms * 1000000.0) AS BIGINT) AS hapax_ppm
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
   /** Per-source KL divergence from the corpus unigram distribution
     * (see [[graft.operators.CorpusStats.sourceKl]]).
     */

@@ -132,4 +132,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.filter(_.getAs[String]("source") == "srcA")
       .map(_.getAs[String]("term")).toSet == Set("a", "b", "c"))
   }
+
+  test("vocabProfile counts hapaxes within-source and corpus-wide") {
+    // srcA: tokens a a b → terms {a:2, b:1}, hapax {b}; "b" also occurs
+    // in srcB so it is NOT a global hapax; "c" is srcB-only and global
+    val docs = Seq(
+      (1L, "srcA", "a a b"),
+      (2L, "srcB", "b c")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusStats.vocabProfile(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_terms"),
+          r.getAs[Long]("n_hapax"), r.getAs[Long]("n_global_hapax"),
+          r.getAs[Long]("ttr_ppm"))).toMap
+    // srcA's terms both occur twice corpus-wide → zero global hapaxes
+    assert(out("srcA") == ((3L, 2L, 1L, 0L, 666667L)))
+    assert(out("srcB") == ((2L, 2L, 2L, 1L, 1000000L)))
+  }
+
+  test("sourceKl is zero when a source matches the corpus distribution") {
+    // both sources have the identical unigram distribution → KL = 0
+    val docs = Seq(
+      (1L, "srcA", "x y"),
+      (2L, "srcB", "x y")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusStats.sourceKl(docs).collect()
+    assert(out.forall(_.getAs[Long]("kl_unit_total") == 0L))
+    assert(out.forall(_.getAs[Double]("kl_nats") == 0.0))
+  }
 }
