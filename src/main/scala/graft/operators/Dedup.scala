@@ -166,8 +166,7 @@ object Dedup {
     // (transform/array_distinct are not codegen'd) and feed four plan
     // branches — materialize once; the ContextCleaner unpersists when
     // the query's RDDs are released.
-    val sh = docShingles(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = CachePool.track(docShingles(docs, textCol, idCol))
     val ds = postings(sh, idCol)
     // global rarity order = (doc frequency, shingle) — no global rank
     // column needed, the tuple itself is the sort key. Doc frequency
@@ -179,15 +178,14 @@ object Dedup {
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("c"), col("shingle"))
-    val prefixes = ds
+    // both sides of the candidate self-join read this — persist (pool-
+    // bounded lifecycle), or the rarity ranking runs twice
+    val prefixes = CachePool.track(ds
       .withColumn("c", count(lit(1)).over(byShingle))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= greatest(lit(1),
         (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int")))
-      .select(col("id"), col("shingle"))
-      // both sides of the candidate self-join read this — persist, or
-      // the rarity ranking runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("shingle")))
     // duplicate pairs (several shared prefix shingles) are fine —
     // verifyJaccard counts DISTINCT shingles, so no dedup exchange here
     val cand = prefixes.as("a").join(prefixes.as("b"),
@@ -218,15 +216,14 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // same rationale as ngramJaccard: shingles feed signature + both
     // verification branches
-    val sh = docShingles(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh
+    val sh = CachePool.track(docShingles(docs, textCol, idCol))
+    // the k×|shingles| md5 signature arithmetic is the dominant cost —
+    // persist (pool-bounded) so the self-join's two sides don't each
+    // recompute it
+    val banded = CachePool.track(sh
       .select(col(idCol).as("id"), col("s"), minhashSig(col("s"), k).as("g"))
       .select(col("id"), explode(bandKeys(col("g"), bands)).as("bandkey"))
-      .select(col("id"), col("bandkey.band").as("band"), col("bandkey.bk").as("bk"))
-      // the k×|shingles| md5 signature arithmetic is the dominant cost —
-      // persist so the self-join's two sides don't each recompute it
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("bandkey.band").as("band"), col("bandkey.bk").as("bk")))
     // duplicate pairs (several agreeing bands) are fine — verifyJaccard
     // counts DISTINCT shingles, so no dedup exchange here
     val cand = banded.as("x").join(banded.as("y"),

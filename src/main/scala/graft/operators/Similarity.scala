@@ -245,6 +245,9 @@ object Similarity {
       cents.unpersist()
       cents = next
     }
+    // the final round's centroid cache backs the lazy result handed to
+    // the caller — pool-bounded lifecycle, not a per-call leak
+    CachePool.track(cents)
     cents.select(col("cent_id"), posexplode(col("cv")).as(Seq("pos0", "c")))
       .select(col("cent_id"), (col("pos0") + 1).cast("long").as("pos"),
         (col("c") / lit(1000000.0)).as("cval"))
