@@ -791,6 +791,7 @@ object SparkEntry {
     "q_kmv_distinct" -> (QualityQueries.qKmv _),
     "q_kmv_setops" -> (QualityQueries.qKmvSetOps _),
     "q_redact" -> (QualityQueries.qRedact _),
+    "q_cms_top" -> (QualityQueries.qCmsTop _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
     "q_bpe_train" -> (QualityQueries.qBpeTrain _),
@@ -888,6 +889,7 @@ object SparkEntry {
     "q_kmv_distinct" -> QualityQueries.qKmvSql,
     "q_kmv_setops" -> QualityQueries.qKmvSetOpsSql,
     "q_redact" -> QualityQueries.qRedactSql,
+    "q_cms_top" -> QualityQueries.qCmsTopSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,
     "q_bpe_train" -> QualityQueries.qBpeTrainSql,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-quality rule filters and corpus sketches (north-star
@@ -156,6 +156,54 @@ object QualityRules {
         md5(cleaned).as("clean_hash"),
         substring(cleaned, 1, 40).as("clean_head"))
       .orderBy(idCol)
+  }
+
+  /** Count-Min sketch heavy-hitter check (public knowledge: Cormode &
+    * Muthukrishnan, "An Improved Data Stream Summary: The Count-Min
+    * Sketch and its Applications", 2005): build a `depth`×`width`
+    * counter sketch of the corpus term frequencies, then read the
+    * top-`k` exact heavy hitters back THROUGH the sketch — reporting
+    * the exact count, the sketch estimate (min over rows), and the
+    * overcount. The estimate is always ≥ exact (one-sided error ≤
+    * εN with ε = e/width at probability 1−e^−depth) — the sketch a
+    * 100 TB pipeline keeps when the vocabulary itself is too big to
+    * hold, and ONE (depth·width)-cell table merges across shards by
+    * cell-wise addition.
+    *
+    * Cross-engine exactness: bucket = hex6(md5("<j>|" + term)) %
+    * width — the same 24-bit md5 lattice as the sampling keys; all
+    * counts are exact integer sums, the estimate an integer min.
+    *
+    * Scale shape: cells build from the VOCABULARY aggregate (term →
+    * tf, map-side combined), not the token stream: depth·|vocab| rows
+    * collapse into the bounded depth·width cell table. The readback
+    * joins k terms against d·k cells. Nothing quadratic anywhere.
+    *
+    * Output: term, tf, tf_est, overcount — top-k by (tf desc, term),
+    * ordered the same.
+    */
+  def cmsHeavyHitters(docs: DataFrame, width: Int = 1024, depth: Int = 4,
+                      k: Int = 20, textCol: String = "text"): DataFrame = {
+    require(width >= 2 && depth >= 1 && k >= 1, s"bad CMS shape $width×$depth/top-$k")
+    val vocab = CachePool.track(docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf")))
+    def bucket(term: Column, j: Column): Column =
+      pmod(graft.operators.TrainingPrep.hex6Int(concat(j.cast("string"), lit("|"), term)),
+        lit(width.toLong))
+    val depths = explode(sequence(lit(0), lit(depth - 1))).as("j")
+    val cells = vocab.select(col("term"), col("tf"), depths)
+      .select(col("j"), bucket(col("term"), col("j")).as("b"), col("tf"))
+      .groupBy(col("j"), col("b")).agg(sum(col("tf")).as("cell"))
+    val top = vocab.orderBy(col("tf").desc, col("term")).limit(k)
+    top.select(col("term"), col("tf"), depths)
+      .select(col("term"), col("tf"), col("j"), bucket(col("term"), col("j")).as("b"))
+      .join(cells, Seq("j", "b"))
+      .groupBy(col("term"), col("tf"))
+      .agg(min(col("cell")).as("tf_est"))
+      .select(col("term"), col("tf"), col("tf_est"),
+        (col("tf_est") - col("tf")).as("overcount"))
+      .orderBy(col("tf").desc, col("term"))
   }
 
   /** Per-source distinct 60-bit shingle hashes — the KMV hash space

@@ -183,6 +183,33 @@ object QualityQueries {
       |FROM est
       |ORDER BY src_a, src_b""".stripMargin
 
+  // --------------------------------------------- count-min sketch readback
+
+  def qCmsTop(s: SparkSession, dir: String): DataFrame =
+    QualityRules.cmsHeavyHitters(docs(s, dir), width = 1024, depth = 4, k = 20)
+
+  val qCmsTopSql: String = {
+    val h6 = graft.operators.TrainingPrep.hex6IntSql("CAST(j AS VARCHAR) || '|' || term")
+    s"""WITH vocab AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term
+       |),
+       |d AS (SELECT unnest(generate_series(0, 3)) AS j),
+       |keyed AS (
+       |  SELECT term, tf, j, ($h6) % 1024 AS b FROM vocab, d
+       |),
+       |cells AS (
+       |  SELECT j, b, CAST(SUM(tf) AS BIGINT) AS cell FROM keyed GROUP BY j, b
+       |),
+       |top AS (SELECT term, tf FROM vocab ORDER BY tf DESC, term LIMIT 20)
+       |SELECT t.term, t.tf, CAST(MIN(c.cell) AS BIGINT) AS tf_est,
+       |       CAST(MIN(c.cell) - t.tf AS BIGINT) AS overcount
+       |FROM top t JOIN keyed k ON k.term = t.term JOIN cells c ON c.j = k.j AND c.b = k.b
+       |GROUP BY t.term, t.tf
+       |ORDER BY t.tf DESC, t.term""".stripMargin
+  }
+
   // --------------------------------------------- simhash hamming near-dups
 
   def qSimhashNear(s: SparkSession, dir: String): DataFrame =

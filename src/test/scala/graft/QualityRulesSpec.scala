@@ -83,6 +83,31 @@ class QualityRulesSpec extends SparkSpec {
     assert(estB > 40.0 && estB < 600.0, s"estimate $estB implausible for 200")
   }
 
+  test("count-min estimates are one-sided and exact without collisions") {
+    // 3-term vocabulary into a 1024-wide sketch: collisions are
+    // md5-determined and absent here, so every estimate is exact;
+    // the one-sided invariant (est >= exact) must hold regardless
+    val docs = Seq(
+      doc(1L, "aa aa aa bb"),
+      doc(2L, "aa bb cc")
+    ).toDF("doc_id", "source", "text")
+    val out = QualityRules.cmsHeavyHitters(docs, width = 1024, depth = 4, k = 10)
+      .collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("tf_est"), r.getAs[Long]("overcount")))
+    assert(out.map(_._1).toSeq == Seq("aa", "bb", "cc")) // tf desc, term asc
+    out.foreach { case (t, (tf, est, over)) =>
+      assert(est >= tf, s"$t estimate $est below exact $tf")
+      assert(over == est - tf)
+    }
+    assert(out.toMap.apply("aa")._1 == 4L)
+    // narrow sketch: force collisions, the invariant must still hold
+    val tight = QualityRules.cmsHeavyHitters(docs, width = 2, depth = 2, k = 10)
+      .collect()
+    tight.foreach(r =>
+      assert(r.getAs[Long]("tf_est") >= r.getAs[Long]("tf")))
+  }
+
   test("KMV set ops are EXACT below k and consistent with the sketches") {
     // two sources sharing exactly one distinct 3-gram vocabulary doc:
     // below k=64 the merged sketch is the full union, so est_union and
