@@ -47,6 +47,26 @@ object DocStream {
       .withColumn("dedup_key", dedupKey(col("text"), k))
       .dropDuplicatesWithinWatermark("dedup_key")
 
+  /** Online Count-Min sketch maintenance — the streaming twin of
+    * [[graft.operators.QualityRules.cmsHeavyHitters]]'s build phase:
+    * the (depth, bucket) cell table as a continuously-updated streaming
+    * aggregation. The sketch is the canonical STREAMING summary — its
+    * state is the bounded depth×width cell grid (never the vocabulary),
+    * and because each cell is a pure integer sum of md5-determined
+    * contributions, the converged stream state equals the batch-built
+    * sketch cell for cell regardless of arrival order (StreamingSpec
+    * proves it). Complete-mode output: j, b, cell.
+    */
+  def cmsCells(docs: DataFrame, width: Int = 1024, depth: Int = 4): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("j"), pmod(graft.operators.TrainingPrep.hex6Int(
+        concat(col("j").cast("string"), lit("|"), col("term"))),
+        lit(width.toLong)).as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("cell"))
+
   /** Online temperature resampling with a FROZEN policy — the streaming
     * twin of [[graft.operators.TrainingPrep.temperatureMix]]: rates are
     * fit once on a corpus snapshot ([[graft.operators.TrainingPrep

@@ -288,4 +288,24 @@ class StreamingSpec extends SparkSpec {
       assert(out.size == batchEnc.length)
     } finally q.stop()
   }
+
+  test("streaming count-min cells converge to the batch sketch cell for cell") {
+    val dir = Files.createTempDirectory("graft-stream-cms")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = graft.streaming.DocStream.cmsCells(
+        graft.streaming.DocStream.readDocs(spark, dir.toString), width = 64, depth = 2)
+      .writeStream.outputMode("complete").format("memory").queryName("cms_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+      // batch twin: the same cell expression over the static corpus —
+      // integer cell sums are arrival-order-free
+      val batch = graft.streaming.DocStream.cmsCells(
+        spark.read.parquet(s"$dir/docs.parquet"), width = 64, depth = 2)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
 }
