@@ -251,11 +251,14 @@ object QualityRules {
     require(k >= 2, s"bad KMV k $k")
     val bySrc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"))
-    // the per-source sketch: k smallest hashes (k·sources rows total)
-    val sk = shingleHashes(docs, textCol, sourceCol)
+    // the per-source sketch: k smallest hashes (k·sources rows total).
+    // Pool-persisted: the source list, the pair expansion, and the
+    // merged join all read it — uncached, the corpus-scale shingle
+    // hashing would run once per consumer.
+    val sk = CachePool.track(shingleHashes(docs, textCol, sourceCol)
       .withColumn("rn", row_number().over(bySrc))
       .filter(col("rn") <= k)
-      .select(col("source"), col("h"))
+      .select(col("source"), col("h")))
     val srcs = sk.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("src_a"))
       .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
