@@ -134,6 +134,12 @@ object Bench {
       val df = SparkEntry.pyramidSummaryServe(spark, sfDir)
       () => { df.collect(); () }
     }
+    // text-retrieval serving twin of pyramid_warm: ranked BM25 top-k
+    // answered from the persisted term-clustered index, no corpus access
+    val bm25Warm = warmOf("bm25_warm", 5) {
+      val df = graft.queries.PipelineQueries.bm25Serve(spark, sfDir)
+      () => { df.collect(); () }
+    }
 
     // Ingest + storage vs the reference's published per-1M-point
     // figures (BASELINE.md: ~30 s load+index-build, ~100 MB on disk):
@@ -162,6 +168,7 @@ object Bench {
       warm.map(w => f""","flagship_warm_sec":$w%.3f""").getOrElse("") +
         pyramidWarm.map(w => f""","pyramid_warm_sec":$w%.3f""").getOrElse("") +
         summaryWarm.map(w => f""","pyramid_summary_warm_sec":$w%.3f""").getOrElse("") +
+        bm25Warm.map(w => f""","bm25_warm_sec":$w%.3f""").getOrElse("") +
         ingest.map { case (s, mb) =>
           f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("") +
         (if (errs.isEmpty) ""

@@ -805,6 +805,7 @@ object SparkEntry {
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
+    "q_bm25_served" -> (PipelineQueries.qBm25Served _),
     "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
     "q_sq8_search" -> (PipelineQueries.qSq8Search _),
     "q_embed_dimstats" -> (PipelineQueries.qEmbedDimStats _),
@@ -903,6 +904,9 @@ object SparkEntry {
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,
+    // the served ranking is DEFINED identical to the batch ranking —
+    // same oracle, proving the persisted-index round trip is lossless
+    "q_bm25_served" -> PipelineQueries.qBm25Sql,
     "q_mix_temperature" -> PipelineQueries.qMixTemperatureSql,
     "q_sq8_search" -> PipelineQueries.qSq8SearchSql,
     "q_embed_dimstats" -> PipelineQueries.qEmbedDimStatsSql,

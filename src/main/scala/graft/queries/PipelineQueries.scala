@@ -943,6 +943,31 @@ object PipelineQueries {
     graft.operators.CorpusStats.bm25TopDocs(docs(s, dir), Bm25Terms, topK = 20,
       k1 = Bm25K1, b = Bm25B)
 
+  /** Persisted-index handle: build + save the inverted index once per
+    * sf dir (the one-time cost a serving deployment pays at ingest).
+    */
+  private val indexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def textIndexPath(s: SparkSession, dir: String): String =
+    indexPaths.getOrElseUpdate(dir,
+      graft.sources.TextIndex.save(docs(s, dir),
+        "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_textindex"))
+
+  /** Warm BM25 serving plan over the persisted index — prepared once,
+    * collected per request ([[graft.Bench]] times it as
+    * `bm25_warm_sec`).
+    */
+  private val bm25Plans = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def bm25Serve(s: SparkSession, dir: String): DataFrame =
+    bm25Plans.getOrElseUpdate(dir, graft.sources.TextIndex.bm25Serve(
+      s, textIndexPath(s, dir), Bm25Terms, topK = 20, k1 = Bm25K1, b = Bm25B))
+
+  /** The SERVED ranking must equal the batch-scored corpus ranking row
+    * for row — same oracle as `q_bm25`: the index round trip (exact
+    * integers through parquet, identical scoring shape) changes
+    * nothing.
+    */
+  def qBm25Served(s: SparkSession, dir: String): DataFrame = bm25Serve(s, dir)
+
   val qBm25Sql: String = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val k1p1 = Sql.d(Bm25K1 + 1.0)

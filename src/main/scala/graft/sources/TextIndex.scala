@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index + warm BM25 serving path — the
+  * text-retrieval analog of the pyramid serving mode: build the index
+  * ONCE from the corpus, persist it term-clustered, and answer ranked
+  * queries as pruned scans of a few terms' postings with no corpus
+  * access and no corpus-scale shuffle at query time.
+  *
+  * Layout: postings are DENORMALIZED (term, doc, tf, df, dl) — each
+  * row already carries its term's document frequency and its doc's
+  * length, so serving needs NO join back to side tables — and are
+  * range-partitioned + sorted by term, so a query's `term IN (...)`
+  * predicate prunes files and row groups via parquet min/max stats
+  * (the same layout discipline as the tile-sorted pyramid). Corpus
+  * constants (N, Σdl) live in a one-row `_stats` table scanned lazily
+  * into a broadcast. At 100 TB the postings are the standard inverted
+  * index (≈ one row per distinct (doc, term)); a query touches only
+  * its terms' slices.
+  *
+  * Scoring is bit-identical to the batch
+  * [[graft.operators.CorpusStats.bm25TopDocs]]: integers persisted
+  * exactly through parquet, the identical fixed-shape double chain,
+  * lattice-rounded idf, per-term scores snapped to integer 1e-6 units
+  * so the per-doc sum is an exact BIGINT.
+  */
+object TextIndex {
+
+  /** Build the index tables from a corpus: (postings, stats). */
+  def build(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val toks = split(col(textCol), " ")
+    val dl = docs.select(col(idCol).as("doc"), size(toks).cast("long").as("dl"))
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(toks).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val postings = tf.join(df, "term").join(dl, "doc")
+      .select(col("term"), col("doc"), col("tf"), col("df"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
+    (postings, stats)
+  }
+
+  /** Persist the index term-clustered under `path` (overwrites). */
+  def save(docs: DataFrame, path: String, textCol: String = "text",
+           idCol: String = "doc_id"): String = {
+    val (postings, stats) = build(docs, textCol, idCol)
+    postings
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/postings")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    path
+  }
+
+  /** The warm serving plan: ranked BM25 top-k for a term bag, reading
+    * ONLY the persisted index. Fully lazy (prepare once, collect per
+    * request); `term IN (...)` reaches the parquet scan and prunes
+    * files/row groups on the term-sorted layout.
+    */
+  def bm25Serve(spark: SparkSession, path: String, queryTerms: Seq[String],
+                topK: Int, k1: Double = 1.2, b: Double = 0.75,
+                idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "empty BM25 query")
+    val stats = spark.read.parquet(s"$path/_stats")
+    val idf = round(log(lit(1.0) + (col("n").cast("double") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5))) * lit(100000.0)) / lit(100000.0)
+    val avgdl = col("dl_sum").cast("double") / col("n")
+    val tfd = col("tf").cast("double")
+    val score = col("idf") * (tfd * lit(k1 + 1.0)
+      / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
+    spark.read.parquet(s"$path/postings")
+      .filter(col("term").isInCollection(queryTerms))
+      .crossJoin(broadcast(stats))
+      .select(col("doc"), col("term"), col("tf"), col("dl"),
+        col("n"), col("dl_sum"), idf.as("idf"))
+      .select(col("doc"), round(score * lit(1000000.0)).cast("long").as("sc"))
+      .groupBy(col("doc").as(idCol))
+      .agg(sum(col("sc")).as("score_micro"))
+      .withColumn("score", col("score_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(topK)
+  }
+}
