@@ -140,6 +140,12 @@ object Bench {
       val df = graft.queries.PipelineQueries.bm25Serve(spark, sfDir)
       () => { df.collect(); () }
     }
+    // vector-retrieval serving twin: ANN top-k from the persisted
+    // cell-clustered IVF index (literal-pruned probed-cell scan)
+    val annWarm = warmOf("ann_warm", 5) {
+      val df = graft.queries.PipelineQueries.annServe(spark, sfDir)
+      () => { df.collect(); () }
+    }
 
     // Ingest + storage vs the reference's published per-1M-point
     // figures (BASELINE.md: ~30 s load+index-build, ~100 MB on disk):
@@ -169,6 +175,7 @@ object Bench {
         pyramidWarm.map(w => f""","pyramid_warm_sec":$w%.3f""").getOrElse("") +
         summaryWarm.map(w => f""","pyramid_summary_warm_sec":$w%.3f""").getOrElse("") +
         bm25Warm.map(w => f""","bm25_warm_sec":$w%.3f""").getOrElse("") +
+        annWarm.map(w => f""","ann_warm_sec":$w%.3f""").getOrElse("") +
         ingest.map { case (s, mb) =>
           f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("") +
         (if (errs.isEmpty) ""

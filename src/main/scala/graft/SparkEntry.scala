@@ -822,6 +822,7 @@ object SparkEntry {
     "q_ivfpq_search" -> (PipelineQueries.qIvfPqSearch _),
     "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
+    "q_ivf_served" -> (PipelineQueries.qIvfServed _),
     "q_ivf_train" -> (PipelineQueries.qIvfTrain _),
     "q_ivf_search_trained" -> (PipelineQueries.qIvfSearchTrained _),
     "q_tile_pyramid" -> (qTilePyramid _),
@@ -923,6 +924,8 @@ object SparkEntry {
     "q_ivfpq_search" -> PipelineQueries.qIvfPqSearchSql,
     "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
     "q_ivf_search" -> PipelineQueries.qIvfSearchSql,
+    // served ranking DEFINED identical to the batch ranking — shared oracle
+    "q_ivf_served" -> PipelineQueries.qIvfSearchSql,
     "q_ivf_train" -> PipelineQueries.qIvfTrainSql,
     "q_ivf_search_trained" -> PipelineQueries.qIvfSearchTrainedSql,
     "q_tile_pyramid" -> tilePyramidSql,

@@ -625,6 +625,25 @@ object PipelineQueries {
   def qIvfSearch(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearch(embs(s, dir), queryVecId = 0L, k = 8, probes = 2, topK = 10, dims = Dims)
 
+  /** Persisted-IVF handle + warm ANN serving plan (the vector member
+    * of the serving triad; Bench times it as `ann_warm_sec`). The
+    * served ranking shares `q_ivf_search`'s oracle — the cell-clustered
+    * index round trip is lossless.
+    */
+  private val vecIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def vectorIndexPath(s: SparkSession, dir: String): String =
+    vecIndexPaths.getOrElseUpdate(dir,
+      graft.sources.VectorIndex.save(embs(s, dir),
+        "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_vecindex",
+        k = 8, dims = Dims))
+
+  private val annPlans = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def annServe(s: SparkSession, dir: String): DataFrame =
+    annPlans.getOrElseUpdate(dir, graft.sources.VectorIndex.annServe(
+      s, vectorIndexPath(s, dir), queryVecId = 0L, probes = 2, topK = 10, dims = Dims))
+
+  def qIvfServed(s: SparkSession, dir: String): DataFrame = annServe(s, dir)
+
   val qIvfSearchSql: String =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
        |               FROM embeddings WHERE vec_id < 8),

@@ -1,0 +1,37 @@
+package graft
+
+import graft.sources.VectorIndex
+import org.apache.spark.sql.functions._
+
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 8
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(dims)(j => (((seed * 31 + j * 7) % 19) - 9) / 10.0f)
+
+  private def corpus = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+
+  test("served ANN ranking equals the batch IVF search row for row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix").toString
+    VectorIndex.save(corpus, dir, k = 4, dims = dims)
+    val served = VectorIndex.annServe(spark, dir, queryVecId = 0L,
+      probes = 2, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.operators.Similarity.ivfSearch(corpus, queryVecId = 0L,
+      k = 4, probes = 2, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(served.toSeq == batch.toSeq)
+    assert(served.length == 5)
+  }
+
+  test("the serving scan pushes the probed-cell predicate to parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
+    VectorIndex.save(corpus, dir, k = 4, dims = dims)
+    val plan = VectorIndex.annServe(spark, dir, queryVecId = 0L,
+      probes = 2, topK = 5, dims = dims)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("cell"),
+      s"cell IN predicate did not reach the scan:\n$plan")
+  }
+}
