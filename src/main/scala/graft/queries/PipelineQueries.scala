@@ -644,6 +644,24 @@ object PipelineQueries {
 
   def qIvfServed(s: SparkSession, dir: String): DataFrame = annServe(s, dir)
 
+  /** ANN quality evaluation — recall@10 of the IVF index (k=8,
+    * probes=2) against the exact brute-force top-10: the accept/reject
+    * metric a pipeline computes before trusting an approximate index.
+    * Pure composition of two oracled queries; all-integer output.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    qIvfSearch(s, dir).select(col("vec_id"))
+      .join(qSimTopK(s, dir).select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        (col("n_overlap") * lit(100000L)).as("recall_ppm"))
+
+  // def, not val: composes SQL vals declared later in this object
+  def qAnnRecallSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
+       |FROM ($qIvfSearchSql) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
+
   val qIvfSearchSql: String =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
        |               FROM embeddings WHERE vec_id < 8),
