@@ -307,6 +307,65 @@ object SparkEntry {
        |SELECT id, lon, lat, round((px) * 100000.0) / 100000.0 AS px, round((py) * 100000.0) / 100000.0 AS py
        |FROM proj ORDER BY id""".stripMargin
 
+  /** Deterministic synthetic "places" table (60 POIs) — same integer
+    * lattice trick as [[eventPoints]], different multipliers so the two
+    * tables decorrelate.
+    */
+  private def placePoints(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_id") < 60).select(
+      col("event_id").as("place_id"),
+      (((col("event_id") * lit(6007L)) % lit(36000L)) / lit(100.0) - lit(180.0)).as("lon"),
+      (((col("event_id") * lit(2861L)) % lit(17000L)) / lit(100.0) - lit(85.0)).as("lat"))
+
+  private val placesSql: String =
+    """SELECT event_id AS place_id,
+      |       ((event_id * 6007) % 36000) / 100.0 - 180.0 AS lon,
+      |       ((event_id * 2861) % 17000) / 100.0 - 85.0 AS lat
+      |FROM events WHERE event_id < 60""".stripMargin
+
+  private val SpatialRadius = 3.0
+
+  /** Grid-bucketed spatial radius join (places within 3° of each
+    * point); the oracle is the naive all-pairs theta join — proving the
+    * cell-bucketed equi-join lossless.
+    */
+  private def qSpatialJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpatialJoin
+      .radiusJoin(eventPoints(s, dir), placePoints(s, dir), SpatialRadius)
+      .orderBy("id", "place_id")
+
+  private val spatialPairsSql: String =
+    s"""pts AS ($pointsSql),
+       |plc AS ($placesSql),
+       |pairs AS (
+       |  SELECT p.id, q.place_id,
+       |         (p.lon - q.lon) * (p.lon - q.lon)
+       |           + (p.lat - q.lat) * (p.lat - q.lat) AS dist2
+       |  FROM pts p JOIN plc q
+       |    ON (p.lon - q.lon) * (p.lon - q.lon)
+       |         + (p.lat - q.lat) * (p.lat - q.lat)
+       |       <= ${SpatialRadius * SpatialRadius}
+       |)""".stripMargin
+
+  private def spatialJoinSql: String =
+    s"""WITH $spatialPairsSql
+       |SELECT id, place_id, dist2 FROM pairs ORDER BY id, place_id""".stripMargin
+
+  /** Nearest place within the radius per point (spatial kNN join at
+    * k=1, ties to the smaller place id).
+    */
+  private def qSpatialNearest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpatialJoin
+      .nearestWithin(eventPoints(s, dir), placePoints(s, dir), SpatialRadius)
+      .orderBy("id")
+
+  private def spatialNearestSql: String =
+    s"""WITH $spatialPairsSql
+       |SELECT id, place_id, dist2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id
+       |    ORDER BY dist2, place_id) AS rn FROM pairs
+       |) WHERE rn = 1 ORDER BY id""".stripMargin
+
   /** Z-order storage-layout report over the point table (see
     * [[graft.operators.ZOrder.layoutStats]]).
     */
@@ -765,6 +824,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (DedupQueries.qMinhash _),
     "q_dedup_simhash" -> (DedupQueries.qSimhash _),
     "q_dedup_groups" -> (DedupQueries.qGroups _),
+    "q_dedup_incremental" -> (DedupQueries.qIncremental _),
     "q_clean_corpus" -> (PipelineQueries.qCleanCorpus _),
     "q_text_stats" -> (PipelineQueries.qTextStats _),
     "q_lang_id" -> (PipelineQueries.qLangId _),
@@ -838,6 +898,8 @@ object SparkEntry {
     "q_greedy_sweep" -> (qGreedySweep _),
     "q_viewport_points" -> (qViewportPoints _),
     "q_zorder" -> (qZorder _),
+    "q_spatial_join" -> (qSpatialJoin _),
+    "q_spatial_nearest" -> (qSpatialNearest _),
     "q_freq_rollup" -> (qFreqRollup _),
     "q_cluster_summary" -> (qClusterSummary _),
     "q_geojson" -> (qGeoJson _)
@@ -866,6 +928,7 @@ object SparkEntry {
     "q_dedup_minhash" -> DedupQueries.qMinhashSql,
     "q_dedup_simhash" -> DedupQueries.qSimhashSql,
     "q_dedup_groups" -> DedupQueries.qGroupsSql,
+    "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
     "q_clean_corpus" -> PipelineQueries.qCleanCorpusSql,
     "q_text_stats" -> PipelineQueries.qTextStatsSql,
     "q_lang_id" -> PipelineQueries.qLangIdSql,
@@ -941,6 +1004,8 @@ object SparkEntry {
     "q_cluster_children" -> clusterChildrenSql,
     "q_viewport_points" -> viewportPointsSql,
     "q_zorder" -> zorderSql,
+    "q_spatial_join" -> spatialJoinSql,
+    "q_spatial_nearest" -> spatialNearestSql,
     "q_freq_rollup" -> freqRollupSql,
     "q_cluster_summary" -> clusterSummarySql
   )

@@ -87,6 +87,18 @@ object Dedup {
   /** The original 16-bit signature ([[simhashBitsStr]] at 16). */
   def simhash16(t: Column): Column = simhashBitsStr(t, 16)
 
+  /** Scalar signature KEY for identity-level dedup: the full minhash
+    * signature (identical text ⇒ identical key; all-k agreement ≈
+    * fuzzy-exact) for shingleable docs, md5 fallback for short ones so
+    * an all-empty shingle set doesn't collapse every short doc into one
+    * key. The shared key of the streaming online dedup, the streaming
+    * corpus gate, and the persisted index's `sigkeys` table.
+    */
+  def signatureKey(text: Column, k: Int = 8): Column = {
+    val sh = shingles3(text)
+    when(size(sh) > 0, concat_ws(",", minhashSig(sh, k))).otherwise(md5(text))
+  }
+
   // ------------------------------------------------------------- operators
 
   /** Exact dedup: group by full-text digest.

@@ -156,6 +156,92 @@ object DedupQueries {
        |GROUP BY doc
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup against the persisted signature index
+    * ([[graft.sources.DedupIndex]]): the corpus (doc_id % 13 ≠ 0) is
+    * indexed ONCE per scale dir; the ingest batch (doc_id % 13 = 0) is
+    * classified exact / near / unique against it. The oracle recomputes
+    * the whole thing from the raw bipartite split — proving the index
+    * round trip (md5 digests, band keys, shingle sets through parquet)
+    * lossless.
+    */
+  private val dedupIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dedupIndexPath(s: SparkSession, dir: String): String =
+    dedupIndexPaths.getOrElseUpdate(dir,
+      graft.sources.DedupIndex.save(
+        docs(s, dir).filter(org.apache.spark.sql.functions.col("doc_id") % 13 =!= 0),
+        "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_dedupindex"))
+
+  def qIncremental(s: SparkSession, dir: String): DataFrame = {
+    val batch = docs(s, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 13 === 0)
+    graft.sources.DedupIndex.incrementalDedup(s, dedupIndexPath(s, dir), batch)
+  }
+
+  val qIncrementalSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+      |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+      |csh AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) WHERE len(t) >= 3
+      |),
+      |bsh AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch) WHERE len(t) >= 3
+      |),
+      |exact AS (
+      |  SELECT b.doc_id, min(c.doc_id) AS m
+      |  FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+      |  GROUP BY b.doc_id
+      |),
+      |csig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 7),
+      |           i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS g
+      |  FROM csh
+      |),
+      |bsig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 7),
+      |           i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS g
+      |  FROM bsh
+      |),
+      |cband AS (
+      |  SELECT doc_id, b, md5(g[2*b + 1] || g[2*b + 2]) AS bk
+      |  FROM csig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+      |),
+      |bband AS (
+      |  SELECT doc_id, b, md5(g[2*b + 1] || g[2*b + 2]) AS bk
+      |  FROM bsig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT nb.doc_id AS nid, cb.doc_id AS oid
+      |  FROM bband nb JOIN cband cb ON nb.b = cb.b AND nb.bk = cb.bk
+      |),
+      |ver AS (
+      |  SELECT nid, oid,
+      |         CAST(len(list_intersect(bs.s, cs.s)) AS BIGINT) AS inter,
+      |         CAST(len(bs.s) + len(cs.s) AS BIGINT)
+      |           - CAST(len(list_intersect(bs.s, cs.s)) AS BIGINT) AS union_n
+      |  FROM cand JOIN bsh bs ON nid = bs.doc_id JOIN csh cs ON oid = cs.doc_id
+      |),
+      |near AS (
+      |  SELECT nid, oid, CAST(round(inter * 1000000.0 / union_n) AS BIGINT) AS ppm,
+      |         row_number() OVER (PARTITION BY nid
+      |           ORDER BY CAST(round(inter * 1000000.0 / union_n) AS BIGINT) DESC, oid) AS rn
+      |  FROM ver WHERE inter * 1.0 / union_n >= 0.5
+      |)
+      |SELECT b.doc_id,
+      |       CASE WHEN e.m IS NOT NULL THEN 'exact'
+      |            WHEN n.oid IS NOT NULL THEN 'near'
+      |            ELSE 'unique' END AS status,
+      |       COALESCE(e.m, n.oid, -1) AS match_id,
+      |       CAST(CASE WHEN e.m IS NOT NULL THEN 1000000
+      |                 ELSE COALESCE(n.ppm, 0) END AS BIGINT) AS jaccard_ppm
+      |FROM batch b
+      |LEFT JOIN exact e ON b.doc_id = e.doc_id
+      |LEFT JOIN (SELECT nid, oid, ppm FROM near WHERE rn = 1) n ON b.doc_id = n.nid
+      |ORDER BY b.doc_id""".stripMargin
+
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(docs(s, dir))
 

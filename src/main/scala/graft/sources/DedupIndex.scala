@@ -1,0 +1,156 @@
+package graft.sources
+
+import graft.operators.{CachePool, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup signature index + incremental batch dedup — the
+  * dedup member of the serving/index family (geo pyramid, text index,
+  * vector index). The production shape at corpus scale: the corpus is
+  * shingled, minhash-signed and digest-hashed exactly ONCE, the
+  * signatures persist as an index, and every new ingest batch is
+  * checked against the index with work proportional to the BATCH, not
+  * the corpus — no re-shingling, no corpus self-join, no corpus-scale
+  * shuffle per ingest.
+  *
+  * Layout (three tables, each clustered for its probe pattern):
+  *  - `digests` (digest, doc_id) — range-partitioned + sorted by
+  *    digest: an exact-dup probe is an equi-join whose min/max stats
+  *    prune files/row groups to the batch's digest range;
+  *  - `bands` (bk, band, doc_id) — range-partitioned + sorted by band
+  *    key, so the LSH candidate join touches only matching key slices;
+  *  - `shingles` (doc_id, s, len) — range-partitioned + sorted by
+  *    doc_id: the verify step fetches only candidate docs' shingle
+  *    sets (candidates are a tiny fraction of the corpus after LSH).
+  *
+  * Incremental semantics per batch doc, with the same md5 machinery as
+  * [[graft.operators.Dedup]] (k minhash slots, banded keys, exact
+  * Jaccard verification — cross-engine deterministic):
+  *  - `exact`  — full-text digest matches an indexed doc (match =
+  *    minimum such doc_id, jaccard_ppm = 1000000);
+  *  - `near`   — a banded-LSH candidate verifies at Jaccard ≥
+  *    threshold (match = highest jaccard_ppm, ties to minimum doc_id);
+  *  - `unique` — neither (match_id = −1, jaccard_ppm = 0).
+  *
+  * At 100 TB: the batch side of every join is ingest-batch-sized and
+  * broadcast (AQE downgrades to shuffle if a batch is genuinely
+  * corpus-scale, in which case the joins co-partition on the index's
+  * natural keys); the index side streams through pruned scans. Nothing
+  * corpus-scale is ever shuffled or recomputed.
+  */
+object DedupIndex {
+
+  /** Per-doc signature rows: (doc_id, digest, s, len). */
+  private def signatures(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("digest"),
+      Dedup.shingles3(col(textCol)).as("s"))
+      .withColumn("len", size(col("s")).cast("long"))
+
+  /** Exploded LSH band keys for signature rows (docs with ≥1 shingle). */
+  private def bandRows(sig: DataFrame, k: Int, bands: Int): DataFrame =
+    sig.filter(col("len") >= 1)
+      .select(col("doc_id"),
+        explode(Dedup.bandKeys(Dedup.minhashSig(col("s"), k), bands)).as("x"))
+      .select(col("x.bk").as("bk"), col("x.band").as("band"), col("doc_id"))
+
+  /** Build + persist the signature index for `docs` under `path`
+    * (overwrites). One corpus pass computes digests, shingle sets and
+    * band keys; the shingle subtree is pool-persisted so the two
+    * derived tables don't re-shingle.
+    */
+  def save(docs: DataFrame, path: String, k: Int = 8, bands: Int = 4,
+           textCol: String = "text", idCol: String = "doc_id"): String = {
+    val sig = CachePool.track(signatures(docs, textCol, idCol))
+    sig.select(col("digest"), col("doc_id"))
+      .repartitionByRange(col("digest")).sortWithinPartitions("digest")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/digests")
+    bandRows(sig, k, bands)
+      .repartitionByRange(col("bk")).sortWithinPartitions("bk")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/bands")
+    sig.filter(col("len") >= 1).select(col("doc_id"), col("s"), col("len"))
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/shingles")
+    // identity-level signature keys for the streaming ingest gate
+    // (graft.streaming.DocStream.gateAgainstIndex): one distinct key
+    // per corpus signature, sorted for pruned probes
+    docs.select(Dedup.signatureKey(col(textCol), k).as("sigkey")).distinct()
+      .repartitionByRange(col("sigkey")).sortWithinPartitions("sigkey")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/sigkeys")
+    path
+  }
+
+  /** Check a new batch against a persisted index. Output (ordered by
+    * doc_id): doc_id, status ('exact' | 'near' | 'unique'), match_id
+    * (indexed doc matched, −1 if unique), jaccard_ppm (1000000 for
+    * exact, verified ppm for near, 0 for unique).
+    */
+  def incrementalDedup(spark: SparkSession, path: String, batch: DataFrame,
+                       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val idxDigests = spark.read.parquet(s"$path/digests")
+      .select(col("digest"), col("doc_id").as("old_id"))
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("bk"), col("band"), col("doc_id").as("old_id"))
+    val idxShingles = spark.read.parquet(s"$path/shingles")
+      .select(col("doc_id").as("old_id"), col("s"), col("len").as("len_o"))
+
+    // batch signatures feed the exact probe, the candidate probe AND
+    // the verify step — one shingling pass, pool-persisted
+    val sig = CachePool.track(signatures(batch, textCol, idCol))
+
+    val exact = sig.select(col("doc_id"), col("digest"))
+      .join(idxDigests, "digest")
+      .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_match"))
+
+    // candidate pairs: batch band keys vs indexed band keys. Duplicate
+    // pairs (several agreeing bands) are fine — the verify counts
+    // DISTINCT shingles, so no dedup exchange here (same contract as
+    // the batch minhashPairs path).
+    val cand = bandRows(sig, k, bands)
+      .join(idxBands, Seq("bk", "band"))
+      .select(col("doc_id"), col("old_id"))
+
+    // exact-Jaccard verify via posting lists: only candidate docs'
+    // shingles explode on the index side (semi-filter through the
+    // broadcast-small candidate set)
+    val np = sig.filter(col("len") >= 1)
+      .select(col("doc_id"), col("len").as("len_n"), explode(col("s")).as("shingle"))
+    val op = idxShingles
+      .join(cand.select(col("old_id")).distinct(), "old_id")
+      .select(col("old_id"), col("len_o"), explode(col("s")).as("shingle"))
+    val verified = cand
+      .join(np, "doc_id")
+      .join(op, Seq("old_id", "shingle"))
+      .groupBy(col("doc_id"), col("old_id"), col("len_n"), col("len_o"))
+      .agg(countDistinct(col("shingle")).as("inter"))
+      .withColumn("union_n", col("len_n") + col("len_o") - col("inter"))
+      .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
+      .select(col("doc_id"), col("old_id"),
+        round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("ppm"))
+
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ppm").desc, col("old_id"))
+    val best = verified
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("old_id").as("near_match"), col("ppm"))
+
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L)).as("match_id"),
+        when(col("exact_match").isNotNull, lit(1000000L))
+          .otherwise(coalesce(col("ppm"), lit(0L))).as("jaccard_ppm"))
+      .orderBy("doc_id")
+  }
+}

@@ -35,10 +35,8 @@ object DocStream {
     * fallback for short ones (an all-empty shingle set must not collapse
     * every short doc into one key).
     */
-  def dedupKey(text: org.apache.spark.sql.Column, k: Int = 8): org.apache.spark.sql.Column = {
-    val sh = Dedup.shingles3(text)
-    when(size(sh) > 0, concat_ws(",", Dedup.minhashSig(sh, k))).otherwise(md5(text))
-  }
+  def dedupKey(text: org.apache.spark.sql.Column, k: Int = 8): org.apache.spark.sql.Column =
+    Dedup.signatureKey(text, k)
 
   /** Watermarked streaming dedup: first doc per signature survives. */
   def dedupDocs(docs: DataFrame, k: Int = 8): DataFrame =
@@ -66,6 +64,37 @@ object DocStream {
         lit(width.toLong)).as("b"))
       .groupBy(col("j"), col("b"))
       .agg(count(lit(1)).as("cell"))
+
+  /** Streaming incremental dedup against the PERSISTED corpus
+    * signature index ([[graft.sources.DedupIndex]]) — the stream-static
+    * shape of the batch incremental check: each arriving doc computes
+    * its signature key per row (the SAME key [[dedupDocs]] dedups on
+    * online: full minhash signature, md5 fallback for unshingleable
+    * docs — identical text always collides) and one stream-static
+    * LEFT ANTI join against the index's `sigkeys` table drops docs the
+    * corpus already contains. Completely STATELESS on the stream side —
+    * the corpus is the static index, never rescanned, arrival order
+    * irrelevant; the sigkey-sorted layout prunes like every other
+    * index probe. Online self-dedup within the stream remains
+    * [[dedupDocs]]'s watermark-bounded state; this gate composes after
+    * it.
+    *
+    * Precision contract: signature identity (all k slots agree) — the
+    * exact-and-fuzzy-exact online gate. The banded ≥-threshold screen
+    * stays a batch/micro-batch concern ([[graft.sources.DedupIndex
+    * .incrementalDedup]]): per-band gating on a stream would need a
+    * stream-side re-aggregation (stream-stream join) or a broadcast
+    * filter structure. StreamingSpec proves stream ≡ the identical
+    * batch formulation.
+    */
+  def gateAgainstIndex(spark: SparkSession, docs: DataFrame,
+                       indexPath: String, k: Int = 8): DataFrame = {
+    val idxSigs = spark.read.parquet(s"$indexPath/sigkeys")
+    docs
+      .withColumn("sigkey", dedupKey(col("text"), k))
+      .join(idxSigs, Seq("sigkey"), "left_anti")
+      .drop("sigkey")
+  }
 
   /** Online temperature resampling with a FROZEN policy — the streaming
     * twin of [[graft.operators.TrainingPrep.temperatureMix]]: rates are

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.DedupIndex
+import org.apache.spark.sql.functions._
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with a near-dup pair inside it and distinctive singletons
+  private def corpus = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog tonight"),
+    (11L, "completely different text about spark shuffles and joins"),
+    (12L, "a third document with its own vocabulary entirely"),
+    (13L, "short doc")
+  ).toDF("doc_id", "text")
+
+  private def batch = Seq(
+    // exact duplicate of 10
+    (100L, "the quick brown fox jumps over the lazy dog tonight"),
+    // near duplicate of 10 (one word changed at the end)
+    (101L, "the quick brown fox jumps over the lazy dog today"),
+    // unique
+    (102L, "nothing in the index resembles this sentence at all"),
+    // too short to shingle into any candidate, and no digest match
+    (103L, "tiny")
+  ).toDF("doc_id", "text")
+
+  private def classified(threshold: Double = 0.5) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix").toString
+    DedupIndex.save(corpus, dir)
+    DedupIndex.incrementalDedup(spark, dir, batch, threshold = threshold)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  test("exact / near / unique classification against the persisted index") {
+    val got = classified()
+    assert(got(100L) == (("exact", 10L, 1000000L)))
+    val (st, m, ppm) = got(101L)
+    assert(st == "near" && m == 10L && ppm > 500000L && ppm < 1000000L)
+    assert(got(102L) == (("unique", -1L, 0L)))
+    assert(got(103L) == (("unique", -1L, 0L)))
+  }
+
+  test("threshold gates the near match") {
+    val got = classified(threshold = 0.95)
+    assert(got(101L)._1 == "unique")
+    assert(got(100L)._1 == "exact") // digest path ignores the threshold
+  }
+
+  test("band-key probe prunes: candidate scan only touches agreeing keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix2").toString
+    DedupIndex.save(corpus, dir)
+    // bands table is bk-sorted; digests table digest-sorted — the probe
+    // joins hit sorted, range-partitioned layouts
+    val bands = spark.read.parquet(s"$dir/bands").select("bk").as[String].collect()
+    assert(bands.sameElements(bands.sorted), "bands parquet not bk-sorted")
+    val digs = spark.read.parquet(s"$dir/digests").select("digest").as[String].collect()
+    assert(digs.sameElements(digs.sorted), "digests parquet not digest-sorted")
+  }
+
+  test("incremental result is deterministic across runs") {
+    assert(classified() == classified())
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.SpatialJoin
+import org.apache.spark.sql.functions._
+
+class SpatialJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naivePairs(points: org.apache.spark.sql.DataFrame,
+                         places: org.apache.spark.sql.DataFrame,
+                         r: Double): Set[(Long, Long)] = {
+    val dlon = col("p_lon") - col("q_lon")
+    val dlat = col("p_lat") - col("q_lat")
+    points.select(col("id"), col("lon").as("p_lon"), col("lat").as("p_lat"))
+      .crossJoin(places.select(col("place_id"), col("lon").as("q_lon"), col("lat").as("q_lat")))
+      .filter(dlon * dlon + dlat * dlat <= lit(r * r))
+      .select("id", "place_id")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+  }
+
+  // pseudo-random but deterministic scatter, includes negative coords
+  // and points exactly on cell boundaries
+  private def points = (0L until 400L).map { i =>
+    (i, ((i * 7919) % 720) / 2.0 - 180.0, ((i * 104729) % 340) / 2.0 - 85.0)
+  }.toDF("id", "lon", "lat")
+
+  private def places = (0L until 25L).map { i =>
+    (i, ((i * 6007) % 720) / 2.0 - 180.0, ((i * 2861) % 340) / 2.0 - 85.0)
+  }.toDF("place_id", "lon", "lat")
+
+  test("bucketed radius join equals the naive all-pairs join") {
+    for (r <- Seq(1.0, 3.0, 7.5)) {
+      val got = SpatialJoin.radiusJoin(points, places, r)
+        .select("id", "place_id")
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      assert(got == naivePairs(points, places, r), s"radius $r")
+    }
+  }
+
+  test("boundary distance exactly equal to the radius is kept") {
+    val p = Seq((1L, 0.0, 0.0)).toDF("id", "lon", "lat")
+    val q = Seq((7L, 3.0, 0.0), (8L, 3.0000001, 0.0)).toDF("place_id", "lon", "lat")
+    val got = SpatialJoin.radiusJoin(p, q, 3.0)
+      .select("place_id").as[Long].collect().toSet
+    assert(got == Set(7L))
+  }
+
+  test("nearestWithin picks the closest place, ties to the smaller id") {
+    val p = Seq((1L, 0.0, 0.0), (2L, 50.0, 50.0)).toDF("id", "lon", "lat")
+    val q = Seq((5L, 1.0, 0.0), (3L, 0.0, 1.0), (9L, 2.0, 0.0)).toDF("place_id", "lon", "lat")
+    val got = SpatialJoin.nearestWithin(p, q, 3.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L)) // dist ties at 1.0: place 3 < place 5; point 2 out of range
+  }
+
+  test("place replication is bounded by the 3x3 cell neighborhood") {
+    val q = Seq((1L, 0.5, 0.5)).toDF("place_id", "lon", "lat")
+    // a place covers at most 9 cells regardless of position
+    val n = SpatialJoin.radiusJoin(
+      Seq((1L, 0.5, 0.5)).toDF("id", "lon", "lat"), q, 2.0).count()
+    assert(n == 1L)
+  }
+}

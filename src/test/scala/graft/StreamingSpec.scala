@@ -75,6 +75,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus gate drops exactly the indexed signatures") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-stream6")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val all = spark.read.parquet(s"$dir/docs.parquet")
+    val idx = Files.createTempDirectory("graft-stream6-idx").toString
+    graft.sources.DedupIndex.save(all.filter(col("doc_id") % 13 =!= 0), idx)
+
+    val q = graft.streaming.DocStream.gateAgainstIndex(spark,
+        graft.streaming.DocStream.readDocs(spark, dir.toString), idx)
+      .writeStream.outputMode("append").format("memory").queryName("gate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("gate_out").select("doc_id")
+      // batch twin: identical formulation on the static frame
+      val batch = all
+        .withColumn("sigkey", graft.streaming.DocStream.dedupKey(col("text")))
+        .join(spark.read.parquet(s"$idx/sigkeys"), Seq("sigkey"), "left_anti")
+        .select("doc_id")
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // every corpus doc's signature is gated out
+      val corpusIds = all.filter(col("doc_id") % 13 =!= 0).select("doc_id")
+      assert(streamed.intersect(corpusIds).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     val dir = Files.createTempDirectory("graft-stream4")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
