@@ -825,6 +825,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (DedupQueries.qSimhash _),
     "q_dedup_groups" -> (DedupQueries.qGroups _),
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
+    "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_clean_corpus" -> (PipelineQueries.qCleanCorpus _),
     "q_text_stats" -> (PipelineQueries.qTextStats _),
     "q_lang_id" -> (PipelineQueries.qLangId _),
@@ -929,6 +930,7 @@ object SparkEntry {
     "q_dedup_simhash" -> DedupQueries.qSimhashSql,
     "q_dedup_groups" -> DedupQueries.qGroupsSql,
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
+    "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_clean_corpus" -> PipelineQueries.qCleanCorpusSql,
     "q_text_stats" -> PipelineQueries.qTextStatsSql,
     "q_lang_id" -> PipelineQueries.qLangIdSql,

@@ -177,6 +177,19 @@ object DedupQueries {
     graft.sources.DedupIndex.incrementalDedup(s, dedupIndexPath(s, dir), batch)
   }
 
+  /** Warm dedup-gate serving plan: classify a FIXED ~10-doc probe batch
+    * against the persisted signature index — the per-request shape of a
+    * production ingest gate ([[graft.Bench]] times it as
+    * `dedup_gate_warm_sec` beside the pyramid/BM25/ANN warm paths).
+    */
+  private val gatePlans = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def dedupGateServe(s: SparkSession, dir: String): DataFrame =
+    gatePlans.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val probe = docs(s, dir).filter(col("doc_id") % 13 === 0 && col("doc_id") <= 130)
+      graft.sources.DedupIndex.incrementalDedup(s, dedupIndexPath(s, dir), probe)
+    })
+
   val qIncrementalSql: String =
     """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
@@ -241,6 +254,48 @@ object DedupQueries {
       |LEFT JOIN exact e ON b.doc_id = e.doc_id
       |LEFT JOIN (SELECT nid, oid, ppm FROM near WHERE rn = 1) n ON b.doc_id = n.nid
       |ORDER BY b.doc_id""".stripMargin
+
+  private val PrIters = 4
+  private val PrDampingPct = 85
+
+  /** Graph authority over the near-dup graph: deterministic
+    * integer-lattice PageRank ([[graft.operators.PageRank]]), the
+    * "which doc is the boilerplate hub" companion to `q_dedup_groups`.
+    * Oracle = the SAME damped iterations unrolled as SQL CTEs (the
+    * k-means-trainer oracle pattern); every constant below derives from
+    * the one Scala parameter set, so operator and oracle cannot
+    * desynchronize.
+    */
+  def qPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank
+      .rankMicro(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5),
+        iters = PrIters, dampingPct = PrDampingPct)
+      .orderBy("doc_id")
+
+  val qPagerankSql: String = {
+    val base = 1000000L * (100L - PrDampingPct) / 100L
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS id,
+         |         CAST($base + ($PrDampingPct * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN r${i - 1} r ON e.u = r.id JOIN deg d ON e.u = d.u
+         |  GROUP BY e.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashVerifiedCte,
+       |npairs AS (
+       |  SELECT id_a, id_b FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM npairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM npairs
+       |),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+       |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$iterCtes
+       |SELECT id AS doc_id, r AS rank_micro FROM r$PrIters ORDER BY doc_id""".stripMargin
+  }
 
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(docs(s, dir))

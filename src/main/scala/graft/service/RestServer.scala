@@ -30,8 +30,15 @@ import java.time.Instant
   * Bounds arrive as north/south/east/west floats (main.go:28-55); the
   * most recent dataset is the initial default (main.go:70-72). CORS `*`
   * like the reference (main.go:77-89).
+  *
+  * Ingest-gate extension (the dedup serving path, enabled when a
+  * persisted [[graft.sources.DedupIndex]] is configured):
+  *  - POST /api/dedup/check {"docs":[{"id":n,"text":"…"}]} →
+  *    [{id,status,matchId,jaccardPpm}] — the request batch classified
+  *    exact/near/unique against the signature index.
   */
-final class RestServer(engine: ClusterEngine, port: Int = 0) {
+final class RestServer(engine: ClusterEngine, port: Int = 0,
+                       dedup: Option[(org.apache.spark.sql.SparkSession, String)] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // most-RECENT dataset is the initial default (main.go:70-72) — by
@@ -250,7 +257,49 @@ final class RestServer(engine: ClusterEngine, port: Int = 0) {
           s"""{"message":"Cluster loaded successfully","clusterInfo":${infoJson(info)}}""")
     }
 
+  /** Ingest-gate route: classify the request docs against the
+    * configured signature index. Body parsing is the same minimal
+    * regex-JSON the other POST routes use (id + text fields; \" \\ \n
+    * unescaped).
+    */
+  private def handleDedupCheck(ex: HttpExchange): Unit = dedup match {
+    case None => err(ex, 404, "dedup index not configured")
+    case Some((spark, indexPath)) =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val docRe = """"id"\s*:\s*(\d+)\s*,\s*"text"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      val docs = docRe.findAllMatchIn(body).map { m =>
+        val text = m.group(2).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+        (m.group(1).toLong, text)
+      }.toSeq
+      if (docs.isEmpty) err(ex, 400, "no docs in request")
+      else {
+        import spark.implicits._
+        val out = graft.sources.DedupIndex
+          .incrementalDedup(spark, indexPath, docs.toDF("doc_id", "text"))
+          .collect().map { r =>
+            s"""{"id":${r.getLong(0)},"status":${jstr(r.getString(1))},""" +
+              s""""matchId":${r.getLong(2)},"jaccardPpm":${r.getLong(3)}}"""
+          }
+        respond(ex, 200, out.mkString("[", ",", "]"))
+      }
+  }
+
   // ------------------------------------------------------------- routing
+
+  server.createContext("/api/dedup", (ex: HttpExchange) => {
+    try {
+      val method = ex.getRequestMethod
+      val sub = ex.getRequestURI.getPath.stripSuffix("/")
+        .stripPrefix("/api/dedup").stripPrefix("/")
+      (method, sub) match {
+        case ("OPTIONS", _) => respond(ex, 204, "")
+        case ("POST", "check") => handleDedupCheck(ex)
+        case _ => err(ex, 404, "not found")
+      }
+    } catch {
+      case e: Throwable => err(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+  })
 
   server.createContext("/api/clusters", (ex: HttpExchange) => {
     try {

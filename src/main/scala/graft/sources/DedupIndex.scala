@@ -85,6 +85,69 @@ object DedupIndex {
     path
   }
 
+  /** Fold a new batch INTO the index without rebuilding — the other
+    * half of the ingest lifecycle (classify with [[incrementalDedup]],
+    * keep the survivors, then append them so the NEXT batch dedups
+    * against them too). Appends are new parquet files per table;
+    * sortedness degrades across appends (each append is sorted within
+    * itself but ranges overlap), so probe pruning weakens until
+    * [[compact]] restores the clustered layout — the standard
+    * LSM-flavored index maintenance contract at 100 TB (cheap appends,
+    * periodic compaction), not a per-batch full rewrite.
+    */
+  def append(docs: DataFrame, path: String, k: Int = 8, bands: Int = 4,
+             textCol: String = "text", idCol: String = "doc_id"): String = {
+    val sig = CachePool.track(signatures(docs, textCol, idCol))
+    sig.select(col("digest"), col("doc_id"))
+      .sortWithinPartitions("digest")
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$path/digests")
+    bandRows(sig, k, bands)
+      .sortWithinPartitions("bk")
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$path/bands")
+    sig.filter(col("len") >= 1).select(col("doc_id"), col("s"), col("len"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$path/shingles")
+    docs.select(graft.operators.Dedup.signatureKey(col(textCol), k).as("sigkey")).distinct()
+      .sortWithinPartitions("sigkey")
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$path/sigkeys")
+    path
+  }
+
+  /** Re-cluster every index table back into its probe-optimal sorted
+    * range layout (run periodically after appends). Rewrites into a
+    * fresh directory then swaps — a compaction never serves partial
+    * state.
+    */
+  def compact(spark: SparkSession, path: String): String = {
+    val tmp = path + ".compact"
+    def rewrite(table: String, key: String, dedup: Boolean = false): Unit = {
+      val in = spark.read.parquet(s"$path/$table")
+      (if (dedup) in.distinct() else in)
+        .repartitionByRange(col(key)).sortWithinPartitions(key)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$tmp/$table")
+    }
+    rewrite("digests", "digest")
+    rewrite("bands", "bk")
+    rewrite("shingles", "doc_id")
+    // appends dedup sigkeys within each batch only — cross-append
+    // duplicates collapse here
+    rewrite("sigkeys", "sigkey", dedup = true)
+    val dir = new java.io.File(path)
+    val bak = new java.io.File(path + ".old")
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    require(dir.renameTo(bak), s"could not stage $path for swap")
+    require(new java.io.File(tmp).renameTo(dir), s"could not swap $tmp into $path")
+    rmRf(bak)
+    path
+  }
+
   /** Check a new batch against a persisted index. Output (ordered by
     * doc_id): doc_id, status ('exact' | 'near' | 'unique'), match_id
     * (indexed doc matched, −1 if unique), jaccard_ppm (1000000 for

@@ -62,4 +62,38 @@ class DedupIndexSpec extends SparkSpec {
   test("incremental result is deterministic across runs") {
     assert(classified() == classified())
   }
+
+  test("append folds a batch into the index; compact preserves behavior") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix3").toString
+    DedupIndex.save(corpus, dir)
+    // ingest lifecycle: classify, then append the unique survivor
+    val survivor = Seq((102L, "nothing in the index resembles this sentence at all"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(survivor, dir)
+    def statusOf(id: Long, text: String): (String, Long) = {
+      val r = DedupIndex.incrementalDedup(spark, dir,
+        Seq((id, text)).toDF("doc_id", "text")).collect().head
+      (r.getString(1), r.getLong(2))
+    }
+    // the NEXT batch dedups against the appended doc
+    assert(statusOf(200L, "nothing in the index resembles this sentence at all") == (("exact", 102L)))
+    // superset edit: 7 of 8 shingles shared → jaccard 0.875
+    assert(statusOf(201L, "nothing in the index resembles this sentence at all truly")._1 == "near")
+    // original corpus still indexed
+    assert(statusOf(202L, "the quick brown fox jumps over the lazy dog tonight") == (("exact", 10L)))
+    // compaction rewrites into sorted layout without changing answers
+    DedupIndex.compact(spark, dir)
+    assert(statusOf(203L, "nothing in the index resembles this sentence at all") == (("exact", 102L)))
+    assert(statusOf(204L, "the quick brown fox jumps over the lazy dog tonight") == (("exact", 10L)))
+    val sig = spark.read.parquet(s"$dir/sigkeys").select("sigkey").as[String].collect()
+    assert(sig.sameElements(sig.sorted) && sig.distinct.length == sig.length,
+      "compacted sigkeys not sorted/deduped")
+    // gate sees appended docs too
+    val gated = graft.streaming.DocStream.gateAgainstIndex(spark,
+      Seq((300L, "nothing in the index resembles this sentence at all"),
+          (301L, "a wholly new sentence unseen by any index so far"))
+        .toDF("doc_id", "text"), dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(301L))
+  }
 }

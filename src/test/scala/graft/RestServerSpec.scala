@@ -98,6 +98,34 @@ class RestServerSpec extends SparkSpec {
     assert(post("/api/clusters/nope/append", """{"numPoints": 1}""").statusCode() == 400)
   }
 
+  test("POST /api/dedup/check classifies a request batch against the index") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-rest-dix").toString
+    graft.sources.DedupIndex.save(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "completely different text about spark shuffles and joins")
+    ).toDF("doc_id", "text"), idx)
+    val srv = new RestServer(engine, dedup = Some((spark, idx)))
+    srv.start()
+    try {
+      def dpost(body: String) = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}/api/dedup/check"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val r = dpost("""{"docs":[
+        {"id":1,"text":"the quick brown fox jumps over the lazy dog tonight"},
+        {"id":2,"text":"the quick brown fox jumps over the lazy dog today"},
+        {"id":3,"text":"nothing in the index resembles this sentence at all"}]}""")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("""{"id":1,"status":"exact","matchId":10,"jaccardPpm":1000000}"""), r.body())
+      assert(r.body().contains(""""id":2,"status":"near","matchId":10"""), r.body())
+      assert(r.body().contains("""{"id":3,"status":"unique","matchId":-1,"jaccardPpm":0}"""), r.body())
+      assert(dpost("""{"docs":[]}""").statusCode() == 400)
+      // unconfigured server 404s the route
+      assert(post("/api/dedup/check", """{"docs":[{"id":1,"text":"x"}]}""").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("POST /api/clusters/{id}/load + bad params; shutdown") {
     val id = engine.list().head.id
     val r = post(s"/api/clusters/$id/load", "")
