@@ -826,6 +826,8 @@ object SparkEntry {
     "q_dedup_groups" -> (DedupQueries.qGroups _),
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
     "q_pagerank" -> (DedupQueries.qPagerank _),
+    "q_snapshot_diff" -> (DedupQueries.qSnapshotDiff _),
+    "q_ivf_cellstats" -> (PipelineQueries.qIvfCellStats _),
     "q_clean_corpus" -> (PipelineQueries.qCleanCorpus _),
     "q_text_stats" -> (PipelineQueries.qTextStats _),
     "q_lang_id" -> (PipelineQueries.qLangId _),
@@ -931,6 +933,8 @@ object SparkEntry {
     "q_dedup_groups" -> DedupQueries.qGroupsSql,
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
     "q_pagerank" -> DedupQueries.qPagerankSql,
+    "q_snapshot_diff" -> DedupQueries.qSnapshotDiffSql,
+    "q_ivf_cellstats" -> PipelineQueries.qIvfCellStatsSql,
     "q_clean_corpus" -> PipelineQueries.qCleanCorpusSql,
     "q_text_stats" -> PipelineQueries.qTextStatsSql,
     "q_lang_id" -> PipelineQueries.qLangIdSql,

@@ -269,6 +269,35 @@ object Similarity {
     embs.filter(col(idCol) < k)
       .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
 
+  /** Per-cell index-health stats over the IVF assignment — the
+    * structural companion to the recall@k eval: cohesion (how well
+    * members fit their own centroid — sum and worst member of the
+    * rounded assignment cosine, summed on the exact DECIMAL lattice)
+    * and separation (each centroid's highest cosine to ANOTHER
+    * centroid — high nn_sim means two cells share a neighborhood and
+    * probe counts must rise). One aggregation over the assignment + a
+    * k×k centroid table on the driver scale — nothing corpus-quadratic.
+    * Output: cell, n_members, cohesion_sum, cohesion_min, nn_sim.
+    */
+  def ivfCellStats(embs: DataFrame, k: Int, dims: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val perCell = ivfAssign(embs, k, dims, idCol, embCol)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("cos_sim").cast("decimal(18,6)")).cast("double").as("cohesion_sum"),
+        min(col("cos_sim")).as("cohesion_min"))
+    val cents = firstKCentroids(embs, k, idCol, embCol)
+      .withColumn("cent_nrm", norm(col("cent_emb"), dims))
+    val other = cents.select(col("cent_id").as("o_id"),
+      col("cent_emb").as("o_emb"), col("cent_nrm").as("o_nrm"))
+    val sep = cents.crossJoin(broadcast(other))
+      .filter(col("cent_id") =!= col("o_id"))
+      .groupBy(col("cent_id").as("cell"))
+      .agg(max(round(cosinePre(col("cent_emb"), col("o_emb"),
+        col("cent_nrm"), col("o_nrm"), dims), 6)).as("nn_sim"))
+    perCell.join(sep, Seq("cell")).orderBy("cell")
+  }
+
   /** IVF coarse quantization: assign every vector to its
     * nearest-centroid cell; ties broken by rounded cosine then centroid
     * id. At scale this is one broadcast of k centroids + one pass.

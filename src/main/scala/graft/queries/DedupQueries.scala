@@ -255,6 +255,40 @@ object DedupQueries {
       |LEFT JOIN (SELECT nid, oid, ppm FROM near WHERE rn = 1) n ON b.doc_id = n.nid
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Corpus release diff: snapshot A (doc_id % 11 ≠ 0) vs snapshot B
+    * (doc_id % 9 ≠ 0, with docs at doc_id % 7 = 0 revised) — every doc
+    * classified added/removed/modified/unchanged by content digest
+    * ([[graft.operators.Snapshot.diff]]).
+    */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = docs(s, dir)
+    val a = d.filter(col("doc_id") % 11 =!= 0)
+    val b = d.filter(col("doc_id") % 9 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    graft.operators.Snapshot.diff(a, b).orderBy("doc_id")
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 11 <> 0
+      |),
+      |b AS (
+      |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+      |                          ELSE text END) AS d
+      |  FROM documents WHERE doc_id % 9 <> 0
+      |)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |       CASE WHEN a.doc_id IS NULL THEN 'added'
+      |            WHEN b.doc_id IS NULL THEN 'removed'
+      |            WHEN a.d <> b.d THEN 'modified'
+      |            ELSE 'unchanged' END AS status,
+      |       COALESCE(a.d, '') AS old_digest,
+      |       COALESCE(b.d, '') AS new_digest
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   private val PrIters = 4
   private val PrDampingPct = 85
 

@@ -221,6 +221,44 @@ object PipelineQueries {
        |  FROM scored
        |) WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Per-cell IVF index-health stats (cohesion + centroid separation —
+    * see [[graft.operators.Similarity.ivfCellStats]]); exact decimal
+    * cohesion sums make the table hash-comparable.
+    */
+  def qIvfCellStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfCellStats(embs(s, dir), k = 8, dims = Dims)
+
+  val qIvfCellStatsSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |               FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT vec_id, cent_id,
+       |         round(${cosSql("embedding", "cent_emb")}, 6) AS cos_sim
+       |  FROM embeddings CROSS JOIN cents
+       |),
+       |assign AS (
+       |  SELECT vec_id, cell, cos_sim FROM (
+       |    SELECT vec_id, cent_id AS cell, cos_sim,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cos_sim DESC, cent_id) AS rn
+       |    FROM scored
+       |  ) WHERE rn = 1
+       |),
+       |percell AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE) AS cohesion_sum,
+       |         min(cos_sim) AS cohesion_min
+       |  FROM assign GROUP BY cell
+       |),
+       |sep AS (
+       |  SELECT a.cent_id AS cell,
+       |         max(round(${cosSql("a.cent_emb", "b.cent_emb")}, 6)) AS nn_sim
+       |  FROM cents a JOIN cents b ON a.cent_id <> b.cent_id
+       |  GROUP BY a.cent_id
+       |)
+       |SELECT cell, n_members, cohesion_sum, cohesion_min, nn_sim
+       |FROM percell JOIN sep USING (cell) ORDER BY cell""".stripMargin
+
   /** Trained IVF quantizer: 2 deterministic Lloyd iterations on the
     * 1e-6 decimal lattice. The oracle re-runs the SAME iterations as
     * unrolled SQL CTEs — every distance/mean is exact decimal
