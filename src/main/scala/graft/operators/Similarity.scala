@@ -295,7 +295,7 @@ object Similarity {
       .groupBy(col("cent_id").as("cell"))
       .agg(max(round(cosinePre(col("cent_emb"), col("o_emb"),
         col("cent_nrm"), col("o_nrm"), dims), 6)).as("nn_sim"))
-    perCell.join(sep, Seq("cell")).orderBy("cell")
+    perCell.join(broadcast(sep), Seq("cell")).orderBy("cell")
   }
 
   /** IVF coarse quantization: assign every vector to its
