@@ -865,6 +865,7 @@ object SparkEntry {
     "q_curriculum" -> (QualityQueries.qCurriculum _),
     "q_vocab_top" -> (PipelineQueries.qVocabTop _),
     "q_unigram_nll" -> (PipelineQueries.qUnigramNll _),
+    "q_zipf_fit" -> (PipelineQueries.qZipfFit _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
@@ -972,6 +973,7 @@ object SparkEntry {
     "q_curriculum" -> QualityQueries.qCurriculumSql,
     "q_vocab_top" -> PipelineQueries.qVocabTopSql,
     "q_unigram_nll" -> PipelineQueries.qUnigramNllSql,
+    "q_zipf_fit" -> PipelineQueries.qZipfFitSql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,

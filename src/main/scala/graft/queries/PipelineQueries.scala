@@ -1005,6 +1005,45 @@ object PipelineQueries {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  /** Zipf-law OLS fit of the corpus rank/frequency curve (see
+    * [[graft.operators.CorpusStats.zipfFit]]) — corpus-health
+    * diagnostic; slope ≈ −1 for natural crawl, bent for template soup.
+    */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.zipfFit(docs(s, dir))
+
+  val qZipfFitSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |),
+      |vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term),
+      |lattice AS (
+      |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY tf DESC, term) AS DOUBLE))
+      |              * 100000.0) AS BIGINT) AS x,
+      |         CAST(round(ln(CAST(tf AS DOUBLE)) * 100000.0) AS BIGINT) AS y
+      |  FROM vocab
+      |),
+      |sums AS (
+      |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+      |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |         SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+      |         SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+      |  FROM lattice
+      |),
+      |fit AS (
+      |  SELECT n, sx, sy,
+      |         CAST(n * sxy - sx * sy AS DOUBLE)
+      |           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_raw
+      |  FROM sums
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |       CAST(round(slope_raw * 1000000.0) AS BIGINT) AS slope_ppm,
+      |       CAST(round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+      |                  / CAST(n AS DOUBLE) / 100000.0 * 1000000.0) AS BIGINT)
+      |         AS intercept_ppm
+      |FROM fit""".stripMargin
+
   private val Bm25Terms = Seq("spark", "vector", "join")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75

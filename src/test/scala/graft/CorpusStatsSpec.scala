@@ -160,4 +160,14 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("kl_unit_total") == 0L))
     assert(out.forall(_.getAs[Double]("kl_nats") == 0.0))
   }
+
+  test("zipfFit recovers slope ≈ −1 on an exactly Zipfian vocabulary") {
+    // term i repeated 1024/i times → tf/rank curve is exactly 1/rank
+    val text = (1 to 64).flatMap(i => Seq.fill(1024 / i)(s"t$i")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = CorpusStats.zipfFit(docs).collect().head
+    assert(row.getAs[Long]("n_terms") == 64L)
+    val slope = row.getAs[Long]("slope_ppm") / 1e6
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope")
+  }
 }
