@@ -866,6 +866,7 @@ object SparkEntry {
     "q_vocab_top" -> (PipelineQueries.qVocabTop _),
     "q_unigram_nll" -> (PipelineQueries.qUnigramNll _),
     "q_zipf_fit" -> (PipelineQueries.qZipfFit _),
+    "q_nb_classify" -> (PipelineQueries.qNbClassify _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
@@ -974,6 +975,7 @@ object SparkEntry {
     "q_vocab_top" -> PipelineQueries.qVocabTopSql,
     "q_unigram_nll" -> PipelineQueries.qUnigramNllSql,
     "q_zipf_fit" -> PipelineQueries.qZipfFitSql,
+    "q_nb_classify" -> PipelineQueries.qNbClassifySql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,

@@ -1005,6 +1005,51 @@ object PipelineQueries {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  /** Naive-Bayes source classifier, trained and scored on the corpus
+    * itself (see [[graft.operators.Classifier.nbTrainScore]]) — the
+    * deterministic quality/domain-classifier shape.
+    */
+  def qNbClassify(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classifier.nbTrainScore(docs(s, dir))
+
+  val qNbClassifySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id AS doc, source AS cls,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |),
+      |dt AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc, term),
+      |tfc AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY cls, term),
+      |cstat AS (SELECT cls, CAST(count(*) AS BIGINT) AS t_c FROM tok GROUP BY cls),
+      |vocabn AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+      |ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |prior AS (
+      |  SELECT source AS cls,
+      |         CAST(round(-ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+      |              * 100000.0) AS BIGINT) AS prior_nll
+      |  FROM documents CROSS JOIN ndocs GROUP BY source, n_docs
+      |),
+      |scored AS (
+      |  SELECT dt.doc, cs.cls,
+      |         CAST(SUM(dt.n * CAST(round(-ln(CAST(COALESCE(tfc.tf, 0) + 1 AS DOUBLE)
+      |              / CAST(cs.t_c + v.v AS DOUBLE)) * 100000.0) AS BIGINT)) AS BIGINT)
+      |           AS like_nll
+      |  FROM dt CROSS JOIN cstat cs
+      |  LEFT JOIN tfc ON tfc.cls = cs.cls AND tfc.term = dt.term
+      |  CROSS JOIN vocabn v
+      |  GROUP BY dt.doc, cs.cls
+      |),
+      |best AS (
+      |  SELECT doc, cls AS predicted, prior_nll + like_nll AS nll_units,
+      |         row_number() OVER (PARTITION BY doc
+      |                            ORDER BY prior_nll + like_nll ASC, cls) AS rn
+      |  FROM scored JOIN prior USING (cls)
+      |)
+      |SELECT d.doc_id, d.source AS actual, b.predicted, b.nll_units,
+      |       CAST(CASE WHEN d.source = b.predicted THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM documents d JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Zipf-law OLS fit of the corpus rank/frequency curve (see
     * [[graft.operators.CorpusStats.zipfFit]]) — corpus-health
     * diagnostic; slope ≈ −1 for natural crawl, bent for template soup.

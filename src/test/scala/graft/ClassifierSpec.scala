@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Classifier
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nbTrainScore separates disjoint-vocabulary classes perfectly") {
+    val docs = Seq(
+      (1L, "web", "spam casino pills spam casino"),
+      (2L, "web", "casino pills pills spam"),
+      (3L, "book", "chapter prose narrative chapter"),
+      (4L, "book", "narrative prose prose chapter")
+    ).toDF("doc_id", "source", "text")
+    val out = Classifier.nbTrainScore(docs).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("correct") == 1L))
+  }
+
+  test("mixed-token doc goes to the class owning the majority of its tokens") {
+    val docs = Seq(
+      (1L, "web", "spam casino pills"),
+      (2L, "web", "spam casino casino"),
+      (3L, "book", "chapter prose narrative"),
+      (4L, "book", "prose prose chapter"),
+      // labeled web but 3 of 4 tokens are book vocabulary (the doc's own
+      // tokens train its labeled class, so the minority needs a margin)
+      (5L, "web", "prose chapter narrative spam")
+    ).toDF("doc_id", "source", "text")
+    val got = Classifier.nbTrainScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    assert(got(5L) == "book")
+    assert(got(1L) == "web" && got(3L) == "book")
+  }
+
+  test("argmax tie breaks to the lexically smaller class") {
+    // perfectly symmetric corpus: doc 5's single shared token scores
+    // identically under both classes -> 'a' wins the tie
+    val docs = Seq(
+      (1L, "b", "x x"),
+      (2L, "a", "x x"),
+      (3L, "a", "y"),
+      (4L, "b", "y")
+    ).toDF("doc_id", "source", "text")
+    val got = Classifier.nbTrainScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    assert(got(1L) == "a" && got(2L) == "a")
+  }
+}
