@@ -867,6 +867,7 @@ object SparkEntry {
     "q_unigram_nll" -> (PipelineQueries.qUnigramNll _),
     "q_zipf_fit" -> (PipelineQueries.qZipfFit _),
     "q_nb_classify" -> (PipelineQueries.qNbClassify _),
+    "q_fuzzy_join" -> (PipelineQueries.qFuzzyJoin _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
@@ -976,6 +977,7 @@ object SparkEntry {
     "q_unigram_nll" -> PipelineQueries.qUnigramNllSql,
     "q_zipf_fit" -> PipelineQueries.qZipfFitSql,
     "q_nb_classify" -> PipelineQueries.qNbClassifySql,
+    "q_fuzzy_join" -> PipelineQueries.qFuzzyJoinSql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,

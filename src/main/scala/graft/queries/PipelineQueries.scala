@@ -1005,6 +1005,48 @@ object PipelineQueries {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  /** Entity resolution: match a deterministically-dirtied copy of the
+    * part-name table back to the canonical table within 1 edit
+    * ([[graft.operators.FuzzyJoin.editJoin]] — PassJoin segment
+    * candidates + levenshtein verify; oracle = the naive cross join).
+    */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // entity string = name + '#' + key: the synthetic part table has only
+    // 64 distinct names, so joining raw names is inherently all-pairs; the
+    // composed record-linkage key keeps match groups bounded (~digit
+    // neighborhoods), which is the realistic ER shape
+    val part = s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"),
+        concat(col("p_name"), lit("#"), col("p_partkey").cast("string")).as("ent"))
+    val canon = part.select(col("p_partkey").as("r_id"), col("ent").as("name"))
+    val dirty = part.select(col("p_partkey").as("l_id"),
+      when(col("p_partkey") % 3 === 0,
+        expr("substring(ent, 1, length(ent) - 1)"))       // 1 deletion (tail)
+        .when(col("p_partkey") % 3 === 1,
+          concat(col("ent"), lit("q")))                   // 1 insertion (tail)
+        .otherwise(concat(lit("q"), expr("substring(ent, 2)"))) // 1 substitution (head)
+        .as("name"))
+    graft.operators.FuzzyJoin.editJoin(dirty, canon, maxDist = 1)
+  }
+
+  val qFuzzyJoinSql: String =
+    """WITH base AS (
+      |  SELECT p_partkey, p_name || '#' || CAST(p_partkey AS VARCHAR) AS ent FROM part
+      |),
+      |dirty AS (
+      |  SELECT p_partkey AS l_id,
+      |         CASE WHEN p_partkey % 3 = 0 THEN substring(ent, 1, length(ent) - 1)
+      |              WHEN p_partkey % 3 = 1 THEN ent || 'q'
+      |              ELSE 'q' || substring(ent, 2) END AS l_str
+      |  FROM base
+      |),
+      |canon AS (SELECT p_partkey AS r_id, ent AS r_str FROM base)
+      |SELECT l_id, r_id, CAST(levenshtein(l_str, r_str) AS BIGINT) AS dist
+      |FROM dirty CROSS JOIN canon
+      |WHERE levenshtein(l_str, r_str) <= 1
+      |ORDER BY l_id, r_id""".stripMargin
+
   /** Naive-Bayes source classifier, trained and scored on the corpus
     * itself (see [[graft.operators.Classifier.nbTrainScore]]) — the
     * deterministic quality/domain-classifier shape.
