@@ -827,6 +827,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
     "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_snapshot_diff" -> (DedupQueries.qSnapshotDiff _),
+    "q_bloom_gate" -> (DedupQueries.qBloomGate _),
     "q_ivf_cellstats" -> (PipelineQueries.qIvfCellStats _),
     "q_clean_corpus" -> (PipelineQueries.qCleanCorpus _),
     "q_text_stats" -> (PipelineQueries.qTextStats _),
@@ -937,6 +938,7 @@ object SparkEntry {
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
     "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_snapshot_diff" -> DedupQueries.qSnapshotDiffSql,
+    "q_bloom_gate" -> DedupQueries.qBloomGateSql,
     "q_ivf_cellstats" -> PipelineQueries.qIvfCellStatsSql,
     "q_clean_corpus" -> PipelineQueries.qCleanCorpusSql,
     "q_text_stats" -> PipelineQueries.qTextStatsSql,

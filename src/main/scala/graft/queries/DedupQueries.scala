@@ -255,6 +255,49 @@ object DedupQueries {
       |LEFT JOIN (SELECT nid, oid, ppm FROM near WHERE rn = 1) n ON b.doc_id = n.nid
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Bloom-accelerated ingest gate (see
+    * [[graft.sources.DedupIndex.bloomGate]]): admit batch docs whose
+    * signature key is absent from the index; bloom negatives skip the
+    * join entirely. Result ≡ the plain anti-join gate — the oracle
+    * recomputes both sides' signature keys raw.
+    */
+  def qBloomGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val batch = docs(s, dir).filter(col("doc_id") % 13 === 0)
+    graft.sources.DedupIndex.bloomGate(s, dedupIndexPath(s, dir), batch)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qBloomGateSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+      |batch AS (SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id % 13 = 0),
+      |ck AS (
+      |  SELECT CASE WHEN len(t) >= 3 THEN array_to_string(
+      |           list_transform(generate_series(0, 7),
+      |             i -> list_min(list_transform(
+      |                    list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                      j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])),
+      |                    x -> md5(CAST(i AS VARCHAR) || '|' || x)))), ',')
+      |         ELSE md5(text) END AS sigkey
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM corpus)
+      |),
+      |bk AS (
+      |  SELECT doc_id, source, n_chars,
+      |         CASE WHEN len(t) >= 3 THEN array_to_string(
+      |           list_transform(generate_series(0, 7),
+      |             i -> list_min(list_transform(
+      |                    list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                      j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])),
+      |                    x -> md5(CAST(i AS VARCHAR) || '|' || x)))), ',')
+      |         ELSE md5(text) END AS sigkey
+      |  FROM (SELECT doc_id, text, source, n_chars, string_split(text, ' ') AS t FROM batch)
+      |)
+      |SELECT b.doc_id, b.source, b.n_chars
+      |FROM bk b LEFT JOIN (SELECT DISTINCT sigkey FROM ck) c USING (sigkey)
+      |WHERE c.sigkey IS NULL
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Corpus release diff: snapshot A (doc_id % 11 ≠ 0) vs snapshot B
     * (doc_id % 9 ≠ 0, with docs at doc_id % 7 = 0 revised) — every doc
     * classified added/removed/modified/unchanged by content digest

@@ -216,4 +216,43 @@ object DedupIndex {
           .otherwise(coalesce(col("ppm"), lit(0L))).as("jaccard_ppm"))
       .orderBy("doc_id")
   }
+
+  /** Bloom-accelerated ingest gate: admit only batch docs whose
+    * signature key is NOT in the index, without joining the whole batch
+    * against the sigkeys table. The index's keys aggregate ONCE into a
+    * serialized Bloom filter (Spark's own `BloomFilterAggregate`, ~10
+    * bits/key ≈ 1% fpp); every batch row probes the bloom as a codegen'd
+    * scalar (`BloomFilterMightContain` on a literal, the
+    * InjectRuntimeFilter shape). Bloom negatives — the overwhelming
+    * majority of a mostly-fresh ingest — pass with ZERO join work; only
+    * bloom positives (true dups + ~1% false positives) reach the exact
+    * LEFT ANTI join. Result is EXACTLY the plain anti-join gate (blooms
+    * have no false negatives); at 100 TB the anti-join's probe side
+    * shrinks from |batch| to |dups| + 1% — the filter itself is a few
+    * MiB broadcast once per batch.
+    *
+    * Output: the admitted batch rows, original schema.
+    */
+  def bloomGate(spark: SparkSession, path: String, batch: DataFrame,
+                k: Int = 8, bitsPerKey: Long = 10L,
+                textCol: String = "text"): DataFrame = {
+    graft.plans.BloomExpressions.register(spark)
+    val sigkeys = spark.read.parquet(s"$path/sigkeys")
+    val nKeys = sigkeys.count()
+    if (nKeys == 0L) return batch
+    val numBits = math.min(math.max(nKeys * bitsPerKey, 64L), 1L << 30)
+    val bloomBytes = sigkeys
+      .select(call_function("graft_bloom_agg", xxhash64(col("sigkey")),
+        lit(nKeys), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val keyed = CachePool.track(
+      batch.withColumn("sigkey", Dedup.signatureKey(col(textCol), k)))
+    val mightBeDup =
+      call_function("graft_bloom_mc", lit(bloomBytes), xxhash64(col("sigkey")))
+    val fastPass = keyed.filter(!mightBeDup)
+    val survivors = keyed.filter(mightBeDup)
+      .join(sigkeys, Seq("sigkey"), "left_anti")
+    fastPass.unionByName(survivors).drop("sigkey")
+  }
 }

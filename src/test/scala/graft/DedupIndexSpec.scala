@@ -42,6 +42,29 @@ class DedupIndexSpec extends SparkSpec {
     assert(got(103L) == (("unique", -1L, 0L)))
   }
 
+  test("bloomGate ≡ plain anti-join gate, and empty-index admits everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix").toString
+    DedupIndex.save(corpus, dir)
+    val admitted = DedupIndex.bloomGate(spark, dir, batch)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = {
+      val sigkeys = spark.read.parquet(s"$dir/sigkeys")
+      batch.withColumn("sigkey", graft.operators.Dedup.signatureKey(col("text")))
+        .join(sigkeys, Seq("sigkey"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(admitted == plain)
+    // exact dup of doc 10 is gated out; the near-dup has a different
+    // signature KEY (identity gate, not similarity gate) so it passes
+    assert(!admitted.contains(100L) && admitted.contains(102L))
+
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-dix-e").toString
+    DedupIndex.save(corpus.limit(0), emptyDir)
+    val all = DedupIndex.bloomGate(spark, emptyDir, batch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(100L, 101L, 102L, 103L))
+  }
+
   test("threshold gates the near match") {
     val got = classified(threshold = 0.95)
     assert(got(101L)._1 == "unique")
