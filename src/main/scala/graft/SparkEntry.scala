@@ -869,6 +869,7 @@ object SparkEntry {
     "q_zipf_fit" -> (PipelineQueries.qZipfFit _),
     "q_nb_classify" -> (PipelineQueries.qNbClassify _),
     "q_fuzzy_join" -> (PipelineQueries.qFuzzyJoin _),
+    "q_embed_whiten" -> (PipelineQueries.qEmbedWhiten _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
@@ -980,6 +981,7 @@ object SparkEntry {
     "q_zipf_fit" -> PipelineQueries.qZipfFitSql,
     "q_nb_classify" -> PipelineQueries.qNbClassifySql,
     "q_fuzzy_join" -> PipelineQueries.qFuzzyJoinSql,
+    "q_embed_whiten" -> PipelineQueries.qEmbedWhitenSql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,

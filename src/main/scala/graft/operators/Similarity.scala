@@ -865,4 +865,37 @@ object Similarity {
           / lit(1000000.0)).as("variance"))
       .orderBy("dim")
   }
+
+  /** Z-score standardization APPLY — the other half of [[dimStats]]'s
+    * FIT: re-express every embedding coordinate as
+    * (x − mean_d) / sqrt(variance_d + ε), the normalize step a
+    * training pipeline runs before PCA/whitening or quantizer
+    * training so no dimension dominates the distance metric.
+    *
+    * Cross-engine exactness: the numerator is an exact BIGINT
+    * difference of micro-lattice integers; the divisor
+    * sqrt(variance + 1e-6) is one correctly-rounded IEEE sqrt of the
+    * already-1e-6-snapped variance — identical doubles in any engine —
+    * and the quotient snaps back to ppm. ε also floors zero-variance
+    * dimensions (constant columns map to z = 0-ish instead of ∞).
+    *
+    * Scale shape: the dims-row stats table broadcasts; the apply is a
+    * per-row map over the exploded coordinates — no shuffle beyond
+    * [[dimStats]]'s bounded dims-key aggregation. Output (ORDERED):
+    * vec_id, dim, z_ppm.
+    */
+  def standardize(embs: DataFrame, dims: Int, embCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    val stats = dimStats(embs, dims, embCol).select(
+      col("dim").as("sdim"),
+      round(col("sum_micro").cast("double") / col("n_vecs")).cast("long").as("m_micro"),
+      sqrt(col("variance") + lit(0.000001)).as("sd"))
+    val flat = embs.select(col(idCol).cast("long").as("vec_id"),
+      posexplode(transform(col(embCol),
+        e => round(e.cast("double") * lit(1000000.0)).cast("long"))).as(Seq("dim", "v")))
+    flat.join(broadcast(stats), flat("dim") === stats("sdim"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round((col("v") - col("m_micro")).cast("double") / col("sd")).cast("long").as("z_ppm"))
+      .orderBy("vec_id", "dim")
+  }
 }

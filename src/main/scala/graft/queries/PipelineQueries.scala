@@ -1360,6 +1360,43 @@ object PipelineQueries {
       |FROM agg
       |ORDER BY dim""".stripMargin
 
+  /** Z-score standardization of the embedding table (see
+    * [[graft.operators.Similarity.standardize]]) — FIT (dimStats) +
+    * APPLY in one plan, ppm-exact.
+    */
+  def qEmbedWhiten(s: SparkSession, dir: String): DataFrame =
+    Similarity.standardize(embs(s, dir), dims = Dims)
+
+  val qEmbedWhitenSql: String =
+    """WITH f AS (
+      |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      |         CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+      |  FROM (
+      |    SELECT vec_id, unnest(embedding) AS e,
+      |           unnest(generate_series(0, len(embedding) - 1)) AS dim
+      |    FROM embeddings
+      |  )
+      |),
+      |agg AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+      |         CAST(SUM(v) AS BIGINT) AS sum_micro,
+      |         CAST(SUM(v * v) AS BIGINT) AS sumsq_micro
+      |  FROM f GROUP BY dim
+      |),
+      |stats AS (
+      |  SELECT dim,
+      |         CAST(round(CAST(sum_micro AS DOUBLE) / n_vecs) AS BIGINT) AS m_micro,
+      |         sqrt(round(CAST(CAST(sumsq_micro AS HUGEINT) * n_vecs
+      |                         - CAST(sum_micro AS HUGEINT) * sum_micro AS DOUBLE)
+      |                    / n_vecs / n_vecs / 1000000000000.0 * 1000000.0) / 1000000.0
+      |              + 0.000001) AS sd
+      |  FROM agg
+      |)
+      |SELECT f.vec_id, f.dim,
+      |       CAST(round(CAST(f.v - s.m_micro AS DOUBLE) / s.sd) AS BIGINT) AS z_ppm
+      |FROM f JOIN stats s ON f.dim = s.dim
+      |ORDER BY f.vec_id, f.dim""".stripMargin
+
   /** Int8 scalar-quantized top-10 search (see
     * [[graft.operators.Similarity.sq8Search]]): exact integer dot
     * products over the quantized codes.

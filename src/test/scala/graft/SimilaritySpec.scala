@@ -293,4 +293,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) == ((2L, 4000000L, 10000000000000L, 2.0, 1.0)))
     assert(out(1L) == ((2L, 1000000L, 500000000000L, 0.5, 0.0)))
   }
+
+  test("standardize yields ±1-ish z for a symmetric pair and 0 for constants") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f)),
+      (1L, Array(3.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val z = Similarity.standardize(vecs, dims = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("z_ppm")).toMap
+    // dim 0: mean 2, sd sqrt(1 + 1e-6) → z ≈ ∓1 (ppm, slightly inside)
+    assert(math.abs(z((0L, 0L)) + 1000000L) < 10L)
+    assert(math.abs(z((1L, 0L)) - 1000000L) < 10L)
+    // dim 1 constant: numerator 0 → z exactly 0 (ε floors the sd)
+    assert(z((0L, 1L)) == 0L && z((1L, 1L)) == 0L)
+  }
 }
