@@ -870,6 +870,7 @@ object SparkEntry {
     "q_nb_classify" -> (PipelineQueries.qNbClassify _),
     "q_fuzzy_join" -> (PipelineQueries.qFuzzyJoin _),
     "q_embed_whiten" -> (PipelineQueries.qEmbedWhiten _),
+    "q_random_proj" -> (PipelineQueries.qRandomProj _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
@@ -982,6 +983,7 @@ object SparkEntry {
     "q_nb_classify" -> PipelineQueries.qNbClassifySql,
     "q_fuzzy_join" -> PipelineQueries.qFuzzyJoinSql,
     "q_embed_whiten" -> PipelineQueries.qEmbedWhitenSql,
+    "q_random_proj" -> PipelineQueries.qRandomProjSql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,

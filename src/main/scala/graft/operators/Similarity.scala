@@ -898,4 +898,46 @@ object Similarity {
         round((col("v") - col("m_micro")).cast("double") / col("sd")).cast("long").as("z_ppm"))
       .orderBy("vec_id", "dim")
   }
+
+  /** Deterministic ±1 sign for output dim `j`, input dim `d` of the
+    * random-projection matrix — the same LCG family as [[planeCoef]],
+    * so both engines derive the matrix arithmetically (no literal
+    * tables in the oracle SQL).
+    */
+  def projSign(j: Int, d: Int, dims: Int): Double =
+    if ((j.toLong * dims + d) * 2654435761L % 1000003L % 2L == 0L) 1.0 else -1.0
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2001 ±1
+    * variant, public): compress `dims`-dim embeddings to `dProj` dims
+    * as y_j = Σ_d sign(j,d)·x_d — pairwise distances are preserved to
+    * (1±ε) with dProj = O(log n / ε²), which is the cheap first-stage
+    * reduction a pipeline runs before clustering / ANN when even the
+    * raw vectors are too wide to shuffle.
+    *
+    * Exactness: inputs are micro-lattice integers and the matrix is
+    * ±1, so every y_j is an exact integer with |y_j| ≤ dims·2e6 ≪ 2^53
+    * — [[dot]]'s left-to-right double accumulation is exact regardless
+    * of order, hence hash-identical to the oracle's BIGINT sums.
+    *
+    * Scale shape: the sign matrix is dProj constant-folded literal
+    * rows; the projection is dProj fused [[dot]] loops in ONE
+    * codegen'd Project — per-row map, zero shuffle, zero join. The
+    * flattening posexplode (and the oracle's order-by) are for the
+    * hash-comparable output shape only.
+    *
+    * Output (ORDERED): vec_id, j (0-based output dim), y_micro.
+    */
+  def randomProject(embs: DataFrame, dProj: Int, dims: Int,
+                    embCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val mv = transform(col(embCol), e => round(e.cast("double") * lit(1000000.0)))
+    val signRows = (0 until dProj).map { j =>
+      array((0 until dims).map(d => lit(projSign(j, d, dims))): _*)
+    }
+    val y = array(signRows.map(sr => dot(col("mv"), sr, dims).cast("long")): _*)
+    embs.select(col(idCol).cast("long").as("vec_id"), mv.as("mv"))
+      .select(col("vec_id"), posexplode(y).as(Seq("j", "y_micro")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("y_micro"))
+      .orderBy("vec_id", "j")
+  }
 }

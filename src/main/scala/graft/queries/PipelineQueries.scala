@@ -1397,6 +1397,36 @@ object PipelineQueries {
       |FROM f JOIN stats s ON f.dim = s.dim
       |ORDER BY f.vec_id, f.dim""".stripMargin
 
+  /** Johnson–Lindenstrauss ±1 random projection 64 → 16 dims (see
+    * [[graft.operators.Similarity.randomProject]]) — exact integer
+    * outputs, the matrix derived arithmetically on both sides.
+    */
+  def qRandomProj(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(embs(s, dir), dProj = 16, dims = Dims)
+
+  val qRandomProjSql: String =
+    s"""WITH f AS (
+       |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |         CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+       |  FROM (
+       |    SELECT vec_id, unnest(embedding) AS e,
+       |           unnest(generate_series(0, len(embedding) - 1)) AS dim
+       |    FROM embeddings
+       |  )
+       |),
+       |s AS (
+       |  SELECT j, d,
+       |         CASE WHEN (j * $Dims + d) * 2654435761 % 1000003 % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS j),
+       |       (SELECT unnest(generate_series(0, ${Dims - 1})) AS d)
+       |)
+       |SELECT f.vec_id, CAST(s.j AS BIGINT) AS j,
+       |       CAST(SUM(f.v * s.sgn) AS BIGINT) AS y_micro
+       |FROM f JOIN s ON s.d = f.dim
+       |GROUP BY f.vec_id, s.j
+       |ORDER BY f.vec_id, j""".stripMargin
+
   /** Int8 scalar-quantized top-10 search (see
     * [[graft.operators.Similarity.sq8Search]]): exact integer dot
     * products over the quantized codes.

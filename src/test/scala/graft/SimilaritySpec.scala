@@ -294,6 +294,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == ((2L, 1000000L, 500000000000L, 0.5, 0.0)))
   }
 
+  test("randomProject matches the hand-computed ±1 sums exactly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f, -0.25f, 2.0f)),
+      (1L, Array(-1.5f, 0.0f, 0.75f, -0.125f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(vecs, dProj = 3, dims = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("y_micro")).toMap
+    val micro = Map(
+      0L -> Array(1000000L, 500000L, -250000L, 2000000L),
+      1L -> Array(-1500000L, 0L, 750000L, -125000L))
+    for (v <- Seq(0L, 1L); j <- 0 until 3) {
+      val want = (0 until 4).map(d =>
+        Similarity.projSign(j, d, 4).toLong * micro(v)(d)).sum
+      assert(out((v, j.toLong)) == want, s"vec $v out-dim $j")
+    }
+    // the LCG matrix is not degenerate: both signs occur
+    val signs = for (j <- 0 until 3; d <- 0 until 4) yield Similarity.projSign(j, d, 4)
+    assert(signs.contains(1.0) && signs.contains(-1.0))
+  }
+
   test("standardize yields ±1-ish z for a symmetric pair and 0 for constants") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.5f)),
