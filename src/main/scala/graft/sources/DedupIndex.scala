@@ -137,14 +137,7 @@ object DedupIndex {
     // appends dedup sigkeys within each batch only — cross-append
     // duplicates collapse here
     rewrite("sigkeys", "sigkey", dedup = true)
-    val dir = new java.io.File(path)
-    val bak = new java.io.File(path + ".old")
-    def rmRf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
-    }
-    require(dir.renameTo(bak), s"could not stage $path for swap")
-    require(new java.io.File(tmp).renameTo(dir), s"could not swap $tmp into $path")
-    rmRf(bak)
+    StagedSwap.swap(path, tmp)
     path
   }
 

@@ -51,6 +51,50 @@ object VectorIndex {
     path
   }
 
+  /** Fold a new embedding batch INTO the index against the FROZEN
+    * persisted quantizer — the online half of the vector-index
+    * lifecycle (same LSM-flavored contract as the dedup index): cell
+    * assignment is one broadcast of the k persisted centroids + a
+    * per-row argmax over the BATCH, and the write is new parquet files
+    * sorted within the batch. Ranges overlap across appends, so the
+    * probed-cell pruning weakens until [[compact]] restores the
+    * range-clustered layout; answers are unchanged either way, and a
+    * batch appended against the frozen quantizer lands in exactly the
+    * cells a full rebuild would give it (the spec proves
+    * append-then-serve ≡ rebuild-then-serve row for row).
+    */
+  def append(embs: DataFrame, path: String, dims: Int,
+             idCol: String = "vec_id", embCol: String = "embedding"): String = {
+    val spark = embs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id"), col("cent_emb"))
+    val assign = Similarity.ivfAssignWith(embs, cents, dims, idCol, embCol)
+      .select(col(idCol), col("cell"))
+    embs.join(assign, idCol)
+      .select(col(idCol).as("vec_id"), col("cell"), col(embCol).as("embedding"),
+        Similarity.norm(col(embCol), dims).as("nrm"))
+      .sortWithinPartitions("cell")
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$path/vectors")
+    path
+  }
+
+  /** Re-cluster the vector table back into its probe-optimal
+    * cell-range layout after a run of appends; staged swap so a
+    * compaction never serves partial state.
+    */
+  def compact(spark: SparkSession, path: String): String = {
+    val tmp = path + ".compact"
+    spark.read.parquet(s"$path/vectors")
+      .repartitionByRange(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$tmp/vectors")
+    spark.read.parquet(s"$path/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    StagedSwap.swap(path, tmp)
+    path
+  }
+
   /** Prepare the warm serving plan for one query vector (looked up by
     * id, as the oracle does; a production handler receives the vector
     * in the request). The two driver-side collects — the query row and

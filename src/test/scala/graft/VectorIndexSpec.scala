@@ -25,6 +25,35 @@ class VectorIndexSpec extends SparkSpec {
     assert(served.length == 5)
   }
 
+  test("append against the frozen quantizer ≡ full rebuild, before and after compact") {
+    val base = corpus // vec_id 0..39
+    val batch = (40L until 60L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val full = base.unionByName(batch)
+
+    val incDir = java.nio.file.Files.createTempDirectory("graft-vix-inc").toString
+    VectorIndex.save(base, incDir, k = 4, dims = dims)
+    VectorIndex.append(batch, incDir, dims = dims)
+
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-vix-full").toString
+    VectorIndex.save(full, fullDir, k = 4, dims = dims)
+
+    def serve(dir: String) = VectorIndex.annServe(spark, dir, queryVecId = 41L,
+      probes = 2, topK = 8, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val incServed = serve(incDir)
+    assert(incServed == serve(fullDir), "append-then-serve diverged from rebuild")
+    assert(incServed.exists(_._1 >= 40L), "appended batch absent from results")
+
+    VectorIndex.compact(spark, incDir)
+    assert(serve(incDir) == incServed, "compaction changed answers")
+    val plan = VectorIndex.annServe(spark, incDir, queryVecId = 41L,
+      probes = 2, topK = 8, dims = dims)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("cell"),
+      s"compacted index lost the pruned-scan shape:\n$plan")
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
