@@ -826,6 +826,7 @@ object SparkEntry {
     "q_dedup_groups" -> (DedupQueries.qGroups _),
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
     "q_pagerank" -> (DedupQueries.qPagerank _),
+    "q_triangles" -> (DedupQueries.qTriangles _),
     "q_snapshot_diff" -> (DedupQueries.qSnapshotDiff _),
     "q_bloom_gate" -> (DedupQueries.qBloomGate _),
     "q_ivf_cellstats" -> (PipelineQueries.qIvfCellStats _),
@@ -940,6 +941,7 @@ object SparkEntry {
     "q_dedup_groups" -> DedupQueries.qGroupsSql,
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
     "q_pagerank" -> DedupQueries.qPagerankSql,
+    "q_triangles" -> DedupQueries.qTrianglesSql,
     "q_snapshot_diff" -> DedupQueries.qSnapshotDiffSql,
     "q_bloom_gate" -> DedupQueries.qBloomGateSql,
     "q_ivf_cellstats" -> PipelineQueries.qIvfCellStatsSql,

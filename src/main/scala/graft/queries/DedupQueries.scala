@@ -374,6 +374,55 @@ object DedupQueries {
        |SELECT id AS doc_id, r AS rank_micro FROM r$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-node triangle count + local clustering coefficient over the
+    * near-dup graph (see [[graft.operators.PageRank.triangleStats]]):
+    * dense template family vs copied-once star. Oracle = the same
+    * degree-ordered orientation as SQL CTEs.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank
+      .triangleStats(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
+
+  val qTrianglesSql: String =
+    s"""WITH $minhashVerifiedCte,
+       |npairs AS (
+       |  SELECT id_a, id_b FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |e AS (
+       |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM npairs
+       |),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY id
+       |),
+       |oe AS (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS dv
+       |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+       |),
+       |tri AS (
+       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |  FROM oe e1
+       |  JOIN oe e2 ON e1.u = e2.u
+       |    AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+       |  JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v
+       |),
+       |tc AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+       |  FROM (SELECT unnest([x, y, z]) AS id FROM tri)
+       |  GROUP BY id
+       |)
+       |SELECT deg.id AS doc_id, deg.d AS degree,
+       |       COALESCE(tc.n_tri, 0) AS n_tri,
+       |       CASE WHEN deg.d >= 2
+       |            THEN CAST(round(2.0 * COALESCE(tc.n_tri, 0) * 1000000.0
+       |                            / (deg.d * (deg.d - 1))) AS BIGINT)
+       |            ELSE 0 END AS cc_ppm
+       |FROM deg LEFT JOIN tc ON tc.id = deg.id
+       |ORDER BY doc_id""".stripMargin
+
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(docs(s, dir))
 

@@ -25,6 +25,28 @@ class PageRankSpec extends SparkSpec {
     assert(got(10L) > got(1L) && got.filterKeys(_ != 10L).values.toSet.size == 1)
   }
 
+  test("triangleStats counts a triangle-with-pendant exactly") {
+    // triangle {1,2,3} plus pendant 4—1: degrees 3,2,2,1; one triangle
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = PageRank.triangleStats(g).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 333333L))) // 2·1e6/(3·2)
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((2L, 1L, 1000000L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangleStats counts K4 once per face and is duplicate-edge safe") {
+    // K4 has 4 triangles, every node in 3 of them; cc = 1 everywhere.
+    // Feed each edge twice (reversed) — the canonical distinct must absorb it.
+    val edges = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val got = PageRank.triangleStats(edges.toDF("id_a", "id_b")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((3L, 3L, 1000000L)))
+  }
+
   test("disconnected components rank independently and deterministically") {
     val two = Seq((1L, 2L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
     val a = PageRank.rankMicro(two, iters = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
