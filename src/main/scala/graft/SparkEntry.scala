@@ -862,6 +862,7 @@ object SparkEntry {
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
     "q_bpe_train" -> (QualityQueries.qBpeTrain _),
     "q_bpe_encode" -> (QualityQueries.qBpeEncode _),
+    "q_bpe_fertility" -> (QualityQueries.qBpeFertility _),
     "q_json_props" -> (QualityQueries.qJsonProps _),
     "q_phrase_search" -> (QualityQueries.qPhraseSearch _),
     "q_prep_capstone" -> (QualityQueries.qPrepCapstone _),
@@ -977,6 +978,7 @@ object SparkEntry {
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,
     "q_bpe_train" -> QualityQueries.qBpeTrainSql,
     "q_bpe_encode" -> QualityQueries.qBpeEncodeSql,
+    "q_bpe_fertility" -> QualityQueries.qBpeFertilitySql,
     "q_json_props" -> QualityQueries.qJsonPropsSql,
     "q_phrase_search" -> QualityQueries.qPhraseSearchSql,
     "q_prep_capstone" -> QualityQueries.qPrepCapstoneSql,

@@ -127,4 +127,43 @@ object BpeTokenizer {
         substring(col("s"), 1, 60).as("bpe_head"))
       .orderBy(idCol)
   }
+
+  /** Tokenizer-efficiency table per group (source/language): fertility
+    * (BPE symbols per whitespace word) and compression (chars per BPE
+    * symbol) — the numbers a pipeline reads before committing to a
+    * vocabulary, since a tokenizer that fragments one source 2× worse
+    * than another silently halves that source's effective context and
+    * doubles its training cost.
+    *
+    * Shape: the same ONE-expression merge applier as [[encode]]
+    * (`graft_bpe_apply` — constant plan depth in the merge count), then
+    * one group-key aggregation — per-row map + one bounded-key shuffle
+    * at any corpus size. Ratios are exact-integer sums in double (far
+    * below 2^53) with one correctly-rounded division each, so the ppm
+    * columns are engine-identical.
+    *
+    * Output (ORDERED): group, n_docs, sum_tokens, sum_bpe, sum_chars,
+    * fertility_ppm, chars_per_bpe_ppm.
+    */
+  def fertility(docs: DataFrame, merges: Seq[Merge], groupCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    graft.plans.TextExpressions.ensureRegistered()
+    val enc = call_function("graft_bpe_apply", docSymbols(textCol),
+      lit(merges.map(m => s" ${m.lft} ${m.rgt} ").toArray),
+      lit(merges.map(m => s" ${m.merged} ").toArray))
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    docs.select(col(groupCol).as("group"), nTok.as("nt"),
+        (size(split(trim(enc), " ")).cast("long") - (nTok - lit(1L))).as("nb"),
+        length(col(textCol)).cast("long").as("nc"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+        sum(col("nb")).as("sum_bpe"), sum(col("nc")).as("sum_chars"))
+      .select(col("group"), col("n_docs"), col("sum_tokens"), col("sum_bpe"),
+        col("sum_chars"),
+        round(col("sum_bpe") * lit(1000000.0) / col("sum_tokens")).cast("long")
+          .as("fertility_ppm"),
+        round(col("sum_chars") * lit(1000000.0) / col("sum_bpe")).cast("long")
+          .as("chars_per_bpe_ppm"))
+      .orderBy("group")
+  }
 }

@@ -357,6 +357,45 @@ object QualityQueries {
        |FROM e$BpeMerges ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source tokenizer fertility/compression (see
+    * [[graft.operators.BpeTokenizer.fertility]]) under the corpus's own
+    * trained merges — which source a vocabulary fragments worst.
+    */
+  def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    BpeTokenizer.fertility(d, BpeTokenizer.trainMerges(d, BpeMerges))
+  }
+
+  val qBpeFertilitySql: String = {
+    val encChain = (1 to BpeMerges).map { r =>
+      s"""f$r AS (
+         |  SELECT src, n_tokens, n_chars,
+         |         replace(s, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS s
+         |  FROM f${r - 1}, t$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |f0 AS (
+       |  SELECT source AS src, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         ' ' || replace(regexp_replace(text, '(.)', '\\1 ', 'g'), '   ', ' | ') AS s
+       |  FROM documents
+       |),
+       |$encChain,
+       |agg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |         CAST(SUM(CAST(len(string_split(trim(s), ' ')) AS BIGINT) - (n_tokens - 1))
+       |              AS BIGINT) AS sum_bpe,
+       |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |  FROM f$BpeMerges GROUP BY src
+       |)
+       |SELECT src AS "group", n_docs, sum_tokens, sum_bpe, sum_chars,
+       |       CAST(round(sum_bpe * 1000000.0 / sum_tokens) AS BIGINT) AS fertility_ppm,
+       |       CAST(round(sum_chars * 1000000.0 / sum_bpe) AS BIGINT) AS chars_per_bpe_ppm
+       |FROM agg ORDER BY "group"""".stripMargin
+  }
+
   // ---------------------------------------------------------- phrase search
 
   private val Phrase = Seq("table", "key", "filter")

@@ -82,6 +82,20 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("fertility aggregates symbols/words/chars per source exactly") {
+    // "ab ab" with merge (a,b): 2 words, 2 bpe symbols, 5 chars
+    // "cd" with no applicable merge: 1 word, 2 symbols, 2 chars
+    val docs = Seq((1L, "s1", "ab ab"), (2L, "s2", "cd")).toDF("doc_id", "source", "text")
+    val merges = Seq(BpeTokenizer.Merge(1L, "a", "b", "ab", 2L))
+    val out = BpeTokenizer.fertility(docs, merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // s1: fertility 2/2 = 1e6; chars/bpe 5/2 = 2.5e6
+    assert(out("s1") == ((1L, 2L, 2L, 5L, 1000000L, 2500000L)))
+    // s2: fertility 2/1 = 2e6; chars/bpe 2/2 = 1e6
+    assert(out("s2") == ((1L, 1L, 2L, 2L, 2000000L, 1000000L)))
+  }
+
   test("train DataFrame output matches the driver merge list") {
     val docs = Seq((1L, "spark spark stream stream scan")).toDF("doc_id", "text")
     val fromDf = BpeTokenizer.train(spark, docs, 4).collect()
