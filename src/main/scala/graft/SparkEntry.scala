@@ -827,6 +827,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
     "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
+    "q_dedup_best" -> (DedupQueries.qDedupBest _),
     "q_snapshot_diff" -> (DedupQueries.qSnapshotDiff _),
     "q_bloom_gate" -> (DedupQueries.qBloomGate _),
     "q_ivf_cellstats" -> (PipelineQueries.qIvfCellStats _),
@@ -943,6 +944,7 @@ object SparkEntry {
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
     "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
+    "q_dedup_best" -> DedupQueries.qDedupBestSql,
     "q_snapshot_diff" -> DedupQueries.qSnapshotDiffSql,
     "q_bloom_gate" -> DedupQueries.qBloomGateSql,
     "q_ivf_cellstats" -> PipelineQueries.qIvfCellStatsSql,

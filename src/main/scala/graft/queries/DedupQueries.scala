@@ -423,6 +423,54 @@ object DedupQueries {
        |FROM deg LEFT JOIN tc ON tc.id = deg.id
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware duplicate-group representative: for every near-dup
+    * group, the member a pipeline should KEEP — highest
+    * [[graft.operators.TextAnalysis.qualityScore]], ties to the lowest
+    * doc_id — rather than the min-id canonical the plain grouping
+    * emits. One window pass over the labeled members (quality doubles
+    * are bit-identical cross-engine — pure arithmetic on exact counts —
+    * so the argmax ordering is too).
+    */
+  def qDedupBest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    import org.apache.spark.sql.functions._
+    val d = docs(s, dir)
+    val groups = Dedup.nearDupGroups(Dedup.minhashPairs(d, k = 8, bands = 4, threshold = 0.5))
+    val scored = d.select(col("doc_id"),
+      TextAnalysis.qualityScore(TextAnalysis.tokens(col("text")), col("text")).as("quality"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
+    val w = byGroup.orderBy(col("quality").desc, col("doc_id"))
+    groups.join(scored, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byGroup))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("group_id"), col("doc_id").as("best_id"), col("quality"),
+        col("n_members"))
+      .orderBy("group_id")
+  }
+
+  val qDedupBestSql: String = {
+    val en = graft.functions.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE $groupsCte,
+       |scored AS (
+       |  SELECT doc_id,
+       |    0.4 * least(1.0, len(t) * 1.0 / 50.0)
+       |      + 0.3 * (len(list_distinct(t)) * 1.0 / len(t))
+       |      + 0.3 * (1.0 - len(list_filter(t, x -> x IN ($en))) * 1.0 / len(t)) AS quality
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |),
+       |m AS (
+       |  SELECT g.group_id, g.doc_id, s.quality,
+       |         CAST(count(*) OVER (PARTITION BY g.group_id) AS BIGINT) AS n_members,
+       |         row_number() OVER (PARTITION BY g.group_id
+       |                            ORDER BY s.quality DESC, g.doc_id) AS rn
+       |  FROM grp g JOIN scored s USING (doc_id)
+       |)
+       |SELECT group_id, doc_id AS best_id, quality, n_members
+       |FROM m WHERE rn = 1 ORDER BY group_id""".stripMargin
+  }
+
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(docs(s, dir))
 
