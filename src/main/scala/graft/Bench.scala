@@ -146,6 +146,12 @@ object Bench {
       val df = graft.queries.PipelineQueries.annServe(spark, sfDir)
       () => { df.collect(); () }
     }
+    // codes-not-floats serving twin: IVF+PQ ADC top-k from the
+    // persisted code table (probed-cell pruned scan + broadcast LUT)
+    val pqWarm = warmOf("pq_warm", 5) {
+      val df = graft.queries.PipelineQueries.pqServe(spark, sfDir)
+      () => { df.collect(); () }
+    }
     // dedup-gate serving twin: a small probe batch classified
     // exact/near/unique against the persisted signature index
     val dedupGateWarm = warmOf("dedup_gate_warm", 5) {
@@ -182,6 +188,7 @@ object Bench {
         summaryWarm.map(w => f""","pyramid_summary_warm_sec":$w%.3f""").getOrElse("") +
         bm25Warm.map(w => f""","bm25_warm_sec":$w%.3f""").getOrElse("") +
         annWarm.map(w => f""","ann_warm_sec":$w%.3f""").getOrElse("") +
+        pqWarm.map(w => f""","pq_warm_sec":$w%.3f""").getOrElse("") +
         dedupGateWarm.map(w => f""","dedup_gate_warm_sec":$w%.3f""").getOrElse("") +
         ingest.map { case (s, mb) =>
           f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("") +

@@ -893,6 +893,7 @@ object SparkEntry {
     "q_pq_encode" -> (PipelineQueries.qPqEncode _),
     "q_pq_search" -> (PipelineQueries.qPqSearch _),
     "q_ivfpq_search" -> (PipelineQueries.qIvfPqSearch _),
+    "q_ivfpq_served" -> (PipelineQueries.qIvfPqServed _),
     "q_ivf_assign" -> (PipelineQueries.qIvfAssign _),
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
     "q_ivf_served" -> (PipelineQueries.qIvfServed _),
@@ -1012,6 +1013,7 @@ object SparkEntry {
     "q_pq_encode" -> PipelineQueries.qPqEncodeSql,
     "q_pq_search" -> PipelineQueries.qPqSearchSql,
     "q_ivfpq_search" -> PipelineQueries.qIvfPqSearchSql,
+    "q_ivfpq_served" -> PipelineQueries.qIvfPqSearchSql,
     "q_ivf_assign" -> PipelineQueries.qIvfAssignSql,
     "q_ivf_search" -> PipelineQueries.qIvfSearchSql,
     // served ranking DEFINED identical to the batch ranking — shared oracle

@@ -386,7 +386,7 @@ object Similarity {
     * Returns the internal state (subvector table, centroid table) the
     * public wrappers format/consume.
     */
-  private def pqFit(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
+  private[graft] def pqFit(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
                     idCol: String, embCol: String): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims must be divisible by m=$m subspaces")
     val subDims = dims / m
@@ -436,7 +436,7 @@ object Similarity {
   /** Per-(vec, sub) nearest-centroid codes via the packed-long argmin
     * (shared by encode/search/ivfpq): (vec_id, sub, code).
     */
-  private def assignCodes(sve: DataFrame, cents: DataFrame, k: Int, subDims: Int): DataFrame = {
+  private[graft] def assignCodes(sve: DataFrame, cents: DataFrame, k: Int, subDims: Int): DataFrame = {
     val d2 = col("nn") + col("cn") - lit(2.0) * dot(col("sv"), col("cv"), subDims)
     sve.join(broadcast(cents), "sub")
       .select(col("vec_id"), col("sub"),
@@ -449,7 +449,7 @@ object Similarity {
   /** The micro-unit subvector table of a corpus (vec_id, sub, sv, nn) —
     * n·m rows, pure per-row arithmetic (no shuffle).
     */
-  private def subVectors(embs: DataFrame, m: Int, dims: Int,
+  private[graft] def subVectors(embs: DataFrame, m: Int, dims: Int,
                          idCol: String, embCol: String): DataFrame = {
     val subDims = dims / m
     embs

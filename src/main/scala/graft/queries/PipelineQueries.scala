@@ -682,6 +682,27 @@ object PipelineQueries {
 
   def qIvfServed(s: SparkSession, dir: String): DataFrame = annServe(s, dir)
 
+  /** Persisted IVF+PQ index + warm ADC serving plan (the
+    * codes-not-floats 100 TB layout; Bench times it as `pq_warm_sec`).
+    * Shares `q_ivfpq_search`'s oracle — training, codes and every
+    * distance ride the exact micro lattice through parquet, so the
+    * served top-k is row-identical to the batch pipeline.
+    */
+  private val pqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqIndexPath(s: SparkSession, dir: String): String =
+    pqIndexPaths.getOrElseUpdate(dir,
+      graft.sources.VectorIndex.savePq(embs(s, dir),
+        "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_pqindex",
+        kCoarse = 8, coarseIters = 2, m = PqM, k = PqK, iters = PqIters, dims = Dims))
+
+  private val pqPlans = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def pqServe(s: SparkSession, dir: String): DataFrame =
+    pqPlans.getOrElseUpdate(dir, graft.sources.VectorIndex.pqServe(
+      s, pqIndexPath(s, dir), queryVecId = 0L, probes = 2, m = PqM,
+      shortlist = 50, topK = 10, dims = Dims))
+
+  def qIvfPqServed(s: SparkSession, dir: String): DataFrame = pqServe(s, dir)
+
   /** ANN quality evaluation — recall@10 of the IVF index (k=8,
     * probes=2) against the exact brute-force top-10: the accept/reject
     * metric a pipeline computes before trusting an approximate index.

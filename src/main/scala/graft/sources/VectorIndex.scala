@@ -95,6 +95,98 @@ object VectorIndex {
     path
   }
 
+  /** Build + persist the IVF+PQ index — the ACTUAL 100 TB serving
+    * layout: what scans at request time is the `codes` table
+    * (m·log₂k BITS per vector, cell-clustered for probe pruning), not
+    * floats; raw embeddings persist alongside but are read back only
+    * for the |shortlist| exact re-rank rows. Quantizers (trained
+    * coarse k-means + the m subspace codebooks) are k-row tables.
+    * Everything round-trips the exact micro lattice, so
+    * [[pqServe]]'s ranking is bit-identical to the batch
+    * [[Similarity.ivfpqSearch]] and shares its oracle.
+    */
+  def savePq(embs: DataFrame, path: String, kCoarse: Int, coarseIters: Int,
+             m: Int, k: Int, iters: Int, dims: Int,
+             idCol: String = "vec_id", embCol: String = "embedding"): String = {
+    val coarse = Similarity.centroidsAsVectors(
+      Similarity.kmeansTrain(embs, kCoarse, coarseIters, dims, idCol, embCol))
+    val assign = Similarity.ivfAssignWith(embs, coarse, dims, idCol, embCol)
+      .select(col(idCol).as("vec_id"), col("cell"))
+    val (sve, pcents) = Similarity.pqFit(embs, m, k, iters, dims, idCol, embCol)
+    Similarity.assignCodes(sve, pcents, k, dims / m)
+      .join(assign, "vec_id")
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions("cell", "vec_id", "sub")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/codes")
+    pcents.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    embs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      .join(assign, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .repartitionByRange(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/vectors")
+    coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    path
+  }
+
+  /** Warm IVF+PQ (IVFADC) serving plan: probed-cell-pruned scan of the
+    * CODE table, ADC against the broadcast m·k LUT, exact micro² L2
+    * re-rank of the shortlist read back from the raw-vector table —
+    * the same three stages as the batch [[Similarity.ivfpqSearch]]
+    * with the train/encode work amortized into [[savePq]]. All
+    * arithmetic stays on the exact integer lattice, so the served
+    * top-k is row-identical to the batch query (shared oracle).
+    */
+  def pqServe(spark: SparkSession, path: String, queryVecId: Long,
+              probes: Int, m: Int, shortlist: Int, topK: Int, dims: Int): DataFrame = {
+    val subDims = dims / m
+    val codes = spark.read.parquet(s"$path/codes")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val q = vectors.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), Similarity.norm(col("embedding"), dims).as("nrm"))
+      .collect().head
+    val qEmb = q.getSeq[Float](0)
+    val qNrm = q.getDouble(1)
+    val probed = coarse
+      .select(col("cent_id").as("cell"),
+        round(Similarity.cosinePre(col("cent_emb"), typedlit(qEmb),
+          Similarity.norm(col("cent_emb"), dims), lit(qNrm), dims), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cell"))
+      .limit(probes)
+      .collect().map(_.getAs[Long]("cell")).toSeq
+    // query subvectors via the SAME projection the batch path uses —
+    // micro rounding stays inside Spark expressions (no driver math)
+    val qs = Similarity.subVectors(
+        vectors.filter(col("vec_id") === queryVecId), m, dims, "vec_id", "embedding")
+      .select(col("sub"), col("sv").as("qv"), col("nn").as("qn"))
+    val lut = codebook.join(broadcast(qs), "sub")
+      .select(col("sub"), col("cent_id").as("code"),
+        (col("qn") + col("cn") - lit(2.0) * Similarity.dot(col("qv"), col("cv"), subDims))
+          .cast("long").as("d2q"))
+    val adc = codes
+      .filter(col("cell").isInCollection(probed) && col("vec_id") =!= queryVecId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(shortlist)
+    val sveC = Similarity.subVectors(
+      vectors.join(broadcast(adc.select(col("vec_id"))), "vec_id"),
+      m, dims, "vec_id", "embedding")
+    sveC.join(broadcast(qs), "sub")
+      .select(col("vec_id"),
+        (col("nn") + col("qn") - lit(2.0) * Similarity.dot(col("sv"), col("qv"), subDims))
+          .as("pd2"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd2")).cast("long").as("d2"))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** Prepare the warm serving plan for one query vector (looked up by
     * id, as the oracle does; a production handler receives the vector
     * in the request). The two driver-side collects — the query row and

@@ -54,6 +54,26 @@ class VectorIndexSpec extends SparkSpec {
       s"compacted index lost the pruned-scan shape:\n$plan")
   }
 
+  test("PQ serving equals the batch IVF+PQ pipeline row for row, codes scan pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-pq").toString
+    VectorIndex.savePq(corpus, dir, kCoarse = 4, coarseIters = 2,
+      m = 2, k = 4, iters = 2, dims = dims)
+    val served = VectorIndex.pqServe(spark, dir, queryVecId = 0L,
+      probes = 2, m = 2, shortlist = 10, topK = 5, dims = dims)
+    val got = served.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val coarse = graft.operators.Similarity.centroidsAsVectors(
+      graft.operators.Similarity.kmeansTrain(corpus, k = 4, iters = 2, dims = dims))
+    val batch = graft.operators.Similarity.ivfpqSearch(corpus, coarse,
+      queryVecId = 0L, probes = 2, m = 2, k = 4, iters = 2,
+      shortlist = 10, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == batch, "served PQ ranking diverged from the batch pipeline")
+    assert(got.length == 5)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("cell"),
+      s"probed-cell predicate did not reach the codes scan:\n$plan")
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
