@@ -36,9 +36,17 @@ import java.time.Instant
   *  - POST /api/dedup/check {"docs":[{"id":n,"text":"…"}]} →
   *    [{id,status,matchId,jaccardPpm}] — the request batch classified
   *    exact/near/unique against the signature index.
+  *
+  * Vector-retrieval extension (enabled when a persisted
+  * [[graft.sources.VectorIndex]] is configured):
+  *  - GET /api/ann/search?id=n[&k=10][&probes=2] →
+  *    [{vecId,cell,cosSim}] — ANN top-k from the cell-clustered index
+  *    (probed-cell pruned scan; the same plan Bench times as
+  *    `ann_warm_sec`).
   */
 final class RestServer(engine: ClusterEngine, port: Int = 0,
-                       dedup: Option[(org.apache.spark.sql.SparkSession, String)] = None) {
+                       dedup: Option[(org.apache.spark.sql.SparkSession, String)] = None,
+                       ann: Option[(org.apache.spark.sql.SparkSession, String, Int)] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // most-RECENT dataset is the initial default (main.go:70-72) — by
@@ -284,7 +292,50 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
       }
   }
 
+  /** ANN top-k route over the configured persisted vector index; the
+    * request-time work is two k-row collects + one probed-cell pruned
+    * scan ([[graft.sources.VectorIndex.annServe]]).
+    */
+  private def handleAnnSearch(ex: HttpExchange): Unit = ann match {
+    case None => err(ex, 404, "vector index not configured")
+    case Some((spark, indexPath, dims)) =>
+      val q = query(ex)
+      (try Right((q.get("id").map(_.toLong),
+          q.getOrElse("k", "10").toInt, q.getOrElse("probes", "2").toInt))
+        catch { case _: NumberFormatException => Left("invalid numeric parameter") }) match {
+        case Left(m) => err(ex, 400, m)
+        case Right((None, _, _)) => err(ex, 400, "missing id")
+        case Right((Some(id), k, probes)) =>
+          try {
+            val out = graft.sources.VectorIndex
+              .annServe(spark, indexPath, id, probes, k, dims)
+              .collect().map { r =>
+                s"""{"vecId":${r.getLong(0)},"cell":${r.getLong(1)},""" +
+                  s""""cosSim":${jnum(r.getDouble(2))}}"""
+              }
+            respond(ex, 200, out.mkString("[", ",", "]"))
+          } catch {
+            case _: NoSuchElementException => err(ex, 400, s"unknown vector $id")
+          }
+      }
+  }
+
   // ------------------------------------------------------------- routing
+
+  server.createContext("/api/ann", (ex: HttpExchange) => {
+    try {
+      val method = ex.getRequestMethod
+      val sub = ex.getRequestURI.getPath.stripSuffix("/")
+        .stripPrefix("/api/ann").stripPrefix("/")
+      (method, sub) match {
+        case ("OPTIONS", _) => respond(ex, 204, "")
+        case ("GET", "search") => handleAnnSearch(ex)
+        case _ => err(ex, 404, "not found")
+      }
+    } catch {
+      case e: Throwable => err(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+  })
 
   server.createContext("/api/dedup", (ex: HttpExchange) => {
     try {

@@ -126,6 +126,34 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /api/ann/search serves ANN top-k from the vector index") {
+    import spark.implicits._
+    val dims = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(j => (((seed * 31 + j * 7) % 19) - 9) / 10.0f)
+    val corpus = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-rest-vix").toString
+    graft.sources.VectorIndex.save(corpus, idx, k = 4, dims = dims)
+    val srv = new RestServer(engine, ann = Some((spark, idx, dims)))
+    srv.start()
+    try {
+      def aget(path: String) = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}$path")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val r = aget("/api/ann/search?id=0&k=5&probes=2")
+      assert(r.statusCode() == 200, r.body())
+      val expect = graft.operators.Similarity
+        .ivfSearch(corpus, queryVecId = 0L, k = 4, probes = 2, topK = 5, dims = dims)
+        .collect().map(row => s""""vecId":${row.getLong(0)}""")
+      expect.foreach(e => assert(r.body().contains(e), s"$e missing in ${r.body()}"))
+      assert(aget("/api/ann/search?id=abc").statusCode() == 400)
+      assert(aget("/api/ann/search").statusCode() == 400)
+      assert(aget("/api/ann/search?id=9999").statusCode() == 400)
+      // unconfigured server 404s the route
+      assert(get("/api/ann/search?id=0").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("POST /api/clusters/{id}/load + bad params; shutdown") {
     val id = engine.list().head.id
     val r = post(s"/api/clusters/$id/load", "")
