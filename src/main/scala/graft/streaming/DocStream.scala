@@ -96,6 +96,39 @@ object DocStream {
       .drop("sigkey")
   }
 
+  /** Streaming ingest-gate FUNNEL — the observability twin of the gate
+    * chain: running totals of arrived → lang-pass → quality-pass →
+    * admitted-by-index, as ONE streaming global aggregation over
+    * cumulative-conjunction flags (the streaming shape of
+    * [[graft.operators.Funnel]]; a wide single row instead of exploded
+    * stage rows because complete-mode re-emits the whole result each
+    * micro-batch). The flags are stateless per-row expressions plus one
+    * stream-static LEFT join against the index's sigkeys, so streaming
+    * state is exactly the 4-counter aggregate — bounded forever.
+    * Arrival order cannot change any flag, so the converged totals
+    * equal the batch funnel (StreamingSpec proves it).
+    *
+    * Output (complete mode, 1 row): arrived, passed_lang,
+    * passed_quality, admitted.
+    */
+  def gateFunnel(spark: SparkSession, docs: DataFrame,
+                 indexPath: String, k: Int = 8): DataFrame = {
+    import graft.functions.TextAnalysis
+    val idxSigs = spark.read.parquet(s"$indexPath/sigkeys")
+      .withColumn("in_idx", lit(true))
+    val t = TextAnalysis.tokens(col("text"))
+    docs
+      .withColumn("sigkey", dedupKey(col("text"), k))
+      .join(idxSigs, Seq("sigkey"), "left")
+      .withColumn("f1", col("lang") === "en")
+      .withColumn("f2", col("f1") && TextAnalysis.qualityScore(t, col("text")) >= 0.5)
+      .withColumn("f3", col("f2") && col("in_idx").isNull)
+      .agg(count(lit(1)).as("arrived"),
+        coalesce(sum(col("f1").cast("long")), lit(0L)).as("passed_lang"),
+        coalesce(sum(col("f2").cast("long")), lit(0L)).as("passed_quality"),
+        coalesce(sum(col("f3").cast("long")), lit(0L)).as("admitted"))
+  }
+
   /** Online temperature resampling with a FROZEN policy — the streaming
     * twin of [[graft.operators.TrainingPrep.temperatureMix]]: rates are
     * fit once on a corpus snapshot ([[graft.operators.TrainingPrep

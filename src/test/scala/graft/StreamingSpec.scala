@@ -103,6 +103,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gate funnel converges to the batch funnel totals") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-stream7")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val all = spark.read.parquet(s"$dir/docs.parquet")
+    val idx = Files.createTempDirectory("graft-stream7-idx").toString
+    graft.sources.DedupIndex.save(all.filter(col("doc_id") % 13 =!= 0), idx)
+
+    val q = graft.streaming.DocStream.gateFunnel(spark,
+        graft.streaming.DocStream.readDocs(spark, dir.toString), idx)
+      .writeStream.outputMode("complete").format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out").collect().head
+      val batch = graft.streaming.DocStream.gateFunnel(spark, all, idx).collect().head
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // the funnel is genuinely decreasing and non-degenerate here
+      assert(batch.getLong(0) > batch.getLong(1) && batch.getLong(1) > 0)
+      assert(batch.getLong(2) >= batch.getLong(3) && batch.getLong(3) > 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     val dir = Files.createTempDirectory("graft-stream4")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
