@@ -131,6 +131,60 @@ object VectorIndex {
     path
   }
 
+  /** Fold an embedding batch INTO the PQ index with BOTH quantizers
+    * frozen (persisted coarse k-means + subspace codebooks) — the
+    * online half of the PQ lifecycle: cell assignment and code
+    * encoding are broadcast-quantizer per-row maps over the BATCH, and
+    * the writes are cell-sorted-within-batch appends (same LSM
+    * contract as the other indexes; [[compactPq]] restores the range
+    * layout). Codes written here are bit-identical to
+    * [[Similarity.pqEncodeWith]]'s frozen-codebook batch encoding
+    * (the spec proves it), so append-then-serve stays on the exact
+    * lattice.
+    */
+  def appendPq(embs: DataFrame, path: String, m: Int, k: Int, dims: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): String = {
+    val spark = embs.sparkSession
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val assign = Similarity.ivfAssignWith(embs, coarse, dims, idCol, embCol)
+      .select(col(idCol).as("vec_id"), col("cell"))
+    Similarity.assignCodes(
+        Similarity.subVectors(embs, m, dims, idCol, embCol), codebook, k, dims / m)
+      .join(assign, "vec_id")
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+      .sortWithinPartitions("cell", "vec_id", "sub")
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$path/codes")
+    embs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      .join(assign, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .sortWithinPartitions("cell")
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$path/vectors")
+    path
+  }
+
+  /** Re-cluster the PQ index's code and vector tables back into their
+    * probe-optimal cell-range layout (staged swap; quantizers copied
+    * unchanged).
+    */
+  def compactPq(spark: SparkSession, path: String): String = {
+    val tmp = path + ".compact"
+    spark.read.parquet(s"$path/codes")
+      .repartitionByRange(col("cell")).sortWithinPartitions("cell", "vec_id", "sub")
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$tmp/codes")
+    spark.read.parquet(s"$path/vectors")
+      .repartitionByRange(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$tmp/vectors")
+    spark.read.parquet(s"$path/codebook").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/codebook")
+    spark.read.parquet(s"$path/coarse").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/coarse")
+    StagedSwap.swap(path, tmp)
+    path
+  }
+
   /** Warm IVF+PQ (IVFADC) serving plan: probed-cell-pruned scan of the
     * CODE table, ADC against the broadcast m·k LUT, exact micro² L2
     * re-rank of the shortlist read back from the raw-vector table —

@@ -74,6 +74,45 @@ class VectorIndexSpec extends SparkSpec {
       s"probed-cell predicate did not reach the codes scan:\n$plan")
   }
 
+  test("appendPq encodes with the frozen quantizers and serves the new vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-pqa").toString
+    VectorIndex.savePq(corpus, dir, kCoarse = 4, coarseIters = 2,
+      m = 2, k = 4, iters = 2, dims = dims)
+    // batch = near-copies of vector 0 (tiny perturbation in the last dim)
+    val batch = (100L until 104L).map { i =>
+      val v = vec(0); v(dims - 1) = v(dims - 1) + 0.01f * (i - 99); (i, v)
+    }.toDF("vec_id", "embedding")
+    VectorIndex.appendPq(batch, dir, m = 2, k = 4, dims = dims)
+
+    // persisted batch codes ≡ frozen-codebook batch encoding
+    val codebook = spark.read.parquet(s"$dir/codebook")
+      .select(col("sub"), col("cent_id"), posexplode(col("cv")).as(Seq("pos0", "c")))
+      .select(col("sub").cast("long").as("sub"), col("cent_id"),
+        (col("pos0") + 1).cast("long").as("pos"), (col("c") / 1000000.0).as("cval"))
+    val expected = graft.operators.Similarity
+      .pqEncodeWith(batch, codebook, m = 2, k = 4, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val persisted = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 100L)
+      .select(col("vec_id"), col("sub").cast("long"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(persisted == expected, "appended codes diverged from frozen-codebook encoding")
+
+    // the query's neighborhood: its two EXACT corpus duplicates (the
+    // seed formula cycles mod 19, so vec(19) = vec(38) = vec(0), d2 = 0)
+    // followed by the two closest appended perturbed copies
+    val served = VectorIndex.pqServe(spark, dir, queryVecId = 0L,
+      probes = 2, m = 2, shortlist = 20, topK = 4, dims = dims)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served == Seq(19L, 38L, 100L, 101L), s"unexpected neighborhood: $served")
+
+    VectorIndex.compactPq(spark, dir)
+    val afterCompact = VectorIndex.pqServe(spark, dir, queryVecId = 0L,
+      probes = 2, m = 2, shortlist = 20, topK = 4, dims = dims)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterCompact == served, "compaction changed PQ answers")
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
