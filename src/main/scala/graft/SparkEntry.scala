@@ -828,6 +828,7 @@ object SparkEntry {
     "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
     "q_dedup_best" -> (DedupQueries.qDedupBest _),
+    "q_dup_matrix" -> (DedupQueries.qDupMatrix _),
     "q_snapshot_diff" -> (DedupQueries.qSnapshotDiff _),
     "q_bloom_gate" -> (DedupQueries.qBloomGate _),
     "q_ivf_cellstats" -> (PipelineQueries.qIvfCellStats _),
@@ -875,6 +876,7 @@ object SparkEntry {
     "q_fuzzy_join" -> (PipelineQueries.qFuzzyJoin _),
     "q_embed_whiten" -> (PipelineQueries.qEmbedWhiten _),
     "q_random_proj" -> (PipelineQueries.qRandomProj _),
+    "q_quantile_sketch" -> (PipelineQueries.qQuantileSketch _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
@@ -946,6 +948,7 @@ object SparkEntry {
     "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
     "q_dedup_best" -> DedupQueries.qDedupBestSql,
+    "q_dup_matrix" -> DedupQueries.qDupMatrixSql,
     "q_snapshot_diff" -> DedupQueries.qSnapshotDiffSql,
     "q_bloom_gate" -> DedupQueries.qBloomGateSql,
     "q_ivf_cellstats" -> PipelineQueries.qIvfCellStatsSql,
@@ -993,6 +996,7 @@ object SparkEntry {
     "q_fuzzy_join" -> PipelineQueries.qFuzzyJoinSql,
     "q_embed_whiten" -> PipelineQueries.qEmbedWhitenSql,
     "q_random_proj" -> PipelineQueries.qRandomProjSql,
+    "q_quantile_sketch" -> PipelineQueries.qQuantileSketchSql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,

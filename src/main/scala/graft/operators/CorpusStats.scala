@@ -477,4 +477,50 @@ object CorpusStats {
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Mergeable quantile summary per group + its fidelity eval: the
+    * bottom-k-by-hash sample (the KMV device applied to sampling — the
+    * k rows with the smallest md5 rank ARE a uniform random sample,
+    * deterministic, and the union of two groups' bottom-k sets is the
+    * bottom-k of the union, so per-partition summaries merge exactly
+    * like every other sketch here) with nearest-rank quantile
+    * estimates read off the sorted sample, next to the EXACT
+    * nearest-rank quantiles for the error column a pipeline checks
+    * before trusting the sketch.
+    *
+    * Scale shape: the sketch side is one windowed bottom-k (map-side
+    * rank pushdown via WindowGroupLimit) + a k-row-per-group
+    * aggregation; the exact side is one window pass flagging the two
+    * target ranks — no collect of group-sized lists anywhere. At
+    * 100 TB only the sketch side would run (the exact side IS the
+    * thing being avoided); it rides along here as the eval.
+    *
+    * Output (ORDERED): group, n_docs, sample_n, p50_est, p90_est,
+    * p50_exact, p90_exact.
+    */
+  def quantileSketch(docs: DataFrame, k: Int = 32, valCol: String = "n_chars",
+                     groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(groupCol).as("group"), col(idCol).as("id"),
+      col(valCol).cast("long").as("v"), md5(col(idCol).cast("string")).as("h"))
+    val bottomK = Window.partitionBy(col("group")).orderBy(col("h"), col("id"))
+    val est = base.withColumn("srn", row_number().over(bottomK))
+      .filter(col("srn") <= k)
+      .groupBy(col("group"))
+      .agg(sort_array(collect_list(col("v"))).as("vals"), count(lit(1)).as("m"))
+      .select(col("group"), col("m").as("sample_n"),
+        element_at(col("vals"), ceil(col("m") * lit(0.5)).cast("int")).as("p50_est"),
+        element_at(col("vals"), ceil(col("m") * lit(0.9)).cast("int")).as("p90_est"))
+    val byV = Window.partitionBy(col("group")).orderBy(col("v"), col("id"))
+    val exact = base
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("group"))))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n_docs"),
+        max(when(col("rn") === ceil(col("n") * lit(0.5)).cast("int"), col("v"))).as("p50_exact"),
+        max(when(col("rn") === ceil(col("n") * lit(0.9)).cast("int"), col("v"))).as("p90_exact"))
+    exact.join(est, "group")
+      .select(col("group"), col("n_docs"), col("sample_n"),
+        col("p50_est"), col("p90_est"), col("p50_exact"), col("p90_exact"))
+      .orderBy("group")
+  }
 }

@@ -471,6 +471,49 @@ object DedupQueries {
        |FROM m WHERE rn = 1 ORDER BY group_id""".stripMargin
   }
 
+  /** Cross-source duplication matrix: verified near-dup pairs bucketed
+    * by (source_a ≤ source_b) with mean Jaccard — which sources copy
+    * from which (mirror-site detection, the pair-level companion to
+    * the per-source overlap estimates). One broadcast of the tiny
+    * (doc_id → source) dimension onto the pair set; the matrix is at
+    * most sources² rows.
+    */
+  def qDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))), "id_a")
+      .join(broadcast(src.select(col("doc_id").as("id_b"), col("source").as("sb"))), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard_ppm"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard_ppm"))).cast("long").as("mean_jaccard_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val qDupMatrixSql: String =
+    s"""WITH $minhashVerifiedCte,
+       |np AS (
+       |  SELECT id_a, id_b,
+       |         CAST(round(inter * 1000000.0 / union_n) AS BIGINT) AS jaccard_ppm
+       |  FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |tagged AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b,
+       |         np.jaccard_ppm
+       |  FROM np
+       |  JOIN documents da ON np.id_a = da.doc_id
+       |  JOIN documents db ON np.id_b = db.doc_id
+       |)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(round(avg(jaccard_ppm)) AS BIGINT) AS mean_jaccard_ppm
+       |FROM tagged GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(docs(s, dir))
 

@@ -1484,6 +1484,46 @@ object PipelineQueries {
       |FROM f JOIN stats s ON f.dim = s.dim
       |ORDER BY f.vec_id, f.dim""".stripMargin
 
+  /** Mergeable bottom-k-by-hash quantile sketch per source over doc
+    * length + exact-quantile fidelity eval (see
+    * [[graft.operators.CorpusStats.quantileSketch]]).
+    */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.quantileSketch(docs(s, dir), k = 32)
+
+  val qQuantileSketchSql: String =
+    """WITH base AS (
+      |  SELECT source AS "group", doc_id AS id, CAST(n_chars AS BIGINT) AS v,
+      |         md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents
+      |),
+      |est AS (
+      |  SELECT "group", CAST(count(*) AS BIGINT) AS sample_n,
+      |         (list_sort(list(v)))[CAST(ceil(count(*) * 0.5) AS INT)] AS p50_est,
+      |         (list_sort(list(v)))[CAST(ceil(count(*) * 0.9) AS INT)] AS p90_est
+      |  FROM (
+      |    SELECT "group", v,
+      |           row_number() OVER (PARTITION BY "group" ORDER BY h, id) AS srn
+      |    FROM base
+      |  ) WHERE srn <= 32
+      |  GROUP BY "group"
+      |),
+      |ex AS (
+      |  SELECT "group", CAST(max(n) AS BIGINT) AS n_docs,
+      |         max(CASE WHEN rn = CAST(ceil(n * 0.5) AS INT) THEN v END) AS p50_exact,
+      |         max(CASE WHEN rn = CAST(ceil(n * 0.9) AS INT) THEN v END) AS p90_exact
+      |  FROM (
+      |    SELECT "group", v,
+      |           row_number() OVER (PARTITION BY "group" ORDER BY v, id) AS rn,
+      |           count(*) OVER (PARTITION BY "group") AS n
+      |    FROM base
+      |  )
+      |  GROUP BY "group"
+      |)
+      |SELECT ex."group", n_docs, sample_n, p50_est, p90_est, p50_exact, p90_exact
+      |FROM ex JOIN est USING ("group")
+      |ORDER BY ex."group"""".stripMargin
+
   /** Johnson–Lindenstrauss ±1 random projection 64 → 16 dims (see
     * [[graft.operators.Similarity.randomProject]]) — exact integer
     * outputs, the matrix derived arithmetically on both sides.

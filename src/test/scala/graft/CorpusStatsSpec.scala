@@ -161,6 +161,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("kl_nats") == 0.0))
   }
 
+  test("quantileSketch: estimate equals exact when the sample covers the group") {
+    val docs = (1L to 10L).map(i => (i, "g", i * 100L)).toDF("doc_id", "source", "n_chars")
+    val r = CorpusStats.quantileSketch(docs, k = 32).collect().head
+    // nearest-rank over 1..10 ×100: p50 = 5th = 500, p90 = 9th = 900
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("sample_n")) == ((10L, 10L)))
+    assert(r.getAs[Long]("p50_est") == 500L && r.getAs[Long]("p50_exact") == 500L)
+    assert(r.getAs[Long]("p90_est") == 900L && r.getAs[Long]("p90_exact") == 900L)
+  }
+
+  test("quantileSketch: sample is the deterministic bottom-k by hash rank") {
+    val docs = (1L to 100L).map(i => (i, "g", i)).toDF("doc_id", "source", "n_chars")
+    val r1 = CorpusStats.quantileSketch(docs, k = 8).collect().head
+    val r2 = CorpusStats.quantileSketch(docs, k = 8).collect().head
+    assert(r1 == r2, "sketch must be deterministic")
+    assert(r1.getAs[Long]("sample_n") == 8L && r1.getAs[Long]("n_docs") == 100L)
+    // the estimate is a plausible uniform-sample read, not a constant
+    assert(r1.getAs[Long]("p50_est") >= 1L && r1.getAs[Long]("p50_est") <= 100L)
+    assert(r1.getAs[Long]("p90_est") >= r1.getAs[Long]("p50_est"))
+  }
+
   test("zipfFit recovers slope ≈ −1 on an exactly Zipfian vocabulary") {
     // term i repeated 1024/i times → tf/rank curve is exactly 1/rank
     val text = (1 to 64).flatMap(i => Seq.fill(1024 / i)(s"t$i")).mkString(" ")
