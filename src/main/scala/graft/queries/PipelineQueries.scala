@@ -695,6 +695,9 @@ object PipelineQueries {
         "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_pqindex",
         kCoarse = 8, coarseIters = 2, m = PqM, k = PqK, iters = PqIters, dims = Dims))
 
+  // serve parameters are DEFINED identical to qIvfPqSearch's (query 0,
+  // probes 2, shortlist 50, topK 10, m/k/iters = Pq*) — q_ivfpq_served
+  // shares its oracle SQL, so a drift here breaks the hash compare
   private val pqPlans = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def pqServe(s: SparkSession, dir: String): DataFrame =
     pqPlans.getOrElseUpdate(dir, graft.sources.VectorIndex.pqServe(
