@@ -56,24 +56,73 @@ object TextIndex {
     path
   }
 
+  /** Fold a batch of NEW documents INTO the index — the segment model
+    * (Lucene-flavored, public knowledge): the batch's postings append
+    * term-sorted-within-batch, its (n, dl_sum) lands as another row of
+    * the mergeable `_stats` table, and the persisted `df` column is
+    * only segment-local from here on — [[bm25Serve]] deliberately
+    * recomputes document frequency from the term slices it already
+    * scans (exactly the global df, since appended doc_ids are new),
+    * so ranking after any number of appends equals a full rebuild.
+    * [[compact]] restores the range-sorted layout and the global df
+    * column. Contract: batch doc_ids must be new to the index (the
+    * same new-ids contract as the other index lifecycles).
+    */
+  def append(docs: DataFrame, path: String, textCol: String = "text",
+             idCol: String = "doc_id"): String = {
+    val (postings, stats) = build(docs, textCol, idCol)
+    postings
+      .sortWithinPartitions("term")
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$path/postings")
+    stats.write.mode("append").parquet(s"$path/_stats")
+    path
+  }
+
+  /** Re-cluster postings into the term-range probe layout, refresh the
+    * global df column, collapse `_stats` to one row (staged swap).
+    */
+  def compact(spark: SparkSession, path: String): String = {
+    val tmp = path + ".compact"
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    spark.read.parquet(s"$path/postings")
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$tmp/postings")
+    spark.read.parquet(s"$path/_stats")
+      .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_stats")
+    StagedSwap.swap(path, tmp)
+    path
+  }
+
   /** The warm serving plan: ranked BM25 top-k for a term bag, reading
     * ONLY the persisted index. Fully lazy (prepare once, collect per
     * request); `term IN (...)` reaches the parquet scan and prunes
-    * files/row groups on the term-sorted layout.
+    * files/row groups on the term-sorted layout. Corpus constants sum
+    * over the mergeable `_stats` rows and document frequency is
+    * recomputed from the scanned term slices (a window over rows the
+    * query reads anyway), so the plan is segment-correct: identical
+    * ranking whether the index was built in one shot or grown by
+    * [[append]].
     */
   def bm25Serve(spark: SparkSession, path: String, queryTerms: Seq[String],
                 topK: Int, k1: Double = 1.2, b: Double = 0.75,
                 idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "empty BM25 query")
     val stats = spark.read.parquet(s"$path/_stats")
-    val idf = round(log(lit(1.0) + (col("n").cast("double") - col("df") + lit(0.5))
-      / (col("df") + lit(0.5))) * lit(100000.0)) / lit(100000.0)
+      .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val idf = round(log(lit(1.0) + (col("n").cast("double") - col("df_live") + lit(0.5))
+      / (col("df_live") + lit(0.5))) * lit(100000.0)) / lit(100000.0)
     val avgdl = col("dl_sum").cast("double") / col("n")
     val tfd = col("tf").cast("double")
     val score = col("idf") * (tfd * lit(k1 + 1.0)
       / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
     spark.read.parquet(s"$path/postings")
       .filter(col("term").isInCollection(queryTerms))
+      .withColumn("df_live", count(lit(1)).over(byTerm))
       .crossJoin(broadcast(stats))
       .select(col("doc"), col("term"), col("tf"), col("dl"),
         col("n"), col("dl_sum"), idf.as("idf"))

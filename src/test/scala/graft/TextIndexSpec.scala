@@ -34,6 +34,35 @@ class TextIndexSpec extends SparkSpec {
       s"term IN predicate did not reach the scan:\n$plan")
   }
 
+  test("append-then-serve ≡ full rebuild, before and after compact") {
+    val batch = Seq(
+      (5L, "spark vector spark retrieval"),
+      (6L, "join join filter")
+    ).toDF("doc_id", "text")
+    val incDir = java.nio.file.Files.createTempDirectory("graft-tix-inc").toString
+    TextIndex.save(corpus, incDir)
+    TextIndex.append(batch, incDir)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-tix-full").toString
+    TextIndex.save(corpus.unionByName(batch), fullDir)
+
+    def serve(dir: String) =
+      TextIndex.bm25Serve(spark, dir, Seq("spark", "vector", "join"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val inc = serve(incDir)
+    assert(inc == serve(fullDir),
+      "append-then-serve diverged from rebuild (stale df or stats)")
+    assert(inc.map(_._1).contains(5L), "appended doc absent from ranking")
+
+    TextIndex.compact(spark, incDir)
+    assert(serve(incDir) == inc, "compaction changed the ranking")
+    // compact restored the one-row stats and the GLOBAL df column
+    assert(spark.read.parquet(s"$incDir/_stats").count() == 1L)
+    val dfSpark = spark.read.parquet(s"$incDir/postings")
+      .filter(col("term") === "spark").select("df").distinct().collect()
+    assert(dfSpark.map(_.getLong(0)).toSeq == Seq(3L), "df not refreshed globally")
+  }
+
   test("postings carry exact denormalized stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tix3").toString
     TextIndex.save(corpus, dir)
