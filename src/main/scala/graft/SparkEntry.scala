@@ -810,6 +810,7 @@ object SparkEntry {
     "q_setops" -> (Relational.qSetOps _),
     "q_rollup" -> (Relational.qRollup _),
     "q_sort_limit" -> (Relational.qSortLimit _),
+    "q_unpivot" -> (Relational.qUnpivot _),
     "q_stream_window" -> ((s, dir) => Ev.qStreamWindow(events(s, dir))),
     "q_sessionize" -> ((s, dir) => Ev.qSessionize(events(s, dir))),
     "q_asof_join" -> ((s, dir) => Ev.qAsofJoin(events(s, dir))),
@@ -930,6 +931,7 @@ object SparkEntry {
     "q_setops" -> Relational.qSetOpsSql,
     "q_rollup" -> Relational.qRollupSql,
     "q_sort_limit" -> Relational.qSortLimitSql,
+    "q_unpivot" -> Relational.qUnpivotSql,
     "q_stream_window" -> Ev.qStreamWindowSql,
     "q_sessionize" -> Ev.qSessionizeSql,
     "q_asof_join" -> Ev.qAsofJoinSql,

@@ -197,4 +197,35 @@ object Relational {
   val qSortLimitSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  private val MeltCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** UNPIVOT (melt) — the dual of `q_pivot`'s widening: lineitem's four
+    * measure columns rotate into (measure, val) rows, then aggregate
+    * per (returnflag, measure). `Dataset.unpivot` is a zero-shuffle
+    * per-row expansion (a constant ×4 Generate, no data-dependent
+    * explode); the only exchange is the bounded-key aggregation.
+    * DECIMAL-exact sums.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag") +: MeltCols.map(col): _*)
+      .unpivot(Array(col("l_returnflag")), MeltCols.map(col).toArray,
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), exactSum(col("val")).as("sum_val"))
+      .orderBy("l_returnflag", "measure")
+
+  val qUnpivotSql: String = {
+    val arms = MeltCols.map(c =>
+      s"SELECT l_returnflag, '$c' AS measure, $c AS val FROM lineitem")
+      .mkString("\n      |  UNION ALL ")
+    s"""SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+       |FROM (
+       |  $arms
+       |)
+       |GROUP BY l_returnflag, measure
+       |ORDER BY l_returnflag, measure""".stripMargin
+  }
 }
