@@ -811,6 +811,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.qRollup _),
     "q_sort_limit" -> (Relational.qSortLimit _),
     "q_unpivot" -> (Relational.qUnpivot _),
+    "q_skew_report" -> ((s, dir) => graft.operators.SkewJoin.skewReport(events(s, dir), "user_id")),
     "q_stream_window" -> ((s, dir) => Ev.qStreamWindow(events(s, dir))),
     "q_sessionize" -> ((s, dir) => Ev.qSessionize(events(s, dir))),
     "q_asof_join" -> ((s, dir) => Ev.qAsofJoin(events(s, dir))),
@@ -932,6 +933,7 @@ object SparkEntry {
     "q_rollup" -> Relational.qRollupSql,
     "q_sort_limit" -> Relational.qSortLimitSql,
     "q_unpivot" -> Relational.qUnpivotSql,
+    "q_skew_report" -> PipelineQueries.qSkewReportSql,
     "q_stream_window" -> Ev.qStreamWindowSql,
     "q_sessionize" -> Ev.qSessionizeSql,
     "q_asof_join" -> Ev.qAsofJoinSql,

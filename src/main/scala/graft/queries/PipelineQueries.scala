@@ -1487,6 +1487,31 @@ object PipelineQueries {
       |FROM f JOIN stats s ON f.dim = s.dim
       |ORDER BY f.vec_id, f.dim""".stripMargin
 
+  /** Oracle for the shuffle-skew advisor over the events table's user
+    * key (see [[graft.operators.SkewJoin.skewReport]]; the query fn is
+    * wired in SparkEntry where the events reader lives).
+    */
+  val qSkewReportSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(user_id AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY user_id
+      |),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows
+      |  FROM counts
+      |)
+      |SELECT CAST(rank AS BIGINT) AS rank, key, cnt,
+      |       CAST(round(cnt * 1000000.0 / n_rows) AS BIGINT) AS share_ppm,
+      |       CAST(round(CAST(cnt AS DOUBLE) * n_keys / n_rows * 1000000.0) AS BIGINT)
+      |         AS skew_x_ppm,
+      |       n_keys, n_rows
+      |FROM (
+      |  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+      |  FROM counts
+      |) CROSS JOIN stats
+      |WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
+
   /** Mergeable bottom-k-by-hash quantile sketch per source over doc
     * length + exact-quantile fidelity eval (see
     * [[graft.operators.CorpusStats.quantileSketch]]).
