@@ -842,6 +842,7 @@ object SparkEntry {
     "q_sim_topk" -> (PipelineQueries.qSimTopK _),
     "q_ann_buckets" -> (PipelineQueries.qAnnBuckets _),
     "q_ann_nearest" -> (PipelineQueries.qAnnNearest _),
+    "q_multiprobe" -> (PipelineQueries.qMultiProbe _),
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
     "q_embed_neardup" -> (PipelineQueries.qEmbedNearDup _),
     "q_token_count" -> (PipelineQueries.qTokenCount _),
@@ -964,6 +965,7 @@ object SparkEntry {
     "q_sim_topk" -> PipelineQueries.qSimTopKSql,
     "q_ann_buckets" -> PipelineQueries.qAnnBucketsSql,
     "q_ann_nearest" -> PipelineQueries.qAnnNearestSql,
+    "q_multiprobe" -> PipelineQueries.qMultiProbeSql,
     "q_multimodal" -> PipelineQueries.qMultimodalSql,
     "q_embed_neardup" -> PipelineQueries.qEmbedNearDupSql,
     "q_token_count" -> PipelineQueries.qTokenCountSql,

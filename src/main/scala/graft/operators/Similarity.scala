@@ -823,6 +823,44 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Multi-probe LSH search (Lv et al., "Multi-Probe LSH", VLDB 2007 —
+    * public): answer a top-k query by scanning the query's OWN bucket
+    * plus the `bits` buckets whose signature differs in exactly one
+    * bit — the perturbation sequence most likely to hold the missed
+    * neighbors, since a near-duplicate's projection flips few signs.
+    * Recall rises from p^bits (single bucket) toward banded levels
+    * WITHOUT extra tables or re-hashing: the cost is bits+1 bucket
+    * probes against the ONE signature index — the standard
+    * memory-for-probes trade a serving deployment makes.
+    *
+    * Scale shape: the bits+1 probe signatures derive from the query
+    * row alone and broadcast; candidates come from an equi-join on the
+    * signature (bucket sizes ~n/2^bits, so work is (bits+1)·bucket);
+    * exact cosine re-ranks. Output: top `topK` (vec_id, cos_sim).
+    */
+  def multiProbeSearch(embs: DataFrame, queryVecId: Long, bits: Int, topK: Int,
+                       dims: Int, idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    val sigs = CachePool.track(embs.select(col(idCol).as("id"), col(embCol).as("e"),
+      hyperplaneSig(col(embCol), bits, dims).as("sig"),
+      norm(col(embCol), dims).as("nrm")))
+    val q = sigs.filter(col("id") === queryVecId)
+      .select(col("e").as("qe"), col("nrm").as("qn"), col("sig").as("qsig"))
+    val flips = (0 until bits).map { i =>
+      concat(expr(s"substring(qsig, 1, $i)"),
+        when(expr(s"substring(qsig, ${i + 1}, 1)") === "1", lit("0")).otherwise(lit("1")),
+        expr(s"substring(qsig, ${i + 2})"))
+    }
+    val probes = q.select(explode(array(col("qsig") +: flips: _*)).as("sig"))
+    sigs.join(broadcast(probes), "sig")
+      .filter(col("id") =!= queryVecId)
+      .crossJoin(broadcast(q.select(col("qe"), col("qn"))))
+      .select(col("id").as(idCol),
+        round(cosinePre(col("e"), col("qe"), col("nrm"), col("qn"), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Per-dimension distribution stats of an embedding column — the FIT
     * half of feature scaling (z-score/min-max normalization, PCA
     * centering) a training pipeline runs before quantizer training or

@@ -170,6 +170,35 @@ object PipelineQueries {
        |) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Multi-probe LSH top-10 for the stored query vector (see
+    * [[graft.operators.Similarity.multiProbeSearch]]): the query's
+    * bucket + its 8 one-bit-flip neighbor buckets, exact-cosine
+    * re-ranked.
+    */
+  def qMultiProbe(s: SparkSession, dir: String): DataFrame =
+    Similarity.multiProbeSearch(embs(s, dir), queryVecId = 0L,
+      bits = AnnBits, topK = 10, dims = Dims)
+
+  val qMultiProbeSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id AS id, embedding AS e, ${sigSql("embedding")} AS sig
+       |  FROM embeddings
+       |),
+       |q AS (SELECT e AS qe, sig AS qsig FROM sigs WHERE id = 0),
+       |probes AS (
+       |  SELECT qsig AS sig FROM q
+       |  UNION ALL
+       |  SELECT substring(qsig, 1, i) ||
+       |         CASE WHEN substring(qsig, i + 1, 1) = '1' THEN '0' ELSE '1' END ||
+       |         substring(qsig, i + 2) AS sig
+       |  FROM q, (SELECT unnest(generate_series(0, ${AnnBits - 1})) AS i)
+       |)
+       |SELECT s.id AS vec_id, round(${cosSql("s.e", "qe")}, 6) AS cos_sim
+       |FROM sigs s JOIN probes p ON s.sig = p.sig, q
+       |WHERE s.id <> 0
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(embs(s, dir), bits = AnnBits, dims = Dims, threshold = 0.2)
 

@@ -294,6 +294,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == ((2L, 1000000L, 500000000000L, 0.5, 0.0)))
   }
 
+  test("multiProbeSearch = exact cosine rank over the hamming≤1 bucket union") {
+    import org.apache.spark.sql.functions.{col, round, typedlit}
+    val dims = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(j => (((seed * 31 + j * 7) % 19) - 9) / 10.0f)
+    val corpus = (0L until 60L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val bits = 4
+    val got = Similarity.multiProbeSearch(corpus, queryVecId = 0L,
+      bits = bits, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // expected: every vector whose signature is within hamming 1 of the
+    // query's, exact-cosine ranked — computed independently in the spec
+    val sigs = corpus.select(col("vec_id"),
+        Similarity.hyperplaneSig(col("embedding"), bits, dims).as("sig"),
+        round(Similarity.cosine(col("embedding"),
+          typedlit(vec(0).toSeq), dims), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val qsig = sigs.find(_._1 == 0L).get._2
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val expect = sigs.filter(s => s._1 != 0L && ham(s._2, qsig) <= 1)
+      .sortBy(s => (-s._3, s._1)).take(5).map(s => (s._1, s._3)).toSeq
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.nonEmpty)
+  }
+
   test("randomProject matches the hand-computed ±1 sums exactly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.5f, -0.25f, 2.0f)),
