@@ -753,6 +753,22 @@ object PipelineQueries {
        |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
        |FROM ($qIvfSearchSql) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
 
+  /** recall@10 of the multi-probe LSH search vs the exact top-10 —
+    * the companion eval quantifying what the 8 extra bucket probes buy
+    * over `q_ann_recall`'s IVF probe-2 figure.
+    */
+  def qMultiProbeRecall(s: SparkSession, dir: String): DataFrame =
+    qMultiProbe(s, dir).select(col("vec_id"))
+      .join(qSimTopK(s, dir).select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        (col("n_overlap") * lit(100000L)).as("recall_ppm"))
+
+  def qMultiProbeRecallSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
+       |FROM ($qMultiProbeSql) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
+
   val qIvfSearchSql: String =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
        |               FROM embeddings WHERE vec_id < 8),
