@@ -363,4 +363,30 @@ object TrainingPrep {
         round(col("tg.top_n") * lit(1000000.0) / col("tg.n_grams")).cast("long").as("top_gram_ppm"),
         round((col("nt") - col("nu")) * lit(1000000.0) / col("nt")).cast("long").as("dup_token_ppm"))
   }
+
+  /** Size-balanced shard assignment by boustrophedon (snake) ranking —
+    * the deterministic answer to "make the shards EVEN so no straggler
+    * file drags the epoch": rank docs by size descending, deal rank r
+    * to shard `r mod S` on even passes and `S−1−(r mod S)` on odd
+    * passes. The snake alternation pairs each pass's biggest remainder
+    * with the previous pass's smallest, so shard token totals differ
+    * by at most one document of each pass — the classic folded-deal
+    * guarantee — where hash sharding ([[shuffleShards]]) is only
+    * uniform in expectation and modulo-dealing systematically biases
+    * early shards. One global sort (rank) + per-row arithmetic.
+    *
+    * Output (ORDERED): idCol, size, rank (0-based), shard.
+    */
+  def balancedShards(docs: DataFrame, nShards: Int, sizeCol: Column,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val w = Window.orderBy(col("size").desc, col(idCol))
+    val s = lit(nShards.toLong)
+    docs.select(col(idCol), sizeCol.cast("long").as("size"))
+      .withColumn("rank", row_number().over(w).cast("long") - lit(1L))
+      .withColumn("shard",
+        when(expr(s"(rank div $nShards) % 2") === 0, col("rank") % s)
+          .otherwise(s - lit(1L) - col("rank") % s))
+      .orderBy(idCol)
+  }
 }

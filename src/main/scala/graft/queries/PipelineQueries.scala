@@ -1557,6 +1557,25 @@ object PipelineQueries {
       |WHERE rank <= 10
       |ORDER BY rank""".stripMargin
 
+  /** Size-balanced snake sharding over doc length (see
+    * [[graft.operators.TrainingPrep.balancedShards]]).
+    */
+  def qBalancedShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.balancedShards(docs(s, dir), nShards = 8,
+      sizeCol = col("n_chars"))
+
+  val qBalancedShardsSql: String =
+    """SELECT doc_id, size, rank,
+      |       CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+      |            ELSE 7 - rank % 8 END AS shard
+      |FROM (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+      |         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) - 1
+      |           AS rank
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   /** Mergeable bottom-k-by-hash quantile sketch per source over doc
     * length + exact-quantile fidelity eval (see
     * [[graft.operators.CorpusStats.quantileSketch]]).

@@ -161,6 +161,30 @@ class TrainingPrepSpec extends SparkSpec {
     assert(TrainingPrep.sampleStrata(docs, "lang", Map("en" -> 0.0), 0.0).count() == 0)
   }
 
+  test("balancedShards: snake deal bounds shard-total spread far below modulo deal") {
+    // heavily skewed sizes: doc i has size i² — modulo dealing by rank
+    // would systematically overload one shard
+    val docs = (1L to 200L).map(i => (i, i * i)).toDF("doc_id", "sz")
+    val out = TrainingPrep.balancedShards(docs, nShards = 4, sizeCol = col("sz"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc assigned exactly once; shard ∈ [0, 4)
+    assert(rows.length == 200 && rows.forall(r => r._4 >= 0 && r._4 < 4))
+    // snake on the first two passes: ranks 0..3 → 0,1,2,3; ranks 4..7 → 3,2,1,0
+    val byRank = rows.map(r => r._3 -> r._4).toMap
+    assert((0L to 3L).map(byRank) == Seq(0L, 1L, 2L, 3L))
+    assert((4L to 7L).map(byRank) == Seq(3L, 2L, 1L, 0L))
+    val totals = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    val spread = totals.values.max - totals.values.min
+    val moduloTotals = rows.groupBy(r => r._3 % 4).view.mapValues(_.map(_._2).sum).toMap
+    val moduloSpread = moduloTotals.values.max - moduloTotals.values.min
+    assert(spread < moduloSpread / 10,
+      s"snake spread $spread should crush modulo spread $moduloSpread")
+    // deterministic
+    val again = TrainingPrep.balancedShards(docs, nShards = 4, sizeCol = col("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == rows.map(r => (r._1, r._4)).toSet)
+  }
+
   test("hash sampling keeps ~rate deterministically, stratified by column") {
     val docs = spark.range(1, 20001).select(col("id").as("doc_id"),
       when(col("id") % 4 === 0, "en").otherwise("de").as("lang"))
