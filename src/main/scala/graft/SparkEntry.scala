@@ -843,6 +843,7 @@ object SparkEntry {
     "q_ann_buckets" -> (PipelineQueries.qAnnBuckets _),
     "q_ann_nearest" -> (PipelineQueries.qAnnNearest _),
     "q_multiprobe" -> (PipelineQueries.qMultiProbe _),
+    "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
     "q_multiprobe_recall" -> (PipelineQueries.qMultiProbeRecall _),
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
     "q_embed_neardup" -> (PipelineQueries.qEmbedNearDup _),
@@ -968,6 +969,7 @@ object SparkEntry {
     "q_ann_buckets" -> PipelineQueries.qAnnBucketsSql,
     "q_ann_nearest" -> PipelineQueries.qAnnNearestSql,
     "q_multiprobe" -> PipelineQueries.qMultiProbeSql,
+    "q_hard_negatives" -> PipelineQueries.qHardNegativesSql,
     "q_multiprobe_recall" -> PipelineQueries.qMultiProbeRecallSql,
     "q_multimodal" -> PipelineQueries.qMultimodalSql,
     "q_embed_neardup" -> PipelineQueries.qEmbedNearDupSql,

@@ -170,6 +170,45 @@ object PipelineQueries {
        |) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Hard-negative mining for retrieval training: the query document's
+    * top-k EMBEDDING-cosine neighbors minus its verified NEAR-DUP set
+    * (docs with text Jaccard ≥ threshold against the query — those are
+    * false negatives a contrastive batch must not contain; ids align
+    * vec_id = doc_id). Semantically close + lexically distinct = the
+    * hard negatives. One broadcast anti-join over the top-k candidate
+    * pool; both inputs are already-oracled machinery.
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val topPool = Similarity.bruteForceTopK(embs(s, dir), queryVecId = 0L,
+      k = 20, dims = Dims)
+    val dupsOfQuery = graft.operators.Dedup
+      .minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5)
+      .filter(col("id_a") === 0L || col("id_b") === 0L)
+      .select((col("id_a") + col("id_b")).as("vec_id")) // the non-zero end
+    topPool.join(broadcast(dupsOfQuery), Seq("vec_id"), "left_anti")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def qHardNegativesSql: String =
+    s"""WITH ${graft.queries.DedupQueries.minhashVerifiedCte},
+       |dups AS (
+       |  SELECT id_a + id_b AS vec_id FROM verified
+       |  WHERE (id_a = 0 OR id_b = 0) AND inter * 1.0 / union_n >= 0.5
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |pool AS (
+       |  SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos_sim
+       |  FROM embeddings, q
+       |  WHERE vec_id <> 0
+       |  ORDER BY cos_sim DESC, vec_id
+       |  LIMIT 20
+       |)
+       |SELECT vec_id, cos_sim FROM pool
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   /** Multi-probe LSH top-10 for the stored query vector (see
     * [[graft.operators.Similarity.multiProbeSearch]]): the query's
     * bucket + its 8 one-bit-flip neighbor buckets, exact-cosine
