@@ -883,6 +883,7 @@ object SparkEntry {
     "q_random_proj" -> (PipelineQueries.qRandomProj _),
     "q_quantile_sketch" -> (PipelineQueries.qQuantileSketch _),
     "q_balanced_shards" -> (PipelineQueries.qBalancedShards _),
+    "q_budget_cut" -> (PipelineQueries.qBudgetCut _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
@@ -1009,6 +1010,7 @@ object SparkEntry {
     "q_random_proj" -> PipelineQueries.qRandomProjSql,
     "q_quantile_sketch" -> PipelineQueries.qQuantileSketchSql,
     "q_balanced_shards" -> PipelineQueries.qBalancedShardsSql,
+    "q_budget_cut" -> PipelineQueries.qBudgetCutSql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,

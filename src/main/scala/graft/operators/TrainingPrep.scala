@@ -364,6 +364,42 @@ object TrainingPrep {
         round((col("nt") - col("nu")) * lit(1000000.0) / col("nt")).cast("long").as("dup_token_ppm"))
   }
 
+  /** Token-budget curation cut — "we can afford B training tokens;
+    * spend them on the best documents, allocated across sources by the
+    * temperature policy": each source gets budget_tokens =
+    * ⌊B·w/Σw⌋ (w = n_src^alpha on the micro lattice, the same
+    * weighting as [[mixRates]]), and within a source documents are
+    * taken in quality-descending order while the running token total
+    * stays inside the budget. One bounded-key aggregation for the
+    * policy (broadcast back) + one per-source window pass — no
+    * driver-side allocation loop.
+    *
+    * Output (ORDERED): idCol, sourceCol, n_tokens, quality,
+    * cum_tokens, budget_tokens — the kept set.
+    */
+  def budgetCut(docs: DataFrame, budgetTokens: Long, alpha: Double,
+                quality: Column, nTokens: Column,
+                sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0 && alpha > 0.0 && alpha <= 1.0)
+    val bySrc = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        round(pow(col("n_src").cast("double"), lit(alpha)) * lit(1000000.0)).cast("long"))
+    val tot = bySrc.agg(sum(col("w")).as("sw"))
+    val budgets = bySrc.crossJoin(broadcast(tot))
+      .select(col(sourceCol), expr(s"($budgetTokens * w) div sw").as("budget_tokens"))
+    val byQuality = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality").desc, col(idCol))
+    docs.select(col(idCol), col(sourceCol),
+        nTokens.cast("long").as("n_tokens"), quality.as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byQuality))
+      .join(broadcast(budgets), sourceCol)
+      .filter(col("cum_tokens") <= col("budget_tokens"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("quality"),
+        col("cum_tokens"), col("budget_tokens"))
+      .orderBy(idCol)
+  }
+
   /** Size-balanced shard assignment by boustrophedon (snake) ranking —
     * the deterministic answer to "make the shards EVEN so no straggler
     * file drags the epoch": rank docs by size descending, deal rank r

@@ -1596,6 +1596,50 @@ object PipelineQueries {
       |WHERE rank <= 10
       |ORDER BY rank""".stripMargin
 
+  /** Token-budget curation cut (see
+    * [[graft.operators.TrainingPrep.budgetCut]]): 20k tokens allocated
+    * √n-proportionally across sources, spent quality-first.
+    */
+  def qBudgetCut(s: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    graft.operators.TrainingPrep.budgetCut(docs(s, dir),
+      budgetTokens = 20000L, alpha = 0.5,
+      quality = TextAnalysis.qualityScore(t, col("text")),
+      nTokens = size(split(col("text"), " ")))
+  }
+
+  val qBudgetCutSql: String = {
+    val en = inList(TextAnalysis.stopwords("en"))
+    s"""WITH bysrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+       |         CAST(round(pow(CAST(CAST(count(*) AS BIGINT) AS DOUBLE), 0.5)
+       |              * 1000000.0) AS BIGINT) AS w
+       |  FROM documents GROUP BY source
+       |),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM bysrc),
+       |budgets AS (
+       |  SELECT source, CAST((20000 * w) // sw AS BIGINT) AS budget_tokens
+       |  FROM bysrc, tot
+       |),
+       |scored AS (
+       |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    0.4 * least(1.0, len(t) * 1.0 / 50.0)
+       |      + 0.3 * (len(list_distinct(t)) * 1.0 / len(t))
+       |      + 0.3 * (1.0 - len(list_filter(t, x -> x IN ($en))) * 1.0 / len(t)) AS quality
+       |  FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+       |),
+       |cum AS (
+       |  SELECT doc_id, source, n_tokens, quality,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+       |                ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM scored
+       |)
+       |SELECT c.doc_id, c.source, c.n_tokens, c.quality, c.cum_tokens, b.budget_tokens
+       |FROM cum c JOIN budgets b USING (source)
+       |WHERE c.cum_tokens <= b.budget_tokens
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** Size-balanced snake sharding over doc length (see
     * [[graft.operators.TrainingPrep.balancedShards]]).
     */

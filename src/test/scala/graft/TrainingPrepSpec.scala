@@ -185,6 +185,27 @@ class TrainingPrepSpec extends SparkSpec {
     assert(again == rows.map(r => (r._1, r._4)).toSet)
   }
 
+  test("budgetCut spends each source's budget quality-first, stops at the boundary") {
+    // one source, quality = doc_id/10 (higher id = better), 10 tokens each
+    val docs = (1L to 10L).map(i => (i, "s", i / 10.0, 10L))
+      .toDF("doc_id", "source", "q", "nt")
+    // budget 35 → the three best docs fit (30 ≤ 35), the fourth (40) doesn't
+    val out = TrainingPrep.budgetCut(docs, budgetTokens = 35L, alpha = 0.5,
+      quality = col("q"), nTokens = col("nt"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cum_tokens")))
+    assert(out.map(_._1).toSet == Set(10L, 9L, 8L), s"kept ${out.toSeq}")
+    assert(out.map(_._2).max == 30L)
+    // two sources: budgets split by sqrt(n) weights — equal n, equal budgets
+    val two = ((1L to 4L).map(i => (i, "a", 1.0, 10L)) ++
+      (11L to 14L).map(i => (i, "b", 1.0, 10L)))
+      .toDF("doc_id", "source", "q", "nt")
+    val kept = TrainingPrep.budgetCut(two, budgetTokens = 40L, alpha = 0.5,
+      quality = col("q"), nTokens = col("nt"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(kept.count(_._1 == "a") == 2 && kept.count(_._1 == "b") == 2,
+      s"uneven split: ${kept.toSeq}")
+  }
+
   test("hash sampling keeps ~rate deterministically, stratified by column") {
     val docs = spark.range(1, 20001).select(col("id").as("doc_id"),
       when(col("id") % 4 === 0, "en").otherwise("de").as("lang"))
