@@ -32,11 +32,37 @@ object Funnel {
         coalesce(sum(f.cast("long")), lit(0L)).as(s"c${i + 1}")
       }
     val one = df.agg(aggCols.head, aggCols.tail: _*)
-    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+    one.select(explode(stageRows(stages)).as("r")).select("r.*").orderBy("stage_idx")
+  }
+
+  /** Grouped funnel: the same one-pass cumulative-conjunction counts
+    * keyed by `groupCol` — per-cohort gate accounting (which SOURCE is
+    * dying at which gate) at the cost of one bounded-key aggregation
+    * instead of a global one. Output (ORDERED): group, stage_idx,
+    * stage, rows_in, rows_out, dropped.
+    */
+  def funnelBy(df: DataFrame, groupCol: String,
+               stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val cum = stages.scanLeft(lit(true)) { case (acc, (_, p)) => acc && p }.tail
+    val aggCols = count(lit(1)).as("c0") +:
+      cum.zipWithIndex.map { case (f, i) =>
+        coalesce(sum(f.cast("long")), lit(0L)).as(s"c${i + 1}")
+      }
+    df.groupBy(col(groupCol).as("group"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("group"), explode(stageRows(stages)).as("r"))
+      .select(col("group") +: (1 to 5).map(i => col(s"r.${stageFields(i - 1)}")): _*)
+      .orderBy("group", "stage_idx")
+  }
+
+  private val stageFields =
+    Seq("stage_idx", "stage", "rows_in", "rows_out", "dropped")
+
+  private def stageRows(stages: Seq[(String, Column)]): Column =
+    array(stages.zipWithIndex.map { case ((name, _), i) =>
       struct(lit((i + 1).toLong).as("stage_idx"), lit(name).as("stage"),
         col(s"c$i").as("rows_in"), col(s"c${i + 1}").as("rows_out"),
         (col(s"c$i") - col(s"c${i + 1}")).as("dropped"))
-    }
-    one.select(explode(array(rows: _*)).as("r")).select("r.*").orderBy("stage_idx")
-  }
+    }: _*)
 }

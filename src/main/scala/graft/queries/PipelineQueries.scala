@@ -948,6 +948,71 @@ object PipelineQueries {
        |ORDER BY stage_idx""".stripMargin
   }
 
+  /** Per-SOURCE attrition funnel of the same gate chain (see
+    * [[graft.operators.Funnel.funnelBy]]) — which cohort dies at which
+    * gate; one bounded-key aggregation.
+    */
+  def qSourceFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = TextAnalysis.tokens(col("text"))
+    val scored = d.select(col("doc_id"), col("source"), col("lang"),
+      TextAnalysis.qualityScore(t, col("text")).as("quality"))
+    val exactCanon = Dedup.exactDedup(d)
+      .select(col("canonical_id").as("doc_id"), lit(true).as("is_canon"))
+    val demoted = Dedup.nearDupGroups(Dedup.minhashPairs(d, k = 8, bands = 4, threshold = 0.5))
+      .filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"), lit(true).as("is_demoted"))
+    val flagged = scored
+      .join(exactCanon, Seq("doc_id"), "left")
+      .join(demoted, Seq("doc_id"), "left")
+    graft.operators.Funnel.funnelBy(flagged, "source", Seq(
+      "lang" -> (col("lang") === "en"),
+      "quality" -> (col("quality") >= 0.5),
+      "exact_canonical" -> col("is_canon").isNotNull,
+      "near_dedup" -> col("is_demoted").isNull))
+  }
+
+  val qSourceFunnelSql: String = {
+    val en = inList(TextAnalysis.stopwords("en"))
+    s"""WITH RECURSIVE ${DedupQueries.groupsCte},
+       |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |scored AS (
+       |  SELECT doc_id, source, lang,
+       |    0.4 * least(1.0, len(t) * 1.0 / 50.0)
+       |      + 0.3 * (len(list_distinct(t)) * 1.0 / len(t))
+       |      + 0.3 * (1.0 - len(list_filter(t, x -> x IN ($en))) * 1.0 / len(t)) AS quality
+       |  FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+       |),
+       |flags AS (
+       |  SELECT s.source AS "group",
+       |         (s.lang = 'en') AS f1,
+       |         (s.quality >= 0.5) AS f2,
+       |         (c.doc_id IS NOT NULL) AS f3,
+       |         (g.doc_id IS NULL) AS f4
+       |  FROM scored s
+       |  LEFT JOIN canon c ON s.doc_id = c.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM grp WHERE doc_id <> group_id) g
+       |         ON s.doc_id = g.doc_id
+       |),
+       |agg AS (
+       |  SELECT "group",
+       |         CAST(count(*) AS BIGINT) AS c0,
+       |         CAST(count(CASE WHEN f1 THEN 1 END) AS BIGINT) AS c1,
+       |         CAST(count(CASE WHEN f1 AND f2 THEN 1 END) AS BIGINT) AS c2,
+       |         CAST(count(CASE WHEN f1 AND f2 AND f3 THEN 1 END) AS BIGINT) AS c3,
+       |         CAST(count(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 END) AS BIGINT) AS c4
+       |  FROM flags GROUP BY "group"
+       |)
+       |SELECT * FROM (
+       |  SELECT "group", CAST(1 AS BIGINT) AS stage_idx, 'lang' AS stage,
+       |         c0 AS rows_in, c1 AS rows_out, c0 - c1 AS dropped FROM agg
+       |  UNION ALL SELECT "group", 2, 'quality', c1, c2, c1 - c2 FROM agg
+       |  UNION ALL SELECT "group", 3, 'exact_canonical', c2, c3, c2 - c3 FROM agg
+       |  UNION ALL SELECT "group", 4, 'near_dedup', c3, c4, c3 - c4 FROM agg
+       |)
+       |ORDER BY "group", stage_idx""".stripMargin
+  }
+
   // ------------------------------------------------- training-batch prep
 
   /** Contiguous-fill sequence packing (see

@@ -33,6 +33,19 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0L, 0L)))
   }
 
+  test("funnelBy keys the same cumulative counts by cohort") {
+    val df = Seq(
+      ("a", true, true), ("a", true, false), ("a", false, true),
+      ("b", true, true)
+    ).toDF("src", "f1", "f2")
+    val out = Funnel.funnelBy(df, "src", Seq("g1" -> col("f1"), "g2" -> col("f2")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    // (group, stage_idx, rows_out, dropped)
+    assert(out.toSeq == Seq(
+      ("a", 1L, 2L, 1L), ("a", 2L, 1L, 1L),
+      ("b", 1L, 1L, 0L), ("b", 2L, 1L, 0L)))
+  }
+
   test("a single physical job serves every stage count") {
     val df = (1L to 100L).map(i => (i, i % 2 == 0, i % 3 == 0)).toDF("id", "a", "b")
     var jobs = 0
