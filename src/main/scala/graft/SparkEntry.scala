@@ -881,6 +881,7 @@ object SparkEntry {
     "q_nb_classify" -> (PipelineQueries.qNbClassify _),
     "q_fuzzy_join" -> (PipelineQueries.qFuzzyJoin _),
     "q_embed_whiten" -> (PipelineQueries.qEmbedWhiten _),
+    "q_embed_hygiene" -> (PipelineQueries.qEmbedHygiene _),
     "q_random_proj" -> (PipelineQueries.qRandomProj _),
     "q_quantile_sketch" -> (PipelineQueries.qQuantileSketch _),
     "q_balanced_shards" -> (PipelineQueries.qBalancedShards _),
@@ -1009,6 +1010,7 @@ object SparkEntry {
     "q_nb_classify" -> PipelineQueries.qNbClassifySql,
     "q_fuzzy_join" -> PipelineQueries.qFuzzyJoinSql,
     "q_embed_whiten" -> PipelineQueries.qEmbedWhitenSql,
+    "q_embed_hygiene" -> PipelineQueries.qEmbedHygieneSql,
     "q_random_proj" -> PipelineQueries.qRandomProjSql,
     "q_quantile_sketch" -> PipelineQueries.qQuantileSketchSql,
     "q_balanced_shards" -> PipelineQueries.qBalancedShardsSql,

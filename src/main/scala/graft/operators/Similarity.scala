@@ -937,6 +937,41 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
+  /** Embedding hygiene report — the ingest check that catches the
+    * classic embedding-pipeline failure modes BEFORE they poison an
+    * index: zero vectors (failed encode), norm outliers (unnormalized
+    * or corrupted batches — a batch encoded without L2-normalization
+    * sits orders of magnitude off the corpus norm distribution).
+    * Per vector: the EXACT integer micro² squared norm, its z-score
+    * against the corpus norm² distribution (ppm; same ε-floored-sd
+    * discipline as [[standardize]]), and the zero flag.
+    *
+    * Shape: one fused-dot per row, ONE global 4-number aggregation
+    * broadcast back — two passes over the vectors, no join by key, no
+    * window. Output (ORDERED): vec_id, nrm2_micro2, z_ppm, is_zero.
+    */
+  def normStats(embs: DataFrame, dims: Int, embCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mv = transform(col(embCol), e => round(e.cast("double") * lit(1000000.0)))
+    val base = embs.select(col(idCol).cast("long").as("vec_id"),
+      dot(mv, mv, dims).cast("long").as("nrm2"))
+    val stats = base.agg(count(lit(1)).as("n"),
+        sum(col("nrm2").cast(dec)).as("s"),
+        sum((col("nrm2").cast(dec)) * col("nrm2")).as("ss"))
+      .select(col("n"),
+        round(col("s").cast("double") / col("n")).as("mean2"),
+        sqrt(round((col("ss") * col("n") - col("s") * col("s")).cast("double")
+            / col("n") / col("n"))
+          + lit(1.0)).as("sd"))
+    base.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("nrm2").as("nrm2_micro2"),
+        round((col("nrm2") - col("mean2")) / col("sd") * lit(1000000.0))
+          .cast("long").as("z_ppm"),
+        (col("nrm2") === 0L).as("is_zero"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic ±1 sign for output dim `j`, input dim `d` of the
     * random-projection matrix — the same LCG family as [[planeCoef]],
     * so both engines derive the matrix arithmetically (no literal

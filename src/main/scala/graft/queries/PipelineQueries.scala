@@ -1764,6 +1764,35 @@ object PipelineQueries {
       |FROM ex JOIN est USING ("group")
       |ORDER BY ex."group"""".stripMargin
 
+  /** Embedding hygiene: exact norm² + z-score + zero flag per vector
+    * (see [[graft.operators.Similarity.normStats]]).
+    */
+  def qEmbedHygiene(s: SparkSession, dir: String): DataFrame =
+    Similarity.normStats(embs(s, dir), dims = Dims)
+
+  val qEmbedHygieneSql: String = {
+    val n2 = (1 to Dims).map(i =>
+      s"CAST(round(CAST(embedding[$i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    ).map(v => s"$v * $v").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST($n2 AS BIGINT) AS nrm2 FROM embeddings
+       |),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         round(CAST(SUM(CAST(nrm2 AS HUGEINT)) AS DOUBLE) / count(*)) AS mean2,
+       |         sqrt(round(CAST(SUM(CAST(nrm2 AS HUGEINT) * nrm2) * count(*)
+       |                         - SUM(CAST(nrm2 AS HUGEINT)) * SUM(CAST(nrm2 AS HUGEINT))
+       |                         AS DOUBLE) / count(*) / count(*))
+       |              + 1.0) AS sd
+       |  FROM base
+       |)
+       |SELECT vec_id, nrm2 AS nrm2_micro2,
+       |       CAST(round((nrm2 - mean2) / sd * 1000000.0) AS BIGINT) AS z_ppm,
+       |       (nrm2 = 0) AS is_zero
+       |FROM base, stats
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Johnson–Lindenstrauss ±1 random projection 64 → 16 dims (see
     * [[graft.operators.Similarity.randomProject]]) — exact integer
     * outputs, the matrix derived arithmetically on both sides.

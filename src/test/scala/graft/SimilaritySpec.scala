@@ -319,6 +319,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("normStats flags zero vectors and norm outliers") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // unit
+      (1L, Array(0.0f, 1.0f)),   // unit
+      (2L, Array(0.0f, 0.0f)),   // zero (failed encode)
+      (3L, Array(30.0f, 40.0f))  // unnormalized outlier, |v|² = 2500
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.normStats(vecs, dims = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L)._1 == 1000000000000L && !out(0L)._3)
+    assert(out(2L) == ((0L, out(2L)._2, true)))
+    // the outlier carries the largest |z| and the zero vector is below mean
+    assert(out(3L)._2 > 0 && out(3L)._2 == out.values.map(_._2).max)
+    assert(out(2L)._2 < 0)
+  }
+
   test("randomProject matches the hand-computed ±1 sums exactly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.5f, -0.25f, 2.0f)),
