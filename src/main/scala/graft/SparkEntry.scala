@@ -837,6 +837,7 @@ object SparkEntry {
     "q_clean_corpus" -> (PipelineQueries.qCleanCorpus _),
     "q_clean_funnel" -> (PipelineQueries.qCleanFunnel _),
     "q_source_funnel" -> (PipelineQueries.qSourceFunnel _),
+    "q_gate_calibration" -> (PipelineQueries.qGateCalibration _),
     "q_text_stats" -> (PipelineQueries.qTextStats _),
     "q_lang_id" -> (PipelineQueries.qLangId _),
     "q_fingerprint" -> (PipelineQueries.qFingerprint _),
@@ -966,6 +967,7 @@ object SparkEntry {
     "q_clean_corpus" -> PipelineQueries.qCleanCorpusSql,
     "q_clean_funnel" -> PipelineQueries.qCleanFunnelSql,
     "q_source_funnel" -> PipelineQueries.qSourceFunnelSql,
+    "q_gate_calibration" -> PipelineQueries.qGateCalibrationSql,
     "q_text_stats" -> PipelineQueries.qTextStatsSql,
     "q_lang_id" -> PipelineQueries.qLangIdSql,
     "q_fingerprint" -> PipelineQueries.qFingerprintSql,

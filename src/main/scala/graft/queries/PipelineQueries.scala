@@ -948,6 +948,63 @@ object PipelineQueries {
        |ORDER BY stage_idx""".stripMargin
   }
 
+  /** Quality-gate CALIBRATION: per source, the quality threshold that
+    * keeps the top 60% / 30% of documents (nearest-rank inverse
+    * quantile on the quality-descending order) plus how many a
+    * `quality ≥ 0.5` gate actually keeps — the table an operator reads
+    * to set per-source thresholds instead of one global constant.
+    * Quality micro-snaps to the integer lattice first so every
+    * comparison and count is engine-exact. One window pass per source.
+    */
+  def qGateCalibration(s: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val scored = docs(s, dir).select(col("doc_id"), col("source"),
+      round(TextAnalysis.qualityScore(t, col("text")) * lit(1000000.0))
+        .cast("long").as("q_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q_micro").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(when(col("rn") === ceil(col("n") * lit(0.6)).cast("int"), col("q_micro")))
+          .as("keep60_threshold_micro"),
+        max(when(col("rn") === ceil(col("n") * lit(0.3)).cast("int"), col("q_micro")))
+          .as("keep30_threshold_micro"),
+        sum(when(col("q_micro") >= 500000L, 1L).otherwise(0L)).as("kept_at_half"))
+      .orderBy("source")
+  }
+
+  val qGateCalibrationSql: String = {
+    val en = inList(TextAnalysis.stopwords("en"))
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(round((0.4 * least(1.0, len(t) * 1.0 / 50.0)
+       |      + 0.3 * (len(list_distinct(t)) * 1.0 / len(t))
+       |      + 0.3 * (1.0 - len(list_filter(t, x -> x IN ($en))) * 1.0 / len(t)))
+       |      * 1000000.0) AS BIGINT) AS q_micro
+       |  FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+       |),
+       |ranked AS (
+       |  SELECT source, q_micro,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY q_micro DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |  FROM scored
+       |)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       |       max(CASE WHEN rn = CAST(ceil(n * 0.6) AS INT) THEN q_micro END)
+       |         AS keep60_threshold_micro,
+       |       max(CASE WHEN rn = CAST(ceil(n * 0.3) AS INT) THEN q_micro END)
+       |         AS keep30_threshold_micro,
+       |       CAST(SUM(CASE WHEN q_micro >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS kept_at_half
+       |FROM ranked GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   /** Per-SOURCE attrition funnel of the same gate chain (see
     * [[graft.operators.Funnel.funnelBy]]) — which cohort dies at which
     * gate; one bounded-key aggregation.
