@@ -842,6 +842,7 @@ object SparkEntry {
     "q_lang_id" -> (PipelineQueries.qLangId _),
     "q_fingerprint" -> (PipelineQueries.qFingerprint _),
     "q_sim_topk" -> (PipelineQueries.qSimTopK _),
+    "q_mmr" -> (PipelineQueries.qMmr _),
     "q_ann_buckets" -> (PipelineQueries.qAnnBuckets _),
     "q_ann_nearest" -> (PipelineQueries.qAnnNearest _),
     "q_multiprobe" -> (PipelineQueries.qMultiProbe _),
@@ -972,6 +973,7 @@ object SparkEntry {
     "q_lang_id" -> PipelineQueries.qLangIdSql,
     "q_fingerprint" -> PipelineQueries.qFingerprintSql,
     "q_sim_topk" -> PipelineQueries.qSimTopKSql,
+    "q_mmr" -> PipelineQueries.qMmrSql,
     "q_ann_buckets" -> PipelineQueries.qAnnBucketsSql,
     "q_ann_nearest" -> PipelineQueries.qAnnNearestSql,
     "q_multiprobe" -> PipelineQueries.qMultiProbeSql,

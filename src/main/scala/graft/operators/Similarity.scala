@@ -135,6 +135,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): exact cosine
+    * scores the corpus, the top `poolN` survivors are packed into ONE
+    * row, and [[graft.plans.MmrSelect]] runs the greedy
+    * `λ·rel − (1−λ)·max-sim-to-selected` selection in a single compiled
+    * call. All scores are exact micro-cosine longs (λ in ppm), ties to
+    * the smaller id — hash-reproducible against an unrolled-CTE oracle.
+    *
+    * Scale shape: the corpus-sized work is the broadcast-query cosine
+    * scan + TakeOrderedAndProject (identical to [[bruteForceTopK]]);
+    * everything after operates on poolN ≤ ~100 rows (pair sims are a
+    * poolN² broadcast self-join), so the diversification adds O(poolN²)
+    * work regardless of corpus size. At 100 TB the pool would come from
+    * the IVF/LSH index instead of the brute scan — selection is
+    * unchanged.
+    *
+    * Output: rank (1-based selection order), vec_id, rel_micro, mmr_raw.
+    */
+  def mmrTopK(embs: DataFrame, queryVecId: Long, poolN: Int, k: Int,
+              lambdaPpm: Long, dims: Int,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.plans.SimilarityExpressions.ensureRegistered()
+    val q = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
+    // micro-integer relevance BEFORE the top-N cut, so the pool boundary
+    // is decided on the same integer lattice the oracle cuts on
+    val scored = embs.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("e"),
+        norm(col(embCol), dims).as("nrm"),
+        round(cosinePre(col(embCol), col("q_emb"),
+          norm(col(embCol), dims), col("q_nrm"), dims) * lit(1000000.0))
+          .cast("long").as("rel_micro"))
+      .orderBy(col("rel_micro").desc, col("id"))
+      .limit(poolN)
+    // pool-index the bounded survivors; the single-partition window runs
+    // over ≤ poolN rows (post-limit), not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rel_micro").desc, col("id"))
+    val c = CachePool.track(
+      scored.withColumn("rn", (row_number().over(w) - 1).cast("long")))
+    val pairs = c.as("a").join(c.as("b"), col("a.rn") < col("b.rn"))
+      .select(col("a.rn").as("pa"), col("b.rn").as("pb"),
+        round(cosinePre(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm"), dims)
+          * lit(1000000.0)).cast("long").as("ps"))
+    val candArr = c.agg(sort_array(collect_list(
+        struct(col("rn"), col("id"), col("rel_micro")))).as("cs"))
+      .select(transform(col("cs"), x => x("id")).as("ids"),
+        transform(col("cs"), x => x("rel_micro")).as("rels"))
+    val pairArr = pairs.agg(sort_array(collect_list(
+        struct(col("pa"), col("pb"), col("ps")))).as("pp"))
+      .select(transform(col("pp"), x => x("pa")).as("pas"),
+        transform(col("pp"), x => x("pb")).as("pbs"),
+        transform(col("pp"), x => x("ps")).as("pss"))
+    candArr.crossJoin(pairArr)
+      .select(posexplode(call_function("graft_mmr",
+        struct(col("ids"), col("rels"), col("pas"), col("pbs"), col("pss")),
+        lit(k), lit(lambdaPpm))).as(Seq("pos", "r")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("r.vec_id"), col("r.rel_micro"), col("r.mmr_raw"))
+      .orderBy("rank")
+  }
+
   /** LSH bucketing: per-vector signature + bucket population (the
     * partition a scale-out ANN search would restrict candidates to).
     */

@@ -177,6 +177,123 @@ case class HyperplaneSig(child: Expression, bits: Int, dims: Int)
     copy(child = c)
 }
 
+/** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR
+  * 1998) over a BOUNDED candidate pool that has been packed into one
+  * row: pick `k` items maximizing
+  * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d,s)`, λ in ppm, rel/sim as
+  * exact micro-cosine integers — so every score is exact long
+  * arithmetic (|λppm·relμ| ≤ 1e12) and ties break to the smaller id,
+  * reproducible against an unrolled-CTE SQL oracle.
+  *
+  * Why an expression and not a plan: the pool is already top-N bounded
+  * (the distributed work — scoring the corpus — happened upstream), so
+  * selection is O(N·k + N²) on ONE row. The relational alternative is k
+  * driver-looped argmax jobs; the HOF alternative interprets nested
+  * array scans. One compiled call keeps the finisher inside codegen.
+  *
+  * Input: struct of five parallel long arrays — candidate ids and
+  * rel_micro (pool order), and the pairwise sim_micro triples
+  * (idx_a, idx_b, sim) with 0-based pool indices, a < b. Output:
+  * array<struct<vec_id, rel_micro, mmr_raw>> in selection order, where
+  * `mmr_raw` is the exact λppm·relμ − (1e6−λppm)·maxsimμ the item was
+  * selected at (first pick: no penalty term).
+  */
+case class MmrSelect(child: Expression, k: Int, lambdaPpm: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_mmr"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("rel_micro", LongType, nullable = false),
+    StructField("mmr_raw", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(fs) if fs.length == 5 && fs.forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRUCT of five ARRAY<BIGINT> (ids, rels, " +
+        s"pair_a, pair_b, pair_sim), got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    MmrSelect.select(r.getArray(0), r.getArray(1), r.getArray(2),
+      r.getArray(3), r.getArray(4), k, lambdaPpm)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.plans.MmrSelect.select(
+         |  $c.getArray(0), $c.getArray(1), $c.getArray(2),
+         |  $c.getArray(3), $c.getArray(4), $k, ${lambdaPpm}L);
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MmrSelect {
+  /** The O(N² + N·k) greedy MMR loop — static so generated code can
+    * call it directly (the selection runs once per query, not per
+    * corpus row; the loop body is not worth inlining into codegen).
+    */
+  def select(ids: ArrayData, rels: ArrayData, pa: ArrayData, pb: ArrayData,
+             ps: ArrayData, k: Int, lambdaPpm: Long): ArrayData = {
+    val n = ids.numElements()
+    val sim = new Array[Long](n * n)
+    var p = 0
+    val m = pa.numElements()
+    while (p < m) {
+      val a = pa.getLong(p).toInt
+      val b = pb.getLong(p).toInt
+      val s = ps.getLong(p)
+      sim(a * n + b) = s
+      sim(b * n + a) = s
+      p += 1
+    }
+    val used = new Array[Boolean](n)
+    val maxSim = new Array[Long](n) // valid only after the first pick
+    val penalty = 1000000L - lambdaPpm
+    val kk = math.min(k, n)
+    val out = new Array[Any](kk)
+    var step = 0
+    while (step < kk) {
+      var best = -1
+      var bestScore = Long.MinValue
+      var bestId = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val score =
+            if (step == 0) lambdaPpm * rels.getLong(j)
+            else lambdaPpm * rels.getLong(j) - penalty * maxSim(j)
+          val id = ids.getLong(j)
+          if (score > bestScore || (score == bestScore && id < bestId)) {
+            best = j; bestScore = score; bestId = id
+          }
+        }
+        j += 1
+      }
+      used(best) = true
+      out(step) = org.apache.spark.sql.catalyst.InternalRow(
+        bestId, rels.getLong(best), bestScore)
+      var j2 = 0
+      while (j2 < n) {
+        if (!used(j2)) {
+          val s = sim(best * n + j2)
+          if (step == 0 || s > maxSim(j2)) maxSim(j2) = s
+        }
+        j2 += 1
+      }
+      step += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object SimilarityExpressions {
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -184,11 +301,18 @@ object SimilarityExpressions {
     case o => throw new IllegalArgumentException(s"expected integer literal, got $o")
   }
 
+  private def longLit(e: Expression): Long = e.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case o => throw new IllegalArgumentException(s"expected integer literal, got $o")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es =>
       if (es.length >= 3) ArrayDotProduct(es(0), es(1), intLit(es(2)))
       else ArrayDotProduct(es(0), es(1))),
-    "graft_hsig" -> (es => HyperplaneSig(es(0), intLit(es(1)), intLit(es(2)))))
+    "graft_hsig" -> (es => HyperplaneSig(es(0), intLit(es(1)), intLit(es(2)))),
+    "graft_mmr" -> (es => MmrSelect(es(0), intLit(es(1)), longLit(es(2)))))
 
   /** Register on an existing session (idempotent temp functions). */
   def register(spark: SparkSession): Unit =

@@ -131,6 +131,60 @@ object PipelineQueries {
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  private val MmrPoolN = 40
+  private val MmrK = 10
+  private val MmrLambdaPpm = 700000L
+
+  /** MMR-diversified top-10 from the exact cosine top-40 pool
+    * ([[graft.operators.Similarity.mmrTopK]]); λ = 0.7. The oracle
+    * unrolls the greedy selection as k CTE steps over the same
+    * micro-integer score lattice.
+    */
+  def qMmr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(embs(s, dir), queryVecId = 0L, poolN = MmrPoolN,
+      k = MmrK, lambdaPpm = MmrLambdaPpm, dims = Dims)
+
+  val qMmrSql: String = {
+    val lam = MmrLambdaPpm
+    val pen = 1000000L - MmrLambdaPpm
+    // every k_i is referenced three times by step i+1 — MATERIALIZED
+    // stops DuckDB's default CTE inlining from re-expanding the whole
+    // chain (exponential otherwise)
+    val steps = (2 to MmrK).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT d.vec_id, d.rel,
+         |         CAST($lam AS BIGINT) * d.rel - CAST($pen AS BIGINT) *
+         |           (SELECT max(s) FROM psym
+         |            WHERE ia = d.vec_id AND ib IN (SELECT vec_id FROM k${i - 1})) AS score
+         |  FROM cand d WHERE d.vec_id NOT IN (SELECT vec_id FROM k${i - 1})
+         |  ORDER BY score DESC, d.vec_id LIMIT 1
+         |),
+         |k$i AS MATERIALIZED (SELECT * FROM k${i - 1}
+         |        UNION ALL SELECT CAST($i AS BIGINT), vec_id, rel, score FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, CAST(round((${cosSql("embedding", "qe")}) * 1000000) AS BIGINT) AS rel,
+       |         embedding AS e
+       |  FROM embeddings, q
+       |  WHERE vec_id <> 0
+       |  ORDER BY rel DESC, vec_id
+       |  LIMIT $MmrPoolN
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         CAST(round((${cosSql("a.e", "b.e")}) * 1000000) AS BIGINT) AS s
+       |  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+       |),
+       |psym AS MATERIALIZED (SELECT ia, ib, s FROM p UNION ALL SELECT ib, ia, s FROM p),
+       |s1 AS (SELECT vec_id, rel, CAST($lam AS BIGINT) * rel AS score
+       |       FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+       |k1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, score FROM s1),
+       |$steps
+       |SELECT rank, vec_id, rel AS rel_micro, score AS mmr_raw
+       |FROM k$MmrK ORDER BY rank""".stripMargin
+  }
+
   private val AnnBits = 8
 
   private def sigSqlBits(e: String, bits: Int): String =

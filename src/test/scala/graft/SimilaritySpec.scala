@@ -368,4 +368,54 @@ class SimilaritySpec extends SparkSpec {
     // dim 1 constant: numerator 0 → z exactly 0 (ε floors the sd)
     assert(z((0L, 1L)) == 0L && z((1L, 1L)) == 0L)
   }
+
+  test("mmrTopK = independent greedy MMR over exact micro scores") {
+    // two tight clusters near the query + an off-axis singleton: plain
+    // top-k fills with one cluster; MMR must interleave
+    def mix(a: Int, b: Int, wa: Float, wb: Float): Array[Float] =
+      Array.tabulate(dims)(j => (if (j == a) wa else 0.0f) + (if (j == b) wb else 0.0f))
+    val vecs = Seq(
+      0L -> basis(0),                 // query
+      1L -> mix(0, 1, 1.0f, 0.10f),   // cluster A (near query, mutually similar)
+      2L -> mix(0, 1, 1.0f, 0.12f),
+      3L -> mix(0, 1, 1.0f, 0.14f),
+      4L -> mix(0, 2, 0.9f, 0.60f),   // cluster B (farther, distinct direction)
+      5L -> mix(0, 2, 0.9f, 0.62f),
+      6L -> mix(0, 3, 0.5f, 0.80f)    // singleton, least relevant
+    ).toDF("vec_id", "embedding")
+    val lambda = 500000L
+    val k = 4
+    val out = Similarity.mmrTopK(vecs, queryVecId = 0L, poolN = 6, k = k,
+      lambdaPpm = lambda, dims = dims).collect()
+    assert(out.length == k)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to k).toSeq)
+
+    // independent reference: collect micro rel/sims and replay the greedy rule
+    val rows = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      math.round(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6)
+    }
+    val ids = rows.keys.filter(_ != 0L).toSeq
+      .map(id => id -> cosMicro(rows(id), rows(0L)))
+      .sortBy { case (id, rel) => (-rel, id) }.take(6)
+    var selected = Vector.empty[Long]
+    val expect = (1 to k).map { step =>
+      val cand = ids.filterNot { case (id, _) => selected.contains(id) }
+      val best = cand.map { case (id, rel) =>
+        val pen = if (selected.isEmpty) 0L
+          else selected.map(s => cosMicro(rows(id), rows(s))).max
+        val score = if (selected.isEmpty) lambda * rel
+          else lambda * rel - (1000000L - lambda) * pen
+        (score, id)
+      }.maxBy { case (score, id) => (score, -id) }
+      selected :+= best._2
+      best
+    }
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == expect.map(_._2))
+    assert(out.map(_.getAs[Long]("mmr_raw")).toSeq == expect.map(_._1))
+    // diversification engaged: cluster A must NOT occupy the first three picks
+    assert(out.take(3).map(_.getAs[Long]("vec_id")).toSet != Set(1L, 2L, 3L))
+  }
 }
