@@ -817,6 +817,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Ev.qAsofJoin(events(s, dir))),
     "q_funnel" -> ((s, dir) => Ev.qFunnel(events(s, dir))),
     "q_retention" -> ((s, dir) => Ev.qRetention(events(s, dir))),
+    "q_event_drift" -> ((s, dir) => Ev.qEventDrift(events(s, dir))),
     "q_pivot" -> ((s, dir) => Ev.qPivot(events(s, dir))),
     "q_moving_avg" -> ((s, dir) => Ev.qMovingAvg(events(s, dir))),
     "q_range_join" -> ((s, dir) => Ev.qRangeJoin(events(s, dir))),
@@ -830,6 +831,7 @@ object SparkEntry {
     "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
     "q_dedup_best" -> (DedupQueries.qDedupBest _),
+    "q_leak_split" -> (DedupQueries.qLeakSplit _),
     "q_dup_matrix" -> (DedupQueries.qDupMatrix _),
     "q_snapshot_diff" -> (DedupQueries.qSnapshotDiff _),
     "q_bloom_gate" -> (DedupQueries.qBloomGate _),
@@ -890,6 +892,7 @@ object SparkEntry {
     "q_budget_cut" -> (PipelineQueries.qBudgetCut _),
     "q_source_kl" -> (PipelineQueries.qSourceKl _),
     "q_vocab_profile" -> (PipelineQueries.qVocabProfile _),
+    "q_distinct_ngrams" -> (PipelineQueries.qDistinctNgrams _),
     "q_bm25" -> (PipelineQueries.qBm25 _),
     "q_bm25_served" -> (PipelineQueries.qBm25Served _),
     "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
@@ -948,6 +951,7 @@ object SparkEntry {
     "q_asof_join" -> Ev.qAsofJoinSql,
     "q_funnel" -> Ev.qFunnelSql,
     "q_retention" -> Ev.qRetentionSql,
+    "q_event_drift" -> Ev.qEventDriftSql,
     "q_pivot" -> Ev.qPivotSql,
     "q_moving_avg" -> Ev.qMovingAvgSql,
     "q_range_join" -> Ev.qRangeJoinSql,
@@ -961,6 +965,7 @@ object SparkEntry {
     "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
     "q_dedup_best" -> DedupQueries.qDedupBestSql,
+    "q_leak_split" -> DedupQueries.qLeakSplitSql,
     "q_dup_matrix" -> DedupQueries.qDupMatrixSql,
     "q_snapshot_diff" -> DedupQueries.qSnapshotDiffSql,
     "q_bloom_gate" -> DedupQueries.qBloomGateSql,
@@ -1021,6 +1026,7 @@ object SparkEntry {
     "q_budget_cut" -> PipelineQueries.qBudgetCutSql,
     "q_source_kl" -> PipelineQueries.qSourceKlSql,
     "q_vocab_profile" -> PipelineQueries.qVocabProfileSql,
+    "q_distinct_ngrams" -> PipelineQueries.qDistinctNgramsSql,
     "q_bm25" -> PipelineQueries.qBm25Sql,
     // the served ranking is DEFINED identical to the batch ranking —
     // same oracle, proving the persisted-index round trip is lossless

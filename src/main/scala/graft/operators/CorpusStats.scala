@@ -202,6 +202,54 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** Distinct-n diversity profile per source (public knowledge: the
+    * distinct-1/distinct-2 diversity metric of Li et al., "A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models", NAACL 2016, applied corpus-side): for n = 1..maxN, the
+    * number of DISTINCT word n-grams over the total n-gram count — low
+    * ratios flag template/boilerplate-heavy sources before they are
+    * oversampled into a training mix.
+    *
+    * Scale shape: totals are per-row length arithmetic collapsing into
+    * one tiny per-source aggregate (map-side combine, no explode); the
+    * distinct counts explode each doc's per-doc-distinct shingle set
+    * (the fused [[graft.plans.WordShingles]] pass) and aggregate by
+    * (source, n, gram) — the shuffle is bounded by source × n-gram
+    * vocabulary, not corpus size. One join of two source×n-sized sides.
+    *
+    * Output: source, n, total_grams, distinct_grams, distinct_ppm.
+    */
+  def distinctNgrams(docs: DataFrame, maxN: Int = 3, textCol: String = "text",
+                     sourceCol: String = "source"): DataFrame = {
+    graft.plans.TextExpressions.ensureRegistered()
+    val len = size(split(col(textCol), " ")).cast("long")
+    // totals: Σ max(len − n + 1, 0) per source, one wide agg then melted
+    // to (source, n) rows — zero explode on the corpus-sized side
+    val totalCols = (1 to maxN).map(n =>
+      sum(greatest(len - lit(n - 1), lit(0L))).as(s"t$n"))
+    val totals = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(totalCols.head, totalCols.tail: _*)
+      .select(col("source"), explode(array((1 to maxN).map(n =>
+        struct(lit(n).cast("long").as("n"), col(s"t$n").as("total_grams"))): _*)).as("x"))
+      .select(col("source"), col("x.n"), col("x.total_grams"))
+    // distincts: per-doc-distinct shingles for each n, tagged and
+    // exploded once, then a global distinct count per (source, n)
+    val grams = docs.select(col(sourceCol).as("source"),
+        explode(concat((1 to maxN).map(n =>
+          transform(call_function("graft_shingles", col(textCol), lit(n)),
+            g => struct(lit(n).cast("long").as("n"), g.as("g")))): _*)).as("x"))
+      .groupBy(col("source"), col("x.n").as("n"))
+      .agg(countDistinct(col("x.g")).as("distinct_grams"))
+    totals.join(grams, Seq("source", "n"), "left")
+      .select(col("source"), col("n"), col("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        when(col("total_grams") === 0L, lit(0L))
+          .otherwise(round(coalesce(col("distinct_grams"), lit(0L)).cast("double")
+            / col("total_grams") * lit(1000000.0)).cast("long")).as("distinct_ppm"))
+      .orderBy("source", "n")
+  }
+
   def vocabTop(docs: DataFrame, k: Int, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),

@@ -338,6 +338,44 @@ object TrainingPrep {
       .orderBy(idCol)
   }
 
+  /** Leakage-safe train/val/test assignment: the deterministic
+    * [[assignSplit]] hash rule applied to the NEAR-DUP GROUP id instead
+    * of the document id, so every member of a duplicate group lands in
+    * the same split — the standard guard against train→test
+    * contamination through near-copies (a doc and its mirror can never
+    * straddle the split boundary). Ungrouped docs are their own
+    * singleton group (group_id = doc_id), making this a strict
+    * refinement of [[assignSplit]]: freezing fractions still freezes
+    * every assignment.
+    *
+    * Scale shape: one left join of the corpus against the (tiny,
+    * pair-bounded) group-label table, then per-row hash arithmetic —
+    * the expensive part is whatever near-dup machinery produced
+    * `groups`, which the caller already ran (and typically persisted as
+    * the dedup index).
+    *
+    * Output: doc_id, group_id, split — every input row, tagged.
+    */
+  def leakSafeSplit(docs: DataFrame, groups: DataFrame,
+                    trainFrac: Double, valFrac: Double,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"bad split fractions ($trainFrac, $valFrac)")
+    val space = 16777216.0 // 16^6
+    val tTrain = math.round(trainFrac * space)
+    val tVal = math.round((trainFrac + valFrac) * space)
+    val gid = coalesce(col("group_id"), col(idCol)).as("group_id")
+    val labeled = docs.select(col(idCol))
+      .join(groups.select(col(idCol), col("group_id")), Seq(idCol), "left")
+      .select(col(idCol), gid)
+    val h = hex6Int(col("group_id"))
+    labeled.select(col(idCol), col("group_id"),
+      when(h < lit(tTrain), "train")
+        .when(h < lit(tVal), "val")
+        .otherwise("test").as("split"))
+      .orderBy(idCol)
+  }
+
   /** Repetition quality stats (the Gopher-style repetition filters):
     * per doc, the share of the most-repeated word 2-gram among all
     * 2-grams and the share of duplicated tokens — both as exact

@@ -529,4 +529,33 @@ object DedupQueries {
        |       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same_sig
        |FROM sigs ORDER BY doc_id""".stripMargin
   }
+
+  /** Leakage-safe split: the [[graft.operators.TrainingPrep.assignSplit]]
+    * hash rule keyed by near-dup GROUP id (see
+    * [[graft.operators.TrainingPrep.leakSafeSplit]]) — a doc and its
+    * near-copies can never straddle train/test.
+    */
+  def qLeakSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val groups = Dedup.nearDupGroups(Dedup.minhashPairs(d, k = 8, bands = 4, threshold = 0.5))
+    graft.operators.TrainingPrep.leakSafeSplit(d, groups, trainFrac = 0.8, valFrac = 0.1)
+  }
+
+  val qLeakSplitSql: String = {
+    val space = 16777216.0
+    val tTrain = math.round(0.8 * space)
+    val tVal = math.round(0.9 * space)
+    val h6 = graft.operators.TrainingPrep.hex6IntSql("gid")
+    s"""WITH RECURSIVE $groupsCte,
+       |labeled AS (
+       |  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS gid
+       |  FROM documents d LEFT JOIN grp g USING (doc_id)
+       |)
+       |SELECT doc_id, gid AS group_id,
+       |       CASE WHEN $h6 < $tTrain THEN 'train'
+       |            WHEN $h6 < $tVal THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM labeled
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -270,4 +270,70 @@ object Events {
       |WHERE day >= cohort_day
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Distribution-drift monitor: per epoch-aligned day, the total-
+    * variation distance (as Σ|Δppm|, i.e. 2·TV in ppm) between the
+    * day's event-type share distribution and the previous observed
+    * day's — the "did the event mix shift" alarm a pipeline watches
+    * before retraining on fresh data. Shares are exact ppm integers on
+    * a dense (day × type) grid (absent types count 0), so the drift
+    * sum is exact integer arithmetic in both engines.
+    *
+    * Scale shape: one map-side-combined groupBy(day, type) is the only
+    * corpus-sized aggregation; the grid, lag window, and drift sum all
+    * operate on (days × types) rows — bounded by the calendar, not the
+    * event volume.
+    *
+    * Output: day (window start ts), n_events, l1_ppm.
+    */
+  def qEventDrift(events: DataFrame): DataFrame = {
+    val c = events
+      .select(expr("unix_micros(ts) div 86400000000").as("wd"), col("event_type"))
+      .groupBy(col("wd"), col("event_type")).agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy(col("wd")).agg(sum(col("cnt")).as("total"))
+    val grid = c.select(col("wd")).distinct()
+      .crossJoin(c.select(col("event_type")).distinct())
+    val sh = grid.join(c, Seq("wd", "event_type"), "left")
+      .join(tot, "wd")
+      .select(col("wd"), col("event_type"),
+        round(coalesce(col("cnt"), lit(0L)) * lit(1000000.0) / col("total"))
+          .cast("long").as("p"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("wd"))
+    sh.withColumn("pp", lag(col("p"), 1).over(byType))
+      .filter(col("pp").isNotNull)
+      .groupBy(col("wd"))
+      .agg(sum(abs(col("p") - col("pp"))).as("l1_ppm"))
+      .join(tot, "wd")
+      .select(timestamp_micros(col("wd") * lit(86400000000L)).as("day"),
+        col("total").as("n_events"), col("l1_ppm"))
+      .orderBy("day")
+  }
+
+  val qEventDriftSql: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS wd, event_type,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY wd, event_type
+      |),
+      |tot AS (SELECT wd, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY wd),
+      |grid AS (SELECT wd, event_type
+      |         FROM (SELECT DISTINCT wd FROM c)
+      |         CROSS JOIN (SELECT DISTINCT event_type FROM c)),
+      |sh AS (
+      |  SELECT g.wd, g.event_type,
+      |         CAST(round(COALESCE(c.cnt, 0) * 1000000.0 / t.total) AS BIGINT) AS p
+      |  FROM grid g
+      |  LEFT JOIN c ON g.wd = c.wd AND g.event_type = c.event_type
+      |  JOIN tot t ON g.wd = t.wd
+      |),
+      |lagged AS (
+      |  SELECT wd, p, lag(p) OVER (PARTITION BY event_type ORDER BY wd) AS pp
+      |  FROM sh
+      |)
+      |SELECT make_timestamp(l.wd * 86400000000) AS day, t.total AS n_events,
+      |       CAST(SUM(abs(l.p - l.pp)) AS BIGINT) AS l1_ppm
+      |FROM lagged l JOIN tot t ON l.wd = t.wd
+      |WHERE l.pp IS NOT NULL
+      |GROUP BY l.wd, t.total
+      |ORDER BY day""".stripMargin
 }

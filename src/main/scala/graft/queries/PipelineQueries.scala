@@ -1301,6 +1301,39 @@ object PipelineQueries {
       |FROM agg
       |ORDER BY source""".stripMargin
 
+  /** Distinct-n diversity profile, n = 1..3 (see
+    * [[graft.operators.CorpusStats.distinctNgrams]]).
+    */
+  def qDistinctNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.distinctNgrams(docs(s, dir), maxN = 3)
+
+  val qDistinctNgramsSql: String = {
+    val byN = (1 to 3).map { n =>
+      s"""SELECT source, CAST($n AS BIGINT) AS n,
+         |       unnest(list_distinct(list_transform(
+         |         generate_series(1, len(t) - ${n - 1}),
+         |         i -> array_to_string(t[i:i+${n - 1}], ' ')))) AS g
+         |FROM tok WHERE len(t) >= $n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+       |totals AS (
+       |  SELECT source, n.n,
+       |         CAST(SUM(greatest(len(t) - n.n + 1, 0)) AS BIGINT) AS total_grams
+       |  FROM tok CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) n
+       |  GROUP BY source, n.n
+       |),
+       |grams AS ($byN),
+       |d AS (SELECT source, n, CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams
+       |      FROM grams GROUP BY source, n)
+       |SELECT t.source, CAST(t.n AS BIGINT) AS n, t.total_grams,
+       |       COALESCE(d.distinct_grams, 0) AS distinct_grams,
+       |       CASE WHEN t.total_grams = 0 THEN 0
+       |            ELSE CAST(round(CAST(COALESCE(d.distinct_grams, 0) AS DOUBLE)
+       |                       / t.total_grams * 1000000.0) AS BIGINT) END AS distinct_ppm
+       |FROM totals t LEFT JOIN d ON t.source = d.source AND t.n = d.n
+       |ORDER BY t.source, t.n""".stripMargin
+  }
+
   /** Per-source KL divergence from the corpus unigram distribution
     * (see [[graft.operators.CorpusStats.sourceKl]]).
     */

@@ -220,4 +220,28 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.exceptAll(TrainingPrep.sampleStrata(docs, "lang",
       Map("en" -> 0.5), 0.1)).isEmpty)
   }
+
+  test("leak-safe split keeps every near-dup group in one split") {
+    val docs = spark.range(1, 401).select(col("id").as("doc_id"))
+    // pair doc 2i-1 with 2i: 200 groups of 2, labeled by the min id
+    val groups = spark.range(1, 401).select(col("id").as("doc_id"),
+      expr("((id + 1) div 2) * 2 - 1").as("group_id"))
+    val out = TrainingPrep.leakSafeSplit(docs, groups, 0.8, 0.1)
+    assert(out.count() == 400)
+    // no group straddles a split boundary
+    val straddlers = out.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1)
+    assert(straddlers.isEmpty)
+    // the per-doc rule WOULD have straddled some pair — the guard binds
+    val perDoc = TrainingPrep.assignSplit(docs, 0.8, 0.1)
+    val joined = out.select(col("doc_id"), col("split").as("gsplit"))
+      .join(perDoc, "doc_id")
+    assert(joined.filter(col("gsplit") =!= col("split")).count() > 0)
+    // all three splits occur (the test isn't vacuous)
+    assert(out.select("split").distinct().count() == 3)
+    // ungrouped docs fall back to their own id — identical to assignSplit
+    val solo = TrainingPrep.leakSafeSplit(docs,
+      groups.filter(lit(false)), 0.8, 0.1)
+    assert(solo.select(col("doc_id"), col("split")).exceptAll(perDoc).isEmpty)
+  }
 }
