@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query and total
-  * wall seconds. Timings exclude JVM/session warmup (one throwaway
-  * action first) — they measure the queries, not sbt startup.
+  * SPARK_GRAFT_SF_DIR and prints ONE final JSON line with total wall
+  * seconds plus the slowest per-query timings (bounded to fit the
+  * driver's 2000-char log tail — see SummaryBudget); the complete
+  * per-query map is echoed one line above and written to
+  * BENCH_DETAIL.json. Timings exclude JVM/session warmup (one
+  * throwaway action first) — they measure the queries, not sbt
+  * startup.
   *
   * Failure honesty: a throwing query is NOT recorded as a (fast, fake)
   * timing — it lands in an `"errors"` object keyed by query name and is
@@ -91,13 +95,14 @@ object Bench {
     }
     val ok = samples.toSeq.map { case (n, ss) => (n, ss.min) }
     val errs = errByName
-    val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // surviving >2× spreads (post re-measure) — the honesty signal that a
-    // reported min may still sit inside a storm window
+    // reported min may still sit inside a storm window. Bounded to the 8
+    // widest so the summary line stays parseable.
     val spreads = samples.toSeq
       .map { case (n, ss) => (n, ss.max / math.max(ss.min, 1e-9)) }
       .filter { case (_, sp) => sp > 2.0 }
+      .sortBy(-_._2).take(8)
     val spreadJson =
       if (spreads.isEmpty) ""
       else spreads.map { case (n, sp) => "\"" + n + f"\":$sp%.1f" }
@@ -182,7 +187,7 @@ object Bench {
           }
         } catch { case e: Throwable => errs("ingest_1m") = errStr(e); None }
 
-    val extras =
+    val warmJson =
       warm.map(w => f""","flagship_warm_sec":$w%.3f""").getOrElse("") +
         pyramidWarm.map(w => f""","pyramid_warm_sec":$w%.3f""").getOrElse("") +
         summaryWarm.map(w => f""","pyramid_summary_warm_sec":$w%.3f""").getOrElse("") +
@@ -191,12 +196,66 @@ object Bench {
         pqWarm.map(w => f""","pq_warm_sec":$w%.3f""").getOrElse("") +
         dedupGateWarm.map(w => f""","dedup_gate_warm_sec":$w%.3f""").getOrElse("") +
         ingest.map { case (s, mb) =>
-          f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("") +
-        (if (errs.isEmpty) ""
-         else errs.map { case (k, m) => s""""${jesc(k)}":"${jesc(m)}"""" }
-           .mkString(""","errors":{""", ",", "}"))
+          f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("")
+    def errsJson(entries: Iterable[(String, String)]): String =
+      if (entries.isEmpty) ""
+      else entries.map { case (k, m) => s""""${jesc(k)}":"${jesc(m)}"""" }
+        .mkString(""","errors":{""", ",", "}")
+    val extras = warmJson + errsJson(errs)
+    // summary-line errors are bounded (4 entries, 60-char messages,
+    // full detail in BENCH_DETAIL.json) so a mass-failure run cannot
+    // overflow the driver tail window either
+    val extrasBounded = warmJson + errsJson(
+      errs.take(4).map { case (k, m) => (k, m.take(60)) }) +
+      (if (errs.size > 4) s""","errors_n":${errs.size}""" else "")
 
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$spreadJson$extras,"sf":"$sfDir"}"""
+    // ---- summary line (driver contract) ----
+    // The driver's log capture keeps only the LAST 2000 characters of
+    // stdout, so the final JSON line must stay comfortably under that
+    // or the driver records "parsed": null — rounds 3 and 4 lost their
+    // bench numbers exactly this way once the query count outgrew the
+    // window. The full per-query map is written to BENCH_DETAIL.json
+    // (and echoed one log line above); the summary line carries the
+    // slowest queries that fit a fixed character budget — the ones a
+    // plan audit cares about — plus `n_queries` so the truncation is
+    // explicit, never silent.
+    val fullQs = ok.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs$spreadJson$extras,"sf":"$sfDir"}"""
+    if (only.isEmpty) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+        println("full per-query detail -> BENCH_DETAIL.json")
+      } catch { case _: Throwable => () } // detail is best-effort; the line below is the contract
+      println(fullLine)
+    }
+    val tail = s"""$spreadJson$extrasBounded,"n_queries":${ok.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir""""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":"""
+    val qJson = boundedQueriesJson(ok, SummaryBudget - head.length - tail.length - 1)
+    head + qJson + tail + "}"
+  }
+
+  /** Hard ceiling for the summary line, with headroom under the
+    * driver's 2000-char tail window for sbt's own closing lines.
+    */
+  val SummaryBudget = 1600
+
+  /** Per-query JSON object holding the slowest entries that fit
+    * `budget` characters (including braces). Slowest-first keeps the
+    * entries a bench audit actually reads; the caller reports the full
+    * count alongside so truncation is visible.
+    */
+  def boundedQueriesJson(entries: Seq[(String, Double)], budget: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2 // braces
+    entries.sortBy(-_._2).foreach { case (k, v) =>
+      val p = "\"" + k + f"\":$v%.3f"
+      val cost = p.length + (if (parts.isEmpty) 0 else 1)
+      if (used + cost <= budget) { parts += p; used += cost }
+    }
+    parts.mkString("{", ",", "}")
   }
 
   def main(args: Array[String]): Unit = {

@@ -22,4 +22,21 @@ class BenchSpec extends SparkSpec {
     assert(!json.contains("\"errors\""), json)
     assert(json.matches(""".*"queries":\{"q1_agg":[0-9.]+\}.*"""), json)
   }
+
+  // The driver's log capture keeps only the last 2000 chars of stdout;
+  // rounds 3 and 4 recorded "parsed": null because the one-line JSON
+  // outgrew that window. The summary line must stay parseable no matter
+  // how many queries the suite grows to.
+  test("summary line fits the driver tail window at any query count") {
+    val json = Bench.run(spark, "/root/testdata/sf0.001", only = Some(Set("q1_agg")))
+    assert(json.length <= Bench.SummaryBudget, s"len=${json.length}")
+    // budget bound holds for a synthetic 500-query suite too
+    val many = (1 to 500).map(i => (f"q_synthetic_query_$i%03d", i / 7.0))
+    val qs = Bench.boundedQueriesJson(many, 1200)
+    assert(qs.length <= 1200, s"len=${qs.length}")
+    // slowest-first: the heaviest query always survives truncation
+    assert(qs.contains("\"q_synthetic_query_500\":71.429"), qs.take(200))
+    // and it parses as a JSON object shape
+    assert(qs.startsWith("{\"") && qs.endsWith("}"), qs.take(80))
+  }
 }
