@@ -832,6 +832,7 @@ object SparkEntry {
     "q_triangles" -> (DedupQueries.qTriangles _),
     "q_dedup_best" -> (DedupQueries.qDedupBest _),
     "q_leak_split" -> (DedupQueries.qLeakSplit _),
+    "q_line_dedup" -> (DedupQueries.qLineDedup _),
     "q_dup_matrix" -> (DedupQueries.qDupMatrix _),
     "q_snapshot_diff" -> (DedupQueries.qSnapshotDiff _),
     "q_bloom_gate" -> (DedupQueries.qBloomGate _),
@@ -869,6 +870,8 @@ object SparkEntry {
     "q_kmv_distinct" -> (QualityQueries.qKmv _),
     "q_kmv_setops" -> (QualityQueries.qKmvSetOps _),
     "q_redact" -> (QualityQueries.qRedact _),
+    "q_url_dedup" -> (QualityQueries.qUrlDedup _),
+    "q_perceptron" -> (QualityQueries.qPerceptron _),
     "q_cms_top" -> (QualityQueries.qCmsTop _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
@@ -966,6 +969,7 @@ object SparkEntry {
     "q_triangles" -> DedupQueries.qTrianglesSql,
     "q_dedup_best" -> DedupQueries.qDedupBestSql,
     "q_leak_split" -> DedupQueries.qLeakSplitSql,
+    "q_line_dedup" -> DedupQueries.qLineDedupSql,
     "q_dup_matrix" -> DedupQueries.qDupMatrixSql,
     "q_snapshot_diff" -> DedupQueries.qSnapshotDiffSql,
     "q_bloom_gate" -> DedupQueries.qBloomGateSql,
@@ -1003,6 +1007,8 @@ object SparkEntry {
     "q_kmv_distinct" -> QualityQueries.qKmvSql,
     "q_kmv_setops" -> QualityQueries.qKmvSetOpsSql,
     "q_redact" -> QualityQueries.qRedactSql,
+    "q_url_dedup" -> QualityQueries.qUrlDedupSql,
+    "q_perceptron" -> QualityQueries.qPerceptronSql,
     "q_cms_top" -> QualityQueries.qCmsTopSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,

@@ -78,4 +78,83 @@ object Classifier {
         when(col("actual") === col("predicted"), lit(1L)).otherwise(lit(0L)).as("correct"))
       .orderBy(idCol)
   }
+
+  /** Gate-distillation feature row per document — the five integer
+    * statistics the [[QualityRules.gopherFlags]] gate thresholds, as
+    * BIGINT features (permille/deci ratios via integer division, so
+    * every value is engine-exact), plus the ±1 training label `y` =
+    * the gate's own verdict. This is the standard corpus-pipeline move
+    * of distilling a hand-written quality gate into a linear model
+    * that generalizes past the hard thresholds (fastText-style quality
+    * classifiers in CCNet/LLaMA data prep are trained exactly this
+    * way, from rule- or source-labeled seeds).
+    *
+    * Output: doc_id, x1 (token count), x2 (distinct-token permille),
+    * x3 (distinct stopwords), x4 (mean word length ×10), x5 (1-char
+    * token permille), y (±1).
+    */
+  def gateFeatures(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val t = split(col(textCol), " ")
+    docs.select(col(idCol),
+        size(t).cast("long").as("n"),
+        (length(col(textCol)) - (size(t) - 1)).cast("long").as("sumw"),
+        size(array_distinct(t)).cast("long").as("uniq"),
+        size(filter(t, x => length(x) <= 1)).cast("long").as("nshort"),
+        size(array_intersect(array_distinct(t),
+          typedLit(graft.functions.TextAnalysis.stopwords("en")))).cast("long").as("nstop"))
+      .select(col(idCol),
+        col("n").as("x1"),
+        expr("(uniq * 1000) div n").as("x2"),
+        col("nstop").as("x3"),
+        expr("(sumw * 10) div n").as("x4"),
+        expr("(nshort * 1000) div n").as("x5"),
+        when(expr(
+          """n >= 30 AND n <= 1000 AND sumw >= n * 4 AND sumw <= n * 10
+            |AND (n - uniq) * 10 <= n * 6 AND nstop >= 2
+            |AND nshort * 20 <= n * 3""".stripMargin),
+          lit(1L)).otherwise(lit(-1L)).as("y"))
+  }
+
+  /** Full-batch perceptron distillation of the quality gate: `iters`
+    * rounds of w ← w + Σ_misclassified y·x over [[gateFeatures]].
+    * Weights and updates are exact BIGINT sums (order-independent, so
+    * hash-exact across engines and partitionings — no learning-rate
+    * float anywhere), and each round is ONE map-side-combined
+    * aggregation over the persisted feature table with the current
+    * weights folded in as literals: the classic distributed full-batch
+    * linear-model shape (k·iters driver round-trips, never a
+    * per-example loop). At 100 TB each round is a single scan +
+    * 7-column partial agg.
+    *
+    * Output: one row per iteration — it, n_err (misclassified count
+    * under the PRE-update weights; iteration 1 counts everything since
+    * w=0 gives margin 0), then the post-update w1..w5, b — ordered by
+    * it.
+    */
+  def perceptronDistill(docs: DataFrame, iters: Int = 5, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = CachePool.track(gateFeatures(docs, textCol, idCol))
+    val xs = Array("x1", "x2", "x3", "x4", "x5")
+    val w = Array.fill(5)(0L)
+    var b = 0L
+    val hist = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    for (it <- 1 to iters) {
+      val margin = col("y") *
+        (xs.zip(w).map { case (x, wi) => col(x) * lit(wi) }.reduce(_ + _) + lit(b))
+      val errCond = margin <= 0
+      val aggs =
+        coalesce(sum(when(errCond, lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_err") +:
+          xs.map(x => coalesce(sum(when(errCond, col("y") * col(x))), lit(0L)).as(s"d_$x")) :+
+          coalesce(sum(when(errCond, col("y"))), lit(0L)).as("d_b")
+      val row = feats.agg(aggs.head, aggs.tail: _*).head()
+      val nErr = row.getLong(0)
+      for (i <- 0 until 5) w(i) += row.getLong(i + 1)
+      b += row.getLong(6)
+      hist += ((it.toLong, nErr, w(0), w(1), w(2), w(3), w(4), b))
+    }
+    hist.result().toDF("it", "n_err", "w1", "w2", "w3", "w4", "w5", "b").orderBy("it")
+  }
 }

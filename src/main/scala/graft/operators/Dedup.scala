@@ -453,4 +453,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_near"), min(col("id_b")).as("min_near_id"))
       .orderBy(idCol)
   }
+
+  /** Repeated-block boilerplate removal — the line-level dedup pass of
+    * C4-style corpus cleaning (public knowledge: Raffel et al., "C4",
+    * JMLR 2020 drop any three-sentence-repeated line; Penedo et al.,
+    * "RefinedWeb", 2023 do the same over crawl boilerplate). The
+    * corpus has no newlines, so the "line" unit is the non-overlapping
+    * `blockLen`-token block: a block whose text occurs ≥ `minRepeat`
+    * times ACROSS THE CORPUS (all occurrences counted, including
+    * within-doc repeats) is boilerplate and is dropped from every
+    * document; the document is reassembled from its surviving blocks
+    * in order.
+    *
+    * Scale shape: one explode to (block text, position) rows, one
+    * map-side-combined count by block text, one equi-join back on the
+    * block key, one per-doc aggregation — no self-joins, nothing
+    * quadratic; the block-count table is Zipf-headed and aggregates to
+    * |distinct blocks| ≪ corpus tokens. At 100 TB this is exactly two
+    * shuffles on bounded keys.
+    *
+    * Cross-engine exactness: block identity is the raw block string
+    * (spark `slice`/duckdb list-slice both clip the final short
+    * block); reassembly is an integer-position sort + join with single
+    * spaces; the only arithmetic is BIGINT counts and one ppm
+    * rounding.
+    *
+    * Output: doc_id, n_blocks, n_kept, kept_ppm, kept_hash (md5 of the
+    * reassembled text; md5('') for a fully-boilerplate doc) — ordered
+    * by doc_id.
+    */
+  def repeatedBlockFilter(docs: DataFrame, blockLen: Int = 4, minRepeat: Int = 3,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nBlocks = ceil(size(t).cast("double") / blockLen).cast("long")
+    val blocks = docs.select(col(idCol).as("doc"),
+      explode(transform(sequence(lit(0L), nBlocks - 1), b =>
+        struct(b.as("blk"),
+          concat_ws(" ", slice(t, (b * blockLen + 1).cast("int"), lit(blockLen))).as("btxt"))))
+        .as("s"))
+      .select(col("doc"), col("s.blk").as("blk"), col("s.btxt").as("btxt"))
+    val mult = blocks.groupBy(col("btxt")).agg(count(lit(1)).as("mult"))
+    val kept = col("mult") < minRepeat
+    blocks.join(mult, "btxt")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(kept, 1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(kept, struct(col("blk"), col("btxt"))))),
+          x => x("btxt")))).as("kept_hash"))
+      .withColumn("kept_ppm",
+        round(col("n_kept").cast("double") / col("n_blocks") * lit(1000000.0)).cast("long"))
+      .select(col(idCol), col("n_blocks"), col("n_kept"), col("kept_ppm"), col("kept_hash"))
+      .orderBy(idCol)
+  }
 }

@@ -558,4 +558,31 @@ object DedupQueries {
        |FROM labeled
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------ repeated-block boilerplate
+  /** C4-style line-level dedup over 4-token blocks: drop any block
+    * text occurring ≥ 3 times corpus-wide, reassemble the survivors.
+    */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedBlockFilter(docs(s, dir), blockLen = 4, minRepeat = 3)
+
+  val qLineDedupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |blk AS (
+      |  SELECT doc_id, b,
+      |         array_to_string(t[(b*4+1):(b*4+4)], ' ') AS btxt
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(0, CAST(ceil(len(t)/4.0) AS BIGINT) - 1)) AS b) _
+      |),
+      |mult AS (SELECT btxt, count(*) AS m FROM blk GROUP BY btxt)
+      |SELECT blk.doc_id,
+      |       count(*) AS n_blocks,
+      |       count(*) FILTER (WHERE m < 3) AS n_kept,
+      |       CAST(round(count(*) FILTER (WHERE m < 3) * 1000000.0 / count(*)) AS BIGINT)
+      |         AS kept_ppm,
+      |       md5(COALESCE(string_agg(btxt, ' ' ORDER BY b) FILTER (WHERE m < 3), ''))
+      |         AS kept_hash
+      |FROM blk JOIN mult USING (btxt)
+      |GROUP BY blk.doc_id
+      |ORDER BY blk.doc_id""".stripMargin
 }

@@ -574,4 +574,184 @@ object QualityQueries {
       |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- URL canonicalization + caps
+
+  /** Deterministic messy-URL derivation (the corpus has no URL column):
+    * three spelling variants per logical page `doc_id % 100` — scheme
+    * case + WWW + default port + /index.html + tracking param /
+    * trailing slash / kept-junk params + fragment. The canonicalizer
+    * must collapse all three.
+    */
+  private def rawUrl(dfCol: org.apache.spark.sql.Column,
+                     src: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val page = (dfCol % 100).cast("string")
+    when(dfCol % 3 === 0,
+      concat(lit("HTTP://WWW."), upper(src), lit(".EXAMPLE.COM:80/docs/page-"),
+        page, lit("/index.html?utm_source=feed")))
+      .when(dfCol % 3 === 1,
+        concat(lit("https://"), src, lit(".example.com/docs/page-"), page, lit("/")))
+      .otherwise(
+        concat(lit("https://"), src, lit(".example.com/docs/page-"),
+          page, lit("?utm_campaign=x&ref=rss#sec2")))
+  }
+
+  // NOTE: no line may START with `||` — this fragment is re-embedded in
+  // a stripMargin string, which would eat one pipe of the operator.
+  private val rawUrlSql: String =
+    """CASE CAST(doc_id % 3 AS INT)
+      |  WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM:80/docs/page-' ||
+      |              CAST(doc_id % 100 AS VARCHAR) || '/index.html?utm_source=feed'
+      |  WHEN 1 THEN 'https://' || source || '.example.com/docs/page-' ||
+      |              CAST(doc_id % 100 AS VARCHAR) || '/'
+      |  ELSE 'https://' || source || '.example.com/docs/page-' ||
+      |       CAST(doc_id % 100 AS VARCHAR) || '?utm_campaign=x&ref=rss#sec2'
+      |END""".stripMargin
+
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UrlOps.dedupAndCap(
+      docs(s, dir).withColumn("url", rawUrl(col("doc_id"), col("source"))),
+      urlCol = "url", maxPerDomain = 3)
+
+  /** Mirrors [[graft.operators.UrlOps.canonical]] step by step;
+    * `starts_with` (not LIKE — `_` is a LIKE wildcard) for the
+    * tracking-param prefixes.
+    */
+  val qUrlDedupSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, n_chars, $rawUrlSql AS url FROM documents
+       |),
+       |parts AS (
+       |  SELECT doc_id, n_chars,
+       |         split_part(split_part(url, '#', 1), '://', 2) AS rest
+       |  FROM raw
+       |),
+       |hp AS (
+       |  SELECT doc_id, n_chars, rest, split_part(rest, '/', 1) AS hostport
+       |  FROM parts
+       |),
+       |comp AS (
+       |  SELECT doc_id, n_chars,
+       |         lower(hostport) AS h0,
+       |         substring(rest, length(hostport) + 1) AS pathq
+       |  FROM hp
+       |),
+       |host4 AS (
+       |  SELECT doc_id, n_chars, pathq,
+       |         CASE WHEN h0 LIKE '%:443' THEN substring(h0, 1, length(h0) - 4)
+       |              ELSE h0 END AS h1
+       |  FROM comp
+       |),
+       |host8 AS (
+       |  SELECT doc_id, n_chars, pathq,
+       |         CASE WHEN h1 LIKE '%:80' THEN substring(h1, 1, length(h1) - 3)
+       |              ELSE h1 END AS h2
+       |  FROM host4
+       |),
+       |hostd AS (
+       |  SELECT doc_id, n_chars, pathq,
+       |         CASE WHEN starts_with(h2, 'www.') THEN substring(h2, 5) ELSE h2 END AS host
+       |  FROM host8
+       |),
+       |pq AS (
+       |  SELECT doc_id, n_chars, host,
+       |         split_part(pathq, '?', 1) AS path0,
+       |         COALESCE(array_to_string(
+       |           list_filter(string_split(split_part(pathq, '?', 2), '&'),
+       |             p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
+       |                       OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid='))),
+       |           '&'), '') AS qkept -- array_to_string([]) is NULL in DuckDB, '' in Spark
+       |  FROM hostd
+       |),
+       |pth AS (
+       |  SELECT doc_id, n_chars, host, qkept,
+       |         CASE WHEN path0 LIKE '%/index.html'
+       |              THEN substring(path0, 1, length(path0) - 11)
+       |              ELSE path0 END AS path1
+       |  FROM pq
+       |),
+       |canon AS (
+       |  SELECT doc_id, n_chars,
+       |         host ||
+       |         (CASE WHEN path1 LIKE '%/' AND length(path1) > 1
+       |               THEN substring(path1, 1, length(path1) - 1)
+       |               ELSE path1 END) ||
+       |         (CASE WHEN qkept = '' THEN '' ELSE '?' || qkept END) AS canon_url
+       |  FROM pth
+       |),
+       |grp AS (
+       |  SELECT canon_url,
+       |         split_part(canon_url, '/', 1) AS domain,
+       |         min(doc_id) AS canonical_id,
+       |         count(*) AS n_forms,
+       |         max(n_chars) AS best_chars
+       |  FROM canon GROUP BY canon_url
+       |)
+       |SELECT canon_url, domain, canonical_id, n_forms, best_chars, domain_rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY domain
+       |                               ORDER BY best_chars DESC, canonical_id) AS domain_rank
+       |  FROM grp
+       |)
+       |WHERE domain_rank <= 3
+       |ORDER BY canon_url""".stripMargin
+
+  // ------------------------------------------ perceptron gate distillation
+
+  def qPerceptron(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classifier.perceptronDistill(docs(s, dir), iters = 5)
+
+  /** Unrolled full-batch perceptron: feature CTE mirrors
+    * [[graft.operators.Classifier.gateFeatures]] (integer `//`
+    * divisions — all positive, so floor ≡ Spark's `div`), then five
+    * weight CTEs each one aggregation over `feat` with the previous
+    * weights cross-joined in. Sums are CAST back to BIGINT (DuckDB
+    * sums BIGINT into HUGEINT).
+    */
+  val qPerceptronSql: String = {
+    val en = inList(TextAnalysis.stopwords("en"))
+    def margin(p: String) =
+      s"y * ($p.w1*x1 + $p.w2*x2 + $p.w3*x3 + $p.w4*x4 + $p.w5*x5 + $p.b)"
+    def iter(k: Int): String = {
+      val m = margin("p")
+      val dw = (1 to 5).map(i =>
+        s"CAST(p.w$i + COALESCE(sum(y*x$i) FILTER (WHERE $m <= 0), 0) AS BIGINT) AS w$i")
+        .mkString(",\n         ")
+      s"""i$k AS (
+         |  SELECT CAST(count(*) FILTER (WHERE $m <= 0) AS BIGINT) AS n_err,
+         |         $dw,
+         |         CAST(p.b + COALESCE(sum(y) FILTER (WHERE $m <= 0), 0) AS BIGINT) AS b
+         |  FROM feat CROSS JOIN i${k - 1} p
+         |  GROUP BY p.w1, p.w2, p.w3, p.w4, p.w5, p.b
+         |)""".stripMargin
+    }
+    val rows = (1 to 5).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS it, n_err, w1, w2, w3, w4, w5, b FROM i$k")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH stats AS (
+       |  SELECT doc_id, len(t) AS n, length(text) - (len(t) - 1) AS sumw,
+       |         len(list_distinct(t)) AS uniq,
+       |         len(list_filter(t, x -> length(x) <= 1)) AS nshort,
+       |         len(list_intersect(list_distinct(t), [$en])) AS nstop
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+       |),
+       |feat AS (
+       |  SELECT CAST(n AS BIGINT) AS x1,
+       |         CAST((uniq * 1000) // n AS BIGINT) AS x2,
+       |         CAST(nstop AS BIGINT) AS x3,
+       |         CAST((sumw * 10) // n AS BIGINT) AS x4,
+       |         CAST((nshort * 1000) // n AS BIGINT) AS x5,
+       |         CASE WHEN n >= 30 AND n <= 1000 AND sumw >= n * 4 AND sumw <= n * 10
+       |                   AND (n - uniq) * 10 <= n * 6 AND nstop >= 2
+       |                   AND nshort * 20 <= n * 3
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+       |  FROM stats
+       |),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+       |              CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4,
+       |              CAST(0 AS BIGINT) AS w5, CAST(0 AS BIGINT) AS b),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |$rows
+       |ORDER BY it""".stripMargin
+  }
 }

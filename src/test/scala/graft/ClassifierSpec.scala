@@ -46,4 +46,19 @@ class ClassifierSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
     assert(got(1L) == "a" && got(2L) == "a")
   }
+
+  test("perceptron distillation learns the gate and stays integer-exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = docs.count()
+    val hist = Classifier.perceptronDistill(docs, iters = 5).collect()
+    assert(hist.length == 5)
+    val errByIt = hist.map(r => r.getAs[Long]("it") -> r.getAs[Long]("n_err")).toMap
+    // w = 0 gives margin 0 everywhere: iteration 1 misclassifies all
+    assert(errByIt(1L) == total)
+    // the linear model must beat the all-wrong start on the rule labels
+    assert(errByIt(5L) < total)
+    // determinism: a second run is bit-identical (exact BIGINT path)
+    val again = Classifier.perceptronDistill(docs, iters = 5).collect()
+    assert(hist.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -98,4 +98,30 @@ class DedupSpec extends SparkSpec {
     assert(byId(1L)._2 >= 2)
     assert(byId(1L)._1.length == 16 && byId(1L)._1.forall(c => c == '0' || c == '1'))
   }
+
+  test("repeated-block filter drops corpus-wide boilerplate, keeps unique text") {
+    import spark.implicits._
+    val boiler = "click here to subscribe" // one 4-token block
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"$boiler iota kappa lambda mu"),
+      (4L, "nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedBlockFilter(docs, blockLen = 4, minRepeat = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_hash")))
+      .toMap
+    // the boilerplate block occurs 3x -> dropped from docs 1-3
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1L)
+    // survivors reassemble to exactly the non-boilerplate text
+    assert(out(1L)._3 == md5Hex("alpha beta gamma delta"))
+    // doc 4: everything unique, reassembly round-trips the full text
+    assert(out(4L)._1 == 2L && out(4L)._2 == 2L)
+    assert(out(4L)._3 == md5Hex("nu xi omicron pi rho sigma tau upsilon"))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
