@@ -872,6 +872,7 @@ object SparkEntry {
     "q_redact" -> (QualityQueries.qRedact _),
     "q_url_dedup" -> (QualityQueries.qUrlDedup _),
     "q_perceptron" -> (QualityQueries.qPerceptron _),
+    "q_perceptron_score" -> (QualityQueries.qPerceptronScore _),
     "q_cms_top" -> (QualityQueries.qCmsTop _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
@@ -1009,6 +1010,7 @@ object SparkEntry {
     "q_redact" -> QualityQueries.qRedactSql,
     "q_url_dedup" -> QualityQueries.qUrlDedupSql,
     "q_perceptron" -> QualityQueries.qPerceptronSql,
+    "q_perceptron_score" -> QualityQueries.qPerceptronScoreSql,
     "q_cms_top" -> QualityQueries.qCmsTopSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,

@@ -137,14 +137,25 @@ object Classifier {
     val spark = docs.sparkSession
     import spark.implicits._
     val feats = CachePool.track(gateFeatures(docs, textCol, idCol))
-    val xs = Array("x1", "x2", "x3", "x4", "x5")
+    val (_, _, hist) = trainLoop(feats, iters)
+    hist.toDF("it", "n_err", "w1", "w2", "w3", "w4", "w5", "b").orderBy("it")
+  }
+
+  private val xs = Array("x1", "x2", "x3", "x4", "x5")
+
+  private def marginCol(w: Array[Long], b: Long): org.apache.spark.sql.Column =
+    col("y") * (xs.zip(w).map { case (x, wi) => col(x) * lit(wi) }.reduce(_ + _) + lit(b))
+
+  /** The iteration loop shared by training and scoring: one 7-column
+    * exact-integer aggregation per round over the persisted features.
+    */
+  private def trainLoop(feats: DataFrame, iters: Int)
+      : (Array[Long], Long, Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) = {
     val w = Array.fill(5)(0L)
     var b = 0L
     val hist = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long, Long)]
     for (it <- 1 to iters) {
-      val margin = col("y") *
-        (xs.zip(w).map { case (x, wi) => col(x) * lit(wi) }.reduce(_ + _) + lit(b))
-      val errCond = margin <= 0
+      val errCond = marginCol(w, b) <= 0
       val aggs =
         coalesce(sum(when(errCond, lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_err") +:
           xs.map(x => coalesce(sum(when(errCond, col("y") * col(x))), lit(0L)).as(s"d_$x")) :+
@@ -155,6 +166,26 @@ object Classifier {
       b += row.getLong(6)
       hist += ((it.toLong, nErr, w(0), w(1), w(2), w(3), w(4), b))
     }
-    hist.result().toDF("it", "n_err", "w1", "w2", "w3", "w4", "w5", "b").orderBy("it")
+    (w, b, hist.result())
+  }
+
+  /** Inference with the trained weights: every document scored against
+    * the final iteration's hyperplane — pred = +1 iff w·x + b > 0 on
+    * the TRUE margin (y cancels out of [[marginCol]] by multiplying
+    * back). One stateless per-row pass; at 100 TB this is the deployed
+    * quality-filter shape (weights broadcast as plan literals).
+    * Output: doc_id, y, pred, correct — ordered by doc_id.
+    */
+  def perceptronScore(docs: DataFrame, iters: Int = 5, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val feats = CachePool.track(gateFeatures(docs, textCol, idCol))
+    val (w, b, _) = trainLoop(feats, iters)
+    // y ∈ {−1, +1}, so y·margin(y=…) = raw score w·x + b
+    val raw = col("y") * marginCol(w, b)
+    feats.select(col(idCol), col("y"),
+        when(raw > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
+      .withColumn("correct",
+        when(col("y") === col("pred"), lit(1L)).otherwise(lit(0L)))
+      .orderBy(idCol)
   }
 }

@@ -708,7 +708,10 @@ object QualityQueries {
     * weights cross-joined in. Sums are CAST back to BIGINT (DuckDB
     * sums BIGINT into HUGEINT).
     */
-  val qPerceptronSql: String = {
+  /** Shared CTE chain: feat (doc_id + integer features + label) and the
+    * five unrolled weight iterations i1..i5.
+    */
+  private val perceptronCtes: String = {
     val en = inList(TextAnalysis.stopwords("en"))
     def margin(p: String) =
       s"y * ($p.w1*x1 + $p.w2*x2 + $p.w3*x3 + $p.w4*x4 + $p.w5*x5 + $p.b)"
@@ -725,10 +728,7 @@ object QualityQueries {
          |  GROUP BY p.w1, p.w2, p.w3, p.w4, p.w5, p.b
          |)""".stripMargin
     }
-    val rows = (1 to 5).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS it, n_err, w1, w2, w3, w4, w5, b FROM i$k")
-      .mkString("\n", "\nUNION ALL\n", "\n")
-    s"""WITH stats AS (
+    s"""stats AS (
        |  SELECT doc_id, len(t) AS n, length(text) - (len(t) - 1) AS sumw,
        |         len(list_distinct(t)) AS uniq,
        |         len(list_filter(t, x -> length(x) <= 1)) AS nshort,
@@ -736,7 +736,8 @@ object QualityQueries {
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
        |),
        |feat AS (
-       |  SELECT CAST(n AS BIGINT) AS x1,
+       |  SELECT doc_id,
+       |         CAST(n AS BIGINT) AS x1,
        |         CAST((uniq * 1000) // n AS BIGINT) AS x2,
        |         CAST(nstop AS BIGINT) AS x3,
        |         CAST((sumw * 10) // n AS BIGINT) AS x4,
@@ -750,8 +751,30 @@ object QualityQueries {
        |i0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
        |              CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4,
        |              CAST(0 AS BIGINT) AS w5, CAST(0 AS BIGINT) AS b),
-       |${(1 to 5).map(iter).mkString(",\n")}
+       |${(1 to 5).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  val qPerceptronSql: String = {
+    val rows = (1 to 5).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS it, n_err, w1, w2, w3, w4, w5, b FROM i$k")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH $perceptronCtes
        |$rows
        |ORDER BY it""".stripMargin
   }
+
+  def qPerceptronScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classifier.perceptronScore(docs(s, dir), iters = 5)
+
+  /** Inference oracle: every doc scored against the i5 hyperplane. */
+  val qPerceptronScoreSql: String =
+    s"""WITH $perceptronCtes
+       |SELECT doc_id, y,
+       |       CASE WHEN p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4 + p.w5*x5 + p.b > 0
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred,
+       |       CASE WHEN (p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4 + p.w5*x5 + p.b > 0)
+       |                 = (y = 1)
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS correct
+       |FROM feat CROSS JOIN i5 p
+       |ORDER BY doc_id""".stripMargin
 }

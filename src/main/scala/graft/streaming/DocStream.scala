@@ -129,6 +129,22 @@ object DocStream {
         coalesce(sum(col("f3").cast("long")), lit(0L)).as("admitted"))
   }
 
+  /** Streaming crawl-frontier URL gate — the streaming twin of
+    * [[graft.operators.UrlOps.dedupAndCap]]'s dedup stage: canonicalize
+    * each arriving URL ([[graft.operators.UrlOps.canonical]], stateless
+    * per-row string surgery) and keep only the FIRST sighting per
+    * canonical key within the watermark, so spelling variants of one
+    * page arriving separately collapse to a single fetch. State is the
+    * canonical-key set bounded by the watermark — the same
+    * `dropDuplicatesWithinWatermark` contract as [[dedupDocs]] (an
+    * unbounded frontier seen-set is the crawl pipeline's classic OOM).
+    */
+  def urlGate(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", "1 hour")
+      .withColumn("canon_url", graft.operators.UrlOps.canonical(col(urlCol)))
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** Online temperature resampling with a FROZEN policy — the streaming
     * twin of [[graft.operators.TrainingPrep.temperatureMix]]: rates are
     * fit once on a corpus snapshot ([[graft.operators.TrainingPrep

@@ -75,6 +75,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL gate collapses spelling variants to one fetch per page") {
+    import org.apache.spark.sql.functions.{col, concat, lit, upper, when}
+    val dir = Files.createTempDirectory("graft-streamurl")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    // three spelling variants of page doc_id % 50 (same derivation shape
+    // as q_url_dedup): every page arrives under several raw spellings
+    def withUrl(df: org.apache.spark.sql.DataFrame) = {
+      val page = (col("doc_id") % 50).cast("string")
+      df.withColumn("url",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://WWW."), upper(col("source")),
+            lit(".EXAMPLE.COM:80/p/"), page, lit("/index.html?utm_source=f")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://"), col("source"), lit(".example.com/p/"), page, lit("/")))
+          .otherwise(
+            concat(lit("https://"), col("source"), lit(".example.com/p/"), page, lit("#frag"))))
+    }
+
+    val q = graft.streaming.DocStream.urlGate(
+        withUrl(graft.streaming.DocStream.readDocs(spark, dir.toString)))
+      .writeStream.outputMode("append").format("memory").queryName("urlgate_out").start()
+    try {
+      q.processAllAvailable()
+      val survivors = spark.table("urlgate_out")
+      // batch twin: one survivor per distinct canonical URL
+      val batch = withUrl(spark.read.parquet(s"$dir/docs_a.parquet"))
+        .select(graft.operators.UrlOps.canonical(col("url")).as("canon_url")).distinct()
+      assert(survivors.count() == batch.count())
+      assert(survivors.select("canon_url").exceptAll(batch).isEmpty)
+      // and the gate genuinely collapsed: fewer fetches than arrivals
+      assert(survivors.count() < spark.read.parquet(s"$dir/docs_a.parquet").count())
+    } finally q.stop()
+  }
+
   test("streaming corpus gate drops exactly the indexed signatures") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-stream6")
