@@ -145,6 +145,53 @@ object DocStream {
       .withColumn("canon_url", graft.operators.UrlOps.canonical(col(urlCol)))
       .dropDuplicatesWithinWatermark("canon_url")
 
+  final case class UrlDoc(domain: String, canon_url: String, doc_id: Long,
+                          ingest_us: Long)
+  final case class DomainAdmit(domain: String, canon_url: String, doc_id: Long,
+                               admitted_rank: Long)
+
+  /** Streaming per-domain admission cap — the online politeness-cap
+    * twin of [[graft.operators.UrlOps.dedupAndCap]]'s ranking stage:
+    * at most `maxPerDomain` pages are ever admitted per domain, FIRST
+    * ARRIVALS win (a crawl frontier cannot rank pages it has not
+    * fetched — arrival order replaces the batch's quality order).
+    * State is ONE counter per domain (`flatMapGroupsWithState`),
+    * bounded by the domain universe forever — never by pages seen.
+    * Within a micro-batch the group's rows admit in deterministic
+    * (ingest_us, doc_id) order, so stream output is reproducible for a
+    * given batch partitioning (the spec feeds one file = one batch and
+    * proves equality to the batch window-rank twin).
+    */
+  def domainCapGate(docs: DataFrame, maxPerDomain: Int,
+                    urlCol: String = "url"): org.apache.spark.sql.Dataset[DomainAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(domain: String, rows: Iterator[UrlDoc],
+           state: GroupState[Long]): Iterator[DomainAdmit] = {
+      var admitted = state.getOption.getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[DomainAdmit]
+      for (d <- rows.toSeq.sortBy(r => (r.ingest_us, r.doc_id))
+             if admitted < maxPerDomain) {
+        admitted += 1
+        out += DomainAdmit(domain, d.canon_url, d.doc_id, admitted)
+      }
+      state.update(admitted)
+      out.iterator
+    }
+
+    docs
+      .withColumn("canon_url", graft.operators.UrlOps.canonical(col(urlCol)))
+      .select(
+        graft.operators.UrlOps.domainOf(col("canon_url")).as("domain"),
+        col("canon_url"), col("doc_id"),
+        (unix_timestamp(col("ingest_ts")) * 1000000L).as("ingest_us"))
+      .as[UrlDoc]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Online temperature resampling with a FROZEN policy — the streaming
     * twin of [[graft.operators.TrainingPrep.temperatureMix]]: rates are
     * fit once on a corpus snapshot ([[graft.operators.TrainingPrep

@@ -113,6 +113,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain cap admits first-K per domain, state survives batches") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft-streamcap")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    def withUrl(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+
+    val q = graft.streaming.DocStream.domainCapGate(
+        withUrl(graft.streaming.DocStream.readDocs(spark, dir.toString)), maxPerDomain = 4)
+      .writeStream.outputMode("append").format("memory").queryName("domcap_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("domcap_out")
+      // batch twin: first 4 per domain in (ingest_us, doc_id) order
+      val batch = withUrl(spark.read.parquet(s"$dir/docs_a.parquet"))
+        .withColumn("ingest_us",
+          (org.apache.spark.sql.functions.lit(1704067200L) + col("doc_id") % 3600) * 1000000L)
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("admitted_rank", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy(col("domain")).orderBy(col("ingest_us"), col("doc_id"))).cast("long"))
+        .filter(col("admitted_rank") <= 4)
+        .select(col("domain"), col("doc_id"), col("admitted_rank"))
+      assert(got.count() == batch.count())
+      assert(got.select("domain", "doc_id", "admitted_rank").exceptAll(batch).isEmpty)
+      // every domain capped at exactly 4 (the fixture has >=4 docs per source)
+      val perDomain = got.groupBy("domain").count().collect()
+      assert(perDomain.nonEmpty && perDomain.forall(_.getLong(1) == 4L))
+    } finally q.stop()
+  }
+
   test("streaming corpus gate drops exactly the indexed signatures") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-stream6")
