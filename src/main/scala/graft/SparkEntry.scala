@@ -873,6 +873,7 @@ object SparkEntry {
     "q_url_dedup" -> (QualityQueries.qUrlDedup _),
     "q_perceptron" -> (QualityQueries.qPerceptron _),
     "q_perceptron_score" -> (QualityQueries.qPerceptronScore _),
+    "q_bitext_mine" -> (PipelineQueries.qBitextMine _),
     "q_cms_top" -> (QualityQueries.qCmsTop _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
@@ -1011,6 +1012,7 @@ object SparkEntry {
     "q_url_dedup" -> QualityQueries.qUrlDedupSql,
     "q_perceptron" -> QualityQueries.qPerceptronSql,
     "q_perceptron_score" -> QualityQueries.qPerceptronScoreSql,
+    "q_bitext_mine" -> PipelineQueries.qBitextMineSql,
     "q_cms_top" -> QualityQueries.qCmsTopSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,

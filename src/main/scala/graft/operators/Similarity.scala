@@ -1075,4 +1075,66 @@ object Similarity {
       .select(col("vec_id"), col("j").cast("long").as("j"), col("y_micro"))
       .orderBy("vec_id", "j")
   }
+
+  /** Margin-based bitext mining — the cross-lingual parallel-pair
+    * criterion of LASER/CCMatrix (public knowledge: Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019, ratio margin): a raw cosine is unreliable
+    * across embedding-space density differences, so each candidate
+    * (x, y) is scored by cos(x,y) normalized by the mean of both
+    * sides' k-NN cosines — margin = cos(x,y) / ((Σ_kNN(x) + Σ_kNN(y))
+    * / 2k) — and x keeps its best-margin y above a threshold.
+    *
+    * Cross-engine exactness: cosines snap to micro-units (×1e6 rounded
+    * BIGINT) BEFORE any aggregation, so k-NN sums are exact integer;
+    * the margin is one integer division (2k·1e6-scaled ppm) on
+    * positive values only (negative-cosine candidates are excluded
+    * before the division — trunc-vs-floor integer division differs on
+    * negatives across engines, and anti-parallel vectors are not
+    * mining candidates).
+    *
+    * Scale shape: written as the dense A×B pair set (the oracle-exact
+    * baseline); both k-NN rollups and the best-per-x rank ride Spark 4
+    * WindowGroupLimit pushdown. At 100 TB the pair generator swaps for
+    * the LSH-bucketed candidate join ([[nearDupPairs]]) or probed-IVF
+    * candidates ([[ivfSearchWith]]) — the margin arithmetic is
+    * unchanged; that swap is the same candidate-generation story every
+    * other similarity operator here scales by.
+    *
+    * Output: a_id, b_id, cos_u, margin_ppm — x's best mate with margin
+    * ≥ `marginPpmMin`, ordered by a_id.
+    */
+  def bitextMine(a: DataFrame, b: DataFrame, kNeigh: Int = 4,
+                 marginPpmMin: Long = 1010000L, dims: Int = 64,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val an = a.select(col(idCol).as("a_id"), col(embCol).as("ea"),
+      norm(col(embCol), dims).as("nrm_a"))
+    val bn = b.select(col(idCol).as("b_id"), col(embCol).as("eb"),
+      norm(col(embCol), dims).as("nrm_b"))
+    // micro-unit pair cosines; both k-NN rollups and the margin read
+    // this — persist or the A×B dot products run three times
+    val pairs = CachePool.track(
+      an.crossJoin(bn)
+        .select(col("a_id"), col("b_id"),
+          round(cosinePre(col("ea"), col("eb"), col("nrm_a"), col("nrm_b"), dims) * 1000000.0)
+            .cast("long").as("cos_u"))
+        .filter(col("cos_u") > 0))
+    def knnSum(key: String, other: String, out: String) = {
+      val w = Window.partitionBy(col(key)).orderBy(col("cos_u").desc, col(other))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= kNeigh)
+        .groupBy(col(key)).agg(sum(col("cos_u")).as(out))
+    }
+    val scored = pairs
+      .join(knnSum("a_id", "b_id", "ka_sum"), "a_id")
+      .join(knnSum("b_id", "a_id", "kb_sum"), "b_id")
+      .withColumn("margin_ppm",
+        expr(s"(cos_u * ${2 * kNeigh} * 1000000) div (ka_sum + kb_sum)"))
+    val best = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_ppm").desc, col("b_id"))
+    scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .filter(col("margin_ppm") >= marginPpmMin)
+      .select(col("a_id"), col("b_id"), col("cos_u"), col("margin_ppm"))
+      .orderBy(col("a_id"))
+  }
 }

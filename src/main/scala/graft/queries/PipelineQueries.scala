@@ -2235,4 +2235,53 @@ object PipelineQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------- bitext mining
+
+  /** Margin-based bitext mining across the label-split halves of the
+    * embedding table (labels 0–4 = side A, 5–9 = side B — the two
+    * "languages").
+    */
+  def qBitextMine(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bitextMine(
+      e.filter(col("label") < 5), e.filter(col("label") >= 5),
+      kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
+  }
+
+  val qBitextMineSql: String =
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label < 5),
+       |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label >= 5),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT a_id, b_id,
+       |           CAST(round((${cosSql("ea", "eb")}) * 1000000.0) AS BIGINT) AS cos_u
+       |    FROM a CROSS JOIN b
+       |  ) WHERE cos_u > 0
+       |),
+       |ra AS (
+       |  SELECT a_id, sum(cos_u) AS ka_sum FROM (
+       |    SELECT a_id, cos_u,
+       |           row_number() OVER (PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS rn
+       |    FROM pairs
+       |  ) WHERE rn <= 4 GROUP BY a_id
+       |),
+       |rb AS (
+       |  SELECT b_id, sum(cos_u) AS kb_sum FROM (
+       |    SELECT b_id, cos_u,
+       |           row_number() OVER (PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS rn
+       |    FROM pairs
+       |  ) WHERE rn <= 4 GROUP BY b_id
+       |),
+       |scored AS (
+       |  SELECT p.a_id, p.b_id, p.cos_u,
+       |         CAST((p.cos_u * 8000000) // (ra.ka_sum + rb.kb_sum) AS BIGINT) AS margin_ppm
+       |  FROM pairs p JOIN ra USING (a_id) JOIN rb USING (b_id)
+       |)
+       |SELECT a_id, b_id, cos_u, margin_ppm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |                               ORDER BY margin_ppm DESC, b_id) AS rn
+       |  FROM scored
+       |) WHERE rn = 1 AND margin_ppm >= 1010000
+       |ORDER BY a_id""".stripMargin
 }

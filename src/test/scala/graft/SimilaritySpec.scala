@@ -418,4 +418,35 @@ class SimilaritySpec extends SparkSpec {
     // diversification engaged: cluster A must NOT occupy the first three picks
     assert(out.take(3).map(_.getAs[Long]("vec_id")).toSet != Set(1L, 2L, 3L))
   }
+
+  test("bitextMine pairs exact mates, margin beats a raw-cosine hub") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val dims = 4
+    // a2 has an exact mate (b20); a1's nearest raw cosine is the HUB b99
+    // that is equally close to everything (margin demotes it) while b10
+    // is a1's genuine mate; b66 is anti-parallel (excluded pre-division)
+    val a = Seq(
+      (1L, v(1, 0.2, 0, 0)),
+      (2L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, v(1, 0.1, 0, 0)),
+      (20L, v(0, 0, 1, 0)),
+      (99L, v(1, 1, 1, 0)),
+      (66L, v(-1, -0.2, 0, 0))).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(a, b, kNeigh = 2, marginPpmMin = 0L, dims = dims)
+      .collect().map(r => r.getAs[Long]("a_id") ->
+        (r.getAs[Long]("b_id"), r.getAs[Long]("cos_u"), r.getAs[Long]("margin_ppm"))).toMap
+    // exact mate: cosine 1.0 in micro-units, and the best pick
+    assert(out(2L)._1 == 20L && out(2L)._2 == 1000000L)
+    // one best mate per source row, anti-parallel candidate never wins
+    assert(out.size == 2 && out.values.forall(_._1 != 66L))
+    // margins are genuine ppm ratios > 1 for real mates
+    assert(out(2L)._3 > 1000000L)
+    // determinism: re-run is identical
+    val again = Similarity.bitextMine(a, b, kNeigh = 2, marginPpmMin = 0L, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val first = out.toSeq.sortBy(_._1).map { case (k, (b1, c, m)) => (k, b1, c, m) }
+    assert(again.sortBy(_._1) == first)
+  }
 }
