@@ -17,7 +17,8 @@ object Explain {
         "q_dedup_ngram", "q_ann_nearest", "q_pyramid_serve", "q_greedy_sweep",
         "q_ivf_train", "q_pyramid_summary", "q_pack_sequences",
         "q_repetition", "q_decontaminate", "q_pq_search", "q_ivfpq_search",
-        "q_tfidf", "q_source_overlap", "q_length_pctl")
+        "q_tfidf", "q_source_overlap", "q_length_pctl",
+        "q_line_dedup", "q_url_dedup", "q_bitext_mine")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
