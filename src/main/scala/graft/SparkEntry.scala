@@ -874,6 +874,7 @@ object SparkEntry {
     "q_perceptron" -> (QualityQueries.qPerceptron _),
     "q_perceptron_score" -> (QualityQueries.qPerceptronScore _),
     "q_bitext_mine" -> (PipelineQueries.qBitextMine _),
+    "q_bitext_lsh" -> (PipelineQueries.qBitextLsh _),
     "q_cms_top" -> (QualityQueries.qCmsTop _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
@@ -1013,6 +1014,7 @@ object SparkEntry {
     "q_perceptron" -> QualityQueries.qPerceptronSql,
     "q_perceptron_score" -> QualityQueries.qPerceptronScoreSql,
     "q_bitext_mine" -> PipelineQueries.qBitextMineSql,
+    "q_bitext_lsh" -> PipelineQueries.qBitextLshSql,
     "q_cms_top" -> QualityQueries.qCmsTopSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,

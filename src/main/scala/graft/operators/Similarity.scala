@@ -1107,7 +1107,6 @@ object Similarity {
   def bitextMine(a: DataFrame, b: DataFrame, kNeigh: Int = 4,
                  marginPpmMin: Long = 1010000L, dims: Int = 64,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val an = a.select(col(idCol).as("a_id"), col(embCol).as("ea"),
       norm(col(embCol), dims).as("nrm_a"))
     val bn = b.select(col(idCol).as("b_id"), col(embCol).as("eb"),
@@ -1120,6 +1119,17 @@ object Similarity {
           round(cosinePre(col("ea"), col("eb"), col("nrm_a"), col("nrm_b"), dims) * 1000000.0)
             .cast("long").as("cos_u"))
         .filter(col("cos_u") > 0))
+    marginMine(pairs, kNeigh, marginPpmMin)
+  }
+
+  /** The ratio-margin arithmetic over an arbitrary candidate pair set
+    * (a_id, b_id, cos_u > 0 micro-units) — shared by the dense
+    * baseline and the LSH candidate path; the margin normalizes over
+    * each side's RETRIEVED neighbors, exactly as a deployed miner's
+    * does.
+    */
+  private def marginMine(pairs: DataFrame, kNeigh: Int, marginPpmMin: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def knnSum(key: String, other: String, out: String) = {
       val w = Window.partitionBy(col(key)).orderBy(col("cos_u").desc, col(other))
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= kNeigh)
@@ -1136,5 +1146,40 @@ object Similarity {
       .filter(col("margin_ppm") >= marginPpmMin)
       .select(col("a_id"), col("b_id"), col("cos_u"), col("margin_ppm"))
       .orderBy(col("a_id"))
+  }
+
+  /** [[bitextMine]]'s 100 TB shape: candidates come from the banded
+    * hyperplane-LSH bucket join (a pair must share at least one of
+    * `bands` signature bands) instead of the dense A×B product, then
+    * the identical margin arithmetic runs on the candidate set. With
+    * [[scaledBits]]-style growth of `bitsPerBand` the candidate count
+    * stays linear in corpus size; precision is exact (margins are
+    * computed from exact micro-cosines of real candidates), recall is
+    * the banding probability — the same contract as every other LSH
+    * operator here. Parameters are pinned by callers for oracle
+    * reproducibility.
+    */
+  def bitextMineLsh(a: DataFrame, b: DataFrame, bands: Int = 4, bitsPerBand: Int = 4,
+                    kNeigh: Int = 4, marginPpmMin: Long = 1010000L, dims: Int = 64,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, id: String, e: String, nrm: String) =
+      CachePool.track(df.select(col(idCol).as(id), col(embCol).as(e),
+        norm(col(embCol), dims).as(nrm),
+        hyperplaneBandKeys(col(embCol), bands, bitsPerBand, dims).as("bks")))
+    val an = side(a, "a_id", "ea", "nrm_a")
+    val bn = side(b, "b_id", "eb", "nrm_b")
+    def keys(s: DataFrame, id: String) =
+      s.select(col(id), explode(col("bks")).as("k"))
+        .select(col(id), col("k.band").as("band"), col("k.bk").as("bk"))
+    val cand = keys(an, "a_id").join(keys(bn, "b_id"), Seq("band", "bk"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val pairs = CachePool.track(cand
+      .join(an.select(col("a_id"), col("ea"), col("nrm_a")), "a_id")
+      .join(bn.select(col("b_id"), col("eb"), col("nrm_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(cosinePre(col("ea"), col("eb"), col("nrm_a"), col("nrm_b"), dims) * 1000000.0)
+          .cast("long").as("cos_u"))
+      .filter(col("cos_u") > 0))
+    marginMine(pairs, kNeigh, marginPpmMin)
   }
 }

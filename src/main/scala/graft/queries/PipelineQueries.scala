@@ -2249,9 +2249,44 @@ object PipelineQueries {
       kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
   }
 
+  /** The side CTEs shared by both mining oracles. */
+  private val bitextSidesSql: String =
+    """a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label < 5),
+      |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label >= 5)""".stripMargin
+
+  /** The ratio-margin tail over a `pairs`(a_id, b_id, cos_u) CTE —
+    * mirrors [[graft.operators.Similarity]]'s marginMine exactly
+    * (k = 4, 1.01 margin threshold).
+    */
+  private val bitextMarginSql: String =
+    """ra AS (
+      |  SELECT a_id, sum(cos_u) AS ka_sum FROM (
+      |    SELECT a_id, cos_u,
+      |           row_number() OVER (PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS rn
+      |    FROM pairs
+      |  ) WHERE rn <= 4 GROUP BY a_id
+      |),
+      |rb AS (
+      |  SELECT b_id, sum(cos_u) AS kb_sum FROM (
+      |    SELECT b_id, cos_u,
+      |           row_number() OVER (PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS rn
+      |    FROM pairs
+      |  ) WHERE rn <= 4 GROUP BY b_id
+      |),
+      |scored AS (
+      |  SELECT p.a_id, p.b_id, p.cos_u,
+      |         CAST((p.cos_u * 8000000) // (ra.ka_sum + rb.kb_sum) AS BIGINT) AS margin_ppm
+      |  FROM pairs p JOIN ra USING (a_id) JOIN rb USING (b_id)
+      |)
+      |SELECT a_id, b_id, cos_u, margin_ppm FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY a_id
+      |                               ORDER BY margin_ppm DESC, b_id) AS rn
+      |  FROM scored
+      |) WHERE rn = 1 AND margin_ppm >= 1010000
+      |ORDER BY a_id""".stripMargin
+
   val qBitextMineSql: String =
-    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label < 5),
-       |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label >= 5),
+    s"""WITH $bitextSidesSql,
        |pairs AS (
        |  SELECT * FROM (
        |    SELECT a_id, b_id,
@@ -2259,29 +2294,43 @@ object PipelineQueries {
        |    FROM a CROSS JOIN b
        |  ) WHERE cos_u > 0
        |),
-       |ra AS (
-       |  SELECT a_id, sum(cos_u) AS ka_sum FROM (
-       |    SELECT a_id, cos_u,
-       |           row_number() OVER (PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS rn
-       |    FROM pairs
-       |  ) WHERE rn <= 4 GROUP BY a_id
+       |$bitextMarginSql""".stripMargin
+
+  private val BitextBands = 4
+  private val BitextBandBits = 4
+
+  /** The 100 TB candidate path oracle-checked: banded hyperplane-LSH
+    * candidates (share ≥ 1 of 4 four-bit signature bands) feeding the
+    * identical margin tail.
+    */
+  def qBitextLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bitextMineLsh(
+      e.filter(col("label") < 5), e.filter(col("label") >= 5),
+      bands = BitextBands, bitsPerBand = BitextBandBits,
+      kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
+  }
+
+  val qBitextLshSql: String = {
+    val bits = BitextBands * BitextBandBits
+    val bandEq = (0 until BitextBands).map { bnd =>
+      val start = bnd * BitextBandBits + 1
+      s"substring(sa.sig, $start, $BitextBandBits) = substring(sb.sig, $start, $BitextBandBits)"
+    }.mkString("\n         OR ")
+    s"""WITH $bitextSidesSql,
+       |sa AS (SELECT a_id, ea, ${sigSqlBits("ea", bits)} AS sig FROM a),
+       |sb AS (SELECT b_id, eb, ${sigSqlBits("eb", bits)} AS sig FROM b),
+       |cand AS (
+       |  SELECT sa.a_id, sb.b_id FROM sa JOIN sb
+       |  ON $bandEq
        |),
-       |rb AS (
-       |  SELECT b_id, sum(cos_u) AS kb_sum FROM (
-       |    SELECT b_id, cos_u,
-       |           row_number() OVER (PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS rn
-       |    FROM pairs
-       |  ) WHERE rn <= 4 GROUP BY b_id
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT c.a_id, c.b_id,
+       |           CAST(round((${cosSql("a.ea", "b.eb")}) * 1000000.0) AS BIGINT) AS cos_u
+       |    FROM cand c JOIN a ON c.a_id = a.a_id JOIN b ON c.b_id = b.b_id
+       |  ) WHERE cos_u > 0
        |),
-       |scored AS (
-       |  SELECT p.a_id, p.b_id, p.cos_u,
-       |         CAST((p.cos_u * 8000000) // (ra.ka_sum + rb.kb_sum) AS BIGINT) AS margin_ppm
-       |  FROM pairs p JOIN ra USING (a_id) JOIN rb USING (b_id)
-       |)
-       |SELECT a_id, b_id, cos_u, margin_ppm FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY a_id
-       |                               ORDER BY margin_ppm DESC, b_id) AS rn
-       |  FROM scored
-       |) WHERE rn = 1 AND margin_ppm >= 1010000
-       |ORDER BY a_id""".stripMargin
+       |$bitextMarginSql""".stripMargin
+  }
 }

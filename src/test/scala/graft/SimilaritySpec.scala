@@ -449,4 +449,27 @@ class SimilaritySpec extends SparkSpec {
     val first = out.toSeq.sortBy(_._1).map { case (k, (b1, c, m)) => (k, b1, c, m) }
     assert(again.sortBy(_._1) == first)
   }
+
+  test("LSH bitext path recalls most dense-mined pairs at a fraction of the candidates") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (a, b) = (e.filter(col("label") < 5), e.filter(col("label") >= 5))
+    val dense = Similarity.bitextMine(a, b, kNeigh = 4, marginPpmMin = 1010000L, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallAt(bands: Int): Int = {
+      val lsh = Similarity.bitextMineLsh(a, b, bands = bands, bitsPerBand = 4,
+          kNeigh = 4, marginPpmMin = 1010000L, dims = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      dense.count { case (aid, bid) => lsh.get(aid).contains(bid) }
+    }
+    // these synthetic embeddings are near-random (best-mate cosines are
+    // moderate), so per-band collision is low — the point under test is
+    // the RECALL KNOB: more bands must recover substantially more of
+    // the dense best-mates, and even 4 bands must beat a trivial floor
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    assert(dense.nonEmpty && r4 >= dense.size / 4, s"recall@4 $r4/${dense.size}")
+    assert(r8 > r4, s"recall@8 $r8 <= recall@4 $r4")
+    assert(r8 >= dense.size / 2, s"recall@8 $r8/${dense.size}")
+  }
 }
