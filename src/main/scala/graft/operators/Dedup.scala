@@ -484,17 +484,35 @@ object Dedup {
     */
   def repeatedBlockFilter(docs: DataFrame, blockLen: Int = 4, minRepeat: Int = 3,
                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val blocks = blockRows(docs, blockLen, textCol, idCol)
+    val mult = blocks.groupBy(col("btxt")).agg(count(lit(1)).as("mult"))
+    assembleKept(blocks.join(mult, "btxt"), col("mult") < minRepeat, idCol)
+  }
+
+  /** The per-doc block table (doc, blk, btxt) behind
+    * [[repeatedBlockFilter]] and [[graft.sources.BlockIndex]]: text cut
+    * into non-overlapping `blockLen`-token blocks (final block may be
+    * short), positions kept for order-preserving reassembly.
+    */
+  def blockRows(docs: DataFrame, blockLen: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = tokens(col(textCol))
     val nBlocks = ceil(size(t).cast("double") / blockLen).cast("long")
-    val blocks = docs.select(col(idCol).as("doc"),
+    docs.select(col(idCol).as("doc"),
       explode(transform(sequence(lit(0L), nBlocks - 1), b =>
         struct(b.as("blk"),
           concat_ws(" ", slice(t, (b * blockLen + 1).cast("int"), lit(blockLen))).as("btxt"))))
         .as("s"))
       .select(col("doc"), col("s.blk").as("blk"), col("s.btxt").as("btxt"))
-    val mult = blocks.groupBy(col("btxt")).agg(count(lit(1)).as("mult"))
-    val kept = col("mult") < minRepeat
-    blocks.join(mult, "btxt")
+  }
+
+  /** Per-doc rollup of a (doc, blk, btxt, …) table under a keep
+    * predicate: totals, survivor count/ppm, and the md5 of the
+    * order-preserving reassembly. Output: doc_id, n_blocks, n_kept,
+    * kept_ppm, kept_hash — ordered by doc_id.
+    */
+  def assembleKept(blocks: DataFrame, kept: Column, idCol: String): DataFrame =
+    blocks
       .groupBy(col("doc").as(idCol))
       .agg(count(lit(1)).as("n_blocks"),
         count(when(kept, 1)).as("n_kept"),
@@ -505,5 +523,4 @@ object Dedup {
         round(col("n_kept").cast("double") / col("n_blocks") * lit(1000000.0)).cast("long"))
       .select(col(idCol), col("n_blocks"), col("n_kept"), col("kept_ppm"), col("kept_hash"))
       .orderBy(idCol)
-  }
 }
