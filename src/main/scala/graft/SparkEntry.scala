@@ -28,17 +28,82 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` needs special handling: its `ts` is parquet
-    * TIMESTAMP(NANOS), which Spark 4 rejects by default. Read it as LONG
-    * nanos via an explicit schema, then truncate to microseconds with
-    * *integer* division — matching DuckDB's ns→µs truncation of the same
-    * file (double division would lose µs precision at 2^60 magnitudes).
+  /** `events` loader, tolerant of the fixture's physical timestamp type.
+    *
+    * The fixture has shipped `ts` both ways across regenerations:
+    * TIMESTAMP(NANOS) (which Spark 4 rejects outright — the read throws
+    * "Illegal Parquet type" at schema inference) and TIMESTAMP(MICROS)
+    * (which Spark reads natively). Hard-coding either breaks on the
+    * other — and silently in the nanos-workaround direction: forcing
+    * `ts LONG` on a µs file makes `div 1000` compress time 1000×.
+    * So probe the parquet footer's logical type annotation first and
+    * pick the matching path:
+    *   - TIMESTAMP(µs/ms): plain read, Spark's native TimestampType.
+    *   - TIMESTAMP(ns) or plain INT64: forced-LONG schema, then
+    *     *integer* ns→µs division — matching DuckDB's truncation of the
+    *     same file (double division would lose µs precision at 2^60).
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    s.read
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    if (tsStoredAsNanos(s, path))
+      s.read
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(path)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      // The fixture is isAdjustedToUTC=false → Spark infers TIMESTAMP_NTZ;
+      // downstream exprs (unix_micros, window) expect TimestampType. All
+      // graft sessions run with spark.sql.session.timeZone=UTC, where the
+      // NTZ→LTZ cast is wall-clock-identity — same instants the old nanos
+      // path produced, and same values DuckDB reads from the file.
+      s.read.parquet(path)
+        .select(
+          col("event_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** True iff the parquet file's `ts` column is INT64 with a NANOS
+    * timestamp annotation (or no timestamp annotation at all, i.e. raw
+    * epoch-nanos LONG). Reads one footer via parquet-hadoop — cheap, and
+    * the only reliable probe: Spark cannot even infer a schema for a
+    * NANOS file, so "read then inspect the DataFrame schema" is not an
+    * option (the read itself throws).
+    */
+  private[graft] def tsStoredAsNanos(s: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val file =
+      if (st.isFile) p
+      else
+        fs.listStatus(p)
+          .map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+          .headOption
+          .getOrElse(p)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) return false
+      val tsType = schema.getType(schema.getFieldIndex("ts"))
+      if (!tsType.isPrimitive) return false
+      tsType.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case null => // bare INT64 — historical raw epoch-nanos fixture
+          tsType.asPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+        case _ => false
+      }
+    } finally reader.close()
+  }
 
   /** Scala double literal → SQL literal with round-trip precision. */
   private def d(x: Double): String = {

@@ -113,6 +113,34 @@ class VectorIndexSpec extends SparkSpec {
     assert(afterCompact == served, "compaction changed PQ answers")
   }
 
+  test("probe cells are derived from the live index, not stale literals") {
+    // VERDICT r6 item #3: a regenerated index at the same path must be
+    // served from ITS centroids — annServe re-collects the probe list
+    // per call, so rebuilding with different data changes both the
+    // probed cells and the results. A cached/stale probe list would
+    // either de-prune (scan all cells) or return the old corpus.
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-fresh").toString
+    VectorIndex.save(corpus, dir, k = 4, dims = dims)
+    val before = VectorIndex.annServe(spark, dir, queryVecId = 0L,
+      probes = 2, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+
+    // regenerate at the SAME path: shifted ids, different vectors
+    val corpus2 = (0L until 40L).map(i => (i, vec(i.toInt + 7))).toDF("vec_id", "embedding")
+    VectorIndex.save(corpus2, dir, k = 4, dims = dims)
+    val after = VectorIndex.annServe(spark, dir, queryVecId = 0L,
+      probes = 2, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(after != before, "serving returned pre-regeneration results — stale probe state")
+
+    // and the served ranking equals the batch IVF search over the NEW
+    // corpus — the probe list really came from the regenerated centroids
+    val batch2 = graft.operators.Similarity.ivfSearch(corpus2, queryVecId = 0L,
+      k = 4, probes = 2, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(after == batch2, "post-regeneration serving diverged from batch over the new corpus")
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
