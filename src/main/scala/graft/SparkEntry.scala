@@ -79,16 +79,18 @@ object SparkEntry {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    val file =
-      if (st.isFile) p
+    val fileOpt =
+      if (st.isFile) Some(p)
       else
         fs.listStatus(p)
           .map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet"))
           .sortBy(_.getName)
           .headOption
-          .getOrElse(p)
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    // no file to probe (e.g. a still-empty streaming source dir):
+    // assume the CURRENT fixture convention (µs — the non-workaround path)
+    if (fileOpt.isEmpty) return false
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(fileOpt.get, conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       if (!schema.containsField("ts")) return false

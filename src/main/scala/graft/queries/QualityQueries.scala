@@ -16,13 +16,13 @@ object QualityQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** `ts` is parquet TIMESTAMP(NANOS) — read as LONG (the column is
-    * unused here; see SparkEntry.events for the µs truncation story).
+  /** Delegates to the type-probing shared loader — the queries here only
+    * touch event_id/event_type/props (ts is column-pruned away), but a
+    * private forced-schema copy was one fixture regeneration away from
+    * the r6 loader bug; one loader, one contract.
     */
   private def events(s: SparkSession, dir: String): DataFrame =
-    s.read
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
+    graft.SparkEntry.events(s, dir)
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 

@@ -14,14 +14,26 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object EventStream extends Serializable {
 
-  /** Streaming source over an events parquet directory (TIMESTAMP_NANOS
-    * read as LONG then truncated to µs, as in the batch reader).
+  /** Streaming source over an events parquet directory. `readStream`
+    * requires a fixed schema up front, so probe the first present file's
+    * footer the same way the batch loader does
+    * ([[graft.SparkEntry.tsStoredAsNanos]]) and pick the matching read:
+    * TIMESTAMP(ns)/bare-INT64 → forced-LONG + integer ns→µs truncation;
+    * TIMESTAMP(µs) (the current fixture, and what Spark itself writes) →
+    * forced TIMESTAMP schema, no arithmetic. An empty source dir probes
+    * to the µs path — new files are expected to follow the current
+    * convention; a production deployment pins the schema per source.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (graft.SparkEntry.tsStoredAsNanos(spark, dir))
+      spark.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir)
 
   /** Watermarked tumbling 6-hour counts/sums per event type. */
   def windowedAgg(events: DataFrame): DataFrame =

@@ -20,10 +20,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.table("stream_out")
 
-      val batchEvents = spark.read
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"${dir.toString}/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // the shared probing loader — same read the oracle-checked batch
+      // queries use, whatever the fixture's physical ts type is
+      val batchEvents = graft.SparkEntry.events(spark, dir.toString)
       val batch = graft.queries.Events.qStreamWindow(batchEvents)
 
       assert(streamed.count() == batch.count())
@@ -44,9 +43,7 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val n = spark.table("dedup_out").count()
-      val distinct = spark.read
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events_a.parquet").count()
+      val distinct = spark.read.parquet(s"$dir/events_a.parquet").count()
       assert(n == distinct)
     } finally q.stop()
   }
@@ -208,10 +205,9 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val streamed = spark.table("ssj_out")
-      val batchEvents = spark.read
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // the shared probing loader — same read the oracle-checked batch
+      // queries use, whatever the fixture's physical ts type is
+      val batchEvents = graft.SparkEntry.events(spark, dir.toString)
       val batch = EventStream.clickToPurchaseJoin(batchEvents)
       assert(streamed.count() == batch.count() && streamed.count() > 0)
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
@@ -230,10 +226,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.table("sessions_out")
 
-      val batchEvents = spark.read
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"${dir.toString}/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // the shared probing loader — same read the oracle-checked batch
+      // queries use, whatever the fixture's physical ts type is
+      val batchEvents = graft.SparkEntry.events(spark, dir.toString)
       val batch = graft.queries.Events.qSessionize(batchEvents)
 
       val nUsers = batchEvents.select("user_id").distinct().count()
