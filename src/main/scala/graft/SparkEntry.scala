@@ -894,6 +894,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (DedupQueries.qMinhash _),
     "q_dedup_simhash" -> (DedupQueries.qSimhash _),
     "q_dedup_groups" -> (DedupQueries.qGroups _),
+    "q_dedup_savings" -> (DedupQueries.qDedupSavings _),
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
     "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
@@ -912,6 +913,9 @@ object SparkEntry {
     "q_lang_id" -> (PipelineQueries.qLangId _),
     "q_fingerprint" -> (PipelineQueries.qFingerprint _),
     "q_sim_topk" -> (PipelineQueries.qSimTopK _),
+    "q_ann_filtered" -> (PipelineQueries.qAnnFiltered _),
+    "q_ivf_filtered" -> (PipelineQueries.qIvfFiltered _),
+    "q_filtered_recall" -> (PipelineQueries.qFilteredRecall _),
     "q_mmr" -> (PipelineQueries.qMmr _),
     "q_ann_buckets" -> (PipelineQueries.qAnnBuckets _),
     "q_ann_nearest" -> (PipelineQueries.qAnnNearest _),
@@ -1034,6 +1038,7 @@ object SparkEntry {
     "q_dedup_minhash" -> DedupQueries.qMinhashSql,
     "q_dedup_simhash" -> DedupQueries.qSimhashSql,
     "q_dedup_groups" -> DedupQueries.qGroupsSql,
+    "q_dedup_savings" -> DedupQueries.qDedupSavingsSql,
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
     "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
@@ -1052,6 +1057,9 @@ object SparkEntry {
     "q_lang_id" -> PipelineQueries.qLangIdSql,
     "q_fingerprint" -> PipelineQueries.qFingerprintSql,
     "q_sim_topk" -> PipelineQueries.qSimTopKSql,
+    "q_ann_filtered" -> PipelineQueries.qAnnFilteredSql,
+    "q_ivf_filtered" -> PipelineQueries.qIvfFilteredSql,
+    "q_filtered_recall" -> PipelineQueries.qFilteredRecallSql,
     "q_mmr" -> PipelineQueries.qMmrSql,
     "q_ann_buckets" -> PipelineQueries.qAnnBucketsSql,
     "q_ann_nearest" -> PipelineQueries.qAnnNearestSql,

@@ -427,6 +427,67 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Filtered exact top-k (the "filtered vector search" baseline every
+    * serving stack needs: rank only candidates passing a metadata
+    * predicate). PRE-filtering: the predicate lands on the corpus scan
+    * (parquet pushdown for plain column predicates), then one cosine
+    * pass + TakeOrderedAndProject over the survivors — exact at any
+    * selectivity, cost proportional to the filtered subset. The query
+    * row is looked up UNfiltered (the query need not satisfy the
+    * predicate).
+    */
+  def bruteForceTopKFiltered(embs: DataFrame, pred: Column, queryVecId: Long,
+                             k: Int, dims: Int, idCol: String = "vec_id",
+                             embCol: String = "embedding"): DataFrame = {
+    val q = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
+    embs.filter(col(idCol) =!= queryVecId && pred)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosinePre(col(embCol), col("q_emb"),
+          norm(col(embCol), dims), col("q_nrm"), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Filtered IVF search: the coarse probe is unchanged (cells are
+    * geometric, metadata-blind), the predicate is applied inside the
+    * probed-cell scan, and the caller OVERSEARCHES (raises `probes`)
+    * to recover the recall the filter costs — the standard
+    * filter-during-search recipe (cf. FAISS/Milvus filtered search):
+    * a p-selective predicate leaves ~p·cellSize candidates per probed
+    * cell, so probes ≈ unfiltered_probes / p keeps the candidate pool
+    * comparable. Scan fraction stays probes/k — the filter only ever
+    * SHRINKS the probed scan, never widens it.
+    */
+  def ivfSearchFiltered(embs: DataFrame, pred: Column, queryVecId: Long, k: Int,
+                        probes: Int, topK: Int, dims: Int,
+                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val centroids = firstKCentroids(embs, k, idCol, embCol)
+    val assign = ivfAssignWith(embs, centroids, dims, idCol, embCol)
+      .select(col(idCol), col("cell"))
+    val q = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
+    val probed = centroids
+      .crossJoin(broadcast(q))
+      .select(col("cent_id").as("cell"),
+        round(cosinePre(col("cent_emb"), col("q_emb"),
+          norm(col("cent_emb"), dims), col("q_nrm"), dims), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cell"))
+      .limit(probes)
+      .select(col("cell"))
+    assign
+      .join(broadcast(probed), "cell")
+      .join(embs, idCol)
+      .filter(col(idCol) =!= queryVecId && pred)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("cell"),
+        round(cosinePre(col(embCol), col("q_emb"),
+          norm(col(embCol), dims), col("q_nrm"), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Product quantization (the FAISS-style IVFPQ compression half,
     * public knowledge — Jégou et al., "Product Quantization for Nearest
     * Neighbor Search", TPAMI 2011): split each `dims`-dim vector into

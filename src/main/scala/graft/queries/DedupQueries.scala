@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
 
 /** Query entries + DuckDB oracles for the dedup suite. The oracle SQL
   * mirrors the Spark operators' md5-based hashing exactly (DuckDB's
@@ -128,6 +129,43 @@ object DedupQueries {
   val qGroupsSql: String =
     s"""WITH RECURSIVE $groupsCte
        |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin
+
+  /** Dedup-savings report — the capacity-planning number a 100 TB
+    * dedup pass is run FOR: per near-dup-group size, how many groups,
+    * how many member chars total, and how many chars disappear if each
+    * group keeps only its canonical (min-id) representative. One join
+    * of the group labels against doc lengths + two bounded aggs — the
+    * output is at most maxGroupSize rows regardless of corpus size.
+    */
+  def qDedupSavings(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupGroups(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
+      .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("size"),
+        sum(col("n_chars")).as("chars"),
+        sum(when(col("doc_id") === col("group_id"), col("n_chars"))
+          .otherwise(lit(0L))).as("rep_chars"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("chars")).as("chars_total"),
+        sum(col("chars") - col("rep_chars")).as("chars_saved"))
+      .orderBy(col("size"))
+
+  val qDedupSavingsSql: String =
+    s"""WITH RECURSIVE $groupsCte,
+       |per AS (
+       |  SELECT g.group_id,
+       |         CAST(count(*) AS BIGINT) AS size,
+       |         CAST(sum(d.n_chars) AS BIGINT) AS chars,
+       |         CAST(sum(CASE WHEN g.doc_id = g.group_id THEN d.n_chars
+       |                       ELSE 0 END) AS BIGINT) AS rep_chars
+       |  FROM grp g JOIN documents d USING (doc_id)
+       |  GROUP BY g.group_id
+       |)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_groups,
+       |       CAST(sum(chars) AS BIGINT) AS chars_total,
+       |       CAST(sum(chars - rep_chars) AS BIGINT) AS chars_saved
+       |FROM per GROUP BY size ORDER BY size""".stripMargin
 
   private val SpanLen = 8
 

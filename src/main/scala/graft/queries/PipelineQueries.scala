@@ -131,6 +131,82 @@ object PipelineQueries {
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // ------------------------------------------------- filtered vector search
+
+  private val FilterLabel = 3
+
+  /** Filtered exact top-10 (metadata predicate + vector ranking —
+    * [[graft.operators.Similarity.bruteForceTopKFiltered]]): only
+    * label-3 vectors compete. The label predicate reaches the parquet
+    * scan (PushedFilters), so cost is proportional to the ~10%
+    * selected subset.
+    */
+  def qAnnFiltered(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopKFiltered(embs(s, dir), col("label") === FilterLabel,
+      queryVecId = 0L, k = 10, dims = Dims)
+
+  val qAnnFilteredSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos_sim
+       |FROM embeddings, q
+       |WHERE vec_id <> 0 AND label = $FilterLabel
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** Filtered IVF search with oversearch
+    * ([[graft.operators.Similarity.ivfSearchFiltered]]): the ~10%
+    * label selectivity thins each probed cell ~10×, so probes doubles
+    * (2 → 4) to keep the candidate pool competitive — the standard
+    * filter-during-search trade. `q_filtered_recall` quantifies what
+    * that buys against the filtered exact baseline.
+    */
+  def qIvfFiltered(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfSearchFiltered(embs(s, dir), col("label") === FilterLabel,
+      queryVecId = 0L, k = 8, probes = 4, topK = 10, dims = Dims)
+
+  val qIvfFilteredSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |               FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cent_id AS cell
+       |  FROM cents, q
+       |  ORDER BY round(${cosSql("cent_emb", "qe")}, 6) DESC, cent_id
+       |  LIMIT 4
+       |)
+       |SELECT e.vec_id, a.cell, round(${cosSql("e.embedding", "qe")}, 6) AS cos_sim
+       |FROM assign a
+       |JOIN probed p ON a.cell = p.cell
+       |JOIN embeddings e ON a.vec_id = e.vec_id, q
+       |WHERE e.vec_id <> 0 AND e.label = $FilterLabel
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** recall@10 of the filtered IVF (probes 4) vs the filtered exact
+    * baseline — the eval that says whether the oversearch compensated
+    * for the filter.
+    */
+  def qFilteredRecall(s: SparkSession, dir: String): DataFrame =
+    qIvfFiltered(s, dir).select(col("vec_id"))
+      .join(qAnnFiltered(s, dir).select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        (col("n_overlap") * lit(100000L)).as("recall_ppm"))
+
+  def qFilteredRecallSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
+       |FROM ($qIvfFilteredSql) a JOIN ($qAnnFilteredSql) b USING (vec_id)""".stripMargin
+
   private val MmrPoolN = 40
   private val MmrK = 10
   private val MmrLambdaPpm = 700000L

@@ -472,4 +472,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 > r4, s"recall@8 $r8 <= recall@4 $r4")
     assert(r8 >= dense.size / 2, s"recall@8 $r8/${dense.size}")
   }
+
+  test("filtered search: predicate respected, IVF oversearch recovers recall") {
+    import org.apache.spark.sql.functions._
+    // 200 vectors, synthetic label = id % 5 (20% selectivity)
+    val e = randomVectors(200).withColumn("label", (col("vec_id") % 5).cast("int"))
+    val pred = col("label") === 2
+
+    val exact = Similarity.bruteForceTopKFiltered(e, pred, queryVecId = 0L, k = 10, dims = 16)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact.size == 10)
+    // every returned id satisfies the predicate
+    assert(exact.forall(_ % 5 == 2), s"non-matching ids leaked: $exact")
+    // and equals brute-force over the pre-filtered corpus (filter ≡ search-then-filter
+    // only when the filter runs FIRST; this pins the pre-filter semantics)
+    val prefiltered = Similarity.bruteForceTopK(
+      e.filter(pred || col("vec_id") === 0L), queryVecId = 0L, k = 10, dims = 16)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == prefiltered)
+
+    def ivfRecall(probes: Int): Int =
+      Similarity.ivfSearchFiltered(e, pred, queryVecId = 0L, k = 8,
+        probes = probes, topK = 10, dims = 16)
+        .collect().map(_.getLong(0)).count(exact.contains)
+    // oversearch monotonicity: more probes never lose recall, and full
+    // probing (= all cells) recovers the exact filtered answer
+    val r2 = ivfRecall(2); val r4f = ivfRecall(4); val r8f = ivfRecall(8)
+    assert(r2 <= r4f && r4f <= r8f, s"recall not monotone: $r2 $r4f $r8f")
+    assert(r8f == 10, s"full probe should be exact, got $r8f/10")
+  }
 }
