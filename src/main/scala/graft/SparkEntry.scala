@@ -916,6 +916,7 @@ object SparkEntry {
     "q_ann_filtered" -> (PipelineQueries.qAnnFiltered _),
     "q_ivf_filtered" -> (PipelineQueries.qIvfFiltered _),
     "q_filtered_recall" -> (PipelineQueries.qFilteredRecall _),
+    "q_ivf_served_filtered" -> (PipelineQueries.qIvfServedFiltered _),
     "q_mmr" -> (PipelineQueries.qMmr _),
     "q_ann_buckets" -> (PipelineQueries.qAnnBuckets _),
     "q_ann_nearest" -> (PipelineQueries.qAnnNearest _),
@@ -1060,6 +1061,8 @@ object SparkEntry {
     "q_ann_filtered" -> PipelineQueries.qAnnFilteredSql,
     "q_ivf_filtered" -> PipelineQueries.qIvfFilteredSql,
     "q_filtered_recall" -> PipelineQueries.qFilteredRecallSql,
+    // identical parameters to q_ivf_filtered by construction — shares its oracle
+    "q_ivf_served_filtered" -> PipelineQueries.qIvfFilteredSql,
     "q_mmr" -> PipelineQueries.qMmrSql,
     "q_ann_buckets" -> PipelineQueries.qAnnBucketsSql,
     "q_ann_nearest" -> PipelineQueries.qAnnNearestSql,

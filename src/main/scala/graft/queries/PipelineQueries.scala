@@ -871,7 +871,7 @@ object PipelineQueries {
     vecIndexPaths.getOrElseUpdate(dir,
       graft.sources.VectorIndex.save(embs(s, dir),
         "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_vecindex",
-        k = 8, dims = Dims))
+        k = 8, dims = Dims, metaCols = Seq("label")))
 
   private val annPlans = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def annServe(s: SparkSession, dir: String): DataFrame =
@@ -879,6 +879,18 @@ object PipelineQueries {
       s, vectorIndexPath(s, dir), queryVecId = 0L, probes = 2, topK = 10, dims = Dims))
 
   def qIvfServed(s: SparkSession, dir: String): DataFrame = annServe(s, dir)
+
+  /** Filtered warm serving from the SAME persisted index (saved with
+    * the `label` metadata column): parameters identical to
+    * `q_ivf_filtered` (query 0, k 8, probes 4, topK 10, label 3), so
+    * it shares that oracle — the metadata predicate round-trips the
+    * cell-clustered index losslessly and lands in the same pruned
+    * parquet scan as the `cell IN` predicate.
+    */
+  def qIvfServedFiltered(s: SparkSession, dir: String): DataFrame =
+    graft.sources.VectorIndex.annServeFiltered(
+      s, vectorIndexPath(s, dir), col("label") === FilterLabel,
+      queryVecId = 0L, probes = 4, topK = 10, dims = Dims)
 
   /** Persisted IVF+PQ index + warm ADC serving plan (the
     * codes-not-floats 100 TB layout; Bench times it as `pq_warm_sec`).

@@ -33,12 +33,13 @@ object VectorIndex {
     * vectors cell-clustered with norms, centroids with norms.
     */
   def save(embs: DataFrame, path: String, k: Int, dims: Int,
-           idCol: String = "vec_id", embCol: String = "embedding"): String = {
+           idCol: String = "vec_id", embCol: String = "embedding",
+           metaCols: Seq[String] = Nil): String = {
     val assign = Similarity.ivfAssign(embs, k, dims, idCol, embCol)
       .select(col(idCol), col("cell"))
     embs.join(assign, idCol)
-      .select(col(idCol).as("vec_id"), col("cell"), col(embCol).as("embedding"),
-        Similarity.norm(col(embCol), dims).as("nrm"))
+      .select(Seq(col(idCol).as("vec_id"), col("cell"), col(embCol).as("embedding"),
+        Similarity.norm(col(embCol), dims).as("nrm")) ++ metaCols.map(col): _*)
       .repartitionByRange(col("cell"))
       .sortWithinPartitions("cell")
       .write.mode("overwrite").option("compression", "zstd")
@@ -64,15 +65,16 @@ object VectorIndex {
     * append-then-serve ≡ rebuild-then-serve row for row).
     */
   def append(embs: DataFrame, path: String, dims: Int,
-             idCol: String = "vec_id", embCol: String = "embedding"): String = {
+             idCol: String = "vec_id", embCol: String = "embedding",
+             metaCols: Seq[String] = Nil): String = {
     val spark = embs.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cent_id"), col("cent_emb"))
     val assign = Similarity.ivfAssignWith(embs, cents, dims, idCol, embCol)
       .select(col(idCol), col("cell"))
     embs.join(assign, idCol)
-      .select(col(idCol).as("vec_id"), col("cell"), col(embCol).as("embedding"),
-        Similarity.norm(col(embCol), dims).as("nrm"))
+      .select(Seq(col(idCol).as("vec_id"), col("cell"), col(embCol).as("embedding"),
+        Similarity.norm(col(embCol), dims).as("nrm")) ++ metaCols.map(col): _*)
       .sortWithinPartitions("cell")
       .write.mode("append").option("compression", "zstd")
       .parquet(s"$path/vectors")
@@ -264,6 +266,40 @@ object VectorIndex {
       .collect().map(_.getAs[Long]("cell")).toSeq
     vectors
       .filter(col("cell").isInCollection(probed) && col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell"),
+        round(Similarity.cosinePre(col("embedding"), typedlit(qEmb),
+          col("nrm"), lit(qNrm), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** [[annServe]] with a metadata predicate over columns the index was
+    * saved with (`save(..., metaCols)`): the predicate joins the
+    * `cell IN (probed…)` pruning in the SAME vectors scan — both reach
+    * parquet PushedFilters, so the request reads only probed-cell rows
+    * that pass the filter. The caller oversearches (raises `probes`)
+    * exactly as in [[graft.operators.Similarity.ivfSearchFiltered]];
+    * with identical parameters the served ranking is row-identical to
+    * that batch operator (shared oracle — the metadata round-trips the
+    * index losslessly).
+    */
+  def annServeFiltered(spark: SparkSession, path: String, pred: org.apache.spark.sql.Column,
+                       queryVecId: Long, probes: Int, topK: Int, dims: Int): DataFrame = {
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = vectors.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm")).collect().head
+    val qEmb = q.getSeq[Float](0)
+    val qNrm = q.getDouble(1)
+    val probed = cents
+      .select(col("cent_id").as("cell"),
+        round(Similarity.cosinePre(col("cent_emb"), typedlit(qEmb),
+          col("cent_nrm"), lit(qNrm), dims), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cell"))
+      .limit(probes)
+      .collect().map(_.getAs[Long]("cell")).toSeq
+    vectors
+      .filter(col("cell").isInCollection(probed) && col("vec_id") =!= queryVecId && pred)
       .select(col("vec_id"), col("cell"),
         round(Similarity.cosinePre(col("embedding"), typedlit(qEmb),
           col("nrm"), lit(qNrm), dims), 6).as("cos_sim"))

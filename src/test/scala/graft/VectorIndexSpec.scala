@@ -141,6 +141,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(after == batch2, "post-regeneration serving diverged from batch over the new corpus")
   }
 
+  test("filtered serving: metadata round-trips the index, predicate joins the pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val meta = corpus.withColumn("label", (col("vec_id") % 5).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-filt").toString
+    VectorIndex.save(meta, dir, k = 4, dims = dims, metaCols = Seq("label"))
+
+    val served = VectorIndex.annServeFiltered(spark, dir, col("label") === 2,
+      queryVecId = 0L, probes = 2, topK = 5, dims = dims)
+    val got = served.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // every hit satisfies the predicate
+    assert(got.nonEmpty && got.forall(_._1 % 5 == 2), s"predicate leaked: $got")
+    // row-identical to the batch filtered operator at the same parameters
+    val batch = graft.operators.Similarity.ivfSearchFiltered(meta, col("label") === 2,
+      queryVecId = 0L, k = 4, probes = 2, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == batch, "served filtered ranking diverged from batch")
+    // both the cell pruning AND the label predicate reach the parquet scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("cell") && plan.contains("label"),
+      s"cell/label predicates did not reach the scan:\n$plan")
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
