@@ -917,6 +917,8 @@ object SparkEntry {
     "q_ivf_filtered" -> (PipelineQueries.qIvfFiltered _),
     "q_filtered_recall" -> (PipelineQueries.qFilteredRecall _),
     "q_ivf_served_filtered" -> (PipelineQueries.qIvfServedFiltered _),
+    "q_ivfpq_filtered" -> (PipelineQueries.qIvfPqFiltered _),
+    "q_ivfpq_served_filtered" -> (PipelineQueries.qIvfPqServedFiltered _),
     "q_mmr" -> (PipelineQueries.qMmr _),
     "q_ann_buckets" -> (PipelineQueries.qAnnBuckets _),
     "q_ann_nearest" -> (PipelineQueries.qAnnNearest _),
@@ -1063,6 +1065,9 @@ object SparkEntry {
     "q_filtered_recall" -> PipelineQueries.qFilteredRecallSql,
     // identical parameters to q_ivf_filtered by construction — shares its oracle
     "q_ivf_served_filtered" -> PipelineQueries.qIvfFilteredSql,
+    "q_ivfpq_filtered" -> PipelineQueries.qIvfPqFilteredSql,
+    // identical parameters to q_ivfpq_filtered by construction — shares its oracle
+    "q_ivfpq_served_filtered" -> PipelineQueries.qIvfPqFilteredSql,
     "q_mmr" -> PipelineQueries.qMmrSql,
     "q_ann_buckets" -> PipelineQueries.qAnnBucketsSql,
     "q_ann_nearest" -> PipelineQueries.qAnnNearestSql,

@@ -681,7 +681,29 @@ object Similarity {
   def ivfpqSearch(embs: DataFrame, coarse: DataFrame, queryVecId: Long,
                   probes: Int, m: Int, k: Int, iters: Int,
                   shortlist: Int, topK: Int, dims: Int,
-                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfpqSearchImpl(embs, coarse, None, queryVecId, probes, m, k, iters,
+      shortlist, topK, dims, idCol, embCol)
+
+  /** [[ivfpqSearch]] with a metadata predicate: candidates failing it
+    * are dropped BEFORE the ADC shortlist (a semi-join against the
+    * filtered corpus ids), so the shortlist is spent entirely on
+    * matching vectors — the filtered-search contract on the codes
+    * layout. Oversearch (`probes`) buys recall back exactly as in
+    * [[ivfSearchFiltered]].
+    */
+  def ivfpqSearchFiltered(embs: DataFrame, coarse: DataFrame, pred: Column,
+                          queryVecId: Long, probes: Int, m: Int, k: Int, iters: Int,
+                          shortlist: Int, topK: Int, dims: Int,
+                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfpqSearchImpl(embs, coarse, Some(pred), queryVecId, probes, m, k, iters,
+      shortlist, topK, dims, idCol, embCol)
+
+  private def ivfpqSearchImpl(embs: DataFrame, coarse: DataFrame, pred: Option[Column],
+                              queryVecId: Long,
+                              probes: Int, m: Int, k: Int, iters: Int,
+                              shortlist: Int, topK: Int, dims: Int,
+                              idCol: String, embCol: String): DataFrame = {
     val subDims = dims / m
     // stage 1: coarse pruning — same assignment/probe machinery as
     // ivfSearchWith (rounded-cosine, centroid-id tie-break)
@@ -696,9 +718,11 @@ object Similarity {
       .orderBy(col("qcos").desc, col("cell"))
       .limit(probes)
       .select(col("cell"))
-    val cand = assign.join(broadcast(probed), "cell")
+    val candAll = assign.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"))
+    val cand = pred.fold(candAll)(p =>
+      candAll.join(embs.filter(p).select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi"))
     // stage 2: ADC shortlist over the probed cells' codes. The
     // candidate set is a probes/k FRACTION of the corpus — small here,
     // billions of rows at 100 TB — so its join strategy is left to

@@ -736,6 +736,55 @@ object PipelineQueries {
        |ORDER BY d2, s.vec_id
        |LIMIT 10""".stripMargin
 
+  /** Filtered IVF+PQ search: identical machinery to `q_ivfpq_search`
+    * with the label predicate dropped on the candidate set BEFORE the
+    * ADC shortlist (so all 50 shortlist slots go to matching vectors)
+    * and probes doubled 2 → 4 for the filter's recall cost — the
+    * filtered-search contract on the codes-not-floats 100 TB layout.
+    */
+  def qIvfPqFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val coarse = Similarity.centroidsAsVectors(
+      Similarity.kmeansTrain(e, k = 8, iters = 2, dims = Dims))
+    Similarity.ivfpqSearchFiltered(e, coarse, col("label") === FilterLabel,
+      queryVecId = 0L, probes = 4,
+      m = PqM, k = PqK, iters = PqIters, shortlist = 50, topK = 10, dims = Dims)
+  }
+
+  /** Derived from `qIvfPqSearchSql` by two structural rewrites (probes
+    * 2 → 4; the label join in `cand`) — deriving rather than duplicating
+    * keeps the 50-line PQ pipeline in ONE place, and the require guards
+    * the rewrite anchors against drift.
+    */
+  val qIvfPqFilteredSql: String = {
+    val base = qIvfPqSearchSql
+    require(base.contains("LIMIT 2") && !base.replaceFirst("LIMIT 2", "").contains("LIMIT 2"),
+      "probed LIMIT anchor changed/ambiguous — update qIvfPqFilteredSql")
+    base
+      .replace("LIMIT 2", "LIMIT 4")
+      .replace(
+        """cand AS (
+          |  SELECT a.vec_id FROM assign a JOIN probed p ON a.cell = p.cell
+          |  WHERE a.vec_id <> 0
+          |)""".stripMargin,
+        s"""cand AS (
+           |  SELECT a.vec_id FROM assign a JOIN probed p ON a.cell = p.cell
+           |  JOIN embeddings em ON a.vec_id = em.vec_id
+           |  WHERE a.vec_id <> 0 AND em.label = $FilterLabel
+           |)""".stripMargin)
+  }
+
+  /** Filtered warm PQ serving from the SAME persisted IVF+PQ index
+    * (codes saved with the `label` column): parameters identical to
+    * `q_ivfpq_filtered`, so it shares that oracle — the predicate
+    * prunes the codes scan before ADC, raw vectors touched only for
+    * the re-rank.
+    */
+  def qIvfPqServedFiltered(s: SparkSession, dir: String): DataFrame =
+    graft.sources.VectorIndex.pqServeFiltered(
+      s, pqIndexPath(s, dir), col("label") === FilterLabel,
+      queryVecId = 0L, probes = 4, m = PqM, shortlist = 50, topK = 10, dims = Dims)
+
   // ------------------------------------------------------- corpus stats
 
   /** Cross-source shared-shingle contamination matrix (see
@@ -903,7 +952,8 @@ object PipelineQueries {
     pqIndexPaths.getOrElseUpdate(dir,
       graft.sources.VectorIndex.savePq(embs(s, dir),
         "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_pqindex",
-        kCoarse = 8, coarseIters = 2, m = PqM, k = PqK, iters = PqIters, dims = Dims))
+        kCoarse = 8, coarseIters = 2, m = PqM, k = PqK, iters = PqIters, dims = Dims,
+        metaCols = Seq("label")))
 
   // serve parameters are DEFINED identical to qIvfPqSearch's (query 0,
   // probes 2, shortlist 50, topK 10, m/k/iters = Pq*) — q_ivfpq_served

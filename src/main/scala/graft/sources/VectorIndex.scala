@@ -109,15 +109,22 @@ object VectorIndex {
     */
   def savePq(embs: DataFrame, path: String, kCoarse: Int, coarseIters: Int,
              m: Int, k: Int, iters: Int, dims: Int,
-             idCol: String = "vec_id", embCol: String = "embedding"): String = {
+             idCol: String = "vec_id", embCol: String = "embedding",
+             metaCols: Seq[String] = Nil): String = {
     val coarse = Similarity.centroidsAsVectors(
       Similarity.kmeansTrain(embs, kCoarse, coarseIters, dims, idCol, embCol))
     val assign = Similarity.ivfAssignWith(embs, coarse, dims, idCol, embCol)
       .select(col(idCol).as("vec_id"), col("cell"))
     val (sve, pcents) = Similarity.pqFit(embs, m, k, iters, dims, idCol, embCol)
-    Similarity.assignCodes(sve, pcents, k, dims / m)
-      .join(assign, "vec_id")
-      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    // metadata rides the CODES table (m small dictionary-encoded values
+    // per vector) so a filtered request prunes before ADC without ever
+    // touching the raw-vector table
+    val codesMeta =
+      if (metaCols.isEmpty) Similarity.assignCodes(sve, pcents, k, dims / m).join(assign, "vec_id")
+      else Similarity.assignCodes(sve, pcents, k, dims / m).join(assign, "vec_id")
+        .join(embs.select((col(idCol).as("vec_id") +: metaCols.map(col)): _*), "vec_id")
+    codesMeta
+      .select(Seq(col("vec_id"), col("cell"), col("sub"), col("code")) ++ metaCols.map(col): _*)
       .repartitionByRange(col("cell"))
       .sortWithinPartitions("cell", "vec_id", "sub")
       .write.mode("overwrite").option("compression", "zstd")
@@ -225,6 +232,62 @@ object VectorIndex {
           .cast("long").as("d2q"))
     val adc = codes
       .filter(col("cell").isInCollection(probed) && col("vec_id") =!= queryVecId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(shortlist)
+    val sveC = Similarity.subVectors(
+      vectors.join(broadcast(adc.select(col("vec_id"))), "vec_id"),
+      m, dims, "vec_id", "embedding")
+    sveC.join(broadcast(qs), "sub")
+      .select(col("vec_id"),
+        (col("nn") + col("qn") - lit(2.0) * Similarity.dot(col("sv"), col("qv"), subDims))
+          .as("pd2"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd2")).cast("long").as("d2"))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** [[pqServe]] with a metadata predicate over columns the codes table
+    * was saved with (`savePq(..., metaCols)`): the predicate joins the
+    * probed-cell pruning IN THE CODES SCAN, so non-matching vectors are
+    * gone before the ADC aggregation and the whole shortlist is spent
+    * on matching rows — the filtered-search contract on the bits-not-
+    * floats layout, raw vectors still touched only for the re-rank.
+    * With identical parameters the ranking is row-identical to the
+    * batch [[Similarity.ivfpqSearchFiltered]] (shared oracle).
+    */
+  def pqServeFiltered(spark: SparkSession, path: String, pred: org.apache.spark.sql.Column,
+                      queryVecId: Long, probes: Int, m: Int, shortlist: Int,
+                      topK: Int, dims: Int): DataFrame = {
+    val subDims = dims / m
+    val codes = spark.read.parquet(s"$path/codes")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val q = vectors.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), Similarity.norm(col("embedding"), dims).as("nrm"))
+      .collect().head
+    val qEmb = q.getSeq[Float](0)
+    val qNrm = q.getDouble(1)
+    val probed = coarse
+      .select(col("cent_id").as("cell"),
+        round(Similarity.cosinePre(col("cent_emb"), typedlit(qEmb),
+          Similarity.norm(col("cent_emb"), dims), lit(qNrm), dims), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cell"))
+      .limit(probes)
+      .collect().map(_.getAs[Long]("cell")).toSeq
+    val qs = Similarity.subVectors(
+        vectors.filter(col("vec_id") === queryVecId), m, dims, "vec_id", "embedding")
+      .select(col("sub"), col("sv").as("qv"), col("nn").as("qn"))
+    val lut = codebook.join(broadcast(qs), "sub")
+      .select(col("sub"), col("cent_id").as("code"),
+        (col("qn") + col("cn") - lit(2.0) * Similarity.dot(col("qv"), col("cv"), subDims))
+          .cast("long").as("d2q"))
+    val adc = codes
+      .filter(col("cell").isInCollection(probed) && col("vec_id") =!= queryVecId && pred)
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("vec_id"))
       .agg(sum(col("d2q")).as("adc_d2"))

@@ -163,6 +163,29 @@ class VectorIndexSpec extends SparkSpec {
       s"cell/label predicates did not reach the scan:\n$plan")
   }
 
+  test("filtered PQ serving equals the batch filtered IVF+PQ pipeline") {
+    import org.apache.spark.sql.functions.col
+    val meta = corpus.withColumn("label", (col("vec_id") % 5).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-pqfilt").toString
+    VectorIndex.savePq(meta, dir, kCoarse = 4, coarseIters = 2,
+      m = 2, k = 4, iters = 2, dims = dims, metaCols = Seq("label"))
+    val served = VectorIndex.pqServeFiltered(spark, dir, col("label") === 2,
+      queryVecId = 0L, probes = 2, m = 2, shortlist = 10, topK = 5, dims = dims)
+    val got = served.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got.forall(_._1 % 5 == 2), s"predicate leaked: $got")
+    val coarse = graft.operators.Similarity.centroidsAsVectors(
+      graft.operators.Similarity.kmeansTrain(meta, k = 4, iters = 2, dims = dims))
+    val batch = graft.operators.Similarity.ivfpqSearchFiltered(meta, coarse,
+      col("label") === 2, queryVecId = 0L, probes = 2, m = 2, k = 4, iters = 2,
+      shortlist = 10, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == batch, "served filtered PQ ranking diverged from batch")
+    // the label predicate reaches the CODES scan (pre-ADC pruning)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate did not reach the codes scan:\n$plan")
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
