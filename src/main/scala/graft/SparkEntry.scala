@@ -916,6 +916,7 @@ object SparkEntry {
     "q_ann_filtered" -> (PipelineQueries.qAnnFiltered _),
     "q_ivf_filtered" -> (PipelineQueries.qIvfFiltered _),
     "q_filtered_recall" -> (PipelineQueries.qFilteredRecall _),
+    "q_ann_per_label" -> (PipelineQueries.qAnnPerLabel _),
     "q_ivf_served_filtered" -> (PipelineQueries.qIvfServedFiltered _),
     "q_ivfpq_filtered" -> (PipelineQueries.qIvfPqFiltered _),
     "q_ivfpq_served_filtered" -> (PipelineQueries.qIvfPqServedFiltered _),
@@ -1063,6 +1064,7 @@ object SparkEntry {
     "q_ann_filtered" -> PipelineQueries.qAnnFilteredSql,
     "q_ivf_filtered" -> PipelineQueries.qIvfFilteredSql,
     "q_filtered_recall" -> PipelineQueries.qFilteredRecallSql,
+    "q_ann_per_label" -> PipelineQueries.qAnnPerLabelSql,
     // identical parameters to q_ivf_filtered by construction — shares its oracle
     "q_ivf_served_filtered" -> PipelineQueries.qIvfFilteredSql,
     "q_ivfpq_filtered" -> PipelineQueries.qIvfPqFilteredSql,

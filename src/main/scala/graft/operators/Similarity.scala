@@ -450,6 +450,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-group exact top-k — the multi-tenant batch shape ("top-k for
+    * EVERY label/tenant/source in one pass") that a filtered search
+    * loop would recompute once per group: one broadcast-query cosine
+    * scan, then a rank-≤-k window PARTITIONED BY the group column.
+    * Spark pushes the rank cutoff below the group shuffle
+    * (`WindowGroupLimit`), so each partition ships at most k rows per
+    * group — output is |groups|·k regardless of corpus size, and the
+    * corpus-sized work is identical to ONE unfiltered top-k.
+    */
+  def perGroupTopK(embs: DataFrame, groupCol: String, queryVecId: Long,
+                   kPerGroup: Int, dims: Int, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val q = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
+    val scored = embs.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(groupCol), col(idCol),
+        round(cosinePre(col(embCol), col("q_emb"),
+          norm(col(embCol), dims), col("q_nrm"), dims), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cos_sim").desc, col(idCol))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kPerGroup)
+      .orderBy(col(groupCol), col("rnk"))
+  }
+
   /** Filtered IVF search: the coarse probe is unchanged (cells are
     * geometric, metadata-blind), the predicate is applied inside the
     * probed-cell scan, and the caller OVERSEARCHES (raises `probes`)

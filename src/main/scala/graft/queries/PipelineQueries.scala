@@ -191,6 +191,31 @@ object PipelineQueries {
        |ORDER BY cos_sim DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
+  /** Per-label exact top-3 for query 0 — every tenant's neighborhood in
+    * ONE corpus pass ([[graft.operators.Similarity.perGroupTopK]]);
+    * the rank cutoff is pushed below the label shuffle
+    * (`WindowGroupLimit`), so the shuffle carries ≤ 3 rows per label
+    * per map partition.
+    */
+  def qAnnPerLabel(s: SparkSession, dir: String): DataFrame =
+    Similarity.perGroupTopK(embs(s, dir), groupCol = "label",
+      queryVecId = 0L, kPerGroup = 3, dims = Dims)
+
+  val qAnnPerLabelSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT label, vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos_sim
+       |  FROM embeddings, q
+       |  WHERE vec_id <> 0
+       |)
+       |SELECT label, vec_id, cos_sim, rnk FROM (
+       |  SELECT label, vec_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY label
+       |                                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 3
+       |ORDER BY label, rnk""".stripMargin
+
   /** recall@10 of the filtered IVF (probes 4) vs the filtered exact
     * baseline — the eval that says whether the oversearch compensated
     * for the filter.
