@@ -294,28 +294,42 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
 
   /** ANN top-k route over the configured persisted vector index; the
     * request-time work is two k-row collects + one probed-cell pruned
-    * scan ([[graft.sources.VectorIndex.annServe]]).
+    * scan ([[graft.sources.VectorIndex.annServe]]). An optional
+    * `label=<int>` parameter switches to the filtered serving plan
+    * ([[graft.sources.VectorIndex.annServeFiltered]] — requires the
+    * index saved with the `label` metadata column); callers are
+    * expected to raise `probes` alongside (oversearch) per the
+    * filtered-search contract.
     */
   private def handleAnnSearch(ex: HttpExchange): Unit = ann match {
     case None => err(ex, 404, "vector index not configured")
     case Some((spark, indexPath, dims)) =>
       val q = query(ex)
       (try Right((q.get("id").map(_.toLong),
-          q.getOrElse("k", "10").toInt, q.getOrElse("probes", "2").toInt))
+          q.getOrElse("k", "10").toInt, q.getOrElse("probes", "2").toInt,
+          q.get("label").map(_.toInt)))
         catch { case _: NumberFormatException => Left("invalid numeric parameter") }) match {
         case Left(m) => err(ex, 400, m)
-        case Right((None, _, _)) => err(ex, 400, "missing id")
-        case Right((Some(id), k, probes)) =>
+        case Right((None, _, _, _)) => err(ex, 400, "missing id")
+        case Right((Some(id), k, probes, label)) =>
           try {
-            val out = graft.sources.VectorIndex
-              .annServe(spark, indexPath, id, probes, k, dims)
-              .collect().map { r =>
+            val plan = label match {
+              case Some(l) => graft.sources.VectorIndex.annServeFiltered(
+                spark, indexPath, org.apache.spark.sql.functions.col("label") === l,
+                id, probes, k, dims)
+              case None => graft.sources.VectorIndex
+                .annServe(spark, indexPath, id, probes, k, dims)
+            }
+            val out = plan.collect().map { r =>
                 s"""{"vecId":${r.getLong(0)},"cell":${r.getLong(1)},""" +
                   s""""cosSim":${jnum(r.getDouble(2))}}"""
               }
             respond(ex, 200, out.mkString("[", ",", "]"))
           } catch {
             case _: NoSuchElementException => err(ex, 400, s"unknown vector $id")
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("label") =>
+              err(ex, 400, "index has no label metadata (saved without metaCols)")
           }
       }
   }

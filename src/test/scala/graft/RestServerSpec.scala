@@ -132,8 +132,9 @@ class RestServerSpec extends SparkSpec {
     def vec(seed: Int): Array[Float] =
       Array.tabulate(dims)(j => (((seed * 31 + j * 7) % 19) - 9) / 10.0f)
     val corpus = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+      .withColumn("label", (org.apache.spark.sql.functions.col("vec_id") % 5).cast("int"))
     val idx = java.nio.file.Files.createTempDirectory("graft-rest-vix").toString
-    graft.sources.VectorIndex.save(corpus, idx, k = 4, dims = dims)
+    graft.sources.VectorIndex.save(corpus, idx, k = 4, dims = dims, metaCols = Seq("label"))
     val srv = new RestServer(engine, ann = Some((spark, idx, dims)))
     srv.start()
     try {
@@ -146,6 +147,17 @@ class RestServerSpec extends SparkSpec {
         .ivfSearch(corpus, queryVecId = 0L, k = 4, probes = 2, topK = 5, dims = dims)
         .collect().map(row => s""""vecId":${row.getLong(0)}""")
       expect.foreach(e => assert(r.body().contains(e), s"$e missing in ${r.body()}"))
+      // filtered route: label predicate + oversearch, equals the batch
+      // filtered operator's ids in order
+      val rf = aget("/api/ann/search?id=0&k=5&probes=4&label=2")
+      assert(rf.statusCode() == 200, rf.body())
+      val expectF = graft.operators.Similarity
+        .ivfSearchFiltered(corpus, org.apache.spark.sql.functions.col("label") === 2,
+          queryVecId = 0L, k = 4, probes = 4, topK = 5, dims = dims)
+        .collect().map(row => s""""vecId":${row.getLong(0)}""")
+      assert(expectF.nonEmpty)
+      expectF.foreach(e => assert(rf.body().contains(e), s"$e missing in ${rf.body()}"))
+      assert(aget("/api/ann/search?id=0&label=abc").statusCode() == 400)
       assert(aget("/api/ann/search?id=abc").statusCode() == 400)
       assert(aget("/api/ann/search").statusCode() == 400)
       assert(aget("/api/ann/search?id=9999").statusCode() == 400)
