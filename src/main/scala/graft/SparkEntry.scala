@@ -995,6 +995,7 @@ object SparkEntry {
     "q_ivf_search" -> (PipelineQueries.qIvfSearch _),
     "q_ivf_served" -> (PipelineQueries.qIvfServed _),
     "q_ann_recall" -> (PipelineQueries.qAnnRecall _),
+    "q_ivf_recall_curve" -> (PipelineQueries.qIvfRecallCurve _),
     "q_ivf_train" -> (PipelineQueries.qIvfTrain _),
     "q_ivf_search_trained" -> (PipelineQueries.qIvfSearchTrained _),
     "q_tile_pyramid" -> (qTilePyramid _),
@@ -1148,6 +1149,7 @@ object SparkEntry {
     // served ranking DEFINED identical to the batch ranking — shared oracle
     "q_ivf_served" -> PipelineQueries.qIvfSearchSql,
     "q_ann_recall" -> PipelineQueries.qAnnRecallSql,
+    "q_ivf_recall_curve" -> PipelineQueries.qIvfRecallCurveSql,
     "q_ivf_train" -> PipelineQueries.qIvfTrainSql,
     "q_ivf_search_trained" -> PipelineQueries.qIvfSearchTrainedSql,
     "q_tile_pyramid" -> tilePyramidSql,

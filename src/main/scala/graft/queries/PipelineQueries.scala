@@ -1009,6 +1009,39 @@ object PipelineQueries {
        |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
        |FROM ($qIvfSearchSql) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
 
+  /** recall@10-vs-probes curve for the IVF search (probes 1/2/4/8 of 8
+    * cells): the whole oversearch knob in one result — recall rises
+    * toward 1.0 as probes approach k while scan fraction rises
+    * probes/k. Four searches over the same assignment; at 100 TB this
+    * is the offline tuning artifact that picks the serving probes.
+    */
+  def qIvfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val exact = qSimTopK(s, dir).select(col("vec_id"))
+    Seq(1, 2, 4, 8).map { p =>
+      Similarity.ivfSearch(embs(s, dir), queryVecId = 0L, k = 8,
+        probes = p, topK = 10, dims = Dims)
+        .select(col("vec_id"))
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(p).as("probes"), col("n_overlap"),
+          (col("n_overlap") * lit(100000L)).as("recall_ppm"))
+    }.reduce(_ unionByName _).orderBy("probes")
+  }
+
+  /** Derived from `qIvfSearchSql` per probes value (the probed-cells
+    * LIMIT is its only `LIMIT 2`; guarded). */
+  def qIvfRecallCurveSql: String = {
+    require(qIvfSearchSql.contains("LIMIT 2")
+        && !qIvfSearchSql.replaceFirst("LIMIT 2", "").contains("LIMIT 2"),
+      "probed LIMIT anchor changed/ambiguous — update qIvfRecallCurveSql")
+    Seq(1, 2, 4, 8).map { p =>
+      val ivf = qIvfSearchSql.replace("LIMIT 2", s"LIMIT $p")
+      s"""SELECT $p AS probes, CAST(count(*) AS BIGINT) AS n_overlap,
+         |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
+         |FROM ($ivf) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY probes")
+  }
+
   /** recall@10 of the multi-probe LSH search vs the exact top-10 —
     * the companion eval quantifying what the 8 extra bucket probes buy
     * over `q_ann_recall`'s IVF probe-2 figure.
