@@ -287,6 +287,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming vector ingest: foreachBatch index appends serve like a rebuild") {
+    import org.apache.spark.sql.functions.col
+    // the online half of the vector-index lifecycle end to end: an
+    // index built on a base corpus, a STREAM of new embedding batches
+    // folded in against the frozen quantizer (VectorIndex.append in
+    // foreachBatch — the Structured Streaming idiom for transactional
+    // sink work), and warm serving reflecting every appended vector
+    // exactly as a full rebuild would.
+    import spark.implicits._
+    val dims = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(j => (((seed * 31 + j * 7) % 19) - 9) / 10.0f)
+    val base = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-stream-vix").toString
+    graft.sources.VectorIndex.save(base, idx, k = 4, dims = dims)
+
+    // stream two append batches of new vectors (ids 40..59)
+    val streamDir = Files.createTempDirectory("graft-stream-vix-in")
+    (40L until 50L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(streamDir.toString)
+    (50L until 60L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(streamDir.toString)
+
+    val q = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1) // one micro-batch per file
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.VectorIndex.append(batch, idx, dims = dims)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      def serve(dir: String) = graft.sources.VectorIndex.annServe(spark, dir,
+        queryVecId = 41L, probes = 2, topK = 8, dims = dims)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val streamed = serve(idx)
+      assert(streamed.exists(_._1 >= 40L), "streamed batches absent from serving")
+      // ≡ a full rebuild over base + both batches
+      val fullDir = Files.createTempDirectory("graft-stream-vix-full").toString
+      val full = base.unionByName(
+        (40L until 60L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding"))
+      graft.sources.VectorIndex.save(full, fullDir, k = 4, dims = dims)
+      assert(streamed == serve(fullDir), "stream-appended index diverged from rebuild")
+      // and compaction (the post-append maintenance step) changes nothing
+      graft.sources.VectorIndex.compact(spark, idx)
+      assert(serve(idx) == streamed, "compaction changed answers")
+    } finally q.stop()
+  }
+
   test("streaming PQ encoding with a frozen codebook matches batch encoding") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-stream-pq")
