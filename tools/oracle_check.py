@@ -27,6 +27,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # spill instead of "Out of Memory Error" when a concurrent Spark JVM
+    # holds most of the box (the heavy unrolled-CTE oracles need a few
+    # GB of grouping space); harmless when memory is free
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='50GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
