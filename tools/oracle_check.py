@@ -39,7 +39,18 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-            want = con.execute(sql).df()
+            try:
+                want = con.execute(sql).df()
+            except Exception as e:
+                if "Out of Memory" not in str(e):
+                    raise
+                # transient: a concurrent Spark JVM (often the Verify run
+                # that produced out_dir, still shutting down) can hold the
+                # box exactly when the heavy unrolled-CTE oracles run;
+                # wait and retry once before declaring failure
+                import time
+                time.sleep(20)
+                want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
