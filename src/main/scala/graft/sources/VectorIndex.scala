@@ -64,10 +64,28 @@ object VectorIndex {
     * cells a full rebuild would give it (the spec proves
     * append-then-serve ≡ rebuild-then-serve row for row).
     */
+  /** Refuse an append whose metadata columns differ from what the
+    * persisted table already carries: parquet appends with a drifted
+    * schema don't fail — the mismatched files silently read back with
+    * missing/NULL metadata and filtered serving starts dropping rows.
+    * Failing loudly here keeps the metaCols contract append-safe.
+    */
+  private def requireSameMeta(spark: SparkSession, table: String,
+                              base: Set[String], metaCols: Seq[String]): Unit = {
+    val existing = spark.read.parquet(table).schema.fieldNames
+      .filterNot(base.contains).toSeq.sorted
+    require(existing == metaCols.sorted,
+      s"index table $table carries metadata columns [${existing.mkString(",")}] " +
+        s"but this append supplies [${metaCols.sorted.mkString(",")}]; pass the same " +
+        "metaCols the index was saved with, or rebuild the index")
+  }
+
   def append(embs: DataFrame, path: String, dims: Int,
              idCol: String = "vec_id", embCol: String = "embedding",
              metaCols: Seq[String] = Nil): String = {
     val spark = embs.sparkSession
+    requireSameMeta(spark, s"$path/vectors",
+      Set("vec_id", "cell", "embedding", "nrm"), metaCols)
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cent_id"), col("cent_emb"))
     val assign = Similarity.ivfAssignWith(embs, cents, dims, idCol, embCol)
@@ -152,16 +170,21 @@ object VectorIndex {
     * lattice.
     */
   def appendPq(embs: DataFrame, path: String, m: Int, k: Int, dims: Int,
-               idCol: String = "vec_id", embCol: String = "embedding"): String = {
+               idCol: String = "vec_id", embCol: String = "embedding",
+               metaCols: Seq[String] = Nil): String = {
     val spark = embs.sparkSession
+    requireSameMeta(spark, s"$path/codes",
+      Set("vec_id", "cell", "sub", "code"), metaCols)
     val coarse = spark.read.parquet(s"$path/coarse")
     val codebook = spark.read.parquet(s"$path/codebook")
     val assign = Similarity.ivfAssignWith(embs, coarse, dims, idCol, embCol)
       .select(col(idCol).as("vec_id"), col("cell"))
-    Similarity.assignCodes(
+    val encoded = Similarity.assignCodes(
         Similarity.subVectors(embs, m, dims, idCol, embCol), codebook, k, dims / m)
       .join(assign, "vec_id")
-      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    (if (metaCols.isEmpty) encoded
+     else encoded.join(embs.select((col(idCol).as("vec_id") +: metaCols.map(col)): _*), "vec_id"))
+      .select(Seq(col("vec_id"), col("cell"), col("sub"), col("code")) ++ metaCols.map(col): _*)
       .sortWithinPartitions("cell", "vec_id", "sub")
       .write.mode("append").option("compression", "zstd")
       .parquet(s"$path/codes")

@@ -186,6 +186,44 @@ class VectorIndexSpec extends SparkSpec {
       s"label predicate did not reach the codes scan:\n$plan")
   }
 
+  test("appends refuse metadata drift; matching metaCols append serves filtered") {
+    import org.apache.spark.sql.functions.col
+    val meta = corpus.withColumn("label", (col("vec_id") % 5).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-metaguard").toString
+    VectorIndex.save(meta, dir, k = 4, dims = dims, metaCols = Seq("label"))
+
+    // append WITHOUT the label column → loud failure, not silent nulls
+    val batchNoMeta = (100L until 104L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.append(batchNoMeta, dir, dims = dims)
+    }
+    assert(e.getMessage.contains("metadata columns"), e.getMessage)
+
+    // append WITH it → filtered serving sees the new vectors
+    val batch = batchNoMeta.withColumn("label", (col("vec_id") % 5).cast("int"))
+    VectorIndex.append(batch, dir, dims = dims, metaCols = Seq("label"))
+    val served = VectorIndex.annServeFiltered(spark, dir, col("label") === 2,
+      queryVecId = 0L, probes = 4, topK = 40, dims = dims)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served.contains(102L), s"appended labeled vector missing: $served")
+    assert(served.forall(_ % 5 == 2))
+
+    // same contract on the PQ index
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-vix-pqguard").toString
+    VectorIndex.savePq(meta, pqDir, kCoarse = 4, coarseIters = 2,
+      m = 2, k = 4, iters = 2, dims = dims, metaCols = Seq("label"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.appendPq(batchNoMeta, pqDir, m = 2, k = 4, dims = dims)
+    }
+    assert(e2.getMessage.contains("metadata columns"), e2.getMessage)
+    VectorIndex.appendPq(batch, pqDir, m = 2, k = 4, dims = dims, metaCols = Seq("label"))
+    val servedPq = VectorIndex.pqServeFiltered(spark, pqDir, col("label") === 2,
+      queryVecId = 0L, probes = 4, m = 2, shortlist = 40, topK = 40, dims = dims)
+      .collect().map(_.getLong(0)).toSeq
+    assert(servedPq.contains(102L), s"appended labeled vector missing from PQ: $servedPq")
+    assert(servedPq.forall(_ % 5 == 2))
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
