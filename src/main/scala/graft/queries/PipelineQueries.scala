@@ -1437,8 +1437,45 @@ object PipelineQueries {
       |  CAST(3 AS BIGINT) AS channels,
       |  CAST(1 + strlen(text) % 7 AS BIGINT) AS n_frames,
       |  CAST(strlen(text) AS BIGINT) AS payload_len,
-      |  md5(text) AS content_hash
+      |  md5(text) AS content_hash,
+      |  'raw' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** REAL image decode end-to-end: deterministic PNG/BMP/GIF payloads
+    * generated from doc_id arithmetic, decoded back through the JDK's
+    * ImageIO. The oracle recomputes the generation parameters in SQL, so
+    * the query only matches if encode→ImageIO-decode round-trips
+    * width/height/channels/frame-count exactly and the magic-byte sniff
+    * identifies every container.
+    */
+  def qMediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.synthMediaTable(s, dir))
+      .toDF()
+      .select("doc_id", "width", "height", "channels", "n_frames", "format")
+      .orderBy("doc_id")
+
+  val qMediaDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 25 AS BIGINT) AS width,
+      |  CAST(8 + (doc_id * 3) % 17 AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4 ELSE 1 END AS BIGINT) AS n_frames,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling over REAL GIF frame counts (n_frames from the
+    * ImageIO reader's image-index scan, not arithmetic).
+    */
+  def qMediaFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.decodeMeta(Multimodal.synthMediaTable(s, dir)).toDF())
+      .select("doc_id", "frame_idx")
+      .orderBy("doc_id", "frame_idx")
+
+  val qMediaFramesSql: String =
+    """SELECT doc_id,
+      |       unnest(generate_series(0, CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 ELSE 0 END)) AS frame_idx
+      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
 
   def qFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encodeSynthetic -> ImageIO decode round-trips the generation parameters") {
+    // ids 0..11 cover every format branch: gray png, bmp, 1..4-frame gif
+    val media = (0L until 12L).map(id => (id, Multimodal.encodeSynthetic(id)))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(media).collect().sortBy(_.doc_id)
+    meta.foreach { m =>
+      val (w, h, fmt, frames, gray) = Multimodal.synthSpec(m.doc_id)
+      assert(m.format == fmt, s"doc ${m.doc_id} format")
+      assert(m.width == w.toLong && m.height == h.toLong, s"doc ${m.doc_id} dims")
+      assert(m.channels == (if (gray) 1L else 3L), s"doc ${m.doc_id} channels")
+      assert(m.n_frames == frames.toLong, s"doc ${m.doc_id} frames")
+    }
+  }
+
+  test("magic-byte sniff identifies every generated container") {
+    assert(Multimodal.sniffFormat(Multimodal.encodeSynthetic(0L)) == "png")
+    assert(Multimodal.sniffFormat(Multimodal.encodeSynthetic(1L)) == "bmp")
+    assert(Multimodal.sniffFormat(Multimodal.encodeSynthetic(2L)) == "gif")
+    assert(Multimodal.sniffFormat("just text".getBytes("UTF-8")) == "raw")
+  }
+
+  test("undecodable payloads fall back to the deterministic stub as format=raw") {
+    val media = Seq((7L, "plain text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val m = Multimodal.decodeMeta(media).collect().head
+    val (w, h, c, f) = Multimodal.decodeStub("plain text payload".getBytes("UTF-8"))
+    assert(m.format == "raw")
+    assert((m.width, m.height, m.channels, m.n_frames) == (w, h, c, f))
+  }
+
+  test("frame sampling yields one row per real GIF frame") {
+    val media = Seq((5L, Multimodal.encodeSynthetic(5L))) // gif, 1+5%4 = 2 frames
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(Multimodal.decodeMeta(media).toDF())
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    // offsets partition the payload deterministically
+    val len = Multimodal.encodeSynthetic(5L).length.toLong
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, len / 2))
+  }
+}

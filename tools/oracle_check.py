@@ -8,15 +8,84 @@ each parquet table of <sfDir> as a DuckDB view, runs every oracle SQL,
 and compares against the Spark result parquet at <verifyOutDir>/<name>/.
 Exact comparison after sorting rows, with a float near-miss report so
 ulp-level drift is visible before it becomes a driver failure.
+
+Starved-box hardening (round 8): round 7 lost 79/146 driver rows to an
+oracle-process OOM cascade — one allocation failure partway through the
+sorted loop killed every query after it. This script now
+  * caps DuckDB at a budget derived from /proc/meminfo (never more than
+    half of currently-available RAM, floor 2 GB) and threads=4, so a
+    concurrent Spark JVM shutdown can't starve it into hard failure;
+  * recycles the DuckDB connection every RECYCLE_EVERY queries (and after
+    any memory error) so allocator fragmentation / leaked grouping state
+    can't accumulate across the suite;
+  * appends per-query results incrementally to <verifyOutDir>/oracle_results
+    .jsonl as they finish, so a crash preserves the completed prefix;
+  * retries memory errors up to 4 times with exponential backoff
+    (20/40/80/160 s) on a FRESH connection, which covers the Spark JVM's
+    multi-minute shutdown window that the old single 20 s retry missed.
 """
+import gc
 import json
 import math
+import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+RECYCLE_EVERY = 10
+MEM_RETRIES = 4
+BACKOFF_S = 20
+
+
+def mem_budget_gb() -> int:
+    """Half of currently-available RAM, clamped to [2, 16] GB."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / (1024 * 1024)
+                    return max(2, min(16, int(avail_gb / 2)))
+    except OSError:
+        pass
+    return 8
+
+
+def is_mem_error(e: Exception) -> bool:
+    s = str(e)
+    return "Out of Memory" in s or "Failed to allocate" in s or "std::bad_alloc" in s
+
+
+def fresh_con(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{mem_budget_gb()}GB'")
+    con.execute("SET threads=4")
+    # spill instead of hard-failing when the budget is hit: the heavy
+    # unrolled-CTE oracles need a few GB of grouping space
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='50GB'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def run_with_retry(get_con, recycle, sql: str) -> pd.DataFrame:
+    """Run sql; on a memory error, back off and retry on a fresh connection."""
+    for attempt in range(MEM_RETRIES + 1):
+        try:
+            return get_con().execute(sql).df()
+        except Exception as e:
+            if not is_mem_error(e) or attempt == MEM_RETRIES:
+                raise
+            wait = BACKOFF_S * (2 ** attempt)
+            print(f"  (memory error, retry {attempt + 1}/{MEM_RETRIES} in {wait}s)", flush=True)
+            recycle()
+            gc.collect()
+            time.sleep(wait)
+    raise RuntimeError("unreachable")
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -25,79 +94,99 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def compare(g: pd.DataFrame, w: pd.DataFrame):
+    """Return (bad: list[str], worst_rel: float) for two normalised frames."""
+    bad = []
+    worst = 0.0
+    for c in g.columns:
+        a, b = g[c], w[c]
+        # the driver hashes typed values: an int64 Spark column vs a
+        # float64/object oracle column (DuckDB HUGEINT leaking out of
+        # SUM, un-cast //, etc.) hash-mismatches even when every value
+        # is numerically equal — flag the dtype-kind drift itself
+        if a.dtype.kind != b.dtype.kind:
+            bad.append(f"{c}: dtype kind {a.dtype} (spark) != {b.dtype} (oracle)")
+            continue
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            aa = a.astype(float)
+            bb = b.astype(float)
+            mism = ~((aa == bb) | (aa.isna() & bb.isna()))
+            if mism.any():
+                diff = (aa - bb).abs().max()
+                bad.append(f"{c}: {int(mism.sum())} float mismatches, maxdiff={diff}")
+            else:
+                rel = ((aa - bb).abs() / aa.abs().clip(lower=1e-300)).max()
+                worst = max(worst, 0.0 if math.isnan(rel) else rel)
+        else:
+            if not a.equals(b):
+                mism = ~((a == b) | (a.isna() & b.isna()))
+                ex = ""
+                if mism.any():
+                    i = mism.idxmax()
+                    ex = f" e.g. row {i}: {a[i]!r} != {b[i]!r}"
+                bad.append(f"{c}: {int(mism.sum())} mismatches{ex}")
+    return bad, worst
+
+
 def main(sf_dir: str, out_dir: str) -> int:
-    con = duckdb.connect()
-    # spill instead of "Out of Memory Error" when a concurrent Spark JVM
-    # holds most of the box (the heavy unrolled-CTE oracles need a few
-    # GB of grouping space); harmless when memory is free
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    con.execute("SET max_temp_directory_size='50GB'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    state = {"con": None, "since_recycle": 0}
+
+    def recycle():
+        if state["con"] is not None:
+            try:
+                state["con"].close()
+            except Exception:
+                pass
+            state["con"] = None
+        state["since_recycle"] = 0
+
+    def get_con():
+        if state["con"] is None:
+            state["con"] = fresh_con(sf_dir)
+        return state["con"]
+
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results_path = os.path.join(out_dir, "oracle_results.jsonl")
+    # fresh run: truncate any stale partial file
+    open(results_path, "w").close()
     failures = 0
     for name, sql in sorted(oracle.items()):
+        if state["since_recycle"] >= RECYCLE_EVERY:
+            recycle()
+        state["since_recycle"] += 1
+        rec = {"name": name, "ok": False, "err": None, "rows": None}
         try:
-            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-            try:
-                want = con.execute(sql).df()
-            except Exception as e:
-                if "Out of Memory" not in str(e):
-                    raise
-                # transient: a concurrent Spark JVM (often the Verify run
-                # that produced out_dir, still shutting down) can hold the
-                # box exactly when the heavy unrolled-CTE oracles run;
-                # wait and retry once before declaring failure
-                import time
-                time.sleep(20)
-                want = con.execute(sql).df()
+            got = run_with_retry(get_con, recycle, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            want = run_with_retry(get_con, recycle, sql)
         except Exception as e:
+            rec["err"] = str(e)[:500]
             print(f"FAIL {name}: {e}")
             failures += 1
+            with open(results_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            recycle()  # don't let a sick allocator poison the next query
             continue
         g, w = norm(got), norm(want)
+        del got, want
+        rec["rows"] = len(g)
         if list(g.columns) != list(w.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
-            failures += 1
-            continue
-        if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
-            failures += 1
-            continue
-        bad = []
-        worst = 0.0
-        for c in g.columns:
-            a, b = g[c], w[c]
-            # the driver hashes typed values: an int64 Spark column vs a
-            # float64/object oracle column (DuckDB HUGEINT leaking out of
-            # SUM, un-cast //, etc.) hash-mismatches even when every value
-            # is numerically equal — flag the dtype-kind drift itself
-            if a.dtype.kind != b.dtype.kind:
-                bad.append(f"{c}: dtype kind {a.dtype} (spark) != {b.dtype} (oracle)")
-                continue
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
-                aa = a.astype(float)
-                bb = b.astype(float)
-                mism = ~((aa == bb) | (aa.isna() & bb.isna()))
-                if mism.any():
-                    diff = (aa - bb).abs().max()
-                    bad.append(f"{c}: {int(mism.sum())} float mismatches, maxdiff={diff}")
-                else:
-                    rel = ((aa - bb).abs() / aa.abs().clip(lower=1e-300)).max()
-                    worst = max(worst, 0.0 if math.isnan(rel) else rel)
-            else:
-                if not a.equals(b):
-                    mism = ~((a == b) | (a.isna() & b.isna()))
-                    ex = ""
-                    if mism.any():
-                        i = mism.idxmax()
-                        ex = f" e.g. row {i}: {a[i]!r} != {b[i]!r}"
-                    bad.append(f"{c}: {int(mism.sum())} mismatches{ex}")
-        if bad:
-            print(f"FAIL {name}: " + "; ".join(bad))
+            rec["err"] = f"columns {list(g.columns)} != {list(w.columns)}"
+        elif len(g) != len(w):
+            rec["err"] = f"rows {len(g)} != {len(w)}"
+        else:
+            bad, _worst = compare(g, w)
+            if bad:
+                rec["err"] = "; ".join(bad)[:500]
+        if rec["err"]:
+            print(f"FAIL {name}: {rec['err']}")
             failures += 1
         else:
-            print(f"OK   {name} ({len(g)} rows)")
+            rec["ok"] = True
+            print(f"OK   {name} ({len(g)} rows)", flush=True)
+        with open(results_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        del g, w
+    recycle()
     return failures
 
 
