@@ -216,6 +216,100 @@ object Relational {
       .agg(count(lit(1)).as("n"), exactSum(col("val")).as("sum_val"))
       .orderBy("l_returnflag", "measure")
 
+  private def rel(dir: String, t: String): String = s"parquet.`$dir/$t.parquet`"
+
+  /** TPC-H Q17-shape: per-brand revenue from "small lots" — lineitems
+    * whose quantity is below 20% of that part's average quantity. The
+    * threshold is a CORRELATED SCALAR AGGREGATE SUBQUERY per outer row;
+    * Catalyst decorrelates it into one aggregate over lineitem joined
+    * back on l_partkey (no per-row re-execution), and its
+    * MergeScalarSubqueries rule fuses the count/sum pair into a single
+    * aggregate scan. The `qty < 0.2*avg` predicate is restated as
+    * integer-exact `5*qty*count < sum` so no float threshold can flip a
+    * borderline row between engines.
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT p_brand,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_lot_revenue,
+         |  count(*) AS n_small
+         |FROM ${rel(dir, "lineitem")} l JOIN ${rel(dir, "part")} p ON p_partkey = l_partkey
+         |WHERE CAST(l_quantity AS BIGINT) * 5 *
+         |      (SELECT count(*) FROM ${rel(dir, "lineitem")} l2 WHERE l2.l_partkey = l.l_partkey)
+         |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM ${rel(dir, "lineitem")} l3 WHERE l3.l_partkey = l.l_partkey)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
+  val qScalarSubquerySql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_lot_revenue,
+      |  count(*) AS n_small
+      |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      |WHERE CAST(l_quantity AS BIGINT) * 5 *
+      |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q21-shape: suppliers who were the ONLY late shipper on a
+    * finished multi-supplier order ("late" = shipped >60 days after the
+    * order date). Correlated EXISTS (another supplier on the order) and
+    * NOT EXISTS (no OTHER supplier late — note the correlation reaches
+    * the outer o_orderdate, a non-equi correlated predicate) both
+    * decorrelate to semi/anti joins on l_orderkey.
+    */
+  def qExistsJoin(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM ${rel(dir, "lineitem")} l1
+         |JOIN ${rel(dir, "orders")} ON o_orderkey = l1.l_orderkey
+         |JOIN ${rel(dir, "supplier")} ON s_suppkey = l1.l_suppkey
+         |WHERE o_orderstatus = 'F'
+         |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         |  AND EXISTS (SELECT 1 FROM ${rel(dir, "lineitem")} l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM ${rel(dir, "lineitem")} l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+
+  val qExistsJoinSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** HAVING against scalar subqueries: customers placing more orders
+    * than the corpus-wide average orders-per-customer (restated
+    * integer-exactly as count*ncust > total). The two uncorrelated
+    * scalar subqueries execute once each (subquery reuse), not per
+    * group.
+    */
+  def qHavingSubquery(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         |FROM ${rel(dir, "orders")}
+         |GROUP BY o_custkey
+         |HAVING count(*) * (SELECT count(DISTINCT o_custkey) FROM ${rel(dir, "orders")})
+         |     > (SELECT count(*) FROM ${rel(dir, "orders")})
+         |ORDER BY o_custkey""".stripMargin)
+
+  val qHavingSubquerySql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(*) * (SELECT count(DISTINCT o_custkey) FROM orders)
+      |     > (SELECT count(*) FROM orders)
+      |ORDER BY o_custkey""".stripMargin
+
   val qUnpivotSql: String = {
     val arms = MeltCols.map(c =>
       s"SELECT l_returnflag, '$c' AS measure, $c AS val FROM lineitem")
