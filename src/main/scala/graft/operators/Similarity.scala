@@ -486,6 +486,12 @@ object Similarity {
     * cell, so probes ≈ unfiltered_probes / p keeps the candidate pool
     * comparable. Scan fraction stays probes/k — the filter only ever
     * SHRINKS the probed scan, never widens it.
+    *
+    * Cost contract: this is the BATCH path — it recomputes the coarse
+    * assignment from the raw corpus every call (the shape an offline
+    * pipeline stage wants). Serving-cost numbers belong to
+    * [[graft.sources.VectorIndex.annServeFiltered]], which answers from
+    * the persisted cell-clustered index without touching the corpus.
     */
   def ivfSearchFiltered(embs: DataFrame, pred: Column, queryVecId: Long, k: Int,
                         probes: Int, topK: Int, dims: Int,
@@ -514,6 +520,42 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
   }
+
+  /** AUTO-oversearch: derive the probe count from the predicate's
+    * measured selectivity instead of making the caller hand-pick it
+    * (r7 advice #4). One tiny aggregate measures selectivity
+    * sel = |pred|/|corpus| (at production scale this is a cached
+    * per-label frequency stat, not a rescan), then
+    *
+    *   probes = clamp( ceil(probes0 / sel), probes0, k/2 )
+    *
+    * — a p-selective filter thins every probed cell ~p×, so probes0/p
+    * keeps the candidate pool the size the unfiltered search tuned
+    * for; the k/2 ceiling guarantees the probe never degenerates into
+    * a full scan no matter how selective the predicate. All-integer
+    * arithmetic (ceil via (a+b-1)/b), so an engine-independent oracle
+    * can recompute the same probe count exactly.
+    */
+  def autoProbes(embs: DataFrame, pred: Column, probes0: Int, k: Int): Int = {
+    val row = embs.agg(
+      count(lit(1)).as("total"),
+      count(when(pred, lit(1))).as("kept")).head()
+    val total = row.getLong(0)
+    val kept = math.max(row.getLong(1), 1L)
+    val raw = ((probes0.toLong * total + kept - 1L) / kept).toInt
+    math.max(probes0, math.min(raw, math.max(probes0, k / 2)))
+  }
+
+  /** Filtered IVF search with selectivity-derived oversearch: the
+    * caller supplies only the UNfiltered tuning (`probes0`); the
+    * oversearch factor comes from [[autoProbes]].
+    */
+  def ivfSearchFilteredAuto(embs: DataFrame, pred: Column, queryVecId: Long, k: Int,
+                            probes0: Int, topK: Int, dims: Int,
+                            idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfSearchFiltered(embs, pred, queryVecId, k,
+      probes = autoProbes(embs, pred, probes0, k), topK = topK, dims = dims,
+      idCol = idCol, embCol = embCol)
 
   /** Product quantization (the FAISS-style IVFPQ compression half,
     * public knowledge — Jégou et al., "Product Quantization for Nearest
@@ -970,6 +1012,55 @@ object Similarity {
       center = far
       // mind2 is an exact micro²-lattice integer — carry it as BIGINT
       selected += ((round, far.getLong(0), far.getDouble(3).toLong))
+    }
+    state.unpersist()
+    import spark.implicits._
+    selected.toSeq.toDF("sel_order", idCol, "d2_sel").orderBy(col("sel_order"))
+  }
+
+  /** Batched farthest-point traversal (r7 advice #7): [[kcenterSample]]
+    * costs k driver round-trips (one Spark job per center); this
+    * variant picks the `batch` currently-farthest points per round and
+    * folds them all into ONE mind2 update pass, cutting rounds to
+    * ⌈(k−1)/batch⌉ — the standard batched-FPS trade (slightly weaker
+    * than exact greedy because in-batch picks don't see each other;
+    * identical when batch=1, which the spec pins).
+    *
+    * d2_sel for a batch member is its distance² to the set chosen
+    * BEFORE that batch. Same integer micro-lattice exactness and
+    * (d² desc, id) tie-breaks as the exact traversal.
+    */
+  def kcenterSampleBatched(embs: DataFrame, k: Int, batch: Int, dims: Int,
+                           idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(batch >= 1, s"bad batch $batch")
+    val spark = embs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val mv = CachePool.track(embs.select(col(idCol).as("id"),
+        transform(col(embCol), x => round(x.cast("double") * lit(1000000.0))).as("mv"))
+      .withColumn("nn", dot(col("mv"), col("mv"), dims)))
+    val seed = mv.orderBy(col("id")).limit(1).collect().head
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    selected += ((0L, seed.getLong(0), 0L))
+    var state = mv.select(col("id"), col("mv"), col("nn"), lit(Double.MaxValue).as("mind2"))
+    var newCenters: Seq[org.apache.spark.sql.Row] = Seq(seed)
+    while (selected.size < k) {
+      // one pass folds ALL of last round's centers into the running min
+      val d2s = newCenters.map { c =>
+        col("nn") + lit(c.getDouble(2)) -
+          lit(2.0) * dot(col("mv"), typedLit(c.getSeq[Double](1)), dims)
+      }
+      val next = state.select(col("id"), col("mv"), col("nn"),
+        (d2s :+ col("mind2")).reduce(least(_, _)).as("mind2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val take = math.min(batch, k - selected.size)
+      val far = next.orderBy(col("mind2").desc, col("id")).limit(take).collect()
+      state.unpersist()
+      state = next
+      far.foreach { f =>
+        selected += ((selected.size.toLong, f.getLong(0), f.getDouble(3).toLong))
+      }
+      newCenters = far.toSeq
     }
     state.unpersist()
     import spark.implicits._

@@ -232,6 +232,75 @@ object PipelineQueries {
        |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
        |FROM ($qIvfFilteredSql) a JOIN ($qAnnFilteredSql) b USING (vec_id)""".stripMargin
 
+  private val AutoK = 16       // coarse cells for the auto-oversearch demo
+  private val AutoProbes0 = 2  // the UNfiltered tuning the caller supplies
+
+  /** Filtered IVF with selectivity-DERIVED oversearch
+    * ([[graft.operators.Similarity.ivfSearchFilteredAuto]], r7 advice
+    * #4): the caller supplies only the unfiltered tuning (probes0=2);
+    * the label-3 frequency stat turns it into
+    * probes = clamp(ceil(probes0/sel), probes0, k/2) — all-integer
+    * arithmetic the oracle recomputes in its `params` CTE, so the SQL
+    * twin derives the SAME probe count from the data rather than
+    * hard-coding one.
+    */
+  def qIvfFilteredAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfSearchFilteredAuto(embs(s, dir), col("label") === FilterLabel,
+      queryVecId = 0L, k = AutoK, probes0 = AutoProbes0, topK = 10, dims = Dims)
+
+  val qIvfFilteredAutoSql: String =
+    s"""WITH params AS (
+       |  SELECT GREATEST($AutoProbes0, LEAST(
+       |           ($AutoProbes0 * count(*) + count(*) FILTER (WHERE label = $FilterLabel) - 1)
+       |             // count(*) FILTER (WHERE label = $FilterLabel),
+       |           GREATEST($AutoProbes0, ${AutoK / 2}))) AS probes
+       |  FROM embeddings
+       |),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |          FROM embeddings WHERE vec_id < $AutoK),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cell FROM (
+       |    SELECT cent_id AS cell,
+       |           row_number() OVER (ORDER BY round(${cosSql("cent_emb", "qe")}, 6) DESC,
+       |                              cent_id) AS rn
+       |    FROM cents, q
+       |  ), params WHERE rn <= params.probes
+       |)
+       |SELECT e.vec_id, a.cell, round(${cosSql("e.embedding", "qe")}, 6) AS cos_sim
+       |FROM assign a
+       |JOIN probed p ON a.cell = p.cell
+       |JOIN embeddings e ON a.vec_id = e.vec_id, q
+       |WHERE e.vec_id <> 0 AND e.label = $FilterLabel
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** recall@10 of the AUTO-oversearched filtered IVF vs the filtered
+    * exact baseline — must clear 0.9 where the hand-tuned probes=4
+    * variant sat at 0.8 (r7 advice #4's acceptance bar; also pinned in
+    * SimilaritySpec).
+    */
+  def qFilteredRecallAuto(s: SparkSession, dir: String): DataFrame =
+    qIvfFilteredAuto(s, dir).select(col("vec_id"))
+      .join(qAnnFiltered(s, dir).select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        (col("n_overlap") * lit(100000L)).as("recall_ppm"))
+
+  def qFilteredRecallAutoSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
+       |FROM ($qIvfFilteredAutoSql) a JOIN ($qAnnFilteredSql) b USING (vec_id)""".stripMargin
+
   private val MmrPoolN = 40
   private val MmrK = 10
   private val MmrLambdaPpm = 700000L
@@ -785,13 +854,19 @@ object PipelineQueries {
     val base = qIvfPqSearchSql
     require(base.contains("LIMIT 2") && !base.replaceFirst("LIMIT 2", "").contains("LIMIT 2"),
       "probed LIMIT anchor changed/ambiguous — update qIvfPqFilteredSql")
+    val candBlock =
+      """cand AS (
+        |  SELECT a.vec_id FROM assign a JOIN probed p ON a.cell = p.cell
+        |  WHERE a.vec_id <> 0
+        |)""".stripMargin
+    // guard the second rewrite anchor too (r7 advice #3): an unanchored
+    // String.replace silently no-ops when the cand CTE text drifts, and
+    // the derived oracle would lose its label filter
+    require(base.contains(candBlock),
+      "cand CTE anchor changed — update qIvfPqFilteredSql")
     base
       .replace("LIMIT 2", "LIMIT 4")
-      .replace(
-        """cand AS (
-          |  SELECT a.vec_id FROM assign a JOIN probed p ON a.cell = p.cell
-          |  WHERE a.vec_id <> 0
-          |)""".stripMargin,
+      .replace(candBlock,
         s"""cand AS (
            |  SELECT a.vec_id FROM assign a JOIN probed p ON a.cell = p.cell
            |  JOIN embeddings em ON a.vec_id = em.vec_id

@@ -258,6 +258,20 @@ class SimilaritySpec extends SparkSpec {
       (1L, 3L, 102010000000000L),  // (10.1e6)²  — exact micro² integer
       (2L, 1L, 1000000000000L),    // (1e6)²
       (3L, 2L, 10000000000L)))     // (0.1e6)² to the 10.1 center
+
+    // batched traversal: batch=1 is EXACTLY the greedy (same rows), and
+    // batch=2 halves the driver rounds while still selecting k distinct
+    // points with the same seed
+    val b1 = Similarity.kcenterSampleBatched(e, k = 4, batch = 1, dims = dims).collect()
+      .map(r => (r.getAs[Long]("sel_order"), r.getAs[Long]("vec_id"), r.getAs[Long]("d2_sel")))
+    assert(b1.toSeq == out.toSeq)
+    val b2 = Similarity.kcenterSampleBatched(e, k = 4, batch = 2, dims = dims).collect()
+      .map(r => (r.getAs[Long]("sel_order"), r.getAs[Long]("vec_id")))
+    assert(b2.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(b2.map(_._2).distinct.length == 4)
+    assert(b2.head._2 == 0L) // same min-id seed
+    // first batch after the seed = the two farthest-by-mind2 points
+    assert(b2.map(_._2).toSeq == Seq(0L, 3L, 2L, 1L))
   }
 
   test("banded near-dup recovers pairs that longer signatures split") {
@@ -500,5 +514,43 @@ class SimilaritySpec extends SparkSpec {
     val r2 = ivfRecall(2); val r4f = ivfRecall(4); val r8f = ivfRecall(8)
     assert(r2 <= r4f && r4f <= r8f, s"recall not monotone: $r2 $r4f $r8f")
     assert(r8f == 10, s"full probe should be exact, got $r8f/10")
+  }
+
+  test("auto-oversearch derives probes from selectivity and clears recall 0.9 without a full scan") {
+    import org.apache.spark.sql.functions._
+    // sf0.01 = the correctness-gate fixture q_ivf_filtered_auto runs on
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val pred = col("label") === 3
+    val (k, probes0) = (16, 2)
+
+    // the derived probe count: integer-exact ceil(probes0/sel), capped
+    // at k/2 so no predicate can degenerate the probe into a full scan
+    val probes = Similarity.autoProbes(e, pred, probes0, k)
+    val total = e.count()
+    val kept = e.filter(pred).count()
+    assert(probes == math.max(probes0,
+      math.min(((probes0 * total + kept - 1) / kept).toInt, k / 2)))
+    assert(probes > probes0, "filter should raise probes above the unfiltered tuning")
+    assert(probes <= k / 2, s"probes=$probes approaches a full scan of k=$k cells")
+
+    val exact = Similarity.bruteForceTopKFiltered(e, pred, queryVecId = 0L, k = 10, dims = 64)
+      .collect().map(_.getLong(0)).toSeq
+    val auto = Similarity.ivfSearchFilteredAuto(e, pred, queryVecId = 0L, k = k,
+      probes0 = probes0, topK = 10, dims = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(auto.size == 10)
+    val recall = auto.count(exact.contains)
+    assert(recall >= 9, s"auto-oversearch recall $recall/10 below the 0.9 bar " +
+      s"(probes=$probes of $k cells)")
+    // and the hand-tuned r7 setting it replaces (probes=4 of 8 cells)
+    // stays strictly below the bar on the same data — the advice item's
+    // before/after in one place
+    val hand = Similarity.ivfSearchFiltered(e, pred, queryVecId = 0L, k = 8,
+      probes = 4, topK = 10, dims = 64).collect().map(_.getLong(0)).toSeq
+    assert(hand.count(exact.contains) < 9)
+
+    // the cap binds: a 1-in-total predicate must still stop at k/2
+    val needle = col("vec_id") === 499L
+    assert(Similarity.autoProbes(e, needle, probes0, k) == k / 2)
   }
 }
