@@ -45,67 +45,142 @@ object SparkEntry {
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    if (tsStoredAsNanos(s, path))
-      s.read
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(path)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else
-      // The fixture is isAdjustedToUTC=false → Spark infers TIMESTAMP_NTZ;
-      // downstream exprs (unix_micros, window) expect TimestampType. All
-      // graft sessions run with spark.sql.session.timeZone=UTC, where the
-      // NTZ→LTZ cast is wall-clock-identity — same instants the old nanos
-      // path produced, and same values DuckDB reads from the file.
-      s.read.parquet(path)
-        .select(
-          col("event_id"),
-          col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
+    tsLayout(s, path) match {
+      case TsLayout.NanosLong =>
+        s.read
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TsLayout.MicrosLong =>
+        // bare INT64 at µs magnitude: already micros, NO division
+        s.read
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts)"))
+      case TsLayout.Native =>
+        // The fixture is isAdjustedToUTC=false → Spark infers TIMESTAMP_NTZ;
+        // downstream exprs (unix_micros, window) expect TimestampType. All
+        // graft sessions run with spark.sql.session.timeZone=UTC, where the
+        // NTZ→LTZ cast is wall-clock-identity — same instants the old nanos
+        // path produced, and same values DuckDB reads from the file.
+        s.read.parquet(path)
+          .select(
+            col("event_id"),
+            col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+    }
   }
 
-  /** True iff the parquet file's `ts` column is INT64 with a NANOS
-    * timestamp annotation (or no timestamp annotation at all, i.e. raw
-    * epoch-nanos LONG). Reads one footer via parquet-hadoop — cheap, and
-    * the only reliable probe: Spark cannot even infer a schema for a
-    * NANOS file, so "read then inspect the DataFrame schema" is not an
-    * option (the read itself throws).
+  /** Physical layout of an events table's `ts` column. */
+  private[graft] sealed trait TsLayout
+  private[graft] object TsLayout {
+    /** INT64 epoch-nanos (NANOS annotation, or bare INT64 at ns
+      * magnitude): forced-LONG read + integer ns→µs truncation. */
+    case object NanosLong extends TsLayout
+    /** bare INT64 at µs magnitude: forced-LONG read, no division. */
+    case object MicrosLong extends TsLayout
+    /** annotated µs/ms timestamp: Spark reads it natively. */
+    case object Native extends TsLayout
+  }
+
+  /** Probe a parquet file/directory's `ts` physical type from its
+    * footers. Reads footers via parquet-hadoop — cheap, and the only
+    * reliable probe: Spark cannot even infer a schema for a NANOS file,
+    * so "read then inspect the DataFrame schema" is not an option (the
+    * read itself throws).
+    *
+    * Hardened (r8 advice) against the two silent-corruption paths the
+    * r6 regression class showed:
+    *   - EVERY part file is probed and all must agree — a directory
+    *     mixing nanos- and micros-typed files (a streaming source
+    *     spanning a fixture-convention change) fails loudly instead of
+    *     reading half the data through the wrong arithmetic;
+    *   - a bare INT64 `ts` (no timestamp annotation) is classified by
+    *     the footer statistics' min value magnitude (epoch-ns for any
+    *     1971+ date is ≥1e17; epoch-µs is ~1e15), so a future fixture
+    *     shipping raw epoch-micros as plain BIGINT cannot be silently
+    *     div-1000 compressed. Bare INT64 with no stats or implausible
+    *     magnitude fails loudly.
     */
-  private[graft] def tsStoredAsNanos(s: SparkSession, path: String): Boolean = {
+  private[graft] def tsLayout(s: SparkSession, path: String): TsLayout = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
     val conf = s.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    val fileOpt =
-      if (st.isFile) Some(p)
+    val files =
+      if (st.isFile) Seq(p)
       else
         fs.listStatus(p)
           .map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet"))
           .sortBy(_.getName)
-          .headOption
+          .toSeq
     // no file to probe (e.g. a still-empty streaming source dir):
     // assume the CURRENT fixture convention (µs — the non-workaround path)
-    if (fileOpt.isEmpty) return false
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(fileOpt.get, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      if (!schema.containsField("ts")) return false
-      val tsType = schema.getType(schema.getFieldIndex("ts"))
-      if (!tsType.isPrimitive) return false
-      tsType.getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-        case null => // bare INT64 — historical raw epoch-nanos fixture
-          tsType.asPrimitiveType.getPrimitiveTypeName ==
-            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
-        case _ => false
+    if (files.isEmpty) return TsLayout.Native
+
+    def probeOne(file: Path): Option[TsLayout] = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) return None
+        val tsType = schema.getType(schema.getFieldIndex("ts"))
+        if (!tsType.isPrimitive) return None
+        tsType.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            Some(if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) TsLayout.NanosLong
+                 else TsLayout.Native)
+          case null
+              if tsType.asPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+            // unannotated INT64: decide by the stats' minimum magnitude
+            val mins = reader.getFooter.getBlocks.asScala.flatMap { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == "ts")
+                .flatMap(c => Option(c.getStatistics))
+                .filter(stat => !stat.isEmpty && stat.hasNonNullValue)
+                .map(_.genericGetMin)
+                .collect { case l: java.lang.Long => l.longValue() }
+            }
+            if (mins.isEmpty)
+              throw new IllegalStateException(
+                s"$file: ts is unannotated INT64 with no footer statistics — " +
+                  "cannot classify epoch unit; refusing to guess (r6 bug class)")
+            val m = mins.min
+            if (m >= 100000000000000000L) Some(TsLayout.NanosLong)       // ≥1e17: ns
+            else if (m >= 10000000000000L) Some(TsLayout.MicrosLong)     // ≥1e13: µs
+            else
+              throw new IllegalStateException(
+                s"$file: ts is unannotated INT64 with min=$m — neither plausible " +
+                  "epoch-nanos (≥1e17) nor epoch-micros (≥1e13); refusing to guess")
+          case _ => Some(TsLayout.Native)
+        }
+      } finally reader.close()
+    }
+
+    val verdicts = files.flatMap(f => probeOne(f).map(f -> _))
+    if (verdicts.isEmpty) return TsLayout.Native
+    val distinct = verdicts.map(_._2).distinct
+    if (distinct.size > 1) {
+      val byKind = verdicts.groupBy(_._2).map { case (k, v) =>
+        s"$k: ${v.take(2).map(_._1.getName).mkString(",")}${if (v.size > 2) ",…" else ""}"
       }
-    } finally reader.close()
+      throw new IllegalStateException(
+        s"$path: part files mix ts layouts (${byKind.mkString("; ")}) — " +
+          "reading them through one arithmetic would silently corrupt half; " +
+          "split or rewrite the directory")
+    }
+    distinct.head
   }
+
+  /** Back-compat boolean view of [[tsLayout]]. */
+  private[graft] def tsStoredAsNanos(s: SparkSession, path: String): Boolean =
+    tsLayout(s, path) == TsLayout.NanosLong
 
   /** Scala double literal → SQL literal with round-trip precision. */
   private def d(x: Double): String = {
@@ -875,6 +950,9 @@ object SparkEntry {
     "q6_forecast" -> (Relational.q6Forecast _),
     "q_window_rank" -> (Relational.qWindowRank _),
     "q_setops" -> (Relational.qSetOps _),
+    "q_scalar_subquery" -> (Relational.qScalarSubquery _),
+    "q_exists_join" -> (Relational.qExistsJoin _),
+    "q_having_subquery" -> (Relational.qHavingSubquery _),
     "q_rollup" -> (Relational.qRollup _),
     "q_sort_limit" -> (Relational.qSortLimit _),
     "q_unpivot" -> (Relational.qUnpivot _),
@@ -916,6 +994,8 @@ object SparkEntry {
     "q_ann_filtered" -> (PipelineQueries.qAnnFiltered _),
     "q_ivf_filtered" -> (PipelineQueries.qIvfFiltered _),
     "q_filtered_recall" -> (PipelineQueries.qFilteredRecall _),
+    "q_ivf_filtered_auto" -> (PipelineQueries.qIvfFilteredAuto _),
+    "q_filtered_recall_auto" -> (PipelineQueries.qFilteredRecallAuto _),
     "q_ann_per_label" -> (PipelineQueries.qAnnPerLabel _),
     "q_ivf_served_filtered" -> (PipelineQueries.qIvfServedFiltered _),
     "q_ivfpq_filtered" -> (PipelineQueries.qIvfPqFiltered _),
@@ -927,6 +1007,8 @@ object SparkEntry {
     "q_hard_negatives" -> (PipelineQueries.qHardNegatives _),
     "q_multiprobe_recall" -> (PipelineQueries.qMultiProbeRecall _),
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
+    "q_media_decode" -> (PipelineQueries.qMediaDecode _),
+    "q_media_frames" -> (PipelineQueries.qMediaFrames _),
     "q_embed_neardup" -> (PipelineQueries.qEmbedNearDup _),
     "q_token_count" -> (PipelineQueries.qTokenCount _),
     "q_pack_sequences" -> (PipelineQueries.qPackSequences _),
@@ -1024,6 +1106,9 @@ object SparkEntry {
     "q6_forecast" -> Relational.q6ForecastSql,
     "q_window_rank" -> Relational.qWindowRankSql,
     "q_setops" -> Relational.qSetOpsSql,
+    "q_scalar_subquery" -> Relational.qScalarSubquerySql,
+    "q_exists_join" -> Relational.qExistsJoinSql,
+    "q_having_subquery" -> Relational.qHavingSubquerySql,
     "q_rollup" -> Relational.qRollupSql,
     "q_sort_limit" -> Relational.qSortLimitSql,
     "q_unpivot" -> Relational.qUnpivotSql,
@@ -1065,6 +1150,8 @@ object SparkEntry {
     "q_ann_filtered" -> PipelineQueries.qAnnFilteredSql,
     "q_ivf_filtered" -> PipelineQueries.qIvfFilteredSql,
     "q_filtered_recall" -> PipelineQueries.qFilteredRecallSql,
+    "q_ivf_filtered_auto" -> PipelineQueries.qIvfFilteredAutoSql,
+    "q_filtered_recall_auto" -> PipelineQueries.qFilteredRecallAutoSql,
     "q_ann_per_label" -> PipelineQueries.qAnnPerLabelSql,
     // identical parameters to q_ivf_filtered by construction — shares its oracle
     "q_ivf_served_filtered" -> PipelineQueries.qIvfFilteredSql,
@@ -1078,6 +1165,8 @@ object SparkEntry {
     "q_hard_negatives" -> PipelineQueries.qHardNegativesSql,
     "q_multiprobe_recall" -> PipelineQueries.qMultiProbeRecallSql,
     "q_multimodal" -> PipelineQueries.qMultimodalSql,
+    "q_media_decode" -> PipelineQueries.qMediaDecodeSql,
+    "q_media_frames" -> PipelineQueries.qMediaFramesSql,
     "q_embed_neardup" -> PipelineQueries.qEmbedNearDupSql,
     "q_token_count" -> PipelineQueries.qTokenCountSql,
     "q_pack_sequences" -> PipelineQueries.qPackSequencesSql,

@@ -313,23 +313,28 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
         case Right((None, _, _, _)) => err(ex, 400, "missing id")
         case Right((Some(id), k, probes, label)) =>
           try {
-            val plan = label match {
-              case Some(l) => graft.sources.VectorIndex.annServeFiltered(
-                spark, indexPath, org.apache.spark.sql.functions.col("label") === l,
-                id, probes, k, dims)
-              case None => graft.sources.VectorIndex
-                .annServe(spark, indexPath, id, probes, k, dims)
-            }
-            val out = plan.collect().map { r =>
-                s"""{"vecId":${r.getLong(0)},"cell":${r.getLong(1)},""" +
-                  s""""cosSim":${jnum(r.getDouble(2))}}"""
+            // probe the index's vectors SCHEMA for the metadata column up
+            // front (r7 advice #4) — no message-substring sniffing, and
+            // unrelated AnalysisExceptions can't masquerade as this 400
+            if (label.isDefined &&
+                !spark.read.parquet(s"$indexPath/vectors").columns.contains("label")) {
+              err(ex, 400, "index has no label metadata (saved without metaCols)")
+            } else {
+              val plan = label match {
+                case Some(l) => graft.sources.VectorIndex.annServeFiltered(
+                  spark, indexPath, org.apache.spark.sql.functions.col("label") === l,
+                  id, probes, k, dims)
+                case None => graft.sources.VectorIndex
+                  .annServe(spark, indexPath, id, probes, k, dims)
               }
-            respond(ex, 200, out.mkString("[", ",", "]"))
+              val out = plan.collect().map { r =>
+                  s"""{"vecId":${r.getLong(0)},"cell":${r.getLong(1)},""" +
+                    s""""cosSim":${jnum(r.getDouble(2))}}"""
+                }
+              respond(ex, 200, out.mkString("[", ",", "]"))
+            }
           } catch {
             case _: NoSuchElementException => err(ex, 400, s"unknown vector $id")
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("label") =>
-              err(ex, 400, "index has no label metadata (saved without metaCols)")
           }
       }
   }

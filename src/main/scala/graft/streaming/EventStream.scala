@@ -25,15 +25,22 @@ object EventStream extends Serializable {
     * convention; a production deployment pins the schema per source.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    if (graft.SparkEntry.tsStoredAsNanos(spark, dir))
-      spark.readStream
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else
-      spark.readStream
-        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(dir)
+    graft.SparkEntry.tsLayout(spark, dir) match {
+      case graft.SparkEntry.TsLayout.NanosLong =>
+        spark.readStream
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case graft.SparkEntry.TsLayout.MicrosLong =>
+        spark.readStream
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts)"))
+      case graft.SparkEntry.TsLayout.Native =>
+        spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(dir)
+    }
 
   /** Watermarked tumbling 6-hour counts/sums per event type. */
   def windowedAgg(events: DataFrame): DataFrame =
