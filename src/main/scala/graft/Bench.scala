@@ -107,62 +107,88 @@ object Bench {
       if (spreads.isEmpty) ""
       else spreads.map { case (n, sp) => "\"" + n + f"\":$sp%.1f" }
         .mkString(""","spread":{""", ",", "}")
+    // explicit storm marker: any surviving >10× spread means a box noise
+    // storm overlapped this run — a standalone reader of the committed
+    // snapshot must not mistake the inflated samples for regression; the
+    // per-query minima are the trustworthy values
+    val stormy = samples.values.exists(ss => ss.max / math.max(ss.min, 1e-9) > 10.0)
+    val stormJson = if (stormy) ""","storm":true""" else ""
+    val stormNote =
+      if (stormy)
+        ""","storm_note":"spread >10x on some queries: box noise storm during this run; minima are trustworthy""""
+      else ""
 
     // Warm latencies are only meaningful on a full, healthy run.
     // flagship = live re-clustering over a cached DataFrame; pyramid =
     // the serving path (pruned scan of the persisted pyramid); summary =
-    // GetMetadata served from the same pyramid. Best-of-N collect()s on
-    // prepared plans — the comparable shape to the reference's
-    // preloaded-index <50ms figure (BASELINE.md).
-    def warmOf(label: String, reps: Int)(mk: => () => Unit): Option[Double] =
-      if (only.isDefined) None
-      else
-        try {
-          val act = mk // plan + first run outside the timed region
-          act()
-          Some((1 to reps).map { _ =>
-            val t0 = System.nanoTime()
+    // GetMetadata served from the same pyramid; bm25/ann/pq/dedup_gate =
+    // the retrieval/serving twins answered from persisted indexes.
+    // Best-of-N collect()s on prepared plans — the comparable shape to
+    // the reference's preloaded-index <50ms figure (BASELINE.md).
+    //
+    // TWO separated passes over the whole warm set, per-metric MIN: one
+    // noise-storm window on this box can poison all N back-to-back reps
+    // of a single metric (the r6 ann_warm scare and the r7 driver run
+    // were exactly that), but not two passes minutes apart. A later good
+    // pass also clears an earlier pass's transient error.
+    val warmDefs: Seq[(String, Int, () => (() => Unit))] = Seq(
+      ("flagship_warm", 3, () => {
+        val fn = SparkEntry.queries("q_cluster_grid")
+        () => { fn(spark, sfDir).count(); () }
+      }),
+      ("pyramid_warm", 5, () => {
+        val df = SparkEntry.pyramidServe(spark, sfDir)
+        () => { df.collect(); () }
+      }),
+      ("pyramid_summary_warm", 5, () => {
+        val df = SparkEntry.pyramidSummaryServe(spark, sfDir)
+        () => { df.collect(); () }
+      }),
+      // text-retrieval serving twin: ranked BM25 top-k answered from the
+      // persisted term-clustered index, no corpus access
+      ("bm25_warm", 5, () => {
+        val df = graft.queries.PipelineQueries.bm25Serve(spark, sfDir)
+        () => { df.collect(); () }
+      }),
+      // vector-retrieval serving twin: ANN top-k from the persisted
+      // cell-clustered IVF index (literal-pruned probed-cell scan)
+      ("ann_warm", 5, () => {
+        val df = graft.queries.PipelineQueries.annServe(spark, sfDir)
+        () => { df.collect(); () }
+      }),
+      // codes-not-floats serving twin: IVF+PQ ADC top-k from the
+      // persisted code table (probed-cell pruned scan + broadcast LUT)
+      ("pq_warm", 5, () => {
+        val df = graft.queries.PipelineQueries.pqServe(spark, sfDir)
+        () => { df.collect(); () }
+      }),
+      // dedup-gate serving twin: a small probe batch classified
+      // exact/near/unique against the persisted signature index
+      ("dedup_gate_warm", 5, () => {
+        val df = graft.queries.DedupQueries.dedupGateServe(spark, sfDir)
+        () => { df.collect(); () }
+      }))
+    val warmVals = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (only.isEmpty) {
+      (1 to 2).foreach { _ =>
+        warmDefs.foreach { case (label, reps, mk) =>
+          try {
+            val act = mk() // plan + first run outside the timed region
             act()
-            (System.nanoTime() - t0) / 1e9
-          }.min)
-        } catch { case e: Throwable => errs(label) = errStr(e); None }
-
-    val warm = warmOf("flagship_warm", 3) {
-      val fn = SparkEntry.queries("q_cluster_grid")
-      () => { fn(spark, sfDir).count(); () }
+            val best = (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              act()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            warmVals(label) = warmVals.get(label).fold(best)(math.min(_, best))
+            errs.remove(label)
+          } catch {
+            case e: Throwable => if (!warmVals.contains(label)) errs(label) = errStr(e)
+          }
+        }
+      }
     }
-    val pyramidWarm = warmOf("pyramid_warm", 5) {
-      val df = SparkEntry.pyramidServe(spark, sfDir)
-      () => { df.collect(); () }
-    }
-    val summaryWarm = warmOf("pyramid_summary_warm", 5) {
-      val df = SparkEntry.pyramidSummaryServe(spark, sfDir)
-      () => { df.collect(); () }
-    }
-    // text-retrieval serving twin of pyramid_warm: ranked BM25 top-k
-    // answered from the persisted term-clustered index, no corpus access
-    val bm25Warm = warmOf("bm25_warm", 5) {
-      val df = graft.queries.PipelineQueries.bm25Serve(spark, sfDir)
-      () => { df.collect(); () }
-    }
-    // vector-retrieval serving twin: ANN top-k from the persisted
-    // cell-clustered IVF index (literal-pruned probed-cell scan)
-    val annWarm = warmOf("ann_warm", 5) {
-      val df = graft.queries.PipelineQueries.annServe(spark, sfDir)
-      () => { df.collect(); () }
-    }
-    // codes-not-floats serving twin: IVF+PQ ADC top-k from the
-    // persisted code table (probed-cell pruned scan + broadcast LUT)
-    val pqWarm = warmOf("pq_warm", 5) {
-      val df = graft.queries.PipelineQueries.pqServe(spark, sfDir)
-      () => { df.collect(); () }
-    }
-    // dedup-gate serving twin: a small probe batch classified
-    // exact/near/unique against the persisted signature index
-    val dedupGateWarm = warmOf("dedup_gate_warm", 5) {
-      val df = graft.queries.DedupQueries.dedupGateServe(spark, sfDir)
-      () => { df.collect(); () }
-    }
+    def warmOf(label: String): Option[Double] = warmVals.get(label)
 
     // Ingest + storage vs the reference's published per-1M-point
     // figures (BASELINE.md: ~30 s load+index-build, ~100 MB on disk):
@@ -188,13 +214,8 @@ object Bench {
         } catch { case e: Throwable => errs("ingest_1m") = errStr(e); None }
 
     val warmJson =
-      warm.map(w => f""","flagship_warm_sec":$w%.3f""").getOrElse("") +
-        pyramidWarm.map(w => f""","pyramid_warm_sec":$w%.3f""").getOrElse("") +
-        summaryWarm.map(w => f""","pyramid_summary_warm_sec":$w%.3f""").getOrElse("") +
-        bm25Warm.map(w => f""","bm25_warm_sec":$w%.3f""").getOrElse("") +
-        annWarm.map(w => f""","ann_warm_sec":$w%.3f""").getOrElse("") +
-        pqWarm.map(w => f""","pq_warm_sec":$w%.3f""").getOrElse("") +
-        dedupGateWarm.map(w => f""","dedup_gate_warm_sec":$w%.3f""").getOrElse("") +
+      warmDefs.map(_._1).flatMap(l => warmOf(l).map(w => f""","${l}_sec":$w%.3f"""))
+        .mkString +
         ingest.map { case (s, mb) =>
           f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("")
     def errsJson(entries: Iterable[(String, String)]): String =
@@ -222,7 +243,7 @@ object Bench {
     val fullQs = ok.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs$spreadJson$extras,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs$spreadJson$stormJson$stormNote$extras,"sf":"$sfDir"}"""
     if (only.isEmpty) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -231,7 +252,7 @@ object Bench {
       } catch { case _: Throwable => () } // detail is best-effort; the line below is the contract
       println(fullLine)
     }
-    val tail = s"""$spreadJson$extrasBounded,"n_queries":${ok.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir""""
+    val tail = s"""$spreadJson$stormJson$extrasBounded,"n_queries":${ok.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir""""
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":"""
     val qJson = boundedQueriesJson(ok, SummaryBudget - head.length - tail.length - 1)
     head + qJson + tail + "}"
