@@ -951,6 +951,9 @@ object SparkEntry {
     "q_window_rank" -> (Relational.qWindowRank _),
     "q_setops" -> (Relational.qSetOps _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
+    "q_cube" -> (Relational.qCube _),
+    "q_ntile" -> (Relational.qNtile _),
+    "q_resample" -> ((s, dir) => Ev.qResample(events(s, dir))),
     "q_exists_join" -> (Relational.qExistsJoin _),
     "q_having_subquery" -> (Relational.qHavingSubquery _),
     "q_rollup" -> (Relational.qRollup _),
@@ -1009,6 +1012,7 @@ object SparkEntry {
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
     "q_media_decode" -> (PipelineQueries.qMediaDecode _),
     "q_media_frames" -> (PipelineQueries.qMediaFrames _),
+    "q_audio_decode" -> (PipelineQueries.qAudioDecode _),
     "q_embed_neardup" -> (PipelineQueries.qEmbedNearDup _),
     "q_token_count" -> (PipelineQueries.qTokenCount _),
     "q_pack_sequences" -> (PipelineQueries.qPackSequences _),
@@ -1107,6 +1111,9 @@ object SparkEntry {
     "q_window_rank" -> Relational.qWindowRankSql,
     "q_setops" -> Relational.qSetOpsSql,
     "q_scalar_subquery" -> Relational.qScalarSubquerySql,
+    "q_cube" -> Relational.qCubeSql,
+    "q_ntile" -> Relational.qNtileSql,
+    "q_resample" -> Ev.qResampleSql,
     "q_exists_join" -> Relational.qExistsJoinSql,
     "q_having_subquery" -> Relational.qHavingSubquerySql,
     "q_rollup" -> Relational.qRollupSql,
@@ -1167,6 +1174,7 @@ object SparkEntry {
     "q_multimodal" -> PipelineQueries.qMultimodalSql,
     "q_media_decode" -> PipelineQueries.qMediaDecodeSql,
     "q_media_frames" -> PipelineQueries.qMediaFramesSql,
+    "q_audio_decode" -> PipelineQueries.qAudioDecodeSql,
     "q_embed_neardup" -> PipelineQueries.qEmbedNearDupSql,
     "q_token_count" -> PipelineQueries.qTokenCountSql,
     "q_pack_sequences" -> PipelineQueries.qPackSequencesSql,

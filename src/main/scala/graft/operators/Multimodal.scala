@@ -192,4 +192,100 @@ object Multimodal {
   def fakeMediaTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  // ------------------------------------------------------------- audio
+
+  /** Typed metadata row produced by the audio decode pass. */
+  final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+                             n_frames: Long, duration_ms: Long,
+                             payload_len: Long, format: String)
+
+  /** Deterministic WAV generation parameters, pure arithmetic over
+    * doc_id: (sampleRate, channels, nFrames).
+    */
+  def audioSpec(id: Long): (Int, Int, Int) =
+    (8000 * (1 + id % 3).toInt, 1 + (id % 2).toInt, 500 + ((id * 7) % 1000).toInt)
+
+  /** Encode one synthetic PCM-16 WAV for doc_id via the JDK's
+    * javax.sound.sampled (zero extra dependencies): a deterministic
+    * sawtooth whose samples are a function of (id, channel, frame).
+    */
+  def encodeSyntheticWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (rate, channels, frames) = audioSpec(id)
+    val bytesPerFrame = 2 * channels
+    val pcm = new Array[Byte](frames * bytesPerFrame)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((id * 131 + c * 17 + f * 37) % 65536L) - 32768L).toShort
+        val off = f * bytesPerFrame + c * 2
+        pcm(off) = (v & 0xff).toByte          // little-endian PCM16
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    ais.close()
+    bos.toByteArray
+  }
+
+  /** Synthetic audio table with REAL WAV payloads keyed by doc_id. */
+  def synthAudioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // audio codec init would happen here, once per partition
+        ids.map(id => (id, encodeSyntheticWav(id)))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Real WAV header decode via javax.sound.sampled: sample rate,
+    * channel count, frame count and integer-exact duration
+    * (frames·1000 / rate). None when no installed reader claims the
+    * payload.
+    */
+  private def decodeAudio(payload: Array[Byte]): Option[(Long, Long, Long)] = {
+    import javax.sound.sampled.AudioSystem
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong, ais.getFrameLength))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched audio decode pass: binary payload column → typed metadata;
+    * undecodable payloads fall back to a deterministic stub (format
+    * "raw", byte-length-derived fields) so the pipeline stays total.
+    */
+  def decodeAudioMeta(media: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload"): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val isWav = payload.length >= 12 &&
+            payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+            payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+          decodeAudio(payload) match {
+            case Some((rate, ch, frames)) =>
+              AudioMeta(id, rate, ch, frames, frames * 1000L / rate,
+                payload.length.toLong, if (isWav) "wav" else "audio")
+            case None =>
+              val n = payload.length.toLong
+              AudioMeta(id, 8000L, 1L, n, n * 1000L / 8000L, n, "raw")
+          }
+        }
+      }
+  }
 }

@@ -188,6 +188,61 @@ object Events {
       |)
       |ORDER BY event_id""".stripMargin
 
+  /** Gap-filled hourly resampling with last-observation-carried-forward
+    * (the time-series regularization every monitoring/feature pipeline
+    * needs): an hour×event_type spine generated from the data's own
+    * span, left-joined to the hourly aggregates — empty buckets appear
+    * with n=0 / sum=0, and `avg_locf` carries the last observed hourly
+    * mean forward per type (NULL before the first observation).
+    *
+    * Scale shape: the spine is |hours|×|types| rows (generated, not
+    * scanned), the hourly agg is one map-side-combined shuffle, and the
+    * LOCF window partitions by type — no global ordering anywhere.
+    */
+  def qResample(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+    val span = events.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = span
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hb"))
+      .crossJoin(events.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hb", "event_type"), "left")
+      .select(col("hb"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sv").cast(DoubleType), lit(0.0)).as("sum_value"),
+        (col("sv").cast(DoubleType) / col("n_events")).as("avg_v"))
+      .withColumn("avg_locf", last(col("avg_v"), ignoreNulls = true).over(w))
+      .drop("avg_v")
+      .orderBy(col("event_type"), col("hb"))
+  }
+
+  val qResampleSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hb, event_type,
+      |         count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |j AS (
+      |  SELECT s.hb, t.event_type,
+      |         COALESCE(h.n_events, 0) AS n_events,
+      |         COALESCE(CAST(h.sv AS DOUBLE), 0.0) AS sum_value,
+      |         CAST(h.sv AS DOUBLE) / h.n_events AS avg_v
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN hourly h ON h.hb = s.hb AND h.event_type = t.event_type)
+      |SELECT hb, event_type, n_events, sum_value,
+      |       last_value(avg_v IGNORE NULLS) OVER (
+      |         PARTITION BY event_type ORDER BY hb
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_locf
+      |FROM j ORDER BY event_type, hb""".stripMargin
+
   /** Ordered funnel: view → click → purchase, each step strictly AFTER
     * the previous step's first completion — the classic step-chained
     * conditional-min funnel. Partial funnels surface as NULL steps with

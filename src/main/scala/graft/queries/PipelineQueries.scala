@@ -1552,6 +1552,28 @@ object PipelineQueries {
       |       unnest(generate_series(0, CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 ELSE 0 END)) AS frame_idx
       |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** REAL audio decode end-to-end: deterministic PCM-16 WAV payloads
+    * generated from doc_id arithmetic (javax.sound.sampled — JDK
+    * built-in), decoded back through the same subsystem. The oracle
+    * recomputes sample rate / channels / frame count / integer-exact
+    * duration from doc_id, so the query only matches if encode→decode
+    * round-trips the WAV header exactly.
+    */
+  def qAudioDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioMeta(Multimodal.synthAudioTable(s, dir))
+      .toDF()
+      .select("doc_id", "sample_rate", "channels", "n_frames", "duration_ms", "format")
+      .orderBy("doc_id")
+
+  val qAudioDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(500 + (doc_id * 7) % 1000 AS BIGINT) AS n_frames,
+      |  CAST((500 + (doc_id * 7) % 1000) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+      |  'wav' AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def qFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.decodeMeta(Multimodal.fakeMediaTable(s, dir)).toDF())

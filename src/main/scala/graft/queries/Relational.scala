@@ -216,6 +216,61 @@ object Relational {
       .agg(count(lit(1)).as("n"), exactSum(col("val")).as("sum_val"))
       .orderBy("l_returnflag", "measure")
 
+  /** CUBE over returnflag/linestatus — every grouping-set combination
+    * (the rollup query's superset: +the linestatus-only subtotals).
+    * Same exact sums; NULL markers order first on both sides.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Customer spend quartiles via ntile(4): per-quartile population and
+    * exact spend range/total. The global ntile is the exact SPEC shape
+    * (one ordered partition); the 100 TB path replaces it with
+    * approx-percentile boundaries + a broadcast bucket join — the spec
+    * stays the correctness oracle for that rewrite. Spend re-sums
+    * DECIMAL-exactly inside each quartile, so no double-ordering drift.
+    */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val spend = s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("spend")).as("spend_min"),
+        max(col("spend")).as("spend_max"),
+        sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType).as("spend_sum"))
+      .orderBy(col("quartile"))
+  }
+
+  val qNtileSql: String =
+    """SELECT quartile, count(*) AS n_customers,
+      |       min(spend) AS spend_min, max(spend) AS spend_max,
+      |       CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend_sum
+      |FROM (
+      |  SELECT o_custkey, spend,
+      |         CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS quartile
+      |  FROM (
+      |    SELECT o_custkey,
+      |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |    FROM orders GROUP BY o_custkey
+      |  )
+      |)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
   private def rel(dir: String, t: String): String = s"parquet.`$dir/$t.parquet`"
 
   /** TPC-H Q17-shape: per-brand revenue from "small lots" — lineitems

@@ -35,6 +35,27 @@ class MultimodalSpec extends SparkSpec {
     assert((m.width, m.height, m.channels, m.n_frames) == (w, h, c, f))
   }
 
+  test("encodeSyntheticWav -> javax.sound decode round-trips the generation parameters") {
+    // ids 0..5 cover every rate x channel branch
+    val media = (0L until 6L).map(id => (id, Multimodal.encodeSyntheticWav(id)))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeAudioMeta(media).collect().sortBy(_.doc_id)
+    meta.foreach { m =>
+      val (rate, ch, frames) = Multimodal.audioSpec(m.doc_id)
+      assert(m.format == "wav", s"doc ${m.doc_id} format")
+      assert(m.sample_rate == rate.toLong, s"doc ${m.doc_id} rate")
+      assert(m.channels == ch.toLong, s"doc ${m.doc_id} channels")
+      assert(m.n_frames == frames.toLong, s"doc ${m.doc_id} frames")
+      assert(m.duration_ms == frames.toLong * 1000L / rate, s"doc ${m.doc_id} duration")
+    }
+  }
+
+  test("non-audio payloads fall back to the audio stub as format=raw") {
+    val media = Seq((3L, "not audio at all".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val m = Multimodal.decodeAudioMeta(media).collect().head
+    assert(m.format == "raw" && m.sample_rate == 8000L && m.n_frames == 16L)
+  }
+
   test("frame sampling yields one row per real GIF frame") {
     val media = Seq((5L, Multimodal.encodeSynthetic(5L))) // gif, 1+5%4 = 2 frames
       .toDF("doc_id", "payload")
