@@ -955,6 +955,7 @@ object SparkEntry {
     "q_ntile" -> (Relational.qNtile _),
     "q_resample" -> ((s, dir) => Ev.qResample(events(s, dir))),
     "q_exists_join" -> (Relational.qExistsJoin _),
+    "q_lateral" -> (Relational.qLateral _),
     "q_having_subquery" -> (Relational.qHavingSubquery _),
     "q_rollup" -> (Relational.qRollup _),
     "q_sort_limit" -> (Relational.qSortLimit _),
@@ -1115,6 +1116,7 @@ object SparkEntry {
     "q_ntile" -> Relational.qNtileSql,
     "q_resample" -> Ev.qResampleSql,
     "q_exists_join" -> Relational.qExistsJoinSql,
+    "q_lateral" -> Relational.qLateralSql,
     "q_having_subquery" -> Relational.qHavingSubquerySql,
     "q_rollup" -> Relational.qRollupSql,
     "q_sort_limit" -> Relational.qSortLimitSql,

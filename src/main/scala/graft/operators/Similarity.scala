@@ -495,8 +495,17 @@ object Similarity {
     */
   def ivfSearchFiltered(embs: DataFrame, pred: Column, queryVecId: Long, k: Int,
                         probes: Int, topK: Int, dims: Int,
-                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val centroids = firstKCentroids(embs, k, idCol, embCol)
+                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfSearchFilteredWith(embs, firstKCentroids(embs, k, idCol, embCol), pred,
+      queryVecId, probes, topK, dims, idCol, embCol)
+
+  /** [[ivfSearchFiltered]] against an external (e.g. k-means-trained)
+    * centroid table — the quality path when the corpus isn't well
+    * quantized by its first k vectors (API twin of [[ivfSearchWith]]).
+    */
+  def ivfSearchFilteredWith(embs: DataFrame, centroids: DataFrame, pred: Column,
+                            queryVecId: Long, probes: Int, topK: Int, dims: Int,
+                            idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val assign = ivfAssignWith(embs, centroids, dims, idCol, embCol)
       .select(col(idCol), col("cell"))
     val q = embs.filter(col(idCol) === queryVecId)

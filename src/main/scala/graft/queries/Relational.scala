@@ -256,6 +256,31 @@ object Relational {
       .orderBy(col("quartile"))
   }
 
+  /** The 100 TB rewrite of [[qNtile]]: quartile boundaries from a
+    * one-pass mergeable `approx_percentile` sketch, broadcast to a
+    * map-only bucket assignment — no single-partition global window
+    * anywhere. [[qNtile]] is the correctness oracle for this rewrite
+    * (QuartileScaleSpec pins the agreement).
+    */
+  def spendQuartilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val spend = s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("spend"))
+    val bounds = spend.agg(percentile_approx(col("spend"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("bs"))
+    spend.crossJoin(broadcast(bounds))
+      .withColumn("quartile",
+        when(col("spend") > col("bs")(2), 1L)
+          .when(col("spend") > col("bs")(1), 2L)
+          .when(col("spend") > col("bs")(0), 3L)
+          .otherwise(4L))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("spend")).as("spend_min"),
+        max(col("spend")).as("spend_max"))
+      .orderBy(col("quartile"))
+  }
+
   val qNtileSql: String =
     """SELECT quartile, count(*) AS n_customers,
       |       min(spend) AS spend_min, max(spend) AS spend_max,
@@ -339,6 +364,33 @@ object Relational {
       |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
       |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** LATERAL correlated subquery with LIMIT (the top-N-per-key shape
+    * as a join operator): each high-balance customer paired with its 2
+    * most expensive orders. Catalyst decorrelates the per-row LIMIT
+    * into a window rank below an equi-join — the same plan the
+    * hand-written WindowGroupLimit form gets, with the subquery syntax.
+    */
+  def qLateral(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         |FROM ${rel(dir, "customer")} c,
+         |LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM ${rel(dir, "orders")}
+         |  WHERE o_custkey = c.c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         |WHERE c.c_acctbal > 9000
+         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+
+  val qLateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_acctbal > 9000
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   /** HAVING against scalar subqueries: customers placing more orders
     * than the corpus-wide average orders-per-customer (restated

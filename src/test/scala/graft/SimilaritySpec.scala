@@ -552,5 +552,15 @@ class SimilaritySpec extends SparkSpec {
     // the cap binds: a 1-in-total predicate must still stop at k/2
     val needle = col("vec_id") === 499L
     assert(Similarity.autoProbes(e, needle, probes0, k) == k / 2)
+
+    // trained-quantizer twin: filtered search against k-means centroids
+    // with a full probe recovers the exact filtered answer (API parity
+    // with ivfSearchWith)
+    val trained = Similarity.centroidsAsVectors(
+      Similarity.kmeansTrain(e, k = 8, iters = 2, dims = 64))
+    val full = Similarity.ivfSearchFilteredWith(e, trained, pred,
+      queryVecId = 0L, probes = 8, topK = 10, dims = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
   }
 }
