@@ -49,6 +49,35 @@ class PyramidIncrementSpec extends SparkSpec {
       TilePyramid.finalizePyramid(cba, all, 0, 3, opts, metrics))
   }
 
+  test("property: ANY random partition into 2-4 batches merges to the rebuild exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Test => ScTest}
+    val all = pts
+    val n = all.count()
+    val full = TilePyramid.build(all, 0, 3, opts, metrics, meta)
+      .collect().map(_.toString).sorted.toSeq
+    val gen = for {
+      k <- Gen.chooseNum(2, 4)
+      salt <- Gen.chooseNum(1L, 1000000L)
+    } yield (k, salt)
+    // random batch assignment via a salted hash of id — every draw is a
+    // different partition of the SAME corpus; the merged state must
+    // reproduce the full rebuild bit-for-bit each time
+    val prop = forAll(gen) { case (k, salt) =>
+      val merged = (0 until k).map { r =>
+        TilePyramid.cellState(
+          all.filter(pmod(xxhash64(col("id"), lit(salt)), lit(k)) === r),
+          0, 3, opts, metrics, meta, n)
+      }.reduce(TilePyramid.mergeStates)
+      TilePyramid.finalizePyramid(merged, all, 0, 3, opts, metrics)
+        .collect().map(_.toString).sorted.toSeq == full
+    }
+    val res = org.scalacheck.Test.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merging states of different epochs (density counts) is rejected") {
     val all = pts
     val a = TilePyramid.cellState(all, 0, 2, opts, Nil, Nil, densityN = 1000L)

@@ -36,5 +36,19 @@ class RangeJoinSpec extends SparkSpec {
     // duplicate-free even though interval 10 explodes across many buckets
     val n = RangeJoin.bucketed(points, intervals, "k", "t", "lo", "hi").count()
     assert(n == out.size)
+
+    // the span/width contract fails LOUDLY: with a cap below interval
+    // 10's 10-bucket span, the job raises instead of silently exploding
+    val e = intercept[Exception] {
+      RangeJoin.bucketed(points, intervals, "k", "t", "lo", "hi",
+        maxBucketsPerInterval = 5L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("RangeJoin: an interval spans")),
+      s"unexpected failure: $e")
+    // and a cap that accommodates the data changes nothing
+    assert(RangeJoin.bucketed(points, intervals, "k", "t", "lo", "hi",
+      maxBucketsPerInterval = 10L).count() == out.size)
   }
 }
