@@ -1014,6 +1014,8 @@ object SparkEntry {
     "q_media_decode" -> (PipelineQueries.qMediaDecode _),
     "q_media_frames" -> (PipelineQueries.qMediaFrames _),
     "q_audio_decode" -> (PipelineQueries.qAudioDecode _),
+    "q_cdc_apply" -> (PipelineQueries.qCdcApply _),
+    "q_cdc_history" -> (PipelineQueries.qCdcHistory _),
     "q_embed_neardup" -> (PipelineQueries.qEmbedNearDup _),
     "q_token_count" -> (PipelineQueries.qTokenCount _),
     "q_pack_sequences" -> (PipelineQueries.qPackSequences _),
@@ -1177,6 +1179,8 @@ object SparkEntry {
     "q_media_decode" -> PipelineQueries.qMediaDecodeSql,
     "q_media_frames" -> PipelineQueries.qMediaFramesSql,
     "q_audio_decode" -> PipelineQueries.qAudioDecodeSql,
+    "q_cdc_apply" -> PipelineQueries.qCdcApplySql,
+    "q_cdc_history" -> PipelineQueries.qCdcHistorySql,
     "q_embed_neardup" -> PipelineQueries.qEmbedNearDupSql,
     "q_token_count" -> PipelineQueries.qTokenCountSql,
     "q_pack_sequences" -> PipelineQueries.qPackSequencesSql,

@@ -29,6 +29,93 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  // ----------------------------------------------------------------- CDC
+
+  /** Deterministic CDC batch derived from the documents table itself:
+    * deletes (doc_id%10=0), a superseded early delete then an update
+    * (%10=1 — exercises latest-op-wins), plain updates (%10=2), inserts
+    * of NEW keys (+100000, %10=3), and upsert-replacing inserts on
+    * EXISTING keys (%10=4). Text updates are concat-marked (no case
+    * transforms — unicode case rules differ between engines).
+    */
+  private def cdcChanges(base: DataFrame): DataFrame = {
+    val d0 = base.filter(col("doc_id") % 10 === 0)
+      .select(lit("D").as("op"), lit(2L).as("seq"), col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val d1 = base.filter(col("doc_id") % 10 === 1)
+      .select(lit("D").as("op"), lit(1L).as("seq"), col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val u12 = base.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 2)
+      .select(lit("U").as("op"), lit(2L).as("seq"), col("doc_id"),
+        concat(lit("u:"), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val i3 = base.filter(col("doc_id") % 10 === 3)
+      .select(lit("I").as("op"), lit(2L).as("seq"),
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("copy:"), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val i4 = base.filter(col("doc_id") % 10 === 4)
+      .select(lit("I").as("op"), lit(2L).as("seq"), col("doc_id"),
+        concat(lit("replaced:"), col("doc_id").cast("string")).as("text"),
+        col("lang"), col("source"), lit(9L).as("n_chars"))
+    d0.unionByName(d1).unionByName(u12).unionByName(i3).unionByName(i4)
+  }
+
+  private val cdcChangesSql: String =
+    """SELECT 'D' AS op, CAST(2 AS BIGINT) AS seq, doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT 'D', 1, doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 1
+      |UNION ALL SELECT 'U', 2, doc_id, 'u:' || text, lang, source, n_chars FROM documents WHERE doc_id % 10 IN (1, 2)
+      |UNION ALL SELECT 'I', 2, doc_id + 100000, 'copy:' || text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 3
+      |UNION ALL SELECT 'I', 2, doc_id, 'replaced:' || CAST(doc_id AS VARCHAR), lang, source, CAST(9 AS BIGINT) FROM documents WHERE doc_id % 10 = 4""".stripMargin
+
+  /** MERGE-INTO semantics as a relational operator
+    * ([[graft.operators.Cdc.applyChanges]]): the post-merge documents
+    * table after the deterministic change batch — deletes gone, updates
+    * and upserting inserts replacing, new keys appended, and the
+    * superseded delete on %10=1 correctly overridden by its later
+    * update (latest-op-wins by seq).
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Cdc.applyChanges(base, cdcChanges(base), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val qCdcApplySql: String =
+    s"""WITH changes AS (
+       |$cdcChangesSql),
+       |latest AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC, op) AS rn
+       |    FROM changes) WHERE rn = 1)
+       |SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+       |UNION ALL
+       |SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op <> 'D'
+       |ORDER BY doc_id""".stripMargin
+
+  /** SCD-2 version history of the change batch
+    * ([[graft.operators.Cdc.history]]): [valid_from, valid_to) ranges
+    * per key, open-ended current versions, deletes closing their key.
+    */
+  def qCdcHistory(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Cdc.history(cdcChanges(base), "doc_id")
+      .select(col("doc_id"), col("op"), col("seq"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy("doc_id", "seq", "op")
+  }
+
+  val qCdcHistorySql: String =
+    s"""WITH changes AS (
+       |$cdcChangesSql)
+       |SELECT doc_id, op, seq, seq AS valid_from,
+       |       lead(seq, 1) OVER (PARTITION BY doc_id ORDER BY seq, op) AS valid_to,
+       |       lead(seq, 1) OVER (PARTITION BY doc_id ORDER BY seq, op) IS NULL AS is_current
+       |FROM changes
+       |QUALIFY op <> 'D'
+       |ORDER BY doc_id, seq, op""".stripMargin
+
   // ------------------------------------------------------------ text stats
 
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
