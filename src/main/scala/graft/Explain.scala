@@ -18,7 +18,10 @@ object Explain {
         "q_ivf_train", "q_pyramid_summary", "q_pack_sequences",
         "q_repetition", "q_decontaminate", "q_pq_search", "q_ivfpq_search",
         "q_tfidf", "q_source_overlap", "q_length_pctl",
-        "q_line_dedup", "q_url_dedup", "q_bitext_mine")
+        "q_line_dedup", "q_url_dedup", "q_bitext_mine",
+        "q_scalar_subquery", "q_exists_join", "q_lateral", "q_resample",
+        "q_ivf_filtered_auto", "q_cdc_apply", "q_media_decode",
+        "q_data_profile", "q_corr_matrix")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -952,6 +952,8 @@ object SparkEntry {
     "q_setops" -> (Relational.qSetOps _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_cube" -> (Relational.qCube _),
+    "q_data_profile" -> (Relational.qDataProfile _),
+    "q_corr_matrix" -> (Relational.qCorrMatrix _),
     "q_ntile" -> (Relational.qNtile _),
     "q_resample" -> ((s, dir) => Ev.qResample(events(s, dir))),
     "q_exists_join" -> (Relational.qExistsJoin _),
@@ -1115,6 +1117,8 @@ object SparkEntry {
     "q_setops" -> Relational.qSetOpsSql,
     "q_scalar_subquery" -> Relational.qScalarSubquerySql,
     "q_cube" -> Relational.qCubeSql,
+    "q_data_profile" -> Relational.qDataProfileSql,
+    "q_corr_matrix" -> Relational.qCorrMatrixSql,
     "q_ntile" -> Relational.qNtileSql,
     "q_resample" -> Ev.qResampleSql,
     "q_exists_join" -> Relational.qExistsJoinSql,

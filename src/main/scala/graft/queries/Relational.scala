@@ -216,6 +216,91 @@ object Relational {
       .agg(count(lit(1)).as("n"), exactSum(col("val")).as("sum_val"))
       .orderBy("l_returnflag", "measure")
 
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** One-pass data profile of lineitem's numeric measures — the
+    * DESCRIBE-style observability surface (row count, nulls, distinct,
+    * min/max, exact sum per column) computed in a SINGLE aggregation
+    * over one scan, then pivoted long. At 100 TB this is the profiling
+    * job you run per ingest partition; every stat is a mergeable
+    * aggregate.
+    */
+  def qDataProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        count(lit(1)).as(s"${c}_rows"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType).as(s"${c}_sum"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val rows = ProfileCols.map { c =>
+      wide.select(lit(c).as("column_name"),
+        (col(s"${c}_rows") - col(s"${c}_n")).as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"),
+        col(s"${c}_sum").as("sum_val"))
+    }
+    rows.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  val qDataProfileSql: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min($c) AS min_val, max($c) AS max_val,
+         |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  /** Pairwise Pearson correlation of the four lineitem measures,
+    * computed on the EXACT lattice: all five moment sums are DECIMAL
+    * (2-dp inputs — exact, order-independent), the final correlation is
+    * one double expression over those exact sums, rounded to 6 dp. One
+    * aggregation pass for all pairs (mergeable at any scale); never
+    * uses float accumulation, so the result is engine-identical.
+    */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val d4 = DecimalType(38, 4)
+    val pairs = ProfileCols.combinations(2).toSeq.map { case Seq(a, b) => (a, b) }
+    val moments =
+      Seq(count(lit(1)).cast(DoubleType).as("n")) ++
+        ProfileCols.flatMap { c =>
+          Seq(sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType).as(s"s_$c"),
+            sum((col(c).cast(d4) * col(c).cast(d4)).cast(d4)).cast(DoubleType).as(s"ss_$c"))
+        } ++
+        pairs.map { case (a, b) =>
+          sum((col(a).cast(d4) * col(b).cast(d4)).cast(d4)).cast(DoubleType).as(s"sp_${a}_$b")
+        }
+    val wide = li.agg(moments.head, moments.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      wide.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        round((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+               (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))), 6).as("corr"))
+    }
+    rows.reduce(_ unionByName _).orderBy("col_a", "col_b")
+  }
+
+  val qCorrMatrixSql: String =
+    ProfileCols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val n = "CAST(count(*) AS DOUBLE)"
+      def sm(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+      def ssm(c: String) =
+        s"CAST(sum(CAST(CAST($c AS DECIMAL(38,4)) * CAST($c AS DECIMAL(38,4)) AS DECIMAL(38,4))) AS DOUBLE)"
+      val sp =
+        s"CAST(sum(CAST(CAST($a AS DECIMAL(38,4)) * CAST($b AS DECIMAL(38,4)) AS DECIMAL(38,4))) AS DOUBLE)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round(($n * $sp - ${sm(a)} * ${sm(b)}) /
+         |    sqrt(($n * ${ssm(a)} - ${sm(a)} * ${sm(a)}) *
+         |         ($n * ${ssm(b)} - ${sm(b)} * ${sm(b)})), 6) AS corr
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+
   /** CUBE over returnflag/linestatus — every grouping-set combination
     * (the rollup query's superset: +the linestatus-only subtotals).
     * Same exact sums; NULL markers order first on both sides.
