@@ -1078,6 +1078,7 @@ object SparkEntry {
     "q_kcenter" -> (PipelineQueries.qKcenter _),
     "q_split" -> (PipelineQueries.qSplit _),
     "q_pq_train" -> (PipelineQueries.qPqTrain _),
+    "q_pq_distortion" -> (PipelineQueries.qPqDistortion _),
     "q_pq_encode" -> (PipelineQueries.qPqEncode _),
     "q_pq_search" -> (PipelineQueries.qPqSearch _),
     "q_ivfpq_search" -> (PipelineQueries.qIvfPqSearch _),
@@ -1247,6 +1248,7 @@ object SparkEntry {
     "q_kcenter" -> PipelineQueries.qKcenterSql,
     "q_split" -> PipelineQueries.qSplitSql,
     "q_pq_train" -> PipelineQueries.qPqTrainSql,
+    "q_pq_distortion" -> PipelineQueries.qPqDistortionSql,
     "q_pq_encode" -> PipelineQueries.qPqEncodeSql,
     "q_pq_search" -> PipelineQueries.qPqSearchSql,
     "q_ivfpq_search" -> PipelineQueries.qIvfPqSearchSql,

@@ -687,6 +687,34 @@ object Similarity {
       codebookAsCents(codebook, m, dims), k, dims / m)
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
 
+  /** Per-subspace PQ reconstruction distortion: the SSE between each
+    * vector's micro-lattice subvector and its assigned code's centroid
+    * — the index-health eval that says whether (m, k) are adequate
+    * BEFORE committing a 100 TB encode (high-SSE subspaces need more
+    * codes or a rotation). Integer-exact on the micro² lattice, so the
+    * figure is engine-identical; one join + one aggregation over the
+    * n·dims exploded elements.
+    */
+  def pqDistortion(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val codebook = pqTrain(embs, m, k, iters, dims, idCol, embCol)
+    val codes = pqEncodeWith(embs, codebook, m, k, dims, idCol, embCol)
+    val dsub = dims / m
+    val spe = embs.select(col(idCol).as("vec_id"),
+        posexplode(transform(col(embCol),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long"))).as(Seq("pos0", "v")))
+      .select(col("vec_id"), expr(s"pos0 div $dsub").cast("long").as("sub"),
+        (expr(s"pos0 % $dsub") + 1).cast("long").as("pos"), col("v"))
+    val cb = codebook.select(col("sub"), col("cent_id").as("code"), col("pos"),
+      round(col("cval") * lit(1000000.0)).cast("long").as("c"))
+    spe.join(codes, Seq("vec_id", "sub"))
+      .join(cb, Seq("sub", "code", "pos"))
+      .groupBy(col("sub"))
+      .agg(countDistinct(col("vec_id")).as("n_vectors"),
+        sum((col("v") - col("c")) * (col("v") - col("c"))).as("sse"))
+      .orderBy("sub")
+  }
+
   /** Trained PQ codebook: (sub, cent_id, pos, cval) — m·k·(dims/m) rows
     * of centroid coordinates on the 1e-6 lattice.
     */

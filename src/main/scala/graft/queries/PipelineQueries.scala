@@ -827,6 +827,26 @@ object PipelineQueries {
        |$pqEncCte
        |SELECT vec_id, sub, code FROM penc ORDER BY vec_id, sub""".stripMargin
 
+  /** Per-subspace PQ reconstruction SSE
+    * ([[graft.operators.Similarity.pqDistortion]]): the quantization-
+    * quality eval for the (m, k) choice, integer-exact on the micro²
+    * lattice. Oracle chains the SAME unrolled training + encoding CTEs
+    * the other PQ oracles use.
+    */
+  def qPqDistortion(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqDistortion(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims)
+
+  val qPqDistortionSql: String =
+    s"""WITH $pqCte,
+       |$pqEncCte
+       |SELECT e.sub, CAST(count(DISTINCT e.vec_id) AS BIGINT) AS n_vectors,
+       |       CAST(SUM((pe.v - c.c) * (pe.v - c.c)) AS BIGINT) AS sse
+       |FROM penc e
+       |JOIN spe pe ON pe.vec_id = e.vec_id AND pe.sub = e.sub
+       |JOIN pc2 c ON c.sub = e.sub AND c.cent_id = e.code AND c.pos = pe.pos
+       |GROUP BY e.sub
+       |ORDER BY e.sub""".stripMargin
+
   /** ADC search: approximate top-10 for query vector 0 from codes +
     * a broadcast m·k lookup table — exact integer scores.
     */

@@ -274,6 +274,19 @@ class SimilaritySpec extends SparkSpec {
     assert(b2.map(_._2).toSeq == Seq(0L, 3L, 2L, 1L))
   }
 
+  test("PQ distortion: full coverage per subspace, SSE shrinks with codebook size") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(k: Int) = Similarity.pqDistortion(e, m = 8, k = k, iters = 2, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d8 = run(8)
+    assert(d8.map(_._1).toSeq == (0L until 8L), "one row per subspace")
+    assert(d8.forall(_._2 == 500L), "every vector encoded in every subspace")
+    // quantization error is positive and drops when the codebook grows
+    val sse8 = d8.map(_._3).sum
+    val sse32 = run(32).map(_._3).sum
+    assert(sse8 > 0L && sse32 < sse8, s"sse8=$sse8 sse32=$sse32")
+  }
+
   test("banded near-dup recovers pairs that longer signatures split") {
     import org.apache.spark.sql.functions._
     // 500 random vectors + a planted near-identical pair (ids 9000/9001)
