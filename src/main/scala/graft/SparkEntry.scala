@@ -956,6 +956,7 @@ object SparkEntry {
     "q_corr_matrix" -> (Relational.qCorrMatrix _),
     "q_ntile" -> (Relational.qNtile _),
     "q_resample" -> ((s, dir) => Ev.qResample(events(s, dir))),
+    "q_anomaly" -> ((s, dir) => Ev.qAnomaly(events(s, dir))),
     "q_exists_join" -> (Relational.qExistsJoin _),
     "q_lateral" -> (Relational.qLateral _),
     "q_having_subquery" -> (Relational.qHavingSubquery _),
@@ -1122,6 +1123,7 @@ object SparkEntry {
     "q_corr_matrix" -> Relational.qCorrMatrixSql,
     "q_ntile" -> Relational.qNtileSql,
     "q_resample" -> Ev.qResampleSql,
+    "q_anomaly" -> Ev.qAnomalySql,
     "q_exists_join" -> Relational.qExistsJoinSql,
     "q_lateral" -> Relational.qLateralSql,
     "q_having_subquery" -> Relational.qHavingSubquerySql,

@@ -243,6 +243,65 @@ object Events {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_locf
       |FROM j ORDER BY event_type, hb""".stripMargin
 
+  /** 3σ anomaly detection over the gap-filled hourly series — the
+    * monitoring companion to [[qResample]]: per event type, flag hours
+    * whose count deviates from the type's mean by more than three
+    * standard deviations, on a FULLY INTEGER lattice
+    * ((n·x − Σx)² > 9·(n·Σx² − (Σx)²) ⇔ |x−μ| > 3σ, no float mean or
+    * variance anywhere) — so the flag set is engine-identical. Gap
+    * hours count as x=0 (a dead stream is an anomaly too).
+    *
+    * Scale shape: the series is the resample spine (generated), stats
+    * are one agg per type, and the flag is a broadcast join — nothing
+    * scales with raw event volume except the one hourly aggregation.
+    */
+  def qAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val span = events.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val series = span
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hb"))
+      .crossJoin(events.select(col("event_type")).distinct())
+      .join(hourly, Seq("hb", "event_type"), "left")
+      .select(col("hb"), col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+    val stats = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sq"))
+    val dev = col("n") * col("x") - col("sx")
+    series.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hb"), col("x"),
+        (dev * dev).as("dev2_scaled"),
+        (lit(9L) * (col("n") * col("sq") - col("sx") * col("sx"))).as("threshold2_scaled"))
+      .filter(col("dev2_scaled") > col("threshold2_scaled"))
+      .orderBy(col("event_type"), col("hb"))
+  }
+
+  val qAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hb, event_type, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |series AS (
+      |  SELECT s.hb, t.event_type, COALESCE(h.x, 0) AS x
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN hourly h ON h.hb = s.hb AND h.event_type = t.event_type),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(x * x) AS BIGINT) AS sq
+      |  FROM series GROUP BY event_type)
+      |SELECT se.event_type, se.hb, se.x,
+      |       (st.n * se.x - st.sx) * (st.n * se.x - st.sx) AS dev2_scaled,
+      |       9 * (st.n * st.sq - st.sx * st.sx) AS threshold2_scaled
+      |FROM series se JOIN stats st USING (event_type)
+      |WHERE (st.n * se.x - st.sx) * (st.n * se.x - st.sx)
+      |    > 9 * (st.n * st.sq - st.sx * st.sx)
+      |ORDER BY event_type, hb""".stripMargin
+
   /** Ordered funnel: view → click → purchase, each step strictly AFTER
     * the previous step's first completion — the classic step-chained
     * conditional-min funnel. Partial funnels surface as NULL steps with
