@@ -80,4 +80,34 @@ class EventsSpec extends SparkSpec {
         r.getAs[Long]("n_users")).toMap
     assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 2L, (1L, 0L) -> 1L))
   }
+
+  private val H = 3600000000L // one hour in µs
+
+  test("resample: gaps fill with zeros, LOCF carries the last mean, NULL before first obs") {
+    val events = ev(
+      // type a: observations in hours 0 and 2 of a 0..2 span; hour 1 is a gap
+      (1L, 0L, 1L, "a"), (2L, 1000L, 1L, "a"), (3L, 2 * H, 1L, "a"),
+      // type b: only hour 1 — hours 0 and 2 are gaps (NULL locf before first)
+      (4L, H + 5L, 2L, "b"))
+    val out = Events.qResample(events).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime / 3600000L,
+        r.getLong(2), if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    val a = out.filter(_._1 == "a").map(t => (t._2, t._3, t._4)).toSeq
+    val b = out.filter(_._1 == "b").map(t => (t._2, t._3, t._4)).toSeq
+    assert(a == Seq((0L, 2L, 1.0), (1L, 0L, 1.0), (2L, 1L, 1.0)))
+    assert(b(0)._2 == 0L && b(0)._3.isNaN)        // gap BEFORE first obs: no carry
+    assert(b(1) == (1L, 1L, 1.0))
+    assert(b(2)._2 == 0L && b(2)._3 == 1.0)       // gap after: carried forward
+  }
+
+  test("anomaly: a planted spike is flagged; a flat series is not") {
+    // type flat: one event per hour for 12 hours; type spiky: same but
+    // hour 6 has 40 events — far beyond 3 sigma
+    val flat = (0 until 12).map(h => (100L + h, h * H, 1L, "flat"))
+    val spiky = (0 until 12).map(h => (200L + h, h * H, 2L, "spiky")) ++
+      (0 until 39).map(i => (300L + i, 6 * H + i, 2L, "spiky"))
+    val out = Events.qAnomaly(ev((flat ++ spiky).map(t => (t._1, t._2, t._3, t._4)): _*))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L))
+    assert(out.toSeq == Seq(("spiky", 6L)))
+  }
 }
