@@ -255,15 +255,27 @@ object Events {
     * are one agg per type, and the flag is a broadcast join — nothing
     * scales with raw event volume except the one hourly aggregation.
     */
-  def qAnomaly(events: DataFrame): DataFrame = {
-    val hourly = events
+  /** Per-(hour, type) event counts — the MERGEABLE piece of the
+    * anomaly pipeline: counts over disjoint event batches sum to the
+    * whole, so a streaming loop can maintain this table per
+    * micro-batch and flag from the merged state (EventsSpec proves
+    * foreachBatch-merged ≡ batch).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("hour", col("ts")).as("hb"), col("event_type"))
       .agg(count(lit(1)).as("x"))
-    val span = events.agg(date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
+
+  /** Anomaly flags from an (hb, event_type, x) hourly-count table: the
+    * spine spans [min hb, max hb] (identical to truncating the raw
+    * min/max ts — the extreme events ARE those buckets), missing
+    * buckets count as x=0.
+    */
+  def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+    val span = hourly.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
     val series = span
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hb"))
-      .crossJoin(events.select(col("event_type")).distinct())
+      .crossJoin(hourly.select(col("event_type")).distinct())
       .join(hourly, Seq("hb", "event_type"), "left")
       .select(col("hb"), col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
     val stats = series.groupBy(col("event_type"))
@@ -277,6 +289,9 @@ object Events {
       .filter(col("dev2_scaled") > col("threshold2_scaled"))
       .orderBy(col("event_type"), col("hb"))
   }
+
+  def qAnomaly(events: DataFrame): DataFrame =
+    anomalyFromHourly(hourlyCounts(events))
 
   val qAnomalySql: String =
     """WITH hourly AS (

@@ -110,4 +110,39 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L))
     assert(out.toSeq == Seq(("spiky", 6L)))
   }
+
+  test("streaming anomaly: foreachBatch-merged hourly counts flag identically to batch") {
+    // same spike scenario, arriving as two micro-batches split by id
+    // parity — hourly counts are associative, so the merged state must
+    // flag exactly what one batch pass over everything flags
+    val rows = (0 until 12).map(h => (100L + h, h * H, 1L, "flat")) ++
+      (0 until 12).map(h => (200L + h, h * H, 2L, "spiky")) ++
+      (0 until 39).map(i => (300L + i, 6 * H + i, 2L, "spiky"))
+    val all = ev(rows: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom-stream")
+    all.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/b0.parquet")
+    all.filter(col("event_id") % 2 === 1).write.parquet(s"$dir/b1.parquet")
+
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*.parquet")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val h = Events.hourlyCounts(batch)
+        state = Some(state.fold(h)(prev =>
+          prev.unionByName(h).groupBy("hb", "event_type")
+            .agg(sum(col("x")).as("x"))))
+        state.foreach(s => { s.persist().count(); () }) // bound lineage per batch
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = Events.anomalyFromHourly(state.get).collect().toSeq
+    val batch = Events.qAnomaly(all).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L)) ==
+      Seq(("spiky", 6L)))
+  }
 }
