@@ -576,4 +576,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(full == exact)
   }
+
+  test("auto-oversearch adapts across the selectivity curve") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def recallOf(p: org.apache.spark.sql.Column): Int = {
+      val exact = Similarity.bruteForceTopKFiltered(e, p, 0L, 10, 64)
+        .collect().map(_.getLong(0)).toSeq
+      Similarity.ivfSearchFilteredAuto(e, p, 0L, 16, 2, 10, 64)
+        .collect().map(_.getLong(0)).count(exact.contains)
+    }
+    val broad = col("label") < 5                              // ~50% selective
+    val medium = col("label") === 1 || col("label") === 3     // ~21%
+    val narrow = col("label") === 3                           // ~12%
+    val needle = col("vec_id") % 50 === 0                     // ~2%
+
+    // probes shrink as the predicate loosens — the formula adapts in
+    // BOTH directions, it doesn't just saturate at the cap
+    val pBroad = Similarity.autoProbes(e, broad, 2, 16)
+    val pNarrow = Similarity.autoProbes(e, narrow, 2, 16)
+    assert(pBroad < pNarrow, s"probes must shrink with looser filters ($pBroad vs $pNarrow)")
+
+    // the 0.9 bar holds across the practical selectivity range
+    assert(recallOf(broad) == 10)
+    assert(recallOf(medium) >= 9)
+    assert(recallOf(narrow) >= 9)
+
+    // needle predicates hit the k/2 cap (never a full scan) and pay
+    // recall for it — the documented trade; below this selectivity the
+    // exact pre-filtered search (whose pushed-down scan touches ~sel·n
+    // rows) is the right tool, and it IS the baseline recallOf compares
+    // against
+    assert(Similarity.autoProbes(e, needle, 2, 16) == 8)
+  }
 }
