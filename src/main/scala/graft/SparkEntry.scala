@@ -957,6 +957,7 @@ object SparkEntry {
     "q_ntile" -> (Relational.qNtile _),
     "q_resample" -> ((s, dir) => Ev.qResample(events(s, dir))),
     "q_anomaly" -> ((s, dir) => Ev.qAnomaly(events(s, dir))),
+    "q_range_window" -> ((s, dir) => Ev.qRangeWindow(events(s, dir))),
     "q_exists_join" -> (Relational.qExistsJoin _),
     "q_lateral" -> (Relational.qLateral _),
     "q_having_subquery" -> (Relational.qHavingSubquery _),
@@ -1124,6 +1125,7 @@ object SparkEntry {
     "q_ntile" -> Relational.qNtileSql,
     "q_resample" -> Ev.qResampleSql,
     "q_anomaly" -> Ev.qAnomalySql,
+    "q_range_window" -> Ev.qRangeWindowSql,
     "q_exists_join" -> Relational.qExistsJoinSql,
     "q_lateral" -> Relational.qLateralSql,
     "q_having_subquery" -> Relational.qHavingSubquerySql,

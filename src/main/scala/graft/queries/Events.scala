@@ -188,6 +188,34 @@ object Events {
       |)
       |ORDER BY event_id""".stripMargin
 
+  /** RANGE-interval window frame: per user, the trailing-ONE-HOUR
+    * event count and exact value sum at every event — the time-based
+    * frame (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`)
+    * that ROWS frames (see [[qMovingAvg]]) cannot express. Framed on
+    * integer epoch-µs so the inclusive bound is identical in both
+    * engines, and peers (equal timestamps) share one frame by
+    * definition, so the result is deterministic without a tiebreaker.
+    */
+  def qRangeWindow(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    events
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("trail_n"), col("trail_sum"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeWindowSql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS trail_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Gap-filled hourly resampling with last-observation-carried-forward
     * (the time-series regularization every monitoring/feature pipeline
     * needs): an hour×event_type spine generated from the data's own
