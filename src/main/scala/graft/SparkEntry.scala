@@ -957,6 +957,10 @@ object SparkEntry {
     "q_ntile" -> (Relational.qNtile _),
     "q_resample" -> ((s, dir) => Ev.qResample(events(s, dir))),
     "q_anomaly" -> ((s, dir) => Ev.qAnomaly(events(s, dir))),
+    "q_ewma" -> ((s, dir) => Ev.qEwma(events(s, dir))),
+    "q_skyline" -> (Relational.qSkyline _),
+    "q_histogram" -> (Relational.qHistogram _),
+    "q_rag_pack" -> (PipelineQueries.qRagPack _),
     "q_range_window" -> ((s, dir) => Ev.qRangeWindow(events(s, dir))),
     "q_exists_join" -> (Relational.qExistsJoin _),
     "q_lateral" -> (Relational.qLateral _),
@@ -1071,6 +1075,8 @@ object SparkEntry {
     "q_bm25_served" -> (PipelineQueries.qBm25Served _),
     "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
     "q_sq8_search" -> (PipelineQueries.qSq8Search _),
+    "q_bq_search" -> (PipelineQueries.qBqSearch _),
+    "q_bq_recall" -> (PipelineQueries.qBqRecall _),
     "q_embed_dimstats" -> (PipelineQueries.qEmbedDimStats _),
     "q_semantic_dedup" -> (PipelineQueries.qSemanticDedup _),
     "q_ann_join" -> (PipelineQueries.qAnnJoin _),
@@ -1125,6 +1131,10 @@ object SparkEntry {
     "q_ntile" -> Relational.qNtileSql,
     "q_resample" -> Ev.qResampleSql,
     "q_anomaly" -> Ev.qAnomalySql,
+    "q_ewma" -> Ev.qEwmaSql,
+    "q_skyline" -> Relational.qSkylineSql,
+    "q_histogram" -> Relational.qHistogramSql,
+    "q_rag_pack" -> PipelineQueries.qRagPackSql,
     "q_range_window" -> Ev.qRangeWindowSql,
     "q_exists_join" -> Relational.qExistsJoinSql,
     "q_lateral" -> Relational.qLateralSql,
@@ -1243,6 +1253,8 @@ object SparkEntry {
     "q_bm25_served" -> PipelineQueries.qBm25Sql,
     "q_mix_temperature" -> PipelineQueries.qMixTemperatureSql,
     "q_sq8_search" -> PipelineQueries.qSq8SearchSql,
+    "q_bq_search" -> PipelineQueries.qBqSearchSql,
+    "q_bq_recall" -> PipelineQueries.qBqRecallSql,
     "q_embed_dimstats" -> PipelineQueries.qEmbedDimStatsSql,
     "q_semantic_dedup" -> PipelineQueries.qSemanticDedupSql,
     "q_ann_join" -> PipelineQueries.qAnnJoinSql,

@@ -526,6 +526,39 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** Greedy context packing — the RAG assembly step after retrieval:
+    * take a ranked candidate list (highest relevance first), admit
+    * documents in rank order while the running token total stays within
+    * `budget`. The classic prefix-sum formulation: one window
+    * running-sum over the ALREADY top-k-bounded ranked list, so the
+    * packing cost is O(k) per query regardless of corpus size.
+    *
+    * `queryCols` partitions the window for the batch multi-query shape
+    * (one context per query id, partition-parallel); empty = a single
+    * query's context. Ranking order inside a window is
+    * (scoreCol desc, idCol) — deterministic under score ties.
+    *
+    * Output: queryCols…, idCol, rnk (1-based), n_tokens, cum_tokens —
+    * only rows that fit the budget, in rank order.
+    */
+  def packContext(ranked: DataFrame, tokens: DataFrame, budget: Long,
+                  queryCols: Seq[String] = Seq.empty,
+                  scoreCol: String = "score_micro", idCol: String = "doc_id"): DataFrame = {
+    val w0 =
+      if (queryCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(queryCols.map(col): _*)
+    val ord = w0.orderBy(col(scoreCol).desc, col(idCol))
+    ranked.join(tokens, idCol)
+      .select((queryCols.map(col) ++ Seq(col(idCol),
+        row_number().over(ord).cast("long").as("rnk"),
+        col("n_tokens"),
+        sum(col("n_tokens"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_tokens"))): _*)
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(queryCols.map(col) :+ col("rnk"): _*)
+  }
+
   /** Mergeable quantile summary per group + its fidelity eval: the
     * bottom-k-by-hash sample (the KMV device applied to sampling — the
     * k rows with the smallest md5 rank ARE a uniform random sample,

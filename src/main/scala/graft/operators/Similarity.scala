@@ -902,6 +902,72 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Binary (1-bit) quantization of an embedding column — the extreme
+    * end of the compression ladder next to [[sq8Encode]] and
+    * [[pqEncode]]: one SIGN BIT per dimension, packed ⌈dims/32⌉ long
+    * words per vector by the fused [[graft.plans.BqPack]] expression
+    * (32 bits/word keeps every word in [0, 2³²) so downstream
+    * XOR/popcount is sign-safe in any engine). 64 dims → 8 bytes —
+    * a 32× smaller scan than float32.
+    *
+    * Output: idCol, bq (array<long> of packed sign words).
+    */
+  def bqEncode(embs: DataFrame, dims: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.plans.SimilarityExpressions.ensureRegistered()
+    embs.select(col(idCol),
+      call_function("graft_bqpack", col(embCol), lit(dims)).as("bq"))
+  }
+
+  /** Hamming distance between two packed sign-bit codes: an unrolled
+    * left-associated `bit_count(xor)` chain over the ⌈dims/32⌉ words —
+    * all builtin codegen'd expressions (two XOR+POPCNT per row at
+    * dims=64), mirrored term for term by the oracle SQL.
+    */
+  def bqHamming(a: Column, b: Column, dims: Int): Column = {
+    val words = (dims + 31) / 32
+    (1 to words).map(j =>
+        bit_count(element_at(a, j).bitwiseXOR(element_at(b, j))).cast("long"))
+      .reduceLeft(_ + _)
+  }
+
+  /** Two-stage binary-quantized search: Hamming shortlist over the
+    * packed codes, exact cosine rerank over the shortlist only — the
+    * standard BQ serving recipe (shortlist recall is bought with
+    * `shortlist` ≫ `topK`; precision is exact because the final rank
+    * never uses the codes).
+    *
+    * Scale shape: the candidate scan reads 8 bytes/vector and stays
+    * inside whole-stage codegen; the shortlist is a
+    * TakeOrderedAndProject (top-`shortlist` per partition, merged on
+    * the driver); the rerank touches `shortlist` FULL vectors via a
+    * broadcast semi-join — the float corpus is never scanned. At
+    * 100 TB the codes table is ~3 TB and the rerank is constant work.
+    *
+    * Output: idCol, hamming, cos_sim (rounded 1e-6), topK rows by
+    * (cos_sim desc, id).
+    */
+  def bqSearch(embs: DataFrame, queryVecId: Long, shortlist: Int, topK: Int, dims: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val coded = CachePool.track(bqEncode(embs, dims, idCol, embCol))
+    val q = coded.filter(col(idCol) === queryVecId).select(col("bq").as("qbq"))
+    val ham = coded.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), bqHamming(col("bq"), col("qbq"), dims).as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(shortlist)
+    val qv = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("qe"), norm(col(embCol), dims).as("qn"))
+    broadcast(ham)
+      .join(embs.select(col(idCol), col(embCol).as("e"), norm(col(embCol), dims).as("nrm")),
+        Seq(idCol))
+      .crossJoin(broadcast(qv))
+      .select(col(idCol), col("hamming"),
+        round(cosinePre(col("e"), col("qe"), col("nrm"), col("qn"), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Semantic deduplication (public knowledge: Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", 2023): k-means-cluster the embedding space, then

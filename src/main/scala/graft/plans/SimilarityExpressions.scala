@@ -294,6 +294,63 @@ object MmrSelect {
   }
 }
 
+/** Sign-bit binary quantization: packs the signs of the first `dims`
+  * elements (bit set iff element > 0) into ⌈dims/32⌉ long words, 32
+  * bits per word — every word is in [0, 2³²), so XOR/popcount over the
+  * codes involves no sign-bit edge cases in either engine, and the
+  * identical packing is expressible in oracle SQL as a left-associated
+  * CASE-sum per word.
+  *
+  * This is the 1-bit end of the quantization ladder (float32 → SQ8 →
+  * PQ → BQ): 64 dims become 8 BYTES per vector, and candidate
+  * generation is two XOR+POPCNT instructions per row inside
+  * whole-stage codegen — the cheapest possible full-corpus scan, with
+  * exact rerank confined to the shortlist.
+  */
+case class BqPack(child: Expression, dims: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_bqpack"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    BqPack.pack(v.asInstanceOf[ArrayData], elemType == FloatType, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val isFloat = elemType == FloatType
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.BqPack.pack($c, $isFloat, $dims);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BqPack {
+  /** Static packing loop — one branchless pass over the elements; the
+    * generated code calls it directly (the JIT inlines a monomorphic
+    * static call, and the loop is too small to matter either way).
+    */
+  def pack(a: ArrayData, isFloat: Boolean, dims: Int): ArrayData = {
+    val n = math.min(dims, a.numElements())
+    val words = new Array[Long]((dims + 31) >> 5)
+    var i = 0
+    while (i < n) {
+      val e = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      if (e > 0) words(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+}
+
 object SimilarityExpressions {
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -312,7 +369,8 @@ object SimilarityExpressions {
       if (es.length >= 3) ArrayDotProduct(es(0), es(1), intLit(es(2)))
       else ArrayDotProduct(es(0), es(1))),
     "graft_hsig" -> (es => HyperplaneSig(es(0), intLit(es(1)), intLit(es(2)))),
-    "graft_mmr" -> (es => MmrSelect(es(0), intLit(es(1)), longLit(es(2)))))
+    "graft_mmr" -> (es => MmrSelect(es(0), intLit(es(1)), longLit(es(2)))),
+    "graft_bqpack" -> (es => BqPack(es(0), intLit(es(1)))))
 
   /** Register on an existing session (idempotent temp functions). */
   def register(spark: SparkSession): Unit =

@@ -299,13 +299,21 @@ object Events {
     * min/max ts — the extreme events ARE those buckets), missing
     * buckets count as x=0.
     */
-  def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+  /** Gap-filled (hb, event_type, x) series over the full [min, max]
+    * hourly spine — shared by anomaly detection and smoothing; missing
+    * buckets are explicit x=0 rows.
+    */
+  def filledHourlySeries(hourly: DataFrame): DataFrame = {
     val span = hourly.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
-    val series = span
+    span
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hb"))
       .crossJoin(hourly.select(col("event_type")).distinct())
       .join(hourly, Seq("hb", "event_type"), "left")
       .select(col("hb"), col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+    val series = filledHourlySeries(hourly)
     val stats = series.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sq"))
@@ -344,6 +352,70 @@ object Events {
       |WHERE (st.n * se.x - st.sx) * (st.n * se.x - st.sx)
       |    > 9 * (st.n * st.sq - st.sx * st.sx)
       |ORDER BY event_type, hb""".stripMargin
+
+  private val EwmaH = 8 // truncation horizon: weights 2^8 … 2^0
+
+  /** Truncated exponential smoothing (α = 1/2) of the gap-filled hourly
+    * series: ewma_t = Σ_{j=0..8} x_{t−j}·2^{8−j} / Σ 2^{8−j} over the
+    * available lags — the trend line next to [[qAnomaly]]'s flags. The
+    * dyadic weights keep numerator and denominator EXACT 64-bit
+    * integers (|num| ≤ 511·max x); only the final ratio is a double,
+    * and a correctly-rounded division of identical exact integers is
+    * engine-identical. Early rows (fewer than 9 lags) normalize over
+    * the weights actually present.
+    *
+    * Scale shape: one hourly aggregation over raw events, then a
+    * 9-lag bounded-frame window partitioned by event type —
+    * partition-parallel, streaming-friendly (finite state), never a
+    * global sort.
+    */
+  def qEwma(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+    def lagj(j: Int) = if (j == 0) col("x") else lag(col("x"), j).over(w)
+    val num = (0 to EwmaH).map { j =>
+      when(lagj(j).isNull, lit(0L)).otherwise(lagj(j) * lit(1L << (EwmaH - j)))
+    }.reduceLeft(_ + _)
+    val den = (0 to EwmaH).map { j =>
+      when(lagj(j).isNull, lit(0L)).otherwise(lit(1L << (EwmaH - j)))
+    }.reduceLeft(_ + _)
+    filledHourlySeries(hourlyCounts(events))
+      .select(col("event_type"), col("hb"), col("x"),
+        num.as("ewma_num"), den.as("ewma_den"))
+      .withColumn("ewma", col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+      .orderBy(col("event_type"), col("hb"))
+  }
+
+  val qEwmaSql: String = {
+    def lagj(j: Int) = if (j == 0) "x" else s"lag(x, $j) OVER w"
+    val num = (0 to EwmaH).map { j =>
+      s"CASE WHEN ${lagj(j)} IS NULL THEN 0 ELSE ${lagj(j)} * ${1L << (EwmaH - j)} END"
+    }.mkString(" + ")
+    val den = (0 to EwmaH).map { j =>
+      s"CASE WHEN ${lagj(j)} IS NULL THEN 0 ELSE ${1L << (EwmaH - j)} END"
+    }.mkString(" + ")
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hb, event_type, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+       |                date_trunc('hour', max(ts)) AS hi FROM events),
+       |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |series AS (
+       |  SELECT s.hb, t.event_type, COALESCE(h.x, 0) AS x
+       |  FROM spine s CROSS JOIN types t
+       |  LEFT JOIN hourly h ON h.hb = s.hb AND h.event_type = t.event_type),
+       |lagged AS (
+       |  SELECT event_type, hb, x,
+       |         CAST($num AS BIGINT) AS ewma_num,
+       |         CAST($den AS BIGINT) AS ewma_den
+       |  FROM series
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hb)
+       |)
+       |SELECT event_type, hb, x, ewma_num, ewma_den,
+       |       CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma
+       |FROM lagged
+       |ORDER BY event_type, hb""".stripMargin
+  }
 
   /** Ordered funnel: view → click → purchase, each step strictly AFTER
     * the previous step's first completion — the classic step-chained

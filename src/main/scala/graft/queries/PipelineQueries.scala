@@ -2026,6 +2026,42 @@ object PipelineQueries {
        |LIMIT 20""".stripMargin
   }
 
+  private val RagBudget = 800L
+
+  /** RAG context assembly: the BM25 top-20 of `q_bm25` greedily packed
+    * into an 800-token context in score order
+    * ([[graft.operators.CorpusStats.packContext]]) — the step between
+    * retrieval and the prompt. Token counts are the exact whitespace
+    * token counts; the running sum is a bounded window over the 20
+    * already-ranked rows (per-query partition in the batch shape).
+    * Oracle: the full `q_bm25` SQL as a derived subquery + the same
+    * prefix-sum cut.
+    */
+  def qRagPack(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.CorpusStats.packContext(qBm25(s, dir), toks, RagBudget)
+      .select(col("doc_id"), col("rnk"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  // def, not val: embeds qBm25Sql as a derived subquery
+  def qRagPackSql: String =
+    s"""WITH ranked AS (SELECT * FROM ($qBm25Sql)),
+       |toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |         FROM documents),
+       |packed AS (
+       |  SELECT r.doc_id,
+       |         CAST(row_number() OVER w AS BIGINT) AS rnk,
+       |         n_tokens,
+       |         CAST(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS cum_tokens
+       |  FROM ranked r JOIN toks USING (doc_id)
+       |  WINDOW w AS (ORDER BY score_micro DESC, doc_id)
+       |)
+       |SELECT doc_id, rnk, n_tokens, cum_tokens
+       |FROM packed WHERE cum_tokens <= $RagBudget
+       |ORDER BY rnk""".stripMargin
+
   /** Hybrid retrieval: reciprocal-rank fusion (public knowledge:
     * Cormack, Clarke & Buettcher, "Reciprocal Rank Fusion Outperforms
     * Condorcet and Individual Rank Learning Methods", SIGIR 2009) of a
@@ -2410,6 +2446,79 @@ object PipelineQueries {
     */
   def qSq8Search(s: SparkSession, dir: String): DataFrame =
     Similarity.sq8Search(embs(s, dir), queryVecId = 0L, topK = 10, dims = Dims)
+
+  // ----------------------------------------------- binary quantization
+
+  private val BqShortlist = 50
+
+  /** Binary-quantized two-stage search (see
+    * [[graft.operators.Similarity.bqSearch]]): sign-bit codes →
+    * popcount-Hamming shortlist of 50 → exact cosine rerank → top-10.
+    * The oracle replays the identical word packing (left-associated
+    * CASE-sums, 32 bits per BIGINT word), the same
+    * `bit_count(xor(...))` chain, and the same two deterministic
+    * tie-broken cuts.
+    */
+  def qBqSearch(s: SparkSession, dir: String): DataFrame =
+    Similarity.bqSearch(embs(s, dir), queryVecId = 0L, shortlist = BqShortlist,
+      topK = 10, dims = Dims)
+
+  /** One packed 32-bit word as oracle SQL: Σ CASE sign bit × 2^i over
+    * the word's dims, left-associated — exact integer arithmetic.
+    */
+  private def bqWordSql(word: Int): String =
+    (0 until 32).map { i =>
+      val dim = word * 32 + i + 1 // 1-based SQL array index
+      s"CASE WHEN CAST(embedding[$dim] AS DOUBLE) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val BqWords = (Dims + 31) / 32
+
+  private def bqHammingSql(a: String, b: String): String =
+    (1 to BqWords).map(j =>
+      s"CAST(bit_count(xor($a$j, $b$j)) AS BIGINT)").mkString(" + ")
+
+  val qBqSearchSql: String = {
+    val words = (0 until BqWords).map(j =>
+      s"CAST(${bqWordSql(j)} AS BIGINT) AS w${j + 1}").mkString(",\n         ")
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |         $words
+       |  FROM embeddings
+       |),
+       |q AS (SELECT ${(1 to BqWords).map(j => s"w$j AS qw$j").mkString(", ")}
+       |      FROM codes WHERE vec_id = 0),
+       |short AS (
+       |  SELECT c.vec_id, ${bqHammingSql("c.w", "qw")} AS hamming
+       |  FROM codes c CROSS JOIN q
+       |  WHERE c.vec_id <> 0
+       |  ORDER BY hamming, c.vec_id
+       |  LIMIT $BqShortlist
+       |),
+       |qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT s.vec_id, s.hamming,
+       |       round(${cosSql("e.embedding", "qv")}, 6) AS cos_sim
+       |FROM short s JOIN embeddings e ON s.vec_id = e.vec_id CROSS JOIN qe
+       |ORDER BY cos_sim DESC, s.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** recall@10 of the binary-quantized two-stage search against the
+    * exact brute-force top-10 — the BQ twin of `q_ann_recall`: how much
+    * ranking the 32× compression costs at this shortlist width.
+    */
+  def qBqRecall(s: SparkSession, dir: String): DataFrame =
+    qBqSearch(s, dir).select(col("vec_id"))
+      .join(qSimTopK(s, dir).select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        (col("n_overlap") * lit(100000L)).as("recall_ppm"))
+
+  // def, not val: composes SQL vals declared in this object
+  def qBqRecallSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
+       |FROM ($qBqSearchSql) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
 
   val qSq8SearchSql: String = {
     val qdot = (1 to Dims).map(i => s"a.q8[$i] * qq[$i]").mkString(" + ")

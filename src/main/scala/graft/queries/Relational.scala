@@ -514,4 +514,79 @@ object Relational {
        |GROUP BY l_returnflag, measure
        |ORDER BY l_returnflag, measure""".stripMargin
   }
+
+  /** Per-brand Pareto frontier over parts (minimize retail price AND
+    * size): the skyline operator ([[graft.operators.Skyline]] — agg to
+    * distinct prices, running-min window on the shrunk frame, broadcast
+    * semi-join back), checked against the DEFINITIONAL per-pair
+    * NOT-EXISTS dominance oracle — structurally different evaluation
+    * orders, identical frontier.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.skyline2dMin(
+        s.read.parquet(s"$dir/part.parquet")
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size")),
+        groupCol = "p_brand", xCol = "p_retailprice", yCol = "p_size")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+
+  val qSkylineSql: String =
+    """SELECT p_partkey, p_brand, p_retailprice, p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_brand = a.p_brand
+      |    AND b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+      |)
+      |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin
+
+  private val HistBuckets = 20
+
+  /** Equi-width histogram of `l_extendedprice` in 20 buckets with
+    * zero-filled empty buckets — the profiling companion to
+    * `q_data_profile`. All bucketing runs on the exact CENTS lattice
+    * (price × 100 as BIGINT) with integer division, so bucket edges and
+    * assignments are engine-identical; the bucket spine is generated,
+    * making empty buckets explicit rows.
+    *
+    * Scale shape: one min/max aggregation broadcast into a map-only
+    * bucket-assign pass, then a combine-style count shuffle bounded by
+    * the bucket count; the spine join is a broadcast of 20 rows.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("xc"))
+    val stats = li.agg(min(col("xc")).as("minc"), max(col("xc")).as("maxc"))
+    val counts = li.crossJoin(broadcast(stats))
+      .select(least(lit(HistBuckets - 1),
+        expr(s"(xc - minc) * $HistBuckets div (maxc - minc)")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    s.range(HistBuckets).select(col("id").as("bucket"))
+      .crossJoin(broadcast(stats))
+      .select(col("bucket"),
+        expr(s"minc + (maxc - minc) * bucket div $HistBuckets").as("lo_cents"),
+        expr(s"minc + (maxc - minc) * (bucket + 1) div $HistBuckets").as("hi_cents"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), col("lo_cents"), col("hi_cents"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramSql: String =
+    s"""WITH x AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc FROM lineitem),
+       |st AS (SELECT min(xc) AS minc, max(xc) AS maxc FROM x),
+       |counts AS (
+       |  SELECT least($HistBuckets - 1, (xc - minc) * $HistBuckets // (maxc - minc)) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM x CROSS JOIN st
+       |  GROUP BY 1
+       |),
+       |spine AS (SELECT unnest(generate_series(0, $HistBuckets - 1)) AS bucket)
+       |SELECT s.bucket,
+       |       minc + (maxc - minc) * s.bucket // $HistBuckets AS lo_cents,
+       |       minc + (maxc - minc) * (s.bucket + 1) // $HistBuckets AS hi_cents,
+       |       COALESCE(cnt, 0) AS cnt
+       |FROM spine s CROSS JOIN st LEFT JOIN counts c ON c.bucket = s.bucket
+       |ORDER BY s.bucket""".stripMargin
 }

@@ -190,4 +190,27 @@ class CorpusStatsSpec extends SparkSpec {
     val slope = row.getAs[Long]("slope_ppm") / 1e6
     assert(slope < -0.9 && slope > -1.1, s"slope $slope")
   }
+
+  test("packContext admits the greedy prefix that fits the budget, in rank order") {
+    val ranked = Seq((10L, 900L), (20L, 800L), (30L, 700L), (40L, 600L))
+      .toDF("doc_id", "score_micro")
+    val toks = Seq((10L, 50L), (20L, 40L), (30L, 30L), (40L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val out = CorpusStats.packContext(ranked, toks, budget = 95L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"), r.getAs[Long]("cum_tokens")))
+    // 50, 90 fit; 120 exceeds — the cut is a PREFIX cut (doc 40 would
+    // fit alone but sits after the overflow, the greedy contract)
+    assert(out.toSeq == Seq((10L, 1L, 50L), (20L, 2L, 90L)))
+  }
+
+  test("packContext partitions per query in the batch multi-query shape") {
+    val ranked = Seq(("q1", 10L, 900L), ("q1", 20L, 800L), ("q2", 10L, 700L), ("q2", 30L, 600L))
+      .toDF("query_id", "doc_id", "score_micro")
+    val toks = Seq((10L, 60L), (20L, 50L), (30L, 70L)).toDF("doc_id", "n_tokens")
+    val out = CorpusStats.packContext(ranked, toks, budget = 100L,
+        queryCols = Seq("query_id")).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")))
+    // each query packs independently from rank 1
+    assert(out.toSeq == Seq(("q1", 10L, 1L), ("q2", 10L, 1L)))
+  }
 }

@@ -145,4 +145,29 @@ class EventsSpec extends SparkSpec {
     assert(streamed.map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L)) ==
       Seq(("spiky", 6L)))
   }
+
+  test("ewma: dyadic weights, partial-horizon normalization, exact integer lattice") {
+    val h = 3600L * 1000000L // one hour in µs
+    // type "a": counts 1, 3, 5 in consecutive hours
+    val events = ev(
+      (1L, 0L, 1L, "a"),
+      (2L, h, 1L, "a"), (3L, h + 1L, 1L, "a"), (4L, h + 2L, 1L, "a"),
+      (5L, 2 * h, 1L, "a"), (6L, 2 * h + 1L, 1L, "a"), (7L, 2 * h + 2L, 1L, "a"),
+      (8L, 2 * h + 3L, 1L, "a"), (9L, 2 * h + 4L, 1L, "a"))
+    val out = Events.qEwma(events).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("ewma_num"),
+        r.getAs[Long]("ewma_den"), r.getAs[Double]("ewma")))
+    // weights 256, 128, 64 over the available lags
+    assert(out(0) == ((1L, 256L, 256L, 1.0)))
+    assert(out(1) == ((3L, 3 * 256L + 128L, 384L, 896.0 / 384.0)))
+    assert(out(2) == ((5L, 5 * 256L + 3 * 128L + 64L, 448L, 1728.0 / 448.0)))
+  }
+
+  test("ewma of a constant series is the constant, at every horizon depth") {
+    val h = 3600L * 1000000L
+    val events = ev((1 to 12).map(i => (i.toLong, i * h, 1L, "c")): _*)
+    val out = Events.qEwma(events).collect()
+    assert(out.length == 12)
+    assert(out.forall(_.getAs[Double]("ewma") == 1.0))
+  }
 }

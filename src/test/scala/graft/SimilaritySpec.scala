@@ -609,4 +609,38 @@ class SimilaritySpec extends SparkSpec {
     // against
     assert(Similarity.autoProbes(e, needle, 2, 16) == 8)
   }
+
+  test("bqEncode packs sign bits into 32-bit long words") {
+    val hot = Set(0, 31, 32, 63)
+    val v = Array.tabulate(dims)(j =>
+      if (hot(j)) 1.0f else if (j == 5) 0.0f else -1.0f) // 0 is NOT positive
+    val words = Similarity.bqEncode(Seq((1L, v)).toDF("vec_id", "embedding"), dims)
+      .collect().head.getSeq[Long](1)
+    assert(words == Seq(1L | (1L << 31), 1L | (1L << 31)))
+    // all-negative vector → all-zero words
+    val z = Similarity.bqEncode(
+        Seq((2L, Array.fill(dims)(-1.0f))).toDF("vec_id", "embedding"), dims)
+      .collect().head.getSeq[Long](1)
+    assert(z == Seq(0L, 0L))
+  }
+
+  test("bqHamming is the popcount of differing sign words") {
+    val df = Seq((Seq(5L, 0L), Seq(3L, 1L << 31))).toDF("a", "b")
+    val ham = df.select(Similarity.bqHamming(df("a"), df("b"), dims).as("h"))
+      .collect().head.getAs[Long]("h")
+    assert(ham == 3L) // xor 6 → 2 bits, xor 2^31 → 1 bit
+  }
+
+  test("bqSearch with a full-cover shortlist reranks to the exact top-k") {
+    val rnd = new scala.util.Random(7)
+    val many = (0L to 60L).map(i =>
+      (i, Array.tabulate(dims)(_ => rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(many, queryVecId = 0L, k = 5, dims = dims)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val bq = Similarity.bqSearch(many, queryVecId = 0L, shortlist = 60, topK = 5, dims = dims)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    // shortlist covers the whole corpus → the exact rerank IS the result
+    assert(bq == exact)
+  }
 }
