@@ -162,6 +162,12 @@ object Bench {
         val df = graft.queries.PipelineQueries.pqServe(spark, sfDir)
         () => { df.collect(); () }
       }),
+      // 1-bit serving twin: popcount-Hamming shortlist over the packed
+      // sign-word table (8 bytes/vector) + exact rerank of the shortlist
+      ("bq_warm", 5, () => {
+        val df = graft.queries.PipelineQueries.bqServe(spark, sfDir)
+        () => { df.collect(); () }
+      }),
       // dedup-gate serving twin: a small probe batch classified
       // exact/near/unique against the persisted signature index
       ("dedup_gate_warm", 5, () => {

@@ -960,6 +960,7 @@ object SparkEntry {
     "q_ewma" -> ((s, dir) => Ev.qEwma(events(s, dir))),
     "q_skyline" -> (Relational.qSkyline _),
     "q_histogram" -> (Relational.qHistogram _),
+    "q_rank_family" -> (Relational.qRankFamily _),
     "q_rag_pack" -> (PipelineQueries.qRagPack _),
     "q_range_window" -> ((s, dir) => Ev.qRangeWindow(events(s, dir))),
     "q_exists_join" -> (Relational.qExistsJoin _),
@@ -1076,6 +1077,7 @@ object SparkEntry {
     "q_mix_temperature" -> (PipelineQueries.qMixTemperature _),
     "q_sq8_search" -> (PipelineQueries.qSq8Search _),
     "q_bq_search" -> (PipelineQueries.qBqSearch _),
+    "q_bq_served" -> (PipelineQueries.qBqServed _),
     "q_bq_recall" -> (PipelineQueries.qBqRecall _),
     "q_embed_dimstats" -> (PipelineQueries.qEmbedDimStats _),
     "q_semantic_dedup" -> (PipelineQueries.qSemanticDedup _),
@@ -1134,6 +1136,7 @@ object SparkEntry {
     "q_ewma" -> Ev.qEwmaSql,
     "q_skyline" -> Relational.qSkylineSql,
     "q_histogram" -> Relational.qHistogramSql,
+    "q_rank_family" -> Relational.qRankFamilySql,
     "q_rag_pack" -> PipelineQueries.qRagPackSql,
     "q_range_window" -> Ev.qRangeWindowSql,
     "q_exists_join" -> Relational.qExistsJoinSql,
@@ -1254,6 +1257,7 @@ object SparkEntry {
     "q_mix_temperature" -> PipelineQueries.qMixTemperatureSql,
     "q_sq8_search" -> PipelineQueries.qSq8SearchSql,
     "q_bq_search" -> PipelineQueries.qBqSearchSql,
+    "q_bq_served" -> PipelineQueries.qBqSearchSql,
     "q_bq_recall" -> PipelineQueries.qBqRecallSql,
     "q_embed_dimstats" -> PipelineQueries.qEmbedDimStatsSql,
     "q_semantic_dedup" -> PipelineQueries.qSemanticDedupSql,

@@ -369,7 +369,15 @@ object Events {
     * partition-parallel, streaming-friendly (finite state), never a
     * global sort.
     */
-  def qEwma(events: DataFrame): DataFrame = {
+  def qEwma(events: DataFrame): DataFrame = ewmaFromHourly(hourlyCounts(events))
+
+  /** Smoothing from an (hb, event_type, x) hourly-count table — like
+    * [[anomalyFromHourly]], the mergeable streaming seam: counts over
+    * disjoint micro-batches sum to the whole, so a foreachBatch loop
+    * maintains the hourly table and smooths from merged state
+    * (EventsSpec proves streamed ≡ batch).
+    */
+  def ewmaFromHourly(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
     def lagj(j: Int) = if (j == 0) col("x") else lag(col("x"), j).over(w)
     val num = (0 to EwmaH).map { j =>
@@ -378,7 +386,7 @@ object Events {
     val den = (0 to EwmaH).map { j =>
       when(lagj(j).isNull, lit(0L)).otherwise(lit(1L << (EwmaH - j)))
     }.reduceLeft(_ + _)
-    filledHourlySeries(hourlyCounts(events))
+    filledHourlySeries(hourly)
       .select(col("event_type"), col("hb"), col("x"),
         num.as("ewma_num"), den.as("ewma_den"))
       .withColumn("ewma", col("ewma_num").cast("double") / col("ewma_den").cast("double"))

@@ -541,6 +541,48 @@ object Relational {
       |)
       |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin
 
+  /** The full ranking-function family in one pass: rank, dense_rank,
+    * percent_rank, cume_dist over customer spend within market segment.
+    * All four are value-based (ties share a rank), so the result is
+    * deterministic without a tie-break; percent_rank/cume_dist are
+    * single divisions of exact small integers — correctly rounded,
+    * engine-identical doubles.
+    *
+    * Scale shape: the orders aggregation shrinks input to |customers|
+    * BEFORE the window; the window partitions by segment (the same
+    * coarse-partition caveat as `q_ntile` — its approx-percentile
+    * rewrite is the 100 TB path when segments are few and huge).
+    */
+  def qRankFamily(s: SparkSession, dir: String): DataFrame = {
+    val spend = s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(exactSum(col("o_totalprice")).as("spend"))
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("spend").desc)
+    spend.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("spend"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("c_mktsegment"), col("o_custkey"))
+  }
+
+  val qRankFamilySql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c.c_mktsegment, s.o_custkey, s.spend,
+      |       CAST(rank() OVER w AS BIGINT) AS rnk,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |       percent_rank() OVER w AS prank,
+      |       cume_dist() OVER w AS cdist
+      |FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC)
+      |ORDER BY c_mktsegment, o_custkey""".stripMargin
+
   private val HistBuckets = 20
 
   /** Equi-width histogram of `l_extendedprice` in 20 buckets with

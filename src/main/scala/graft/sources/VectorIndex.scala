@@ -335,6 +335,58 @@ object VectorIndex {
     * the probed cell ids — are the request-time k-row work; the
     * returned plan is the literal-pruned scan + top-k, fully lazy.
     */
+  /** Build + persist the binary-quantized serving layout — the 1-bit
+    * end of the served ladder next to [[save]] (float) and [[savePq]]
+    * (m·log₂k bits): a `bqcodes` table of ⌈dims/32⌉ packed sign words
+    * per vector (8 bytes/vector at dims=64 — the request-time scan is
+    * 32× smaller than the float corpus) plus the float `vectors` table
+    * read back only for the |shortlist| exact re-rank rows.
+    */
+  def saveBq(embs: DataFrame, path: String, dims: Int,
+             idCol: String = "vec_id", embCol: String = "embedding"): String = {
+    Similarity.bqEncode(embs, dims, idCol, embCol)
+      .withColumnRenamed(idCol, "vec_id")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/bqcodes")
+    embs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
+        Similarity.norm(col(embCol), dims).as("nrm"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/vectors")
+    path
+  }
+
+  /** Serve a binary-quantized search from the persisted layout:
+    * popcount-Hamming shortlist over the 8-byte codes scan, exact
+    * cosine re-rank over the shortlist only — row-identical to the
+    * batch [[Similarity.bqSearch]] with the same parameters (shared
+    * oracle). The request plan touches: the codes scan (bounded
+    * TakeOrderedAndProject), |shortlist| rows of the float table via a
+    * broadcast join, one query row.
+    */
+  def bqServe(spark: SparkSession, path: String, queryVecId: Long,
+              shortlist: Int, topK: Int, dims: Int): DataFrame = {
+    val codes = spark.read.parquet(s"$path/bqcodes")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val qWords = codes.filter(col("vec_id") === queryVecId)
+      .collect().head.getSeq[Long](1)
+    val q = vectors.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm")).collect().head
+    val qEmb = q.getSeq[Float](0)
+    val qNrm = q.getDouble(1)
+    val ham = codes.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        Similarity.bqHamming(col("bq"), typedlit(qWords), dims).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(shortlist)
+    broadcast(ham)
+      .join(vectors, Seq("vec_id"))
+      .select(col("vec_id"), col("hamming"),
+        round(Similarity.cosinePre(col("embedding"), typedlit(qEmb),
+          col("nrm"), lit(qNrm), dims), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   def annServe(spark: SparkSession, path: String, queryVecId: Long,
                probes: Int, topK: Int, dims: Int): DataFrame = {
     val vectors = spark.read.parquet(s"$path/vectors")

@@ -144,6 +144,12 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L)) ==
       Seq(("spiky", 6L)))
+
+    // the smoother shares the mergeable-hourly seam: the same merged
+    // state must smooth identically to one batch pass
+    val smoothedStream = Events.ewmaFromHourly(state.get).collect().toSeq
+    val smoothedBatch = Events.qEwma(all).collect().toSeq
+    assert(smoothedStream == smoothedBatch)
   }
 
   test("ewma: dyadic weights, partial-horizon normalization, exact integer lattice") {

@@ -224,6 +224,19 @@ class VectorIndexSpec extends SparkSpec {
     assert(servedPq.forall(_ % 5 == 2))
   }
 
+  test("served BQ search equals the batch two-stage bqSearch row for row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bqix").toString
+    VectorIndex.saveBq(corpus, dir, dims = dims)
+    val served = VectorIndex.bqServe(spark, dir, queryVecId = 0L,
+      shortlist = 12, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.operators.Similarity.bqSearch(corpus, queryVecId = 0L,
+      shortlist = 12, topK = 5, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(served.toSeq == batch.toSeq)
+    assert(served.length == 5)
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
