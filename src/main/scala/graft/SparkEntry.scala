@@ -989,6 +989,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
     "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
+    "q_graph_hops" -> (DedupQueries.qGraphHops _),
     "q_dedup_best" -> (DedupQueries.qDedupBest _),
     "q_leak_split" -> (DedupQueries.qLeakSplit _),
     "q_line_dedup" -> (DedupQueries.qLineDedup _),
@@ -1165,6 +1166,7 @@ object SparkEntry {
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
     "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
+    "q_graph_hops" -> DedupQueries.qGraphHopsSql,
     "q_dedup_best" -> DedupQueries.qDedupBestSql,
     "q_leak_split" -> DedupQueries.qLeakSplitSql,
     "q_line_dedup" -> DedupQueries.qLineDedupSql,

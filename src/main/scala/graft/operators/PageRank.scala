@@ -60,6 +60,49 @@ object PageRank {
     rank.select(col("id").as("doc_id"), col("r").as("rank_micro"))
   }
 
+  /** Multi-source bounded-hop BFS over the undirected pair graph: the
+    * shortest hop distance for EVERY ordered (src, dst) pair reachable
+    * within `maxHops` — the neighborhood-radius query ("how far is each
+    * near-duplicate from each other member of its cluster"; hop count =
+    * transitive-contamination depth, the thing [[Dedup.nearDupGroups]]'s
+    * flat components erase).
+    *
+    * Spark-first shape: the textbook frontier-expansion loop as plan
+    * composition — each round is ONE frontier⋈edges equi-join, a
+    * distinct, and an anti-join against the already-reached set (which
+    * both dedups states and makes first-reach = min-hops by
+    * construction). `maxHops` bounded rounds, each a key-partitioned
+    * shuffle; state is (src, dst) pairs actually reachable — never
+    * materializes anything quadratic in the node count unless the graph
+    * really is that dense. The oracle re-derives the same distances
+    * declaratively (recursive CTE + min(d)).
+    *
+    * Output (UNORDERED): src_id, doc_id, hops (1-based; self pairs
+    * excluded).
+    */
+  def boundedHops(pairs: DataFrame, maxHops: Int,
+                  aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(maxHops >= 1)
+    val edges = CachePool.track(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v"))))
+    var frontier = CachePool.track(
+      edges.select(col("u").as("src_id"), col("v").as("doc_id")).distinct()
+        .withColumn("hops", lit(1L)))
+    var reached = frontier
+    for (h <- 2 to maxHops) {
+      val next = frontier.as("f").join(edges.as("e"), col("f.doc_id") === col("e.u"))
+        .select(col("f.src_id").as("src_id"), col("e.v").as("doc_id"))
+        .distinct()
+        .filter(col("src_id") =!= col("doc_id"))
+        .join(reached.select(col("src_id"), col("doc_id")), Seq("src_id", "doc_id"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+      frontier = CachePool.track(next)
+      reached = CachePool.track(reached.union(frontier))
+    }
+    reached
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
     * undirected pair graph — the third graph-health primitive next to
     * connected components (membership) and PageRank (authority): a

@@ -461,6 +461,44 @@ object DedupQueries {
        |FROM deg LEFT JOIN tc ON tc.id = deg.id
        |ORDER BY doc_id""".stripMargin
 
+  private val HopsMax = 3
+
+  /** Multi-source bounded-hop BFS over the near-dup graph (see
+    * [[graft.operators.PageRank.boundedHops]]): shortest hop distance
+    * for every ordered doc pair reachable within 3 hops — the
+    * contamination-depth view the flat components of `q_dedup_groups`
+    * erase. The oracle derives the SAME distances declaratively: a
+    * recursive CTE (UNION-distinct bounds state) + min(d), against the
+    * iterative frontier-expansion plan whose anti-join makes
+    * first-reach = min-hops by construction.
+    */
+  def qGraphHops(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank
+      .boundedHops(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5),
+        maxHops = HopsMax)
+      .orderBy("src_id", "doc_id")
+
+  val qGraphHopsSql: String =
+    s"""WITH RECURSIVE $minhashVerifiedCte,
+       |npairs AS (
+       |  SELECT id_a, id_b FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM npairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM npairs
+       |),
+       |walk(src, id, d) AS (
+       |  SELECT u, v, 1 FROM edges
+       |  UNION
+       |  SELECT w.src, e.v, w.d + 1
+       |  FROM walk w JOIN edges e ON e.u = w.id
+       |  WHERE w.d < $HopsMax AND e.v <> w.src
+       |)
+       |SELECT src AS src_id, id AS doc_id, CAST(min(d) AS BIGINT) AS hops
+       |FROM walk GROUP BY src, id
+       |ORDER BY src_id, doc_id""".stripMargin
+
   /** Quality-aware duplicate-group representative: for every near-dup
     * group, the member a pipeline should KEEP — highest
     * [[graft.operators.TextAnalysis.qualityScore]], ties to the lowest

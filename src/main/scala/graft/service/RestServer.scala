@@ -43,6 +43,10 @@ import java.time.Instant
   *    [{vecId,cell,cosSim}] — ANN top-k from the cell-clustered index
   *    (probed-cell pruned scan; the same plan Bench times as
   *    `ann_warm_sec`).
+  *  - GET /api/ann/bq?id=n[&k=10][&shortlist=50] →
+  *    [{vecId,hamming,cosSim}] — binary-quantized top-k: popcount-
+  *    Hamming shortlist over the 8-byte packed codes, exact rerank
+  *    (requires the index dir's `bqcodes` table).
   */
 final class RestServer(engine: ClusterEngine, port: Int = 0,
                        dedup: Option[(org.apache.spark.sql.SparkSession, String)] = None,
@@ -339,6 +343,40 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
       }
   }
 
+  /** Binary-quantized top-k route: Hamming shortlist over the packed
+    * codes + exact rerank ([[graft.sources.VectorIndex.bqServe]]).
+    * Requires the index dir to carry a `bqcodes` table
+    * ([[graft.sources.VectorIndex.addBqCodes]] backfills one onto an
+    * IVF index) — checked up front so the 400 names the real problem.
+    */
+  private def handleBqSearch(ex: HttpExchange): Unit = ann match {
+    case None => err(ex, 404, "vector index not configured")
+    case Some((spark, indexPath, dims)) =>
+      val q = query(ex)
+      (try Right((q.get("id").map(_.toLong),
+          q.getOrElse("k", "10").toInt, q.getOrElse("shortlist", "50").toInt))
+        catch { case _: NumberFormatException => Left("invalid numeric parameter") }) match {
+        case Left(m) => err(ex, 400, m)
+        case Right((None, _, _)) => err(ex, 400, "missing id")
+        case Right((Some(id), k, shortlist)) =>
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath, "bqcodes"))) {
+            err(ex, 400, "index has no bqcodes table (run addBqCodes)")
+          } else {
+            try {
+              val out = graft.sources.VectorIndex
+                .bqServe(spark, indexPath, id, shortlist, k, dims)
+                .collect().map { r =>
+                  s"""{"vecId":${r.getLong(0)},"hamming":${r.getLong(1)},""" +
+                    s""""cosSim":${jnum(r.getDouble(2))}}"""
+                }
+              respond(ex, 200, out.mkString("[", ",", "]"))
+            } catch {
+              case _: NoSuchElementException => err(ex, 400, s"unknown vector $id")
+            }
+          }
+      }
+  }
+
   // ------------------------------------------------------------- routing
 
   server.createContext("/api/ann", (ex: HttpExchange) => {
@@ -349,6 +387,7 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
       (method, sub) match {
         case ("OPTIONS", _) => respond(ex, 204, "")
         case ("GET", "search") => handleAnnSearch(ex)
+        case ("GET", "bq") => handleBqSearch(ex)
         case _ => err(ex, 404, "not found")
       }
     } catch {

@@ -355,6 +355,19 @@ object VectorIndex {
     path
   }
 
+  /** Derive + persist packed sign-word codes for an EXISTING index dir
+    * (one whose `vectors` table [[save]] or [[saveBq]] wrote): lets an
+    * IVF index serve the BQ plan too — the codes ride alongside, and
+    * [[bqServe]] needs only (vec_id, embedding, nrm) from the float
+    * table it already has. One scan of the vectors table, map-only.
+    */
+  def addBqCodes(spark: SparkSession, path: String, dims: Int): String = {
+    Similarity.bqEncode(spark.read.parquet(s"$path/vectors"), dims)
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/bqcodes")
+    path
+  }
+
   /** Serve a binary-quantized search from the persisted layout:
     * popcount-Hamming shortlist over the 8-byte codes scan, exact
     * cosine re-rank over the shortlist only — row-identical to the

@@ -56,4 +56,22 @@ class PageRankSpec extends SparkSpec {
     val m = a.toMap
     assert(m(1L) == m(2L) && m(6L) > m(5L))
   }
+
+  test("boundedHops: path graph distances stop at the hop cap") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val from1 = PageRank.boundedHops(path, maxHops = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(from1((1L, 2L)) == 1L && from1((1L, 3L)) == 2L && from1((1L, 4L)) == 3L)
+    assert(!from1.contains((1L, 5L))) // 4 hops — beyond the cap
+    assert(from1((3L, 1L)) == 2L && from1((5L, 4L)) == 1L) // symmetric sources
+  }
+
+  test("boundedHops: cycles take the SHORTEST side, self pairs excluded") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    val d = PageRank.boundedHops(square, maxHops = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(d((1L, 3L)) == 2L) // both ways round give 2, not 2 AND a spurious longer entry
+    assert(d((1L, 2L)) == 1L && d((1L, 4L)) == 1L)
+    assert(!d.keySet.exists { case (s, t) => s == t }) // no self distances via the cycle
+  }
 }

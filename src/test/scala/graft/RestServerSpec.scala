@@ -163,6 +163,21 @@ class RestServerSpec extends SparkSpec {
       assert(aget("/api/ann/search?id=9999").statusCode() == 400)
       // unconfigured server 404s the route
       assert(get("/api/ann/search?id=0").statusCode() == 404)
+
+      // BQ route: 400 until the codes table exists, then equals the
+      // batch two-stage bqSearch in order
+      assert(aget("/api/ann/bq?id=0").statusCode() == 400)
+      graft.sources.VectorIndex.addBqCodes(spark, idx, dims)
+      val rb = aget("/api/ann/bq?id=0&k=5&shortlist=12")
+      assert(rb.statusCode() == 200, rb.body())
+      val expectB = graft.operators.Similarity
+        .bqSearch(corpus, queryVecId = 0L, shortlist = 12, topK = 5, dims = dims)
+        .collect().map(row => s""""vecId":${row.getLong(0)},"hamming":${row.getLong(1)}""")
+      assert(expectB.nonEmpty)
+      expectB.foreach(e => assert(rb.body().contains(e), s"$e missing in ${rb.body()}"))
+      assert(aget("/api/ann/bq?id=abc").statusCode() == 400)
+      assert(aget("/api/ann/bq").statusCode() == 400)
+      assert(get("/api/ann/bq?id=0").statusCode() == 404)
     } finally srv.stop()
   }
 
