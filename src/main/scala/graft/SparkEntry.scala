@@ -958,6 +958,7 @@ object SparkEntry {
     "q_resample" -> ((s, dir) => Ev.qResample(events(s, dir))),
     "q_anomaly" -> ((s, dir) => Ev.qAnomaly(events(s, dir))),
     "q_ewma" -> ((s, dir) => Ev.qEwma(events(s, dir))),
+    "q_seasonal" -> ((s, dir) => Ev.qSeasonal(events(s, dir))),
     "q_skyline" -> (Relational.qSkyline _),
     "q_histogram" -> (Relational.qHistogram _),
     "q_rank_family" -> (Relational.qRankFamily _),
@@ -1135,6 +1136,7 @@ object SparkEntry {
     "q_resample" -> Ev.qResampleSql,
     "q_anomaly" -> Ev.qAnomalySql,
     "q_ewma" -> Ev.qEwmaSql,
+    "q_seasonal" -> Ev.qSeasonalSql,
     "q_skyline" -> Relational.qSkylineSql,
     "q_histogram" -> Relational.qHistogramSql,
     "q_rank_family" -> Relational.qRankFamilySql,

@@ -353,6 +353,53 @@ object Events {
       |    > 9 * (st.n * st.sq - st.sx * st.sx)
       |ORDER BY event_type, hb""".stripMargin
 
+  /** Hour-of-day seasonality profile over the gap-filled hourly series:
+    * per (event type, hour-of-day 0–23) the observed-hour count, exact
+    * total, micro-unit mean (integer floor division — engine-identical)
+    * and the hour's rank within its type (value-based, hod tie-break) —
+    * the load-shape table capacity planning and deseasonalized
+    * monitoring both start from. Zero-filled gap hours participate (a
+    * dead hour lowers its slot's mean, as it should).
+    *
+    * Scale shape: the profile is a 24×|types| aggregation over the
+    * spine-joined series (map-side combined); the rank window runs on
+    * those ≤24·|types| rows, not on raw events.
+    */
+  def qSeasonal(events: DataFrame): DataFrame = {
+    val prof = filledHourlySeries(hourlyCounts(events))
+      .groupBy(col("event_type"), hour(col("hb")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("sx"))
+      .withColumn("mean_micro", expr("sx * 1000000 div n_hours"))
+    prof.withColumn("rank_in_type",
+        rank().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("mean_micro").desc, col("hod"))).cast("long"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  val qSeasonalSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hb, event_type, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |series AS (
+      |  SELECT s.hb, t.event_type, COALESCE(h.x, 0) AS x
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN hourly h ON h.hb = s.hb AND h.event_type = t.event_type),
+      |prof AS (
+      |  SELECT event_type, CAST(hour(hb) AS BIGINT) AS hod,
+      |         CAST(count(*) AS BIGINT) AS n_hours, CAST(sum(x) AS BIGINT) AS sx
+      |  FROM series GROUP BY 1, 2)
+      |SELECT event_type, hod, n_hours, sx,
+      |       sx * 1000000 // n_hours AS mean_micro,
+      |       CAST(rank() OVER (PARTITION BY event_type
+      |                         ORDER BY sx * 1000000 // n_hours DESC, hod) AS BIGINT)
+      |         AS rank_in_type
+      |FROM prof
+      |ORDER BY event_type, hod""".stripMargin
+
   private val EwmaH = 8 // truncation horizon: weights 2^8 … 2^0
 
   /** Truncated exponential smoothing (α = 1/2) of the gap-filled hourly

@@ -169,6 +169,24 @@ class EventsSpec extends SparkSpec {
     assert(out(2) == ((5L, 5 * 256L + 3 * 128L + 64L, 448L, 1728.0 / 448.0)))
   }
 
+  test("seasonal profile: planted peak hour ranks first; gap hours drag the mean") {
+    val h = 3600L * 1000000L
+    // two days: hour-of-day 2 gets 3 events/day, hod 0 gets 1, hod 1 none
+    val rows = Seq(0, 24).flatMap { d =>
+      Seq((d * 10L + 1, d * h, 1L, "a")) ++
+        (0 until 3).map(i => (d * 10L + 2 + i, (d + 2) * h + i, 1L, "a"))
+    }
+    // span both days fully so each hod has 2 observed hours
+    val events = ev((rows :+ ((999L, 47 * h, 1L, "a"))): _*)
+    val out = Events.qSeasonal(events).collect()
+      .map(r => r.getAs[Long]("hod") -> (r.getAs[Long]("n_hours"), r.getAs[Long]("sx"),
+        r.getAs[Long]("mean_micro"), r.getAs[Long]("rank_in_type"))).toMap
+    assert(out(2L) == ((2L, 6L, 3000000L, 1L))) // the peak slot
+    assert(out(1L)._2 == 0L && out(1L)._3 == 0L) // gap hours are real zeros
+    assert(out(0L)._3 == 1000000L)
+    assert(out.size == 24)
+  }
+
   test("ewma of a constant series is the constant, at every horizon depth") {
     val h = 3600L * 1000000L
     val events = ev((1 to 12).map(i => (i.toLong, i * h, 1L, "c")): _*)
