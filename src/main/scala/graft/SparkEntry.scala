@@ -1081,6 +1081,8 @@ object SparkEntry {
     "q_bq_search" -> (PipelineQueries.qBqSearch _),
     "q_bq_served" -> (PipelineQueries.qBqServed _),
     "q_bq_recall" -> (PipelineQueries.qBqRecall _),
+    "q_ivfbq_search" -> (PipelineQueries.qIvfBqSearch _),
+    "q_ivfbq_recall" -> (PipelineQueries.qIvfBqRecall _),
     "q_embed_dimstats" -> (PipelineQueries.qEmbedDimStats _),
     "q_semantic_dedup" -> (PipelineQueries.qSemanticDedup _),
     "q_ann_join" -> (PipelineQueries.qAnnJoin _),
@@ -1263,6 +1265,8 @@ object SparkEntry {
     "q_bq_search" -> PipelineQueries.qBqSearchSql,
     "q_bq_served" -> PipelineQueries.qBqSearchSql,
     "q_bq_recall" -> PipelineQueries.qBqRecallSql,
+    "q_ivfbq_search" -> PipelineQueries.qIvfBqSearchSql,
+    "q_ivfbq_recall" -> PipelineQueries.qIvfBqRecallSql,
     "q_embed_dimstats" -> PipelineQueries.qEmbedDimStatsSql,
     "q_semantic_dedup" -> PipelineQueries.qSemanticDedupSql,
     "q_ann_join" -> PipelineQueries.qAnnJoinSql,

@@ -968,6 +968,55 @@ object Similarity {
       .limit(topK)
   }
 
+  /** IVF + binary-quantization hybrid — the standard billion-scale
+    * composition (coarse quantizer prunes to `probes` cells, 1-bit
+    * codes rank the survivors by popcount-Hamming, exact cosine reranks
+    * the shortlist): three filters of strictly increasing cost, each
+    * applied to strictly fewer rows. vs [[ivfSearch]] the probed-cell
+    * scan reads 8-byte codes instead of float vectors; vs [[bqSearch]]
+    * the Hamming pass touches ~probes/k of the corpus instead of all
+    * of it.
+    *
+    * Output: idCol, cell, hamming, cos_sim — topK by (cos_sim desc, id).
+    */
+  def ivfBqSearch(embs: DataFrame, queryVecId: Long, k: Int, probes: Int,
+                  shortlist: Int, topK: Int, dims: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = firstKCentroids(embs, k, idCol, embCol)
+    val assign = ivfAssignWith(embs, cents, dims, idCol, embCol)
+      .select(col(idCol), col("cell"))
+    val q = embs.filter(col(idCol) === queryVecId)
+      .select(col(embCol).as("q_emb"), norm(col(embCol), dims).as("q_nrm"))
+    val probed = cents
+      .crossJoin(broadcast(q))
+      .select(col("cent_id").as("cell"),
+        round(cosinePre(col("cent_emb"), col("q_emb"),
+          norm(col("cent_emb"), dims), col("q_nrm"), dims), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cell"))
+      .limit(probes)
+      .select(col("cell"))
+    val coded = CachePool.track(bqEncode(embs, dims, idCol, embCol))
+    val qbq = coded.filter(col(idCol) === queryVecId).select(col("bq").as("qbq"))
+    val short = assign
+      .join(broadcast(probed), "cell")
+      .join(coded, idCol)
+      .filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(qbq))
+      .select(col(idCol), col("cell"),
+        bqHamming(col("bq"), col("qbq"), dims).as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(shortlist)
+    broadcast(short)
+      .join(embs.select(col(idCol), col(embCol).as("e"), norm(col(embCol), dims).as("nrm")),
+        Seq(idCol))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("cell"), col("hamming"),
+        round(cosinePre(col("e"), col("q_emb"), col("nrm"), col("q_nrm"), dims), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Semantic deduplication (public knowledge: Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", 2023): k-means-cluster the embedding space, then

@@ -2541,6 +2541,80 @@ object PipelineQueries {
        |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
        |FROM ($qBqSearchSql) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
 
+  private val IvfBqShortlist = 30
+
+  /** IVF + BQ hybrid search (see
+    * [[graft.operators.Similarity.ivfBqSearch]]): coarse prune to 2 of
+    * 8 cells → popcount-Hamming shortlist of 30 over the probed codes →
+    * exact rerank → top-10. The oracle chains the IVF assignment CTEs
+    * with the packed-word CTEs — each individually proven by
+    * `q_ivf_search` and `q_bq_search`; this checks their composition.
+    */
+  def qIvfBqSearch(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfBqSearch(embs(s, dir), queryVecId = 0L, k = 8, probes = 2,
+      shortlist = IvfBqShortlist, topK = 10, dims = Dims)
+
+  val qIvfBqSearchSql: String = {
+    val words = (0 until BqWords).map(j =>
+      s"CAST(${bqWordSql(j)} AS BIGINT) AS w${j + 1}").mkString(",\n         ")
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |               FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cent_id AS cell
+       |  FROM cents, q
+       |  ORDER BY round(${cosSql("cent_emb", "qe")}, 6) DESC, cent_id
+       |  LIMIT 2
+       |),
+       |codes AS (
+       |  SELECT vec_id,
+       |         $words
+       |  FROM embeddings
+       |),
+       |qb AS (SELECT ${(1 to BqWords).map(j => s"w$j AS qw$j").mkString(", ")}
+       |       FROM codes WHERE vec_id = 0),
+       |short AS (
+       |  SELECT c.vec_id, a.cell, ${bqHammingSql("c.w", "qw")} AS hamming
+       |  FROM codes c JOIN assign a USING (vec_id)
+       |  JOIN probed p ON a.cell = p.cell CROSS JOIN qb
+       |  WHERE c.vec_id <> 0
+       |  ORDER BY hamming, c.vec_id
+       |  LIMIT $IvfBqShortlist
+       |)
+       |SELECT s.vec_id, s.cell, s.hamming,
+       |       round(${cosSql("e.embedding", "qe")}, 6) AS cos_sim
+       |FROM short s JOIN embeddings e ON s.vec_id = e.vec_id, q
+       |ORDER BY cos_sim DESC, s.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** recall@10 of the IVF+BQ hybrid vs exact brute force — composing
+    * the two pruning stages costs recall multiplicatively; this is the
+    * eval that prices it next to `q_ann_recall` (IVF alone) and
+    * `q_bq_recall` (BQ alone).
+    */
+  def qIvfBqRecall(s: SparkSession, dir: String): DataFrame =
+    qIvfBqSearch(s, dir).select(col("vec_id"))
+      .join(qSimTopK(s, dir).select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        (col("n_overlap") * lit(100000L)).as("recall_ppm"))
+
+  // def, not val: composes SQL vals declared in this object
+  def qIvfBqRecallSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
+       |FROM ($qIvfBqSearchSql) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
+
   val qSq8SearchSql: String = {
     val qdot = (1 to Dims).map(i => s"a.q8[$i] * qq[$i]").mkString(" + ")
     s"""WITH r AS (

@@ -643,4 +643,22 @@ class SimilaritySpec extends SparkSpec {
     // shortlist covers the whole corpus → the exact rerank IS the result
     assert(bq == exact)
   }
+
+  test("ivfBqSearch degenerates to exact top-k when both prunes are full-cover") {
+    val rnd = new scala.util.Random(11)
+    val many = (0L to 60L).map(i =>
+      (i, Array.tabulate(dims)(_ => rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(many, queryVecId = 0L, k = 5, dims = dims)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val hybrid = Similarity.ivfBqSearch(many, queryVecId = 0L, k = 4, probes = 4,
+      shortlist = 60, topK = 5, dims = dims)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(hybrid == exact)
+    // real pruning returns a subset of probed cells only, still k rows
+    val pruned = Similarity.ivfBqSearch(many, queryVecId = 0L, k = 4, probes = 2,
+      shortlist = 20, topK = 5, dims = dims).collect()
+    assert(pruned.length == 5)
+    assert(pruned.map(_.getAs[Long]("cell")).distinct.length <= 2)
+  }
 }
