@@ -991,6 +991,7 @@ object SparkEntry {
     "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
     "q_graph_hops" -> (DedupQueries.qGraphHops _),
+    "q_containment" -> (DedupQueries.qContainment _),
     "q_dedup_best" -> (DedupQueries.qDedupBest _),
     "q_leak_split" -> (DedupQueries.qLeakSplit _),
     "q_line_dedup" -> (DedupQueries.qLineDedup _),
@@ -1081,6 +1082,7 @@ object SparkEntry {
     "q_bq_search" -> (PipelineQueries.qBqSearch _),
     "q_bq_served" -> (PipelineQueries.qBqServed _),
     "q_bq_recall" -> (PipelineQueries.qBqRecall _),
+    "q_bq_curve" -> (PipelineQueries.qBqCurve _),
     "q_ivfbq_search" -> (PipelineQueries.qIvfBqSearch _),
     "q_ivfbq_recall" -> (PipelineQueries.qIvfBqRecall _),
     "q_embed_dimstats" -> (PipelineQueries.qEmbedDimStats _),
@@ -1171,6 +1173,7 @@ object SparkEntry {
     "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
     "q_graph_hops" -> DedupQueries.qGraphHopsSql,
+    "q_containment" -> DedupQueries.qContainmentSql,
     "q_dedup_best" -> DedupQueries.qDedupBestSql,
     "q_leak_split" -> DedupQueries.qLeakSplitSql,
     "q_line_dedup" -> DedupQueries.qLineDedupSql,
@@ -1265,6 +1268,7 @@ object SparkEntry {
     "q_bq_search" -> PipelineQueries.qBqSearchSql,
     "q_bq_served" -> PipelineQueries.qBqSearchSql,
     "q_bq_recall" -> PipelineQueries.qBqRecallSql,
+    "q_bq_curve" -> PipelineQueries.qBqCurveSql,
     "q_ivfbq_search" -> PipelineQueries.qIvfBqSearchSql,
     "q_ivfbq_recall" -> PipelineQueries.qIvfBqRecallSql,
     "q_embed_dimstats" -> PipelineQueries.qEmbedDimStatsSql,

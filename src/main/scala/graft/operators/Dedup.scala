@@ -229,22 +229,65 @@ object Dedup {
     // same rationale as ngramJaccard: shingles feed signature + both
     // verification branches
     val sh = CachePool.track(docShingles(docs, textCol, idCol))
-    // the k×|shingles| md5 signature arithmetic is the dominant cost —
-    // persist (pool-bounded) so the self-join's two sides don't each
-    // recompute it
+    verifyJaccard(bandedMinhashCands(sh, k, bands, idCol), sh, idCol, threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
+  }
+
+  /** Banded-minhash candidate pairs over a (cached) shingle table — the
+    * shared sub-quadratic candidate generator of [[minhashPairs]] and
+    * [[containmentPairs]]. Duplicate pairs (several agreeing bands) are
+    * fine — verification counts DISTINCT shingles, so no dedup exchange
+    * here. The k×|shingles| md5 signature arithmetic is the dominant
+    * cost — persisted (pool-bounded) so the self-join's two sides don't
+    * each recompute it.
+    */
+  private def bandedMinhashCands(sh: DataFrame, k: Int, bands: Int,
+                                 idCol: String): DataFrame = {
     val banded = CachePool.track(sh
       .select(col(idCol).as("id"), col("s"), minhashSig(col("s"), k).as("g"))
       .select(col("id"), explode(bandKeys(col("g"), bands)).as("bandkey"))
       .select(col("id"), col("bandkey.band").as("band"), col("bandkey.bk").as("bk")))
-    // duplicate pairs (several agreeing bands) are fine — verifyJaccard
-    // counts DISTINCT shingles, so no dedup exchange here
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    verifyJaccard(cand, sh, idCol, threshold)
-      .select(col("id_a"), col("id_b"),
-        round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
+  }
+
+  /** Asymmetric CONTAINMENT near-superset pairs (Broder's containment
+    * c(A→B) = |A∩B| / |A|): catches quote-inclusion / boilerplate-plus-
+    * payload relations that symmetric Jaccard under-scores (a small doc
+    * wholly inside a big one has c = 1 but Jaccard ≈ |A|/|B|). Both
+    * directions are reported as exact integer ppm (floor division);
+    * a pair survives when EITHER direction reaches `minCont`.
+    *
+    * Candidate recall follows the banded-minhash contract (tuned for
+    * symmetric similarity — an extreme-size-ratio pair can evade the
+    * bands; size-stratified banding is the published fix when that tail
+    * matters). Verification is exact, so precision is exact — and the
+    * oracle replays the identical banding, making the recall contract
+    * part of the checked semantics.
+    *
+    * Output: id_a, id_b, inter, sz_a, sz_b, cont_a_ppm, cont_b_ppm.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                       minCont: Double = 0.8,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = CachePool.track(docShingles(docs, textCol, idCol))
+    val ds = postings(sh, idCol)
+    bandedMinhashCands(sh, k, bands, idCol)
+      .join(ds.select(col("id").as("id_a"), col("shingle"), col("len").as("len_a")), "id_a")
+      .join(ds.select(col("id").as("id_b"), col("shingle"), col("len").as("len_b")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+      .agg(countDistinct(col("shingle")).as("inter"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("len_a").cast("long").as("sz_a"), col("len_b").cast("long").as("sz_b"))
+      .withColumn("cont_a_ppm", expr("inter * 1000000 div sz_a"))
+      .withColumn("cont_b_ppm", expr("inter * 1000000 div sz_b"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
+        >= lit(math.round(minCont * 1000000)))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Connected components over near-duplicate pairs — the "keep one

@@ -461,6 +461,30 @@ object DedupQueries {
        |FROM deg LEFT JOIN tc ON tc.id = deg.id
        |ORDER BY doc_id""".stripMargin
 
+  /** Asymmetric containment near-superset pairs (see
+    * [[graft.operators.Dedup.containmentPairs]]): both containment
+    * directions in exact integer ppm over the SAME banded candidates as
+    * `q_dedup_minhash` — the quote-inclusion detector symmetric Jaccard
+    * under-scores. Oracle replays the banding + list_intersect sizes.
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), k = 8, bands = 4, minCont = 0.8)
+
+  val qContainmentSql: String =
+    s"""WITH $minhashVerifiedCte,
+       |sz AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+       |         CAST(len(sa.s) AS BIGINT) AS sz_a, CAST(len(sb.s) AS BIGINT) AS sz_b
+       |  FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+       |)
+       |SELECT id_a, id_b, inter, sz_a, sz_b,
+       |       inter * 1000000 // sz_a AS cont_a_ppm,
+       |       inter * 1000000 // sz_b AS cont_b_ppm
+       |FROM sz
+       |WHERE greatest(inter * 1000000 // sz_a, inter * 1000000 // sz_b) >= 800000
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val HopsMax = 3
 
   /** Multi-source bounded-hop BFS over the near-dup graph (see

@@ -2541,6 +2541,41 @@ object PipelineQueries {
        |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
        |FROM ($qBqSearchSql) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
 
+  /** recall@10-vs-shortlist curve for the binary-quantized search
+    * (widths 10/25/50/100): the BQ twin of `q_ivf_recall_curve` —
+    * shortlist width is BQ's only recall knob, and the curve is the
+    * offline artifact that prices it (rerank cost grows linearly with
+    * width; the 8-byte candidate scan is width-independent).
+    */
+  def qBqCurve(s: SparkSession, dir: String): DataFrame = {
+    val exact = qSimTopK(s, dir).select(col("vec_id"))
+    Seq(10, 25, 50, 100).map { w =>
+      Similarity.bqSearch(embs(s, dir), queryVecId = 0L, shortlist = w,
+        topK = 10, dims = Dims)
+        .select(col("vec_id"))
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(w.toLong).as("shortlist"), col("n_overlap"),
+          (col("n_overlap") * lit(100000L)).as("recall_ppm"))
+    }.reduce(_ unionByName _).orderBy("shortlist")
+  }
+
+  /** Derived from `qBqSearchSql` per shortlist width (the shortlist cut
+    * is its only `LIMIT 50`; guarded like qIvfRecallCurveSql's anchor).
+    */
+  def qBqCurveSql: String = {
+    require(qBqSearchSql.contains(s"LIMIT $BqShortlist")
+        && !qBqSearchSql.replaceFirst(s"LIMIT $BqShortlist", "")
+          .contains(s"LIMIT $BqShortlist"),
+      "shortlist LIMIT anchor changed/ambiguous — update qBqCurveSql")
+    Seq(10, 25, 50, 100).map { w =>
+      val bq = qBqSearchSql.replace(s"LIMIT $BqShortlist", s"LIMIT $w")
+      s"""SELECT CAST($w AS BIGINT) AS shortlist, CAST(count(*) AS BIGINT) AS n_overlap,
+         |       CAST(count(*) AS BIGINT) * 100000 AS recall_ppm
+         |FROM ($bq) a JOIN ($qSimTopKSql) b USING (vec_id)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY shortlist")
+  }
+
   private val IvfBqShortlist = 30
 
   /** IVF + BQ hybrid search (see

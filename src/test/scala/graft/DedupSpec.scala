@@ -174,4 +174,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(scaled == base)
   }
+
+  test("containmentPairs: a wholly-contained doc scores 1.0 in its direction") {
+    // the superset adds ONE shingle — banded-minhash candidate recall
+    // needs high per-permutation agreement (the operator's documented
+    // contract; extreme size ratios are the known blind spot)
+    val cdocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // superset of 1
+      (3L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(cdocs, minCont = 0.8).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("cont_a_ppm"), r.getAs[Long]("cont_b_ppm")))).toMap
+    assert(out.contains((1L, 2L)), s"contained pair missed: ${out.keySet}")
+    val (ca, cb) = out((1L, 2L))
+    assert(ca == 1000000L) // every shingle of doc 1 is in doc 2
+    assert(cb < 1000000L)  // but not vice versa
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
