@@ -1024,6 +1024,7 @@ object SparkEntry {
     "q_multiprobe_recall" -> (PipelineQueries.qMultiProbeRecall _),
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
     "q_media_decode" -> (PipelineQueries.qMediaDecode _),
+    "q_media_resize" -> (PipelineQueries.qMediaResize _),
     "q_media_frames" -> (PipelineQueries.qMediaFrames _),
     "q_audio_decode" -> (PipelineQueries.qAudioDecode _),
     "q_cdc_apply" -> (PipelineQueries.qCdcApply _),
@@ -1208,6 +1209,7 @@ object SparkEntry {
     "q_multiprobe_recall" -> PipelineQueries.qMultiProbeRecallSql,
     "q_multimodal" -> PipelineQueries.qMultimodalSql,
     "q_media_decode" -> PipelineQueries.qMediaDecodeSql,
+    "q_media_resize" -> PipelineQueries.qMediaResizeSql,
     "q_media_frames" -> PipelineQueries.qMediaFramesSql,
     "q_audio_decode" -> PipelineQueries.qAudioDecodeSql,
     "q_cdc_apply" -> PipelineQueries.qCdcApplySql,

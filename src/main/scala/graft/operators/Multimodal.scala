@@ -107,6 +107,57 @@ object Multimodal {
       }
   }
 
+  /** Typed row produced by the resize pass. `thumb_w`/`thumb_h` are the
+    * dimensions READ BACK from the re-encoded thumbnail, not the
+    * requested ones — the row only matches the oracle if decode →
+    * scale → PNG-encode → decode really round-trips.
+    */
+  final case class ThumbMeta(doc_id: Long, width: Long, height: Long,
+                             thumb_w: Long, thumb_h: Long, thumb_len: Long)
+
+  /** Real thumbnail resize (JDK-only: ImageIO decode, Graphics2D
+    * bilinear scale, PNG re-encode) — the canonical image-preprocessing
+    * step of a multimodal training pipeline, in the same
+    * per-partition-codec-init shape as [[decodeMeta]]. Target
+    * dimensions follow the exact integer fit-to-box rule
+    * `t = max(1, side·maxDim div max(w,h))`, so a SQL oracle can
+    * recompute them from the generation parameters; the emitted
+    * dimensions come from RE-DECODING the produced PNG (self-verifying
+    * plumbing). Undecodable payloads are dropped (the honest contract:
+    * a thumbnail pass yields thumbnails, not stub rows).
+    */
+  def resizeThumbs(media: DataFrame, maxDim: Int, idCol: String = "doc_id",
+                   payloadCol: String = "payload"): Dataset[ThumbMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val m = math.max(w, h)
+            val tw = math.max(1, w * maxDim / m)
+            val th = math.max(1, h * maxDim / m)
+            val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+            g.dispose()
+            val baos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", baos)
+            val thumb = baos.toByteArray
+            val re = ImageIO.read(new ByteArrayInputStream(thumb))
+            ThumbMeta(id, w.toLong, h.toLong,
+              re.getWidth.toLong, re.getHeight.toLong, thumb.length.toLong)
+          }
+        }
+      }
+  }
+
   /** Frame sampling over decoded metadata: one row per frame with its
     * deterministic byte offset — the plumbing a video frame-extraction
     * pass would use (explode stays columnar; a real extractor would then

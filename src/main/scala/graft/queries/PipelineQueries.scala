@@ -1666,6 +1666,30 @@ object PipelineQueries {
       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real thumbnail resize over the synthetic media table (see
+    * [[graft.operators.Multimodal.resizeThumbs]]): decode →
+    * bilinear-scale into a 16-box → PNG re-encode → RE-DECODE. The
+    * oracle recomputes source dims from the generation arithmetic and
+    * target dims from the integer fit-to-box rule — the row only
+    * matches if the whole image pipeline round-trips.
+    */
+  def qMediaResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeThumbs(Multimodal.synthMediaTable(s, dir), maxDim = 16)
+      .toDF()
+      .select("doc_id", "width", "height", "thumb_w", "thumb_h")
+      .orderBy("doc_id")
+
+  val qMediaResizeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 25 AS BIGINT) AS width,
+      |         CAST(8 + (doc_id * 3) % 17 AS BIGINT) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |       greatest(1, width * 16 // greatest(width, height)) AS thumb_w,
+      |       greatest(1, height * 16 // greatest(width, height)) AS thumb_h
+      |FROM dims ORDER BY doc_id""".stripMargin
+
   /** Frame sampling over REAL GIF frame counts (n_frames from the
     * ImageIO reader's image-index scan, not arithmetic).
     */
