@@ -992,6 +992,7 @@ object SparkEntry {
     "q_triangles" -> (DedupQueries.qTriangles _),
     "q_graph_hops" -> (DedupQueries.qGraphHops _),
     "q_containment" -> (DedupQueries.qContainment _),
+    "q_jaccard_curve" -> (DedupQueries.qJaccardCurve _),
     "q_dedup_best" -> (DedupQueries.qDedupBest _),
     "q_leak_split" -> (DedupQueries.qLeakSplit _),
     "q_line_dedup" -> (DedupQueries.qLineDedup _),
@@ -1175,6 +1176,7 @@ object SparkEntry {
     "q_triangles" -> DedupQueries.qTrianglesSql,
     "q_graph_hops" -> DedupQueries.qGraphHopsSql,
     "q_containment" -> DedupQueries.qContainmentSql,
+    "q_jaccard_curve" -> DedupQueries.qJaccardCurveSql,
     "q_dedup_best" -> DedupQueries.qDedupBestSql,
     "q_leak_split" -> DedupQueries.qLeakSplitSql,
     "q_line_dedup" -> DedupQueries.qLineDedupSql,

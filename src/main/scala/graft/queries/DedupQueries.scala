@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum, when}
 
 /** Query entries + DuckDB oracles for the dedup suite. The oracle SQL
   * mirrors the Spark operators' md5-based hashing exactly (DuckDB's
@@ -484,6 +484,36 @@ object DedupQueries {
        |FROM sz
        |WHERE greatest(inter * 1000000 // sz_a, inter * 1000000 // sz_b) >= 800000
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup pair count vs Jaccard threshold (0.3/0.5/0.7/0.9) over
+    * the SAME banded candidates — the dedup-aggressiveness tuning
+    * artifact: how many pairs (and how many chars of removable text)
+    * each threshold setting would declare duplicates. One candidate
+    * generation + verification, four cheap filters — the expensive
+    * subtree is shared, not re-run (CachePool-persisted shingles).
+    */
+  def qJaccardCurve(s: SparkSession, dir: String): DataFrame = {
+    val verified = Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.3)
+    Seq(300000L, 500000L, 700000L, 900000L).map { t =>
+      verified.filter(col("jaccard_ppm") >= t)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_removable"))
+        .select(lit(t).as("threshold_ppm"), col("n_pairs"), col("n_removable"))
+    }.reduce(_ unionByName _).orderBy("threshold_ppm")
+  }
+
+  val qJaccardCurveSql: String =
+    Seq(300000L, 500000L, 700000L, 900000L).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS threshold_ppm,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT id_b) AS BIGINT) AS n_removable
+         |FROM (WITH $minhashVerifiedCte
+         |      SELECT id_a, id_b,
+         |             CAST(round(inter * 1000000.0 / union_n) AS BIGINT) AS jaccard_ppm
+         |      FROM verified
+         |      WHERE inter * 1.0 / union_n >= 0.3)
+         |WHERE jaccard_ppm >= $t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY threshold_ppm")
 
   private val HopsMax = 3
 

@@ -644,6 +644,24 @@ class SimilaritySpec extends SparkSpec {
     assert(bq == exact)
   }
 
+  test("bq Hamming metric properties: identity, symmetry, bound, triangle") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 12).map(_ => Array.tabulate(dims)(_ => rnd.nextFloat() * 2 - 1))
+    val codes = Similarity.bqEncode(
+        vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding"),
+        dims)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    for (i <- codes.keys; j <- codes.keys; k <- codes.keys) {
+      val (a, b, c) = (codes(i), codes(j), codes(k))
+      if (i == j) assert(ham(a, b) == 0L)
+      assert(ham(a, b) == ham(b, a))
+      assert(ham(a, b) >= 0L && ham(a, b) <= dims.toLong)
+      assert(ham(a, c) <= ham(a, b) + ham(b, c)) // triangle inequality
+    }
+  }
+
   test("ivfBqSearch degenerates to exact top-k when both prunes are full-cover") {
     val rnd = new scala.util.Random(11)
     val many = (0L to 60L).map(i =>

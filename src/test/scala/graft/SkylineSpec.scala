@@ -35,4 +35,15 @@ class SkylineSpec extends SparkSpec {
     val expected = pts.filterNot(dominated).map(_._1).toSet
     assert(sky(pts: _*) == expected)
   }
+
+  test("skyline is idempotent: the frontier of a frontier is itself") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 200).map { i =>
+      (i.toLong, "g" + rnd.nextInt(2), (rnd.nextInt(15) * 3).toDouble, rnd.nextInt(20))
+    }.toDF("id", "grp", "x", "y")
+    val once = Skyline.skyline2dMin(pts, "grp", "x", "y")
+    val twice = Skyline.skyline2dMin(once, "grp", "x", "y")
+    assert(twice.collect().map(_.getAs[Long]("id")).toSet ==
+      once.collect().map(_.getAs[Long]("id")).toSet)
+  }
 }
