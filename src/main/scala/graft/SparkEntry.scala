@@ -959,6 +959,8 @@ object SparkEntry {
     "q_anomaly" -> ((s, dir) => Ev.qAnomaly(events(s, dir))),
     "q_ewma" -> ((s, dir) => Ev.qEwma(events(s, dir))),
     "q_seasonal" -> ((s, dir) => Ev.qSeasonal(events(s, dir))),
+    "q_window_nav" -> ((s, dir) => Ev.qWindowNav(events(s, dir))),
+    "q_percentile_cont" -> (Relational.qPercentileCont _),
     "q_skyline" -> (Relational.qSkyline _),
     "q_histogram" -> (Relational.qHistogram _),
     "q_rank_family" -> (Relational.qRankFamily _),
@@ -1143,6 +1145,8 @@ object SparkEntry {
     "q_anomaly" -> Ev.qAnomalySql,
     "q_ewma" -> Ev.qEwmaSql,
     "q_seasonal" -> Ev.qSeasonalSql,
+    "q_window_nav" -> Ev.qWindowNavSql,
+    "q_percentile_cont" -> Relational.qPercentileContSql,
     "q_skyline" -> Relational.qSkylineSql,
     "q_histogram" -> Relational.qHistogramSql,
     "q_rank_family" -> Relational.qRankFamilySql,

@@ -353,6 +353,46 @@ object Events {
       |    > 9 * (st.n * st.sq - st.sx * st.sx)
       |ORDER BY event_type, hb""".stripMargin
 
+  /** The window NAVIGATION family in one pass — first_value /
+    * last_value (full frame) / nth_value(2) / lag / lead with defaults
+    * — per user over (ts, event_id)-ordered events: "what did this
+    * user do first, last, second, just before and just after each
+    * event". Values ride the cents lattice; the unique event_id
+    * tie-break makes every navigator deterministic.
+    *
+    * Scale shape: ONE user-partitioned sort serves all six navigators
+    * (Spark evaluates them in a single Window node; full-frame
+    * last_value needs the whole partition, which a per-user frame
+    * bounds at session size, never corpus size).
+    */
+  def qWindowNav(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val vc = round(col("value") * 100).cast("long")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), vc.as("vc"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        nth_value(col("event_type"), 2).over(full).as("second_type"),
+        lag(col("vc"), 1, 0L).over(w).as("prev_vc"),
+        lead(col("vc"), 1, -1L).over(w).as("next_vc"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val qWindowNavSql: String =
+    """SELECT user_id, ts, event_id,
+      |  first_value(event_type) OVER wf AS first_type,
+      |  last_value(event_type) OVER wf AS last_type,
+      |  nth_value(event_type, 2) OVER wf AS second_type,
+      |  COALESCE(lag(CAST(round(value * 100) AS BIGINT), 1) OVER w, 0) AS prev_vc,
+      |  COALESCE(lead(CAST(round(value * 100) AS BIGINT), 1) OVER w, -1) AS next_vc
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** Hour-of-day seasonality profile over the gap-filled hourly series:
     * per (event type, hour-of-day 0–23) the observed-hour count, exact
     * total, micro-unit mean (integer floor division — engine-identical)

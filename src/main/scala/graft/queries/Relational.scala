@@ -583,6 +583,61 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC)
       |ORDER BY c_mktsegment, o_custkey""".stripMargin
 
+  /** Exact PERCENTILE_CONT (linear interpolation) per group, computed
+    * on the cents lattice so the interpolation is pure integer
+    * arithmetic: pos = (n−1)·k/4 for quartiles k=1..3 splits into
+    * idx = ⌊·⌋ and rem ∈ {0..3}; the interpolated value ×4 is
+    * lo·(4−rem) + hi·rem — an exact BIGINT both engines compute
+    * identically (the final /400 to currency units is one correctly-
+    * rounded double division). Neither engine's builtin
+    * percentile_cont is trusted across engines; both sides run THIS
+    * definition.
+    *
+    * Scale shape: one rank window per group (same spec-vs-approx
+    * contract as `q_ntile` — `spendQuartilesApprox` is the documented
+    * 100 TB rewrite); the quartile selection joins pick 2 rows per
+    * (group, k).
+    */
+  def qPercentileCont(s: SparkSession, dir: String): DataFrame = {
+    val v = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val r = v.withColumn("rn",
+      row_number().over(Window.partitionBy(col("grp")).orderBy(col("c"))).cast("long"))
+    val n = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val pos = n.crossJoin(s.range(1, 4).select(col("id").as("k")))
+      .withColumn("idx", expr("(n - 1) * k div 4"))
+      .withColumn("rem", expr("(n - 1) * k % 4"))
+    pos.as("p")
+      .join(r.as("lo"), col("p.grp") === col("lo.grp") && col("lo.rn") === col("p.idx") + 1)
+      .join(r.as("hi"), col("p.grp") === col("hi.grp") &&
+        col("hi.rn") === least(col("p.idx") + 2, col("p.n")))
+      .select(col("p.grp").as("grp"), col("p.k").as("k"), col("p.n").as("n"),
+        (col("lo.c") * (lit(4) - col("p.rem")) + col("hi.c") * col("p.rem")).as("pcont_x4"))
+      .withColumn("pcont", col("pcont_x4").cast("double") / lit(400.0))
+      .orderBy(col("grp"), col("k"))
+  }
+
+  val qPercentileContSql: String =
+    """WITH v AS (SELECT o_orderpriority AS grp,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |r AS (SELECT grp, c,
+      |             CAST(row_number() OVER (PARTITION BY grp ORDER BY c) AS BIGINT) AS rn
+      |      FROM v),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY grp),
+      |pos AS (SELECT grp, n, k, (n - 1) * k // 4 AS idx, (n - 1) * k % 4 AS rem
+      |        FROM n CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+      |sel AS (
+      |  SELECT p.grp, CAST(p.k AS BIGINT) AS k, p.n,
+      |         lo.c * (4 - p.rem) + hi.c * p.rem AS pcont_x4
+      |  FROM pos p
+      |  JOIN r lo ON lo.grp = p.grp AND lo.rn = p.idx + 1
+      |  JOIN r hi ON hi.grp = p.grp AND hi.rn = least(p.idx + 2, p.n)
+      |)
+      |SELECT grp, k, n, pcont_x4,
+      |       CAST(pcont_x4 AS DOUBLE) / 400.0 AS pcont
+      |FROM sel ORDER BY grp, k""".stripMargin
+
   private val HistBuckets = 20
 
   /** Equi-width histogram of `l_extendedprice` in 20 buckets with
