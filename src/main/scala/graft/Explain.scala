@@ -21,7 +21,9 @@ object Explain {
         "q_line_dedup", "q_url_dedup", "q_bitext_mine",
         "q_scalar_subquery", "q_exists_join", "q_lateral", "q_resample",
         "q_ivf_filtered_auto", "q_cdc_apply", "q_media_decode",
-        "q_data_profile", "q_corr_matrix")
+        "q_data_profile", "q_corr_matrix",
+        "q_bq_search", "q_ivfbq_search", "q_skyline", "q_histogram",
+        "q_graph_hops", "q_rag_pack", "q_containment", "q_percentile_cont")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
