@@ -696,8 +696,9 @@ object Similarity {
     * n·dims exploded elements.
     */
   def pqDistortion(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
-                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val codebook = pqTrain(embs, m, k, iters, dims, idCol, embCol)
+                   idCol: String = "vec_id", embCol: String = "embedding",
+                   fit: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val codebook = pqTrain(embs, m, k, iters, dims, idCol, embCol, fit)
     val codes = pqEncodeWith(embs, codebook, m, k, dims, idCol, embCol)
     val dsub = dims / m
     val spe = embs.select(col(idCol).as("vec_id"),
@@ -719,8 +720,9 @@ object Similarity {
     * of centroid coordinates on the 1e-6 lattice.
     */
   def pqTrain(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
-              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val (_, cents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
+              idCol: String = "vec_id", embCol: String = "embedding",
+              fit: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (_, cents) = fit.getOrElse(pqFit(embs, m, k, iters, dims, idCol, embCol))
     cents.select(col("sub"), col("cent_id"), posexplode(col("cv")).as(Seq("pos0", "c")))
       .select(col("sub").cast("long").as("sub"), col("cent_id"),
         (col("pos0") + 1).cast("long").as("pos"),
@@ -734,8 +736,9 @@ object Similarity {
     * embeddings are only read back for an exact re-rank of finalists.
     */
   def pqEncode(embs: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
-               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val (sve, cents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
+               idCol: String = "vec_id", embCol: String = "embedding",
+               fit: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (sve, cents) = fit.getOrElse(pqFit(embs, m, k, iters, dims, idCol, embCol))
     assignCodes(sve, cents, k, dims / m)
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
       .orderBy("vec_id", "sub")
@@ -752,8 +755,9 @@ object Similarity {
     */
   def pqSearch(embs: DataFrame, queryVecId: Long, m: Int, k: Int, iters: Int,
                topK: Int, dims: Int,
-               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val (sve, cents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
+               idCol: String = "vec_id", embCol: String = "embedding",
+               fit: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (sve, cents) = fit.getOrElse(pqFit(embs, m, k, iters, dims, idCol, embCol))
     val subDims = dims / m
     val codes = assignCodes(sve, cents, k, subDims)
     // LUT: exact squared distance from the query's sub-vectors to every
@@ -787,9 +791,10 @@ object Similarity {
   def ivfpqSearch(embs: DataFrame, coarse: DataFrame, queryVecId: Long,
                   probes: Int, m: Int, k: Int, iters: Int,
                   shortlist: Int, topK: Int, dims: Int,
-                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  fit: Option[(DataFrame, DataFrame)] = None): DataFrame =
     ivfpqSearchImpl(embs, coarse, None, queryVecId, probes, m, k, iters,
-      shortlist, topK, dims, idCol, embCol)
+      shortlist, topK, dims, idCol, embCol, fit)
 
   /** [[ivfpqSearch]] with a metadata predicate: candidates failing it
     * are dropped BEFORE the ADC shortlist (a semi-join against the
@@ -801,15 +806,17 @@ object Similarity {
   def ivfpqSearchFiltered(embs: DataFrame, coarse: DataFrame, pred: Column,
                           queryVecId: Long, probes: Int, m: Int, k: Int, iters: Int,
                           shortlist: Int, topK: Int, dims: Int,
-                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+                          idCol: String = "vec_id", embCol: String = "embedding",
+                          fit: Option[(DataFrame, DataFrame)] = None): DataFrame =
     ivfpqSearchImpl(embs, coarse, Some(pred), queryVecId, probes, m, k, iters,
-      shortlist, topK, dims, idCol, embCol)
+      shortlist, topK, dims, idCol, embCol, fit)
 
   private def ivfpqSearchImpl(embs: DataFrame, coarse: DataFrame, pred: Option[Column],
                               queryVecId: Long,
                               probes: Int, m: Int, k: Int, iters: Int,
                               shortlist: Int, topK: Int, dims: Int,
-                              idCol: String, embCol: String): DataFrame = {
+                              idCol: String, embCol: String,
+                              fit: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val subDims = dims / m
     // stage 1: coarse pruning — same assignment/probe machinery as
     // ivfSearchWith (rounded-cosine, centroid-id tie-break)
@@ -835,7 +842,7 @@ object Similarity {
     // Catalyst/AQE (broadcast while it fits, shuffle when it doesn't);
     // only genuinely bounded sides (probed cells, codebook, LUT,
     // shortlist ids) are broadcast by hand.
-    val (sve, pcents) = pqFit(embs, m, k, iters, dims, idCol, embCol)
+    val (sve, pcents) = fit.getOrElse(pqFit(embs, m, k, iters, dims, idCol, embCol))
     val codes = assignCodes(sve.join(cand, "vec_id"), pcents, k, subDims)
     val qs = sve.filter(col("vec_id") === queryVecId)
       .select(col("sub"), col("sv").as("qv"), col("nn").as("qn"))

@@ -644,8 +644,23 @@ object PipelineQueries {
     * arithmetic, so the iterative Spark loop and the set-based SQL reach
     * the identical fixpoint state.
     */
+  /** Memoized trained quantizer per sf dir: training is deterministic,
+    * so its four consumers (this training query, trained search, and
+    * both IVF+PQ pipelines) share ONE persisted copy per session
+    * instead of re-running the Lloyd iterations — the in-session
+    * analogue of the persisted `coarse` table `VectorIndex.savePq`
+    * writes for serving. Results are identical by construction.
+    */
+  private val trainedQuantizers = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def trainedKmeans(s: SparkSession, dir: String): DataFrame =
+    trainedQuantizers.getOrElseUpdate(dir, {
+      val t = Similarity.kmeansTrain(embs(s, dir), k = 8, iters = 2, dims = Dims).persist()
+      t.count()
+      t
+    })
+
   def qIvfTrain(s: SparkSession, dir: String): DataFrame =
-    Similarity.kmeansTrain(embs(s, dir), k = 8, iters = 2, dims = Dims)
+    trainedKmeans(s, dir)
 
   /** k-means CTE chain ending in `c2` = centroids after 2 Lloyd
     * iterations (shared by the training oracle and the trained-search
@@ -699,8 +714,7 @@ object PipelineQueries {
     */
   def qIvfSearchTrained(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cents = Similarity.centroidsAsVectors(
-      Similarity.kmeansTrain(e, k = 8, iters = 2, dims = Dims))
+    val cents = Similarity.centroidsAsVectors(trainedKmeans(s, dir))
     Similarity.ivfSearchWith(e, cents, queryVecId = 0L, probes = 2, topK = 10, dims = Dims)
   }
 
@@ -808,8 +822,28 @@ object PipelineQueries {
     * [[graft.operators.Similarity.pqTrain]]): m per-subspace k-means
     * codebooks in one Lloyd loop, exact micro-unit lattice.
     */
+  /** Memoized PQ fit (sub-vector table + subspace codebooks) per sf
+    * dir: the m-subspace Lloyd training is deterministic, so the six
+    * PQ consumers (train / encode / distortion / ADC search / both
+    * IVF+PQ pipelines) share ONE persisted copy per session — the
+    * in-session analogue of the persisted `codebook` table
+    * `VectorIndex.savePq` writes for serving. Results are identical by
+    * construction.
+    */
+  private val pqFits =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private def pqFitShared(s: SparkSession, dir: String): Option[(DataFrame, DataFrame)] =
+    Some(pqFits.getOrElseUpdate(dir, {
+      val (sve, cents) =
+        Similarity.pqFit(embs(s, dir), PqM, PqK, PqIters, Dims, "vec_id", "embedding")
+      val sp = sve.persist(); sp.count()
+      val cp = cents.persist(); cp.count()
+      (sp, cp)
+    }))
+
   def qPqTrain(s: SparkSession, dir: String): DataFrame =
-    Similarity.pqTrain(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims)
+    Similarity.pqTrain(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims,
+      fit = pqFitShared(s, dir))
 
   val qPqTrainSql: String =
     s"""WITH $pqCte
@@ -820,7 +854,8 @@ object PipelineQueries {
     * representation a 100 TB ANN index actually stores.
     */
   def qPqEncode(s: SparkSession, dir: String): DataFrame =
-    Similarity.pqEncode(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims)
+    Similarity.pqEncode(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims,
+      fit = pqFitShared(s, dir))
 
   val qPqEncodeSql: String =
     s"""WITH $pqCte,
@@ -834,7 +869,8 @@ object PipelineQueries {
     * the other PQ oracles use.
     */
   def qPqDistortion(s: SparkSession, dir: String): DataFrame =
-    Similarity.pqDistortion(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims)
+    Similarity.pqDistortion(embs(s, dir), m = PqM, k = PqK, iters = PqIters, dims = Dims,
+      fit = pqFitShared(s, dir))
 
   val qPqDistortionSql: String =
     s"""WITH $pqCte,
@@ -852,7 +888,7 @@ object PipelineQueries {
     */
   def qPqSearch(s: SparkSession, dir: String): DataFrame =
     Similarity.pqSearch(embs(s, dir), queryVecId = 0L, m = PqM, k = PqK,
-      iters = PqIters, topK = 10, dims = Dims)
+      iters = PqIters, topK = 10, dims = Dims, fit = pqFitShared(s, dir))
 
   val qPqSearchSql: String =
     s"""WITH $pqCte,
@@ -879,10 +915,10 @@ object PipelineQueries {
     */
   def qIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val coarse = Similarity.centroidsAsVectors(
-      Similarity.kmeansTrain(e, k = 8, iters = 2, dims = Dims))
+    val coarse = Similarity.centroidsAsVectors(trainedKmeans(s, dir))
     Similarity.ivfpqSearch(e, coarse, queryVecId = 0L, probes = 2,
-      m = PqM, k = PqK, iters = PqIters, shortlist = 50, topK = 10, dims = Dims)
+      m = PqM, k = PqK, iters = PqIters, shortlist = 50, topK = 10, dims = Dims,
+      fit = pqFitShared(s, dir))
   }
 
   val qIvfPqSearchSql: String =
@@ -945,11 +981,11 @@ object PipelineQueries {
     */
   def qIvfPqFiltered(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val coarse = Similarity.centroidsAsVectors(
-      Similarity.kmeansTrain(e, k = 8, iters = 2, dims = Dims))
+    val coarse = Similarity.centroidsAsVectors(trainedKmeans(s, dir))
     Similarity.ivfpqSearchFiltered(e, coarse, col("label") === FilterLabel,
       queryVecId = 0L, probes = 4,
-      m = PqM, k = PqK, iters = PqIters, shortlist = 50, topK = 10, dims = Dims)
+      m = PqM, k = PqK, iters = PqIters, shortlist = 50, topK = 10, dims = Dims,
+      fit = pqFitShared(s, dir))
   }
 
   /** Derived from `qIvfPqSearchSql` by two structural rewrites (probes
