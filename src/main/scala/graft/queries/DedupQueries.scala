@@ -99,9 +99,32 @@ object DedupQueries {
     * closure via a recursive CTE — a genuinely different machinery
     * computing the same fixpoint, like the DuckDB-native ASOF check).
     */
+  /** Memoized banded-minhash pair graph (k=8, bands=4, t=0.5) over the
+    * raw corpus, and the connected-component labels derived from it —
+    * deterministic, so their seven consumers (pair listing, grouping,
+    * savings, PageRank, triangles, BFS hops, the duplication matrix,
+    * hard-negative filtering) share ONE persisted copy per session.
+    * Consumers over MODIFIED corpora (cleaning capstones) still build
+    * their own.
+    */
+  private val pairMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[queries] def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    pairMemo.getOrElseUpdate(dir, {
+      val p = Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5).persist()
+      p.count()
+      p
+    })
+
+  private val groupMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def nearDupGroupsShared(s: SparkSession, dir: String): DataFrame =
+    groupMemo.getOrElseUpdate(dir, {
+      val g = Dedup.nearDupGroups(minhashPairsShared(s, dir)).persist()
+      g.count()
+      g
+    })
+
   def qGroups(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupGroups(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
-      .orderBy("doc_id")
+    nearDupGroupsShared(s, dir).orderBy("doc_id")
 
   /** CTE chain (recursive) ending in `grp` = (doc_id, group_id) labels
     * over the minhash pair graph.
@@ -138,7 +161,7 @@ object DedupQueries {
     * output is at most maxGroupSize rows regardless of corpus size.
     */
   def qDedupSavings(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupGroups(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
+    nearDupGroupsShared(s, dir)
       .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("size"),
@@ -383,7 +406,7 @@ object DedupQueries {
     */
   def qPagerank(s: SparkSession, dir: String): DataFrame =
     graft.operators.PageRank
-      .rankMicro(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5),
+      .rankMicro(minhashPairsShared(s, dir),
         iters = PrIters, dampingPct = PrDampingPct)
       .orderBy("doc_id")
 
@@ -419,7 +442,7 @@ object DedupQueries {
     */
   def qTriangles(s: SparkSession, dir: String): DataFrame =
     graft.operators.PageRank
-      .triangleStats(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5))
+      .triangleStats(minhashPairsShared(s, dir))
 
   val qTrianglesSql: String =
     s"""WITH $minhashVerifiedCte,
@@ -528,7 +551,7 @@ object DedupQueries {
     */
   def qGraphHops(s: SparkSession, dir: String): DataFrame =
     graft.operators.PageRank
-      .boundedHops(Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5),
+      .boundedHops(minhashPairsShared(s, dir),
         maxHops = HopsMax)
       .orderBy("src_id", "doc_id")
 
@@ -610,7 +633,7 @@ object DedupQueries {
     */
   def qDupMatrix(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pairs = Dedup.minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5)
+    val pairs = minhashPairsShared(s, dir)
     val src = docs(s, dir).select(col("doc_id"), col("source"))
     pairs
       .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))), "id_a")

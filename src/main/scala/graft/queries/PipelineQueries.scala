@@ -492,8 +492,7 @@ object PipelineQueries {
   def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val topPool = Similarity.bruteForceTopK(embs(s, dir), queryVecId = 0L,
       k = 20, dims = Dims)
-    val dupsOfQuery = graft.operators.Dedup
-      .minhashPairs(docs(s, dir), k = 8, bands = 4, threshold = 0.5)
+    val dupsOfQuery = DedupQueries.minhashPairsShared(s, dir)
       .filter(col("id_a") === 0L || col("id_b") === 0L)
       .select((col("id_a") + col("id_b")).as("vec_id")) // the non-zero end
     topPool.join(broadcast(dupsOfQuery), Seq("vec_id"), "left_anti")
