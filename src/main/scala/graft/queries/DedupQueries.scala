@@ -588,7 +588,7 @@ object DedupQueries {
     import graft.functions.TextAnalysis
     import org.apache.spark.sql.functions._
     val d = docs(s, dir)
-    val groups = Dedup.nearDupGroups(Dedup.minhashPairs(d, k = 8, bands = 4, threshold = 0.5))
+    val groups = nearDupGroupsShared(s, dir)
     val scored = d.select(col("doc_id"),
       TextAnalysis.qualityScore(TextAnalysis.tokens(col("text")), col("text")).as("quality"))
     val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
