@@ -960,6 +960,7 @@ object SparkEntry {
     "q_ewma" -> ((s, dir) => Ev.qEwma(events(s, dir))),
     "q_seasonal" -> ((s, dir) => Ev.qSeasonal(events(s, dir))),
     "q_window_nav" -> ((s, dir) => Ev.qWindowNav(events(s, dir))),
+    "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
     "q_skyline" -> (Relational.qSkyline _),
     "q_histogram" -> (Relational.qHistogram _),
@@ -1146,6 +1147,7 @@ object SparkEntry {
     "q_ewma" -> Ev.qEwmaSql,
     "q_seasonal" -> Ev.qSeasonalSql,
     "q_window_nav" -> Ev.qWindowNavSql,
+    "q_concurrency" -> Ev.qConcurrencySql,
     "q_percentile_cont" -> Relational.qPercentileContSql,
     "q_skyline" -> Relational.qSkylineSql,
     "q_histogram" -> Relational.qHistogramSql,

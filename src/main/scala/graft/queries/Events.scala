@@ -105,6 +105,56 @@ object Events {
   val qSessionizeSql: String =
     s"$sessionizeBody\nORDER BY user_id, session_id"
 
+  /** Peak concurrent sessions — the classic interval sweep-line as a
+    * window: each session contributes +1 at t_start and −1 at t_end
+    * (end-exclusive: a session ending exactly when another starts does
+    * NOT overlap it — the −1 sorts before the +1 at equal t), a
+    * peer-inclusive running sum (the default RANGE frame, deterministic
+    * under ties in both engines) is the concurrency curve, and the
+    * answer is its max plus the first instant reaching it.
+    *
+    * Scale shape: the sweep input is 2×|sessions| — already aggregated
+    * by sessionization, orders of magnitude below raw events; at true
+    * scale the global curve splits into per-partition sweeps + boundary
+    * offsets (the standard parallel prefix-sum), which this exact spec
+    * shape would oracle.
+    */
+  def qConcurrency(events: DataFrame): DataFrame = {
+    val sess = qSessionize(events)
+    val bounds = sess.select(unix_micros(col("t_start")).as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(unix_micros(col("t_end")).as("t"), lit(-1L).as("delta")))
+    // peer-inclusive default frame: conc at (t, delta) counts all
+    // boundaries ≤ the peer group — deterministic under duplicates
+    val sweep = bounds.select(col("t"),
+      sum(col("delta")).over(Window.orderBy(col("t"), col("delta"))).as("conc"))
+    val peak = sweep.agg(max(col("conc")).as("peak_concurrency"))
+    val n = sess.agg(count(lit(1)).as("n_sessions"))
+    sweep.crossJoin(broadcast(peak))
+      .filter(col("conc") === col("peak_concurrency"))
+      .groupBy(col("peak_concurrency"))
+      .agg(min(col("t")).as("t_peak_us"))
+      .crossJoin(broadcast(n))
+      .select(col("peak_concurrency"), col("t_peak_us"), col("n_sessions"))
+  }
+
+  val qConcurrencySql: String =
+    s"""WITH sessions AS ($sessionizeBody),
+       |b AS (
+       |  SELECT epoch_us(t_start) AS t, 1 AS delta FROM sessions
+       |  UNION ALL
+       |  SELECT epoch_us(t_end), -1 FROM sessions
+       |),
+       |sweep AS (
+       |  SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta) AS BIGINT) AS conc FROM b
+       |),
+       |pk AS (SELECT max(conc) AS peak FROM sweep),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sessions)
+       |SELECT pk.peak AS peak_concurrency, CAST(min(t) AS BIGINT) AS t_peak_us,
+       |       n.n_sessions
+       |FROM sweep, pk, n
+       |WHERE conc = peak
+       |GROUP BY pk.peak, n.n_sessions""".stripMargin
+
   /** Range join (bucketed): assign every event to the session interval
     * containing it — `ts BETWEEN t_start AND t_end` on the same user,
     * executed as the equi-join-on-(key, bucket) rewrite

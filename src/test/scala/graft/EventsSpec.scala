@@ -152,6 +152,21 @@ class EventsSpec extends SparkSpec {
     assert(smoothedStream == smoothedBatch)
   }
 
+  test("concurrency sweep: overlaps counted, touching sessions are NOT concurrent") {
+    val m = 60L * 1000000L // one minute in µs
+    // user 1: session [0, 10m]; user 2: [5m, 15m] (overlaps 1);
+    // user 3: [15m, 20m] (starts exactly when 2 ends — not concurrent);
+    // sessions are single-user runs of events < 30 min apart
+    val events = ev(
+      (1L, 0L, 1L, "view"), (2L, 10 * m, 1L, "view"),
+      (3L, 5 * m, 2L, "view"), (4L, 15 * m, 2L, "view"),
+      (5L, 15 * m, 3L, "view"), (6L, 20 * m, 3L, "view"))
+    val r = Events.qConcurrency(events).collect().head
+    assert(r.getAs[Long]("peak_concurrency") == 2L)
+    assert(r.getAs[Long]("t_peak_us") == 5 * m) // the first overlapping instant
+    assert(r.getAs[Long]("n_sessions") == 3L)
+  }
+
   test("ewma: dyadic weights, partial-horizon normalization, exact integer lattice") {
     val h = 3600L * 1000000L // one hour in µs
     // type "a": counts 1, 3, 5 in consecutive hours
