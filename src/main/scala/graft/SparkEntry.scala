@@ -962,6 +962,9 @@ object SparkEntry {
     "q_window_nav" -> ((s, dir) => Ev.qWindowNav(events(s, dir))),
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
+    "q_null_semantics" -> (Relational.qNullSemantics _),
+    "q_datetime_rollup" -> (Relational.qDatetimeRollup _),
+    "q_dow_profile" -> (Relational.qDowProfile _),
     "q_skyline" -> (Relational.qSkyline _),
     "q_histogram" -> (Relational.qHistogram _),
     "q_rank_family" -> (Relational.qRankFamily _),
@@ -1149,6 +1152,9 @@ object SparkEntry {
     "q_window_nav" -> Ev.qWindowNavSql,
     "q_concurrency" -> Ev.qConcurrencySql,
     "q_percentile_cont" -> Relational.qPercentileContSql,
+    "q_null_semantics" -> Relational.qNullSemanticsSql,
+    "q_datetime_rollup" -> Relational.qDatetimeRollupSql,
+    "q_dow_profile" -> Relational.qDowProfileSql,
     "q_skyline" -> Relational.qSkylineSql,
     "q_histogram" -> Relational.qHistogramSql,
     "q_rank_family" -> Relational.qRankFamilySql,

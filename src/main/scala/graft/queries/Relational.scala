@@ -638,6 +638,86 @@ object Relational {
       |       CAST(pcont_x4 AS DOUBLE) / 400.0 AS pcont
       |FROM sel ORDER BY grp, k""".stripMargin
 
+  /** Three-valued-logic parity in one query: NULLIF-generated nulls,
+    * count(*) vs count(col), nulls as their own GROUP BY key, COALESCE
+    * presentation, and a NULL-SAFE self-join (Spark `<=>` ≡ SQL
+    * `IS NOT DISTINCT FROM`) proving the null group matches itself
+    * exactly once while ordinary equality would drop it.
+    */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(nullif(col("l_returnflag"), lit("N")).as("rf"),
+        col("l_quantity"))
+    val g = li.groupBy(col("rf"))
+      .agg(count(lit(1)).as("n_rows"), count(col("rf")).as("n_nonnull"),
+        exactSum(col("l_quantity")).as("sum_qty"))
+    g.as("a").join(g.as("b"), col("a.rf") <=> col("b.rf"))
+      .select(coalesce(col("a.rf"), lit("<null>")).as("rf_filled"),
+        col("a.n_rows").as("n_rows"), col("a.n_nonnull").as("n_nonnull"),
+        col("a.sum_qty").as("sum_qty"),
+        col("b.n_rows").as("n_rows_selfmatch"))
+      .orderBy(col("rf_filled"))
+  }
+
+  val qNullSemanticsSql: String =
+    """WITH li AS (SELECT NULLIF(l_returnflag, 'N') AS rf, l_quantity FROM lineitem),
+      |g AS (
+      |  SELECT rf, count(*) AS n_rows, count(rf) AS n_nonnull,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM li GROUP BY rf
+      |)
+      |SELECT COALESCE(a.rf, '<null>') AS rf_filled,
+      |       a.n_rows, a.n_nonnull, a.sum_qty,
+      |       b.n_rows AS n_rows_selfmatch
+      |FROM g a JOIN g b ON a.rf IS NOT DISTINCT FROM b.rf
+      |ORDER BY rf_filled""".stripMargin
+
+  /** Calendar rollup: orders per (year, month) with quarter, exact
+    * spend, and day-of-month extremes — the datetime-extraction family
+    * on definitions both engines share (year/month/quarter/day).
+    * ISO day-of-week is covered by [[qDowProfile]] with an explicit
+    * normalization (the raw builtins disagree on week start across
+    * engines — Spark counts from Sunday=1, DuckDB from Sunday=0).
+    */
+  def qDatetimeRollup(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("spend"),
+        min(dayofmonth(col("o_orderdate"))).cast("long").as("first_dom"),
+        max(dayofmonth(col("o_orderdate"))).cast("long").as("last_dom"))
+      .orderBy(col("y"), col("mo"))
+
+  val qDatetimeRollupSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |       CAST(min(day(o_orderdate)) AS BIGINT) AS first_dom,
+      |       CAST(max(day(o_orderdate)) AS BIGINT) AS last_dom
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY y, mo""".stripMargin
+
+  /** ISO day-of-week profile (1=Monday … 7=Sunday): Spark's
+    * `dayofweek` (Sunday=1) is normalized as ((dow+5) mod 7)+1; the
+    * oracle uses DuckDB's native `isodow` — two different engine
+    * definitions mapped onto ONE documented calendar contract.
+    */
+  def qDowProfile(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .groupBy((((dayofweek(col("o_orderdate")) + 5) % 7) + 1).cast("long").as("iso_dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("spend"))
+      .orderBy(col("iso_dow"))
+
+  val qDowProfileSql: String =
+    """SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY 1 ORDER BY iso_dow""".stripMargin
+
   private val HistBuckets = 20
 
   /** Equi-width histogram of `l_extendedprice` in 20 buckets with
