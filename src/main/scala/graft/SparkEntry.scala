@@ -961,8 +961,13 @@ object SparkEntry {
     "q_seasonal" -> ((s, dir) => Ev.qSeasonal(events(s, dir))),
     "q_window_nav" -> ((s, dir) => Ev.qWindowNav(events(s, dir))),
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
+    "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
+    "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
+    "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
     "q_null_semantics" -> (Relational.qNullSemantics _),
+    "q_string_funcs" -> (Relational.qStringFuncs _),
+    "q_conditional_agg" -> (Relational.qConditionalAgg _),
     "q_datetime_rollup" -> (Relational.qDatetimeRollup _),
     "q_dow_profile" -> (Relational.qDowProfile _),
     "q_skyline" -> (Relational.qSkyline _),
@@ -1151,8 +1156,13 @@ object SparkEntry {
     "q_seasonal" -> Ev.qSeasonalSql,
     "q_window_nav" -> Ev.qWindowNavSql,
     "q_concurrency" -> Ev.qConcurrencySql,
+    "q_transitions" -> Ev.qTransitionsSql,
+    "q_attribution" -> Ev.qAttributionSql,
+    "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,
     "q_null_semantics" -> Relational.qNullSemanticsSql,
+    "q_string_funcs" -> Relational.qStringFuncsSql,
+    "q_conditional_agg" -> Relational.qConditionalAggSql,
     "q_datetime_rollup" -> Relational.qDatetimeRollupSql,
     "q_dow_profile" -> Relational.qDowProfileSql,
     "q_skyline" -> Relational.qSkylineSql,

@@ -710,4 +710,179 @@ object Events {
       |WHERE l.pp IS NOT NULL
       |GROUP BY l.wd, t.total
       |ORDER BY day""".stripMargin
+
+  /** Markov transition matrix over per-user event sequences: count and
+    * integer-ppm share of each consecutive (from → to) event-type pair
+    * — "after a view, where do users go next". Shares are exact
+    * floor-ppm of all transitions leaving `from`, so the matrix is
+    * engine-identical.
+    *
+    * Scale shape: ONE user-partitioned sort produces the lead pairs;
+    * everything downstream is bounded by |types|² rows (map-side
+    * combined), and the per-from totals join back broadcast — nothing
+    * after the window scales with event volume.
+    */
+  def qTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n_pairs")).as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_pairs"),
+        expr("n_pairs * 1000000 div n_from").as("share_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, to_type, count(*) AS n_pairs
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+      |        FROM pairs GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.n_pairs,
+      |       p.n_pairs * 1000000 // t.n_from AS share_ppm
+      |FROM pairs p JOIN tot t USING (from_type)
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
+  /** First/last-touch attribution: every purchase annotated with the
+    * user's FIRST and MOST RECENT preceding touch (view or click) —
+    * the marketing-attribution primitive. Both navigators read one
+    * rows-framed window ending 1 row before the purchase, with the
+    * unique event_id tiebreaker; revenue rides the cents lattice.
+    *
+    * Scale shape: a single user-partitioned sort serves all four
+    * navigator columns (one Window node); no join, no second shuffle —
+    * the purchase filter prunes AFTER the window but the frame is
+    * bounded by per-user history, never corpus size.
+    */
+  def qAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = col("event_type").isin("view", "click")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("revenue_cents"))
+      .withColumn("first_touch",
+        first(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("first_touch_ts",
+        first(when(touch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_touch",
+        last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_ts",
+        last(when(touch, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("revenue_cents"),
+        col("first_touch"), col("first_touch_ts"),
+        col("last_touch"), col("last_touch_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAttributionSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CAST(round(value * 100) AS BIGINT) AS revenue_cents,
+      |  first_value(CASE WHEN event_type IN ('view','click') THEN event_type END
+      |              IGNORE NULLS) OVER w AS first_touch,
+      |  first_value(CASE WHEN event_type IN ('view','click') THEN ts END
+      |              IGNORE NULLS) OVER w AS first_touch_ts,
+      |  last_value(CASE WHEN event_type IN ('view','click') THEN event_type END
+      |             IGNORE NULLS) OVER w AS last_touch,
+      |  last_value(CASE WHEN event_type IN ('view','click') THEN ts END
+      |             IGNORE NULLS) OVER w AS last_touch_ts
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |QUALIFY event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  private val AcfLags = Seq(1, 2, 3, 6, 12, 24)
+
+  /** Lag-k autocorrelation of the gap-filled hourly count series (k ∈
+    * 1,2,3,6,12,24) — the periodicity detector next to [[qSeasonal]]'s
+    * profile: a daily-cyclic type shows acf(24) ≫ acf(12). All five
+    * moment sums are exact 64-bit integers over the matched-pair range
+    * (x is an hourly count; exact while n·Σx² < 2⁶³, i.e. hourly
+    * counts ≲ 3·10⁶ — beyond that, lift the sums to DECIMAL(38,0));
+    * the only doubles are the final numerator/denominator, each a cast
+    * of an exact integer, so round(…, 6) is engine-identical (same
+    * contract as the corr-matrix query).
+    *
+    * Scale shape: the series is |hours|×|types| (generated, not
+    * scanned); one type-partitioned window computes all six lags in a
+    * single pass; the stack explode is 6× that bounded series; the
+    * moment agg is map-side combined into |types|×6 rows.
+    */
+  def qAutocorr(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+    val lagged = AcfLags.foldLeft(filledHourlySeries(hourlyCounts(events))) {
+      (df, k) => df.withColumn(s"x_$k", lag(col("x"), k).over(w))
+    }
+    val stacked = lagged.select(col("event_type"), col("x"),
+      expr(s"stack(${AcfLags.size}, " +
+        AcfLags.map(k => s"CAST($k AS BIGINT), x_$k").mkString(", ") +
+        ") AS (lag_k, x_lag)"))
+      .filter(col("x_lag").isNotNull)
+    stacked.groupBy(col("event_type"), col("lag_k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("x_lag")).as("sy"),
+        sum(col("x") * col("x_lag")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x_lag") * col("x_lag")).as("syy"))
+      // degenerate lags (a constant sub-series, e.g. lag ≈ series
+      // length) have zero variance — acf is undefined there, and the
+      // integer guard is engine-identical where a 0/0 is not
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("event_type"), col("lag_k"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)), 6)
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
+  val qAutocorrSql: String = {
+    val lagCols = AcfLags.map(k => s"lag(x, $k) OVER w AS x_$k").mkString(",\n      |         ")
+    val arms = AcfLags.map(k =>
+      s"SELECT event_type, CAST($k AS BIGINT) AS lag_k, x, x_$k AS x_lag FROM lagged")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hb, event_type, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |series AS (
+      |  SELECT s.hb, t.event_type, COALESCE(h.x, 0) AS x
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN hourly h ON h.hb = s.hb AND h.event_type = t.event_type),
+      |lagged AS (
+      |  SELECT event_type, x,
+      |         $lagCols
+      |  FROM series WINDOW w AS (PARTITION BY event_type ORDER BY hb)),
+      |stacked AS (
+      |  $arms),
+      |m AS (
+      |  SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x_lag) AS BIGINT) AS sy,
+      |         CAST(sum(x * x_lag) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(x_lag * x_lag) AS BIGINT) AS syy
+      |  FROM stacked WHERE x_lag IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, lag_k, n,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |              CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+      |FROM m
+      |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |ORDER BY event_type, lag_k""".stripMargin
+  }
 }

@@ -718,6 +718,64 @@ object Relational {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
       |FROM orders GROUP BY 1 ORDER BY iso_dow""".stripMargin
 
+  /** Non-regex string-function family on shared semantics: length,
+    * case mapping, replace, substring, lpad, reverse, split-part,
+    * 1-based substring position (0 = absent) — each chosen because the
+    * two engines define it identically on ASCII (regex functions are
+    * deliberately excluded: Java and RE2 regex dialects differ).
+    * Map-only projection; hash-exact output pins the whole family.
+    */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"),
+        length(col("p_name")).cast("long").as("name_len"),
+        upper(col("p_name")).as("name_upper"),
+        replace(col("p_name"), lit(" "), lit("_")).as("name_snake"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        lpad(col("p_brand"), 12, ".").as("brand_padded"),
+        reverse(col("p_type")).as("type_rev"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        instr(col("p_name"), "al").cast("long").as("al_pos"))
+      .orderBy(col("p_partkey"))
+
+  val qStringFuncsSql: String =
+    """SELECT p_partkey,
+      |       CAST(length(p_name) AS BIGINT) AS name_len,
+      |       upper(p_name) AS name_upper,
+      |       replace(p_name, ' ', '_') AS name_snake,
+      |       substring(p_name, 1, 5) AS name_head,
+      |       lpad(p_brand, 12, '.') AS brand_padded,
+      |       reverse(p_type) AS type_rev,
+      |       string_split(p_name, ' ')[1] AS first_word,
+      |       CAST(strpos(p_name, 'al') AS BIGINT) AS al_pos
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Conditional/boolean aggregate family: filtered counts as
+    * sum(CASE), bool_and / bool_or (as 0/1 ints — booleans hash
+    * differently across drivers), and a conditional average on the
+    * exact DECIMAL lattice.
+    */
+  def qConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_big"),
+        expr("CAST(bool_and(l_quantity <= 50) AS INT)").cast("long").as("all_in_range"),
+        expr("CAST(bool_or(l_discount > 0.09) AS INT)").cast("long").as("any_deep_discount"),
+        sum(when(col("l_quantity") > 25, col("l_extendedprice").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType).as("big_revenue"))
+      .orderBy(col("l_returnflag"))
+
+  val qConditionalAggSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |       CAST(CAST(bool_and(l_quantity <= 50) AS INT) AS BIGINT) AS all_in_range,
+      |       CAST(CAST(bool_or(l_discount > 0.09) AS INT) AS BIGINT) AS any_deep_discount,
+      |       CAST(sum(CASE WHEN l_quantity > 25
+      |                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_revenue
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val HistBuckets = 20
 
   /** Equi-width histogram of `l_extendedprice` in 20 buckets with

@@ -209,4 +209,53 @@ class EventsSpec extends SparkSpec {
     assert(out.length == 12)
     assert(out.forall(_.getAs[Double]("ewma") == 1.0))
   }
+
+  test("transitions: pair counts per user sequence, exact floor-ppm shares") {
+    val events = ev(
+      // user 1: view → click → purchase
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"), (3L, 3000L, 1L, "purchase"),
+      // user 2: view → view → click
+      (4L, 1000L, 2L, "view"), (5L, 2000L, 2L, "view"), (6L, 3000L, 2L, "click"))
+    val out = Events.qTransitions(events).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("share_ppm"))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 666666L)), // floor ppm, not rounded
+      ("view", "view") -> ((1L, 333333L)),
+      ("click", "purchase") -> ((1L, 1000000L))))
+  }
+
+  test("attribution: first/last preceding touch per purchase; no-touch purchases keep NULLs") {
+    val events = ev(
+      // user 1: view, click, purchase → first=view, last=click
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"), (3L, 3000L, 1L, "purchase"),
+      // user 2: purchase with no preceding touch
+      (4L, 1000L, 2L, "purchase"),
+      // user 3: click, purchase, view, purchase → 2nd purchase sees last=view
+      (5L, 1000L, 3L, "click"), (6L, 2000L, 3L, "purchase"),
+      (7L, 3000L, 3L, "view"), (8L, 4000L, 3L, "purchase"))
+    val out = Events.qAttribution(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("first_touch"), r.getAs[String]("last_touch"))).toMap
+    assert(out == Map(
+      3L -> (("view", "click")),
+      4L -> ((null, null)),
+      6L -> (("click", "click")),
+      8L -> (("click", "view"))))
+  }
+
+  test("autocorr: an alternating series has acf(1) = -1 and acf(2) = +1 exactly") {
+    val h = 3600L * 1000000L
+    // hourly counts 1,3,1,3,… over hours 0..24: one event in even
+    // hours, three in odd hours
+    val rows = (0 to 24).flatMap { t =>
+      val n = if (t % 2 == 0) 1 else 3
+      (0 until n).map(i => (t * 10L + i, t * h + i, 1L, "a"))
+    }
+    val out = Events.qAutocorr(ev(rows: _*)).collect()
+      .map(r => r.getAs[Long]("lag_k") -> r.getAs[Double]("acf")).toMap
+    assert(out(1L) == -1.0) // perfect anti-correlation at odd lag
+    assert(out(2L) == 1.0)  // perfect correlation at the period
+    assert(out(3L) == -1.0)
+  }
 }

@@ -146,6 +146,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         return state["con"]
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # dev-iteration filter, same contract as graft.Verify/Bench
+    only = {n.strip() for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n.strip()}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     results_path = os.path.join(out_dir, "oracle_results.jsonl")
     # fresh run: truncate any stale partial file
     open(results_path, "w").close()
