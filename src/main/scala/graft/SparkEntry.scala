@@ -968,6 +968,9 @@ object SparkEntry {
     "q_null_semantics" -> (Relational.qNullSemantics _),
     "q_string_funcs" -> (Relational.qStringFuncs _),
     "q_conditional_agg" -> (Relational.qConditionalAgg _),
+    "q_array_funcs" -> (Relational.qArrayFuncs _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_full_outer" -> (Relational.qFullOuter _),
     "q_datetime_rollup" -> (Relational.qDatetimeRollup _),
     "q_dow_profile" -> (Relational.qDowProfile _),
     "q_skyline" -> (Relational.qSkyline _),
@@ -1163,6 +1166,9 @@ object SparkEntry {
     "q_null_semantics" -> Relational.qNullSemanticsSql,
     "q_string_funcs" -> Relational.qStringFuncsSql,
     "q_conditional_agg" -> Relational.qConditionalAggSql,
+    "q_array_funcs" -> Relational.qArrayFuncsSql,
+    "q_grouping_sets" -> Relational.qGroupingSetsSql,
+    "q_full_outer" -> Relational.qFullOuterSql,
     "q_datetime_rollup" -> Relational.qDatetimeRollupSql,
     "q_dow_profile" -> Relational.qDowProfileSql,
     "q_skyline" -> Relational.qSkylineSql,

@@ -776,6 +776,122 @@ object Relational {
       |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_revenue
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Array/higher-order function family over the tokenized part name —
+    * size, sort, distinct, slice, membership, position, negative
+    * indexing, flatten — each picked because the two engines define it
+    * identically (Spark array_sort ≡ DuckDB list_sort on ASCII strings;
+    * array_position ≡ COALESCE(list_position, 0)). Every array-valued
+    * result is serialized through array_join so the comparison is over
+    * plain strings, not driver-dependent nested encodings; DuckDB's
+    * list_distinct has unspecified order, so distinct always sorts.
+    * Map-only projection — no shuffle at any scale.
+    */
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+      .select(col("p_partkey"),
+        size(col("words")).cast("long").as("n_words"),
+        array_join(array_sort(col("words")), "|").as("sorted_words"),
+        array_join(array_sort(array_distinct(col("words"))), "|").as("distinct_words"),
+        array_join(slice(col("words"), 2, 2), "|").as("mid_slice"),
+        array_contains(col("words"), "red").cast("int").cast("long").as("has_red"),
+        array_position(col("words"), "red").as("red_pos"),
+        element_at(col("words"), -1).as("last_word"),
+        array_join(flatten(array(col("words"), col("words"))), "|").as("doubled"))
+      .orderBy(col("p_partkey"))
+
+  val qArrayFuncsSql: String =
+    """SELECT p_partkey,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+      |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+      |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|')
+      |    AS distinct_words,
+      |  array_to_string(string_split(p_name, ' ')[2:3], '|') AS mid_slice,
+      |  CAST(CAST(list_contains(string_split(p_name, ' '), 'red') AS INT) AS BIGINT)
+      |    AS has_red,
+      |  CAST(COALESCE(list_position(string_split(p_name, ' '), 'red'), 0) AS BIGINT)
+      |    AS red_pos,
+      |  string_split(p_name, ' ')[-1] AS last_word,
+      |  array_to_string(flatten([string_split(p_name, ' '), string_split(p_name, ' ')]), '|')
+      |    AS doubled
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Explicit GROUPING SETS (the general form under [[qRollup]]/
+    * [[qCube]]): both one-dimension margins, the full cross, and the
+    * grand total in one pass, with `grouping()` flags distinguishing a
+    * real NULL-free key from an aggregated-away one. Keys are coalesced
+    * to 'ALL' so the output never relies on NULL ordering.
+    *
+    * Scale shape: Catalyst expands the sets into one Expand + a single
+    * shuffle keyed by (keys, grouping id) — same cost as a union of
+    * four aggregations but one pass over orders.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS prio,
+         |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM ${rel(dir, "orders")}
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+         |                        (o_orderstatus, o_orderpriority), ())
+         |ORDER BY g_status, g_prio, status, prio""".stripMargin)
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS prio,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority), ())
+      |ORDER BY g_status, g_prio, status, prio""".stripMargin
+
+  /** FULL OUTER join parity: per-nation counts of high-balance
+    * customers vs high-balance suppliers, keys coalesced across the
+    * two sides and absent sides surfaced as explicit zeros + presence
+    * flags — the reconciliation shape (two independently-aggregated
+    * ledgers merged without losing either side's orphans).
+    *
+    * Scale shape: both sides aggregate BEFORE the join (|nations|-sized
+    * inputs), so the full outer join is over bounded keys — never a
+    * row-level full-outer of the raw tables.
+    */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_acctbal") > 7500)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val p = s.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_acctbal") > 7500)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        (col("ck").isNotNull && col("sk").isNotNull).cast("int").cast("long")
+          .as("both_sides"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qFullOuterSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer
+      |  WHERE c_acctbal > 7500 GROUP BY 1),
+      |p AS (
+      |  SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier
+      |  WHERE s_acctbal > 7500 GROUP BY 1)
+      |SELECT coalesce(ck, sk) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust,
+      |       coalesce(n_supp, 0) AS n_supp,
+      |       CAST(CAST(ck IS NOT NULL AND sk IS NOT NULL AS INT) AS BIGINT)
+      |         AS both_sides
+      |FROM c FULL OUTER JOIN p ON ck = sk
+      |ORDER BY nationkey""".stripMargin
+
   private val HistBuckets = 20
 
   /** Equi-width histogram of `l_extendedprice` in 20 buckets with
