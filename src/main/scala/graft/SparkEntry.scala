@@ -1004,6 +1004,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
     "q_pagerank" -> (DedupQueries.qPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
+    "q_common_neighbors" -> (DedupQueries.qCommonNeighbors _),
+    "q_collocations" -> (PipelineQueries.qCollocations _),
     "q_graph_hops" -> (DedupQueries.qGraphHops _),
     "q_containment" -> (DedupQueries.qContainment _),
     "q_jaccard_curve" -> (DedupQueries.qJaccardCurve _),
@@ -1202,6 +1204,8 @@ object SparkEntry {
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
     "q_pagerank" -> DedupQueries.qPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
+    "q_common_neighbors" -> DedupQueries.qCommonNeighborsSql,
+    "q_collocations" -> PipelineQueries.qCollocationsSql,
     "q_graph_hops" -> DedupQueries.qGraphHopsSql,
     "q_containment" -> DedupQueries.qContainmentSql,
     "q_jaccard_curve" -> DedupQueries.qJaccardCurveSql,

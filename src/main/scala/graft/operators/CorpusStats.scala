@@ -262,6 +262,39 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Collocation mining: adjacent-token pairs ranked by the Dice
+    * association score, dice = 2·c(ab)/(c(a)+c(b)) — the classic
+    * lexicographic collocation measure (Smadja 1993), chosen over
+    * PMI/lift because it is computable on an exact integer-ppm lattice
+    * at ANY corpus size (PMI's c(ab)·N² numerator overflows 64 bits
+    * around 10⁹ tokens; Dice's 2·10⁶·c(ab) cannot). Raw counts ride
+    * along so a log-space PMI can be derived downstream if wanted.
+    *
+    * Scale shape: bigrams come from a per-document transform (no
+    * window, no shuffle); both count tables are map-side-combined
+    * aggregations; the unigram join back is vocabulary-sized (AQE
+    * broadcasts it when Zipf makes it small enough); minCount prunes
+    * the long tail BEFORE the join; top-k is TakeOrderedAndProject.
+    */
+  def collocations(docs: DataFrame, minCount: Int = 5, k: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(split(col(textCol), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    bg.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("2 * c_ab * 1000000 div (c_a + c_b)").as("dice_ppm"))
+      .orderBy(col("dice_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Unigram language-model quality score per document — the CCNet-style
     * perplexity proxy (public knowledge: Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data",

@@ -484,6 +484,42 @@ object DedupQueries {
        |FROM deg LEFT JOIN tc ON tc.id = deg.id
        |ORDER BY doc_id""".stripMargin
 
+  /** Common-neighbor similarity over the near-dup graph (see
+    * [[graft.operators.PageRank.commonNeighbors]]): shared-neighbor
+    * counts, neighbor-set Jaccard in exact ppm, and the is_edge flag
+    * separating closed triads from link-prediction candidates — the
+    * "these two docs don't match directly but share near-dups"
+    * transitive-contamination view. Same shared pair graph as
+    * PageRank/triangles/BFS; oracle re-derives the wedge counts
+    * declaratively.
+    */
+  def qCommonNeighbors(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.commonNeighbors(minhashPairsShared(s, dir))
+
+  val qCommonNeighborsSql: String =
+    s"""WITH $minhashVerifiedCte,
+       |npairs AS (
+       |  SELECT id_a, id_b FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |e AS (
+       |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM npairs
+       |),
+       |edges AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+       |cn AS (
+       |  SELECT e1.v AS na, e2.v AS nb, CAST(count(*) AS BIGINT) AS common
+       |  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cn.na AS id_a, cn.nb AS id_b, cn.common,
+       |       da.d AS deg_a, db.d AS deg_b,
+       |       cn.common * 1000000 // (da.d + db.d - cn.common) AS nbr_jaccard_ppm,
+       |       CASE WHEN e.a IS NOT NULL THEN CAST(1 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS is_edge
+       |FROM cn JOIN deg da ON cn.na = da.u JOIN deg db ON cn.nb = db.u
+       |LEFT JOIN e ON e.a = cn.na AND e.b = cn.nb
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Asymmetric containment near-superset pairs (see
     * [[graft.operators.Dedup.containmentPairs]]): both containment
     * directions in exact integer ppm over the SAME banded candidates as

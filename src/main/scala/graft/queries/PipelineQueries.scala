@@ -1791,6 +1791,32 @@ object PipelineQueries {
       |ORDER BY tf DESC, term
       |LIMIT 100""".stripMargin
 
+  /** Top collocations by Dice score (see
+    * [[graft.operators.CorpusStats.collocations]]): adjacent-pair
+    * association mining on the exact integer-ppm lattice.
+    */
+  def qCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.collocations(docs(s, dir), minCount = 5, k = 50)
+
+  val qCollocationsSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |bgl AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> {'a': t[i], 'b': t[i + 1]})) AS p
+      |  FROM toks WHERE len(t) >= 2),
+      |bg AS (
+      |  SELECT p['a'] AS a, p['b'] AS b, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM bgl GROUP BY 1, 2)
+      |SELECT bg.a, bg.b, bg.c_ab, ua.c AS c_a, ub.c AS c_b,
+      |       2 * bg.c_ab * 1000000 // (ua.c + ub.c) AS dice_ppm
+      |FROM bg JOIN uni ua ON bg.a = ua.w JOIN uni ub ON bg.b = ub.w
+      |WHERE bg.c_ab >= 5
+      |ORDER BY dice_ppm DESC, a, b
+      |LIMIT 50""".stripMargin
+
   /** Per-source vocabulary profile (see
     * [[graft.operators.CorpusStats.vocabProfile]]).
     */

@@ -213,4 +213,16 @@ class CorpusStatsSpec extends SparkSpec {
     // each query packs independently from rank 1
     assert(out.toSeq == Seq(("q1", 10L, 1L), ("q2", 10L, 1L)))
   }
+
+  test("collocations: Dice floor-ppm over adjacent pairs, minCount prunes the tail") {
+    // "a b" appears 3×, with c(a)=4 (one stray "a x"), c(b)=3
+    val docs = Seq("a b", "a b", "a b a x").toDF("text")
+    val out = CorpusStats.collocations(docs, minCount = 2, k = 10).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("dice_ppm")))
+    // dice = 2·3/(4+3) = 6/7 → floor ppm 857142; pairs "b a"/"a x" occur once → pruned
+    assert(out.toSeq == Seq(("a", "b", 3L, 857142L)))
+    // single-token docs produce no bigrams and must not error
+    assert(CorpusStats.collocations(Seq("solo").toDF("text"), 1, 10).count() == 0)
+  }
 }

@@ -74,4 +74,26 @@ class PageRankSpec extends SparkSpec {
     assert(d((1L, 2L)) == 1L && d((1L, 4L)) == 1L)
     assert(!d.keySet.exists { case (s, t) => s == t }) // no self distances via the cycle
   }
+
+  test("commonNeighbors: path endpoints share the middle; triangles flag is_edge") {
+    // path 1-2-3 plus triangle 3-4, 4-5, 5-3
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L)).toDF("id_a", "id_b")
+    val out = PageRank.commonNeighbors(g).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getAs[Long]("nbr_jaccard_ppm"), r.getAs[Long]("is_edge")))).toMap
+    // (1,3): common neighbor {2}; deg1=1, deg3=3 → jaccard 1/3
+    assert(out((1L, 3L)) == ((1L, 333333L, 0L)))
+    // (4,5) is a closed triad: common {3}, deg 2+2−1=3
+    assert(out((4L, 5L)) == ((1L, 333333L, 1L)))
+    // (2,4) and (2,5) share hub 3 — link-prediction candidates
+    assert(out((2L, 4L))._3 == 0L && out((2L, 5L))._3 == 0L)
+    // (1,2) share no neighbor → absent entirely
+    assert(!out.contains((1L, 2L)))
+  }
+
+  test("commonNeighbors: maxCenterDegree drops wedges through hubs") {
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("id_a", "id_b")
+    assert(PageRank.commonNeighbors(star).count() == 3) // all leaf pairs via the hub
+    assert(PageRank.commonNeighbors(star, maxCenterDegree = 2).count() == 0)
+  }
 }
