@@ -508,6 +508,97 @@ object SparkEntry {
        |    ORDER BY dist2, place_id) AS rn FROM pairs
        |) WHERE rn = 1 ORDER BY id""".stripMargin
 
+  // grid-density clustering layout constants: a 72×34 grid of 5°
+  // cells over the centi-degree lattice, core = 8× mean cell density
+  private val DenGridX = 72L
+  private val DenGridY = 34L
+  private val DenFactor = 8L
+
+  /** Deterministic MIXTURE point set for density clustering: 30% of
+    * events concentrate into five 2°×2° blobs (one per `id % 5`, each
+    * straddling a 5°-cell boundary so the neighbor merge is
+    * exercised), the rest spread near-uniformly — pure integer
+    * arithmetic end to end (centi-degree lattice, no floats), so cell
+    * assignment cannot drift between engines.
+    */
+  private def densityCells(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+        col("event_id").as("id"),
+        when(col("event_id") % 10 < 3,
+          lit(3000L) + expr("(event_id div 10) % 5") * lit(6000L)
+            + (col("event_id") * lit(7919L)) % lit(200L) - lit(100L))
+          .otherwise((col("event_id") * lit(7919L)) % lit(36000L)).as("centi_lon"),
+        when(col("event_id") % 10 < 3,
+          lit(2500L) + expr("(event_id div 10) % 5") * lit(3000L)
+            + (col("event_id") * lit(104729L)) % lit(200L) - lit(100L))
+          .otherwise((col("event_id") * lit(104729L)) % lit(17000L)).as("centi_lat"))
+      .select(col("id"), expr("centi_lon div 500").as("cx"),
+        expr("centi_lat div 500").as("cy"))
+
+  /** Density-based clustering (grid DBSCAN, see
+    * [[graft.operators.DensityCluster.gridDbscan]]) over the mixture
+    * points: blobs surface as multi-cell clusters with border mass,
+    * the uniform background stays noise. The oracle re-derives the
+    * SAME components declaratively (recursive-CTE closure vs the
+    * iterative pointer-jumping propagation — the `q_dedup_groups`
+    * check pattern, now on spatial adjacency).
+    */
+  private def qDensityCluster(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DensityCluster
+      .gridDbscan(densityCells(s, dir), DenGridX * DenGridY, DenFactor)
+
+  private val densityClusterSql: String =
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT event_id AS id,
+       |    (CASE WHEN event_id % 10 < 3
+       |          THEN 3000 + ((event_id // 10) % 5) * 6000 + (event_id * 7919) % 200 - 100
+       |          ELSE (event_id * 7919) % 36000 END) // 500 AS cx,
+       |    (CASE WHEN event_id % 10 < 3
+       |          THEN 2500 + ((event_id // 10) % 5) * 3000 + (event_id * 104729) % 200 - 100
+       |          ELSE (event_id * 104729) % 17000 END) // 500 AS cy
+       |  FROM events),
+       |counts AS (
+       |  SELECT cx, cy, cx * 1000000 + cy AS k, CAST(count(*) AS BIGINT) AS n
+       |  FROM pts GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM counts),
+       |core AS (
+       |  SELECT k, cx, cy, n FROM counts, tot
+       |  WHERE n * ${DenGridX * DenGridY} > $DenFactor * nn),
+       |edges AS (
+       |  SELECT a.k AS u, b.k AS v
+       |  FROM core a JOIN core b
+       |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.k <> b.k),
+       |reach(c, r) AS (
+       |  SELECT k, k FROM core
+       |  UNION
+       |  SELECT reach.c, e.v FROM reach JOIN edges e ON e.u = reach.r),
+       |comp AS (SELECT c AS k, min(r) AS cluster_id FROM reach GROUP BY c),
+       |labeled AS (
+       |  SELECT core.k, core.cx, core.cy, core.n, comp.cluster_id
+       |  FROM core JOIN comp USING (k)),
+       |noncore AS (
+       |  SELECT c.k, c.cx, c.cy, c.n FROM counts c
+       |  LEFT JOIN core ON c.k = core.k WHERE core.k IS NULL),
+       |bcell AS (
+       |  SELECT nc.k, nc.n, min(l.cluster_id) AS cluster_id
+       |  FROM noncore nc JOIN labeled l
+       |    ON abs(nc.cx - l.cx) <= 1 AND abs(nc.cy - l.cy) <= 1
+       |  GROUP BY nc.k, nc.n),
+       |border AS (
+       |  SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_border_points
+       |  FROM bcell GROUP BY 1),
+       |agg AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+       |         CAST(sum(n) AS BIGINT) AS n_core_points,
+       |         min(cx) AS min_cx, max(cx) AS max_cx,
+       |         min(cy) AS min_cy, max(cy) AS max_cy
+       |  FROM labeled GROUP BY 1)
+       |SELECT a.cluster_id, a.n_cells, a.n_core_points,
+       |       COALESCE(b.n_border_points, 0) AS n_border_points,
+       |       a.min_cx, a.max_cx, a.min_cy, a.max_cy
+       |FROM agg a LEFT JOIN border b USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
   /** Z-order storage-layout report over the point table (see
     * [[graft.operators.ZOrder.layoutStats]]).
     */
@@ -1137,6 +1228,7 @@ object SparkEntry {
     "q_viewport_points" -> (qViewportPoints _),
     "q_zorder" -> (qZorder _),
     "q_spatial_join" -> (qSpatialJoin _),
+    "q_density_cluster" -> (qDensityCluster _),
     "q_spatial_nearest" -> (qSpatialNearest _),
     "q_freq_rollup" -> (qFreqRollup _),
     "q_cluster_summary" -> (qClusterSummary _),
@@ -1341,6 +1433,7 @@ object SparkEntry {
     "q_viewport_points" -> viewportPointsSql,
     "q_zorder" -> zorderSql,
     "q_spatial_join" -> spatialJoinSql,
+    "q_density_cluster" -> densityClusterSql,
     "q_spatial_nearest" -> spatialNearestSql,
     "q_freq_rollup" -> freqRollupSql,
     "q_cluster_summary" -> clusterSummarySql
