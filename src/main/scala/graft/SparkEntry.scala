@@ -1053,6 +1053,7 @@ object SparkEntry {
     "q_window_nav" -> ((s, dir) => Ev.qWindowNav(events(s, dir))),
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
+    "q_top_paths" -> ((s, dir) => Ev.qTopPaths(events(s, dir))),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1254,6 +1255,7 @@ object SparkEntry {
     "q_window_nav" -> Ev.qWindowNavSql,
     "q_concurrency" -> Ev.qConcurrencySql,
     "q_transitions" -> Ev.qTransitionsSql,
+    "q_top_paths" -> Ev.qTopPathsSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

@@ -711,6 +711,59 @@ object Events {
       |GROUP BY l.wd, t.total
       |ORDER BY day""".stripMargin
 
+  /** Top session paths: the full ordered event-type string of every
+    * session (30-min-gap sessionization shared with [[qSessionize]]),
+    * counted and ranked — the behavioral-motif report next to the
+    * pairwise [[qTransitions]] matrix. Paths are reconstructed with a
+    * deterministic (ts, event_id) struct sort inside the session
+    * aggregate; the oracle uses DuckDB's ordered string_agg — different
+    * machinery, same string.
+    *
+    * Scale shape: the window sort and the session aggregation share one
+    * user partitioning; per-path counting is map-side combined (long
+    * unique paths collapse to count 1 without skew — a path is at most
+    * one session's events); top-k is TakeOrderedAndProject.
+    */
+  def qTopPaths(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(unix_micros(ts) AS us, event_id, event_type)))," +
+          " x -> x.event_type)"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(25)
+  }
+
+  val qTopPathsSql: String =
+    """WITH se AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS session_id
+      |  FROM (
+      |    SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |                   THEN 1 ELSE 0 END AS boundary
+      |    FROM (SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |                                               ORDER BY ts, event_id) AS prev_us
+      |          FROM events))),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM se GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 25""".stripMargin
+
   /** Markov transition matrix over per-user event sequences: count and
     * integer-ppm share of each consecutive (from → to) event-type pair
     * — "after a view, where do users go next". Shares are exact

@@ -154,4 +154,47 @@ object EventStream extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  final case class TransEvent(user_id: Long, ts: java.sql.Timestamp,
+                              event_id: Long, event_type: String)
+  final case class TransState(us: Long, event_id: Long, event_type: String)
+  final case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming transition-pair feed: ONE (ts, event_id, type) of state
+    * per user emits a (from → to) row for every consecutive pair as
+    * events arrive — the incremental producer of the batch Markov
+    * matrix ([[graft.queries.Events.qTransitions]]): pair counts
+    * aggregated over this feed on an in-order finite input equal the
+    * batch pair counts EXACTLY (no open-tail discrepancy — a
+    * transition is complete the moment its second event arrives).
+    * Same in-order arrival contract as the other stateful gates;
+    * within a micro-batch rows are sorted per user on (ts, event_id).
+    * State is constant-size per user, so the operator's memory is
+    * bounded by |users|, not event volume.
+    */
+  def transitionPairs(events: DataFrame): org.apache.spark.sql.Dataset[TransOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def tsToUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def fn(userId: Long, rows: Iterator[TransEvent],
+           state: GroupState[TransState]): Iterator[TransOut] = {
+      val sorted = rows.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+      var st = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+      for (e <- sorted) {
+        if (st != null) out += TransOut(userId, st.event_type, e.event_type)
+        st = TransState(tsToUs(e.ts), e.event_id, e.event_type)
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    events.select($"user_id", $"ts", $"event_id", $"event_type").as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

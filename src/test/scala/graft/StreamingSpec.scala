@@ -245,6 +245,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition pairs: per-user state spans micro-batches, counts match batch") {
+    import org.apache.spark.sql.functions.{col, unix_micros, count => cnt, lit}
+    val dir = Files.createTempDirectory("graft-streamtrans")
+    val tmp = Files.createTempDirectory("graft-streamtrans-src")
+    // halves split at the time midpoint → every user's sequence crosses
+    // the files in ts order, so cross-batch pairs exercise the state
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val all = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
+    val Array(loUs, hiUs) = all
+      .agg(org.apache.spark.sql.functions.min(unix_micros(col("ts"))),
+        org.apache.spark.sql.functions.max(unix_micros(col("ts"))))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val midUs = (loUs + hiUs) / 2
+    def writeHalf(half: org.apache.spark.sql.DataFrame, name: String): java.nio.file.Path = {
+      val out = tmp.resolve(name)
+      half.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      Files.list(out).filter(_.toString.endsWith(".parquet")).findFirst.get
+    }
+    val fileA = writeHalf(all.filter(unix_micros(col("ts")) <= midUs), "a")
+    val fileB = writeHalf(all.filter(unix_micros(col("ts")) > midUs), "b")
+
+    Files.copy(fileA, dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.transitionPairs(EventStream.readEvents(spark, dir.toString))
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("trans_out").start()
+    try {
+      q.processAllAvailable() // micro-batch 1: first halves only
+      val afterA = spark.table("trans_out").count()
+      Files.copy(fileB, dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable() // micro-batch 2: state bridges the halves
+      val streamed = spark.table("trans_out")
+        .groupBy(col("from_type"), col("to_type")).agg(cnt(lit(1)).as("n_pairs"))
+      val batch = graft.queries.Events.qTransitions(all)
+        .select(col("from_type"), col("to_type"), col("n_pairs"))
+      // exact equality — a transition completes the moment its second
+      // event arrives, so there is NO open-tail discrepancy
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // and the second batch genuinely added pairs (state was used)
+      assert(spark.table("trans_out").count() > afterA)
+    } finally q.stop()
+  }
+
   test("streaming temperature resampling with frozen rates matches batch") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-stream-mix")
