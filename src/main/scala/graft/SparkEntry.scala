@@ -1054,6 +1054,7 @@ object SparkEntry {
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_top_paths" -> ((s, dir) => Ev.qTopPaths(events(s, dir))),
+    "q_hop_window" -> ((s, dir) => Ev.qHopWindow(events(s, dir))),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1256,6 +1257,7 @@ object SparkEntry {
     "q_concurrency" -> Ev.qConcurrencySql,
     "q_transitions" -> Ev.qTransitionsSql,
     "q_top_paths" -> Ev.qTopPathsSql,
+    "q_hop_window" -> Ev.qHopWindowSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

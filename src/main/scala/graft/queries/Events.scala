@@ -36,6 +36,41 @@ object Events {
       |GROUP BY 1, 2, 3
       |ORDER BY ws, event_type""".stripMargin
 
+  /** Hopping (sliding) 6-hour windows on a 3-hour slide — the
+    * overlapping-window twin of [[qStreamWindow]]: every event lands in
+    * exactly windowDuration/slide = 2 windows. The oracle derives the
+    * same assignment from integer µs slot arithmetic (each event's
+    * 3-hour slot and its predecessor), so the expansion factor is
+    * explicit rather than implied by Spark's `window(ts, dur, slide)`.
+    *
+    * Scale shape: the 2× row expansion happens map-side inside the
+    * window generator; the aggregation is one map-side-combined
+    * shuffle keyed by (window, type) — same cost family as the
+    * tumbling query, ×overlap.
+    */
+  def qHopWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  val qHopWindowSql: String =
+    """WITH b AS (
+      |  SELECT epoch_us(ts) // 10800000000 AS slot, event_type, value FROM events),
+      |w AS (
+      |  SELECT slot AS ws_slot, event_type, value FROM b
+      |  UNION ALL
+      |  SELECT slot - 1, event_type, value FROM b)
+      |SELECT make_timestamp(ws_slot * 10800000000) AS ws,
+      |       make_timestamp(ws_slot * 10800000000 + 21600000000) AS we,
+      |       event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2, 3
+      |ORDER BY ws, event_type""".stripMargin
+
   /** As-of join: each event annotated with the user's most recent
     * purchase at or before it (see [[graft.operators.AsOfJoin]]). The
     * oracle uses DuckDB's native ASOF JOIN — same semantics, different
