@@ -1055,6 +1055,8 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_top_paths" -> ((s, dir) => Ev.qTopPaths(events(s, dir))),
     "q_hop_window" -> ((s, dir) => Ev.qHopWindow(events(s, dir))),
+    "q_cohort_ltv" -> ((s, dir) => Ev.qCohortLtv(events(s, dir))),
+    "q_abc_analysis" -> (Relational.qAbcAnalysis _),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1258,6 +1260,8 @@ object SparkEntry {
     "q_transitions" -> Ev.qTransitionsSql,
     "q_top_paths" -> Ev.qTopPathsSql,
     "q_hop_window" -> Ev.qHopWindowSql,
+    "q_cohort_ltv" -> Ev.qCohortLtvSql,
+    "q_abc_analysis" -> Relational.qAbcAnalysisSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

@@ -746,6 +746,59 @@ object Events {
       |GROUP BY l.wd, t.total
       |ORDER BY day""".stripMargin
 
+  /** Cohort LTV curves — the revenue companion to [[qRetention]]: per
+    * signup-day cohort and day offset, that day's purchase revenue and
+    * the cohort's CUMULATIVE revenue to date, all in exact integer
+    * cents (day numbers are exact integer µs-epoch divisions; the
+    * running sum partitions by cohort).
+    *
+    * Scale shape: cohort table and revenue events are user-keyed (one
+    * shared shuffle); the (cohort, offset) aggregation is map-side
+    * combined and bounded by cohorts × horizon; the cumulative window
+    * runs on those bounded rows, partitioned per cohort — never a
+    * global sort.
+    */
+  def qCohortLtv(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000").as("day")
+    val cohort = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), day)
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val rev = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), day, round(col("value") * 100).cast("long").as("cents"))
+    val byDay = rev.join(cohort, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(sum(col("cents")).as("day_revenue_cents"),
+        countDistinct(col("user_id")).as("n_buyers"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.withColumn("cum_revenue_cents", sum(col("day_revenue_cents")).over(w))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val qCohortLtvSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |rev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |byday AS (
+      |  SELECT cohort_day, day - cohort_day AS day_offset,
+      |         CAST(sum(cents) AS BIGINT) AS day_revenue_cents,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
+      |  FROM rev JOIN cohort USING (user_id)
+      |  WHERE day >= cohort_day
+      |  GROUP BY 1, 2)
+      |SELECT cohort_day, day_offset, day_revenue_cents, n_buyers,
+      |       CAST(sum(day_revenue_cents) OVER (
+      |         PARTITION BY cohort_day ORDER BY day_offset
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_revenue_cents
+      |FROM byday
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** Top session paths: the full ordered event-type string of every
     * session (30-min-gap sessionization shared with [[qSessionize]]),
     * counted and ranked — the behavioral-motif report next to the

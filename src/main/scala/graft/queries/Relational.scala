@@ -892,6 +892,67 @@ object Relational {
       |FROM c FULL OUTER JOIN p ON ck = sk
       |ORDER BY nationkey""".stripMargin
 
+  /** ABC / Pareto analysis of customer revenue: customers ranked by
+    * exact-cents revenue (ties to the lower key), classed by CUMULATIVE
+    * revenue share on the integer-ppm lattice (A ≤ 80%, B ≤ 95%, else
+    * C — thresholds compare exact integers, so class boundaries cannot
+    * drift between engines). Output is the 3-row class summary.
+    *
+    * Scale shape: the global rank runs over PER-CUSTOMER AGGREGATES
+    * (|customers| rows after one map-side-combined shuffle), not raw
+    * orders — the single-partition sort is over the bounded aggregate,
+    * the standard shape for a global Pareto curve. cum·10⁶ stays in
+    * 64 bits while total revenue < ~9·10¹² cents; lift the lattice to
+    * DECIMAL(38,0) beyond that.
+    */
+  def qAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val rev = s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val total = rev.agg(sum(col("cents")).as("total_cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_cents", sum(col("cents")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(expr("cum_cents * 1000000 div total_cents") <= 800000, "A")
+          .when(expr("cum_cents * 1000000 div total_cents") <= 950000, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("class_revenue_cents"),
+        max(col("total_cents")).as("total_cents"))
+      .select(col("abc_class"), col("n_customers"), col("class_revenue_cents"),
+        expr("class_revenue_cents * 1000000 div total_cents").as("revenue_share_ppm"))
+      .orderBy(col("abc_class"))
+  }
+
+  val qAbcAnalysisSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM rev),
+      |ranked AS (
+      |  SELECT cents,
+      |         CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum_cents
+      |  FROM rev),
+      |classed AS (
+      |  SELECT cents,
+      |         CASE WHEN cum_cents * 1000000 // total_cents <= 800000 THEN 'A'
+      |              WHEN cum_cents * 1000000 // total_cents <= 950000 THEN 'B'
+      |              ELSE 'C' END AS abc_class,
+      |         total_cents
+      |  FROM ranked, tot)
+      |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(cents) AS BIGINT) AS class_revenue_cents,
+      |       CAST(sum(cents) AS BIGINT) * 1000000 // any_value(total_cents)
+      |         AS revenue_share_ppm
+      |FROM classed GROUP BY 1
+      |ORDER BY abc_class""".stripMargin
+
   private val HistBuckets = 20
 
   /** Equi-width histogram of `l_extendedprice` in 20 buckets with
