@@ -521,17 +521,33 @@ object SparkEntry {
     * arithmetic end to end (centi-degree lattice, no floats), so cell
     * assignment cannot drift between engines.
     */
-  private def densityCells(s: SparkSession, dir: String): DataFrame =
+  private def densityCenti(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
-        col("event_id").as("id"),
-        when(col("event_id") % 10 < 3,
-          lit(3000L) + expr("(event_id div 10) % 5") * lit(6000L)
-            + (col("event_id") * lit(7919L)) % lit(200L) - lit(100L))
-          .otherwise((col("event_id") * lit(7919L)) % lit(36000L)).as("centi_lon"),
-        when(col("event_id") % 10 < 3,
-          lit(2500L) + expr("(event_id div 10) % 5") * lit(3000L)
-            + (col("event_id") * lit(104729L)) % lit(200L) - lit(100L))
-          .otherwise((col("event_id") * lit(104729L)) % lit(17000L)).as("centi_lat"))
+      col("event_id").as("id"),
+      when(col("event_id") % 10 < 3,
+        lit(3000L) + expr("(event_id div 10) % 5") * lit(6000L)
+          + (col("event_id") * lit(7919L)) % lit(200L) - lit(100L))
+        .otherwise((col("event_id") * lit(7919L)) % lit(36000L)).as("centi_lon"),
+      when(col("event_id") % 10 < 3,
+        lit(2500L) + expr("(event_id div 10) % 5") * lit(3000L)
+          + (col("event_id") * lit(104729L)) % lit(200L) - lit(100L))
+        .otherwise((col("event_id") * lit(104729L)) % lit(17000L)).as("centi_lat"))
+
+  /** The mixture points' SQL twin (shared by the density-cluster and
+    * geofence oracles).
+    */
+  private val densityCentiSql: String =
+    """SELECT event_id AS id,
+      |  CASE WHEN event_id % 10 < 3
+      |       THEN 3000 + ((event_id // 10) % 5) * 6000 + (event_id * 7919) % 200 - 100
+      |       ELSE (event_id * 7919) % 36000 END AS centi_lon,
+      |  CASE WHEN event_id % 10 < 3
+      |       THEN 2500 + ((event_id // 10) % 5) * 3000 + (event_id * 104729) % 200 - 100
+      |       ELSE (event_id * 104729) % 17000 END AS centi_lat
+      |FROM events""".stripMargin
+
+  private def densityCells(s: SparkSession, dir: String): DataFrame =
+    densityCenti(s, dir)
       .select(col("id"), expr("centi_lon div 500").as("cx"),
         expr("centi_lat div 500").as("cy"))
 
@@ -549,14 +565,8 @@ object SparkEntry {
 
   private val densityClusterSql: String =
     s"""WITH RECURSIVE pts AS (
-       |  SELECT event_id AS id,
-       |    (CASE WHEN event_id % 10 < 3
-       |          THEN 3000 + ((event_id // 10) % 5) * 6000 + (event_id * 7919) % 200 - 100
-       |          ELSE (event_id * 7919) % 36000 END) // 500 AS cx,
-       |    (CASE WHEN event_id % 10 < 3
-       |          THEN 2500 + ((event_id // 10) % 5) * 3000 + (event_id * 104729) % 200 - 100
-       |          ELSE (event_id * 104729) % 17000 END) // 500 AS cy
-       |  FROM events),
+       |  SELECT id, centi_lon // 500 AS cx, centi_lat // 500 AS cy
+       |  FROM ($densityCentiSql)),
        |counts AS (
        |  SELECT cx, cy, cx * 1000000 + cy AS k, CAST(count(*) AS BIGINT) AS n
        |  FROM pts GROUP BY 1, 2),
@@ -598,6 +608,46 @@ object SparkEntry {
        |       a.min_cx, a.max_cx, a.min_cy, a.max_cy
        |FROM agg a LEFT JOIN border b USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
+
+  /** Geofence zones: convex CCW polygons in exact centi-degree
+    * integer coords — one triangle clipping density blob 0, one
+    * quadrilateral over background territory. SINGLE source of truth:
+    * the Spark predicate and the oracle SQL are both generated from
+    * these vertex lists.
+    */
+  private val GeoZones: Seq[(String, Seq[(Long, Long)])] = Seq(
+    "blob0_tri" -> Seq((2800L, 2300L), (3300L, 2400L), (3000L, 2900L)),
+    "mid_quad" -> Seq((10000L, 5000L), (15000L, 5500L), (14500L, 9000L), (10500L, 8500L)))
+
+  /** Geofence containment report (see
+    * [[graft.operators.SpatialJoin.geofenceCounts]]): strict exact
+    * integer cross-product containment, one conditional-aggregate scan
+    * for all zones.
+    */
+  private def qGeofence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpatialJoin.geofenceCounts(densityCenti(s, dir), GeoZones)
+
+  private val geofenceSql: String = {
+    def crossPos(poly: Seq[(Long, Long)]): String =
+      poly.indices.map { i =>
+        val (x1, y1) = poly(i)
+        val (x2, y2) = poly((i + 1) % poly.size)
+        s"(${x2 - x1} * (centi_lat - $y1) - ${y2 - y1} * (centi_lon - $x1)) > 0"
+      }.mkString(" AND ")
+    val arms = GeoZones.map { case (name, poly) =>
+      s"""SELECT '$name' AS zone,
+         |  CAST(count(CASE WHEN ${crossPos(poly)} THEN 1 END) AS BIGINT) AS n_inside,
+         |  COALESCE(min(CASE WHEN ${crossPos(poly)} THEN id END), -1) AS min_id,
+         |  COALESCE(CAST(sum(CASE WHEN ${crossPos(poly)} THEN centi_lon END) AS BIGINT), 0)
+         |    AS sum_x,
+         |  COALESCE(CAST(sum(CASE WHEN ${crossPos(poly)} THEN centi_lat END) AS BIGINT), 0)
+         |    AS sum_y
+         |FROM pts""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pts AS ($densityCentiSql)
+       |$arms
+       |ORDER BY zone""".stripMargin
+  }
 
   /** Z-order storage-layout report over the point table (see
     * [[graft.operators.ZOrder.layoutStats]]).
@@ -1233,6 +1283,7 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_density_cluster" -> (qDensityCluster _),
+    "q_geofence" -> (qGeofence _),
     "q_spatial_nearest" -> (qSpatialNearest _),
     "q_freq_rollup" -> (qFreqRollup _),
     "q_cluster_summary" -> (qClusterSummary _),
@@ -1442,6 +1493,7 @@ object SparkEntry {
     "q_zorder" -> zorderSql,
     "q_spatial_join" -> spatialJoinSql,
     "q_density_cluster" -> densityClusterSql,
+    "q_geofence" -> geofenceSql,
     "q_spatial_nearest" -> spatialNearestSql,
     "q_freq_rollup" -> freqRollupSql,
     "q_cluster_summary" -> clusterSummarySql

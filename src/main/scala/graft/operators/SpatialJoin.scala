@@ -66,4 +66,53 @@ object SpatialJoin {
       .filter(col("rn") === 1)
       .select(col(idCol), col(placeIdCol), col("dist2"))
   }
+
+  /** Strict point-in-convex-polygon containment on an INTEGER
+    * coordinate lattice: a point is inside a CCW-wound convex polygon
+    * iff every edge cross product (x₂−x₁)(pᵧ−y₁) − (y₂−y₁)(pₓ−x₁) is
+    * > 0 — pure 64-bit integer arithmetic, so the containment set is
+    * exactly reproducible in any engine (the SQL oracle evaluates the
+    * same products). Boundary points (cross = 0) are OUTSIDE by
+    * definition; pick lattice-odd polygon vertices if the boundary
+    * must not touch data.
+    */
+  def insideConvex(poly: Seq[(Long, Long)],
+                   x: org.apache.spark.sql.Column,
+                   y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    poly.indices.map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.size)
+      (lit(x2 - x1) * (y - lit(y1)) - lit(y2 - y1) * (x - lit(x1))) > 0
+    }.reduce(_ && _)
+
+  /** Geofence report: per named convex zone, the count of contained
+    * points, the smallest contained id, and exact integer coordinate
+    * sums (so a centroid can be derived without float accumulation).
+    * Zones with no points surface as explicit zeros.
+    *
+    * Scale shape: ONE scan evaluates every zone's containment test as
+    * conditional aggregate columns (map-side combined, |zones| output
+    * columns); the per-zone rows are unpivoted from the single
+    * aggregate row — the broadcast-polygon geofence join specialised
+    * to the aggregate-report case.
+    */
+  def geofenceCounts(pts: DataFrame, zones: Seq[(String, Seq[(Long, Long)])],
+                     idCol: String = "id", xCol: String = "centi_lon",
+                     yCol: String = "centi_lat"): DataFrame = {
+    val aggs = zones.flatMap { case (name, poly) =>
+      val in = insideConvex(poly, col(xCol), col(yCol))
+      Seq(count(when(in, 1)).as(s"${name}_n"),
+        min(when(in, col(idCol))).as(s"${name}_min_id"),
+        sum(when(in, col(xCol))).as(s"${name}_sx"),
+        sum(when(in, col(yCol))).as(s"${name}_sy"))
+    }
+    val wide = pts.agg(aggs.head, aggs.tail: _*)
+    zones.map { case (name, _) =>
+      wide.select(lit(name).as("zone"),
+        col(s"${name}_n").as("n_inside"),
+        coalesce(col(s"${name}_min_id"), lit(-1L)).as("min_id"),
+        coalesce(col(s"${name}_sx"), lit(0L)).as("sum_x"),
+        coalesce(col(s"${name}_sy"), lit(0L)).as("sum_y"))
+    }.reduce(_ unionByName _).orderBy("zone")
+  }
 }

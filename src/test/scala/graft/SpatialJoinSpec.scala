@@ -60,4 +60,30 @@ class SpatialJoinSpec extends SparkSpec {
       Seq((1L, 0.5, 0.5)).toDF("id", "lon", "lat"), q, 2.0).count()
     assert(n == 1L)
   }
+
+  test("insideConvex: strict integer containment — interior in, boundary and outside out") {
+    import org.apache.spark.sql.functions.col
+    // unit-square-ish CCW quad scaled by 10: (0,0),(10,0),(10,10),(0,10)
+    val quad = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val pts = Seq((1L, 5L, 5L), // interior
+      (2L, 0L, 5L), // ON the left edge — strictly outside
+      (3L, 10L, 10L), // vertex — outside
+      (4L, 11L, 5L), (5L, -1L, -1L)) // outside
+      .toDF("id", "centi_lon", "centi_lat")
+    val in = pts.filter(SpatialJoin.insideConvex(quad, col("centi_lon"), col("centi_lat")))
+      .collect().map(_.getLong(0)).toSet
+    assert(in == Set(1L))
+  }
+
+  test("geofenceCounts: one-scan report, empty zones surface as explicit zeros") {
+    val pts = Seq((7L, 5L, 5L), (8L, 6L, 5L)).toDF("id", "centi_lon", "centi_lat")
+    val zones = Seq(
+      "hit" -> Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L)),
+      "empty" -> Seq((100L, 100L), (110L, 100L), (110L, 110L), (100L, 110L)))
+    val out = SpatialJoin.geofenceCounts(pts, zones).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("hit") == ((2L, 7L, 11L, 10L)))
+    assert(out("empty") == ((0L, -1L, 0L, 0L)))
+  }
 }
