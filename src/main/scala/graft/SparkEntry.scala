@@ -1107,6 +1107,7 @@ object SparkEntry {
     "q_hop_window" -> ((s, dir) => Ev.qHopWindow(events(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => Ev.qCohortLtv(events(s, dir))),
     "q_abc_analysis" -> (Relational.qAbcAnalysis _),
+    "q_mode_argmax" -> (Relational.qModeArgmax _),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1313,6 +1314,7 @@ object SparkEntry {
     "q_hop_window" -> Ev.qHopWindowSql,
     "q_cohort_ltv" -> Ev.qCohortLtvSql,
     "q_abc_analysis" -> Relational.qAbcAnalysisSql,
+    "q_mode_argmax" -> Relational.qModeArgmaxSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

@@ -953,6 +953,63 @@ object Relational {
       |FROM classed GROUP BY 1
       |ORDER BY abc_class""".stripMargin
 
+  /** Mode / argmax aggregate family: per return flag, the modal
+    * quantity (most frequent; ties to the SMALLEST value — neither
+    * engine's builtin mode() pins tie order, so both run this explicit
+    * count+rank definition), its frequency, and the argmax lineitem
+    * (the extendedprice-richest row's orderkey, ties to the smaller
+    * key) — the "which value / which row" aggregates GROUP BY alone
+    * can't express.
+    *
+    * Scale shape: mode = one (flag, qty)-keyed map-side-combined count
+    * + a rank over |flags|×|distinct qty| rows; argmax = one
+    * flag-partitioned WindowGroupLimit (rank pushed below the
+    * shuffle). No row-level sort anywhere.
+    */
+  def qModeArgmax(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val qty = col("l_quantity").cast("long")
+    val modes = li.groupBy(col("l_returnflag"), qty.as("qv"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("freq").desc, col("qv"))))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("qv").as("mode_qty"), col("freq").as("mode_freq"))
+    val argmax = li
+      .select(col("l_returnflag"), col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("price_cents").desc, col("l_orderkey"))))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_orderkey").as("richest_orderkey"),
+        col("price_cents").as("max_price_cents"))
+    modes.join(argmax, "l_returnflag").orderBy(col("l_returnflag"))
+  }
+
+  val qModeArgmaxSql: String =
+    """WITH modes AS (
+      |  SELECT l_returnflag, qv AS mode_qty, freq AS mode_freq FROM (
+      |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qv,
+      |           count(*) AS freq,
+      |           row_number() OVER (PARTITION BY l_returnflag
+      |                              ORDER BY count(*) DESC, CAST(l_quantity AS BIGINT))
+      |             AS rn
+      |    FROM lineitem GROUP BY 1, 2)
+      |  WHERE rn = 1),
+      |argmax AS (
+      |  SELECT l_returnflag, l_orderkey AS richest_orderkey,
+      |         price_cents AS max_price_cents FROM (
+      |    SELECT l_returnflag, l_orderkey,
+      |           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+      |           row_number() OVER (PARTITION BY l_returnflag
+      |                              ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+      |                                       l_orderkey) AS rn
+      |    FROM lineitem)
+      |  WHERE rn = 1)
+      |SELECT l_returnflag, mode_qty, mode_freq, richest_orderkey, max_price_cents
+      |FROM modes JOIN argmax USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   private val HistBuckets = 20
 
   /** Equi-width histogram of `l_extendedprice` in 20 buckets with

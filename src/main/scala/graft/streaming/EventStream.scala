@@ -52,6 +52,20 @@ object EventStream extends Serializable {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Watermarked HOPPING 6-hour/3-hour counts/sums per event type —
+    * the sliding twin of [[windowedAgg]]; semantics equal the batch
+    * [[graft.queries.Events.qHopWindow]] on finite input (each event
+    * feeds its 2 covering windows; state is 2× the tumbling case).
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Run the windowed aggregation into an in-memory table (complete
     * mode — finite demo inputs; production would use append + a real
     * sink). Caller stops the query.

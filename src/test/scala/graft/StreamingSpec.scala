@@ -30,6 +30,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping agg matches the batch sliding windows on finite input") {
+    val dir = Files.createTempDirectory("graft-streamhop")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.startMemorySink(
+      EventStream.hoppingAgg(EventStream.readEvents(spark, dir.toString)), "streamhop_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("streamhop_out")
+      val batch = graft.queries.Events.qHopWindow(
+        graft.SparkEntry.events(spark, dir.toString))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("watermark dedup collapses a replayed source to distinct events") {
     val dir = Files.createTempDirectory("graft-stream3")
     // same file twice = an at-least-once source replay
