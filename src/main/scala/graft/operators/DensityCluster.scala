@@ -35,14 +35,21 @@ object DensityCluster {
     * component), n_cells, n_core_points, n_border_points, and the
     * core-cell bounding box.
     */
+  /** Per-cell point counts — the ONLY |points|-sized stage of
+    * [[gridDbscan]]. Map-side combined, so the one shuffle carries
+    * ≤ |cells| × |partitions| rows however many points feed it
+    * (`DensityClusterSpec` measures this at N and 10N, the pyramid
+    * skew contract). The scalar key multiplier just has to clear the
+    * bounded cy range.
+    */
+  def cellCounts(pts: DataFrame): DataFrame =
+    pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      .select((col("cx") * lit(1000000L) + col("cy")).as("k"),
+        col("cx"), col("cy"), col("n"))
+
   def gridDbscan(pts: DataFrame, totalCells: Long,
                  densityFactor: Long): DataFrame = {
-    // stable scalar cell key; cy is bounded by the grid layout so the
-    // multiplier just has to clear it
-    val key = (col("cx") * lit(1000000L) + col("cy")).as("k")
-    val counts = CachePool.track(
-      pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
-        .select(key, col("cx"), col("cy"), col("n")))
+    val counts = CachePool.track(cellCounts(pts))
     val total = counts.agg(sum(col("n")).as("nn"))
     val core = CachePool.track(
       counts.crossJoin(broadcast(total))

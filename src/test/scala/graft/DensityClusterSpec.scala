@@ -49,4 +49,35 @@ class DensityClusterSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_cells") == 8L)
     assert(out.head.getAs[Long]("n_core_points") == 32L)
   }
+
+  test("cell counts are partial-aggregated: shuffle carries cells x partitions, not points") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val parts = 8
+    val nCells = 20L // 5 × 4 fixed layout, points spread round-robin
+    def run(n: Long): Long = {
+      val p = s.range(n)
+        .selectExpr("id", "id % 5 AS cx", "(id DIV 5) % 4 AS cy")
+        .repartition(parts)
+      val counts = DensityCluster.cellCounts(p)
+      counts.collect()
+      val plan = counts.queryExecution.executedPlan
+      val below = plan.collect { case e: ShuffleExchangeLike =>
+        e.collect { case a: BaseAggregateExec => a }
+      }.flatten
+      assert(below.nonEmpty, s"no map-side partial aggregate below the exchange:\n$plan")
+      plan.collect { case e: ShuffleExchangeLike
+          if e.collect { case a: BaseAggregateExec => a }.nonEmpty => e }
+        .map(_.metrics("shuffleRecordsWritten").value).sum
+    }
+    val writtenN = run(20000L)
+    assert(writtenN <= nCells * parts,
+      s"shuffle wrote $writtenN rows > cells($nCells) x partitions($parts)")
+    val written10N = run(200000L)
+    assert(written10N <= nCells * parts,
+      s"10x points pushed the count shuffle to $written10N")
+    info(s"measured: cells=$nCells parts=$parts shuffle@20k=$writtenN shuffle@200k=$written10N")
+  }
 }
