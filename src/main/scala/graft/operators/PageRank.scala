@@ -184,8 +184,11 @@ object PageRank {
       e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v"))))
     val deg = CachePool.track(adj.groupBy(col("u")).agg(count(lit(1)).as("d")))
-    val centers = adj.join(deg.filter(col("d") <= maxCenterDegree), "u")
-      .select(col("u"), col("v"))
+    // the hub cap is opt-in: don't pay the degree join on the default path
+    val centers =
+      if (maxCenterDegree == Int.MaxValue) adj
+      else adj.join(deg.filter(col("d") <= maxCenterDegree), "u")
+        .select(col("u"), col("v"))
     val cn = centers.select(col("u"), col("v").as("ya"))
       .join(centers.select(col("u"), col("v").as("yb")), Seq("u"))
       .filter(col("ya") < col("yb"))

@@ -99,7 +99,13 @@ object Events {
     * lag + cumulative-sum-of-boundaries, both windows sharing one
     * shuffle on user_id.
     */
-  def qSessionize(events: DataFrame): DataFrame = {
+  /** Per-event 30-min-gap session assignment — the ONE definition of
+    * the sessionization boundary, shared by [[qSessionize]] and
+    * [[qTopPaths]] (and mirrored by [[sessionAssignSql]] on the oracle
+    * side) so the gap threshold and tiebreaker cannot drift between
+    * consumers.
+    */
+  private def sessionAssign(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
@@ -108,6 +114,22 @@ object Events {
           unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private val sessionAssignSql: String =
+    """SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |FROM (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |                 THEN 1 ELSE 0 END AS boundary
+      |  FROM (
+      |    SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |    FROM events
+      |  )
+      |)""".stripMargin
+
+  def qSessionize(events: DataFrame): DataFrame = {
+    sessionAssign(events)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
@@ -120,22 +142,13 @@ object Events {
     * the range-join oracle).
     */
   private val sessionizeBody: String =
-    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
-      |       min(ts) AS t_start, max(ts) AS t_end,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM (
-      |  SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      |  FROM (
-      |    SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
-      |                   THEN 1 ELSE 0 END AS boundary
-      |    FROM (
-      |      SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-      |      FROM events
-      |    )
-      |  )
-      |)
-      |GROUP BY user_id, session_id""".stripMargin
+    s"""SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       |       min(ts) AS t_start, max(ts) AS t_end,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM (
+       |$sessionAssignSql
+       |)
+       |GROUP BY user_id, session_id""".stripMargin
 
   val qSessionizeSql: String =
     s"$sessionizeBody\nORDER BY user_id, session_id"
@@ -813,15 +826,8 @@ object Events {
     * one session's events); top-k is TakeOrderedAndProject.
     */
   def qTopPaths(events: DataFrame): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = events
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("boundary",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
-      .withColumn("session_id",
-        sum(col("boundary")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sess.groupBy(col("user_id"), col("session_id"))
+    sessionAssign(events)
+      .groupBy(col("user_id"), col("session_id"))
       .agg(array_join(expr(
         "transform(array_sort(collect_list(struct(unix_micros(ts) AS us, event_id, event_type)))," +
           " x -> x.event_type)"), ">").as("path"))
@@ -832,17 +838,9 @@ object Events {
   }
 
   val qTopPathsSql: String =
-    """WITH se AS (
-      |  SELECT user_id, ts, event_id, event_type,
-      |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS session_id
-      |  FROM (
-      |    SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
-      |                   THEN 1 ELSE 0 END AS boundary
-      |    FROM (SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
-      |                                               ORDER BY ts, event_id) AS prev_us
-      |          FROM events))),
+    s"""WITH se AS (
+      |$sessionAssignSql
+      |),
       |paths AS (
       |  SELECT user_id, session_id,
       |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path

@@ -399,9 +399,9 @@ object Relational {
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_lot_revenue,
          |  count(*) AS n_small
          |FROM ${rel(dir, "lineitem")} l JOIN ${rel(dir, "part")} p ON p_partkey = l_partkey
-         |WHERE CAST(l_quantity AS BIGINT) * 5 *
+         |WHERE CAST(floor(l_quantity) AS BIGINT) * 5 *
          |      (SELECT count(*) FROM ${rel(dir, "lineitem")} l2 WHERE l2.l_partkey = l.l_partkey)
-         |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM ${rel(dir, "lineitem")} l3 WHERE l3.l_partkey = l.l_partkey)
+         |    < (SELECT sum(CAST(floor(l_quantity) AS BIGINT)) FROM ${rel(dir, "lineitem")} l3 WHERE l3.l_partkey = l.l_partkey)
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 
   val qScalarSubquerySql: String =
@@ -409,9 +409,9 @@ object Relational {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_lot_revenue,
       |  count(*) AS n_small
       |FROM lineitem l JOIN part p ON p_partkey = l_partkey
-      |WHERE CAST(l_quantity AS BIGINT) * 5 *
+      |WHERE CAST(floor(l_quantity) AS BIGINT) * 5 *
       |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-      |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+      |    < (SELECT sum(CAST(floor(l_quantity) AS BIGINT)) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   /** TPC-H Q21-shape: suppliers who were the ONLY late shipper on a
@@ -968,7 +968,9 @@ object Relational {
     */
   def qModeArgmax(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
-    val qty = col("l_quantity").cast("long")
+    // explicit floor pins ONE semantics: a bare DOUBLE→BIGINT cast
+    // truncates in Spark but rounds in DuckDB
+    val qty = floor(col("l_quantity")).cast("long")
     val modes = li.groupBy(col("l_returnflag"), qty.as("qv"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("l_returnflag"))
@@ -989,10 +991,10 @@ object Relational {
   val qModeArgmaxSql: String =
     """WITH modes AS (
       |  SELECT l_returnflag, qv AS mode_qty, freq AS mode_freq FROM (
-      |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qv,
+      |    SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qv,
       |           count(*) AS freq,
       |           row_number() OVER (PARTITION BY l_returnflag
-      |                              ORDER BY count(*) DESC, CAST(l_quantity AS BIGINT))
+      |                              ORDER BY count(*) DESC, CAST(floor(l_quantity) AS BIGINT))
       |             AS rn
       |    FROM lineitem GROUP BY 1, 2)
       |  WHERE rn = 1),

@@ -267,6 +267,7 @@ class StreamingSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("graft-streamtrans-src")
     // halves split at the time midpoint → every user's sequence crosses
     // the files in ts order, so cross-batch pairs exercise the state
+    val savedTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val all = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
     val Array(loUs, hiUs) = all
@@ -300,7 +301,14 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
       // and the second batch genuinely added pairs (state was used)
       assert(spark.table("trans_out").count() > afterA)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the shared session outlives this test — restore the write type
+      savedTsType match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
   }
 
   test("streaming temperature resampling with frozen rates matches batch") {

@@ -149,7 +149,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     # dev-iteration filter, same contract as graft.Verify/Bench
     only = {n.strip() for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n.strip()}
     if only:
+        missing = sorted(only - oracle.keys())
+        if missing:
+            # a typo'd name would otherwise produce an empty, successful-looking run
+            print(f"WARN: SPARK_GRAFT_ONLY names not in oracle_sql.json: {missing}")
         oracle = {k: v for k, v in oracle.items() if k in only}
+        if not oracle:
+            print("FAIL: SPARK_GRAFT_ONLY matched no queries")
+            return 1
     results_path = os.path.join(out_dir, "oracle_results.jsonl")
     # fresh run: truncate any stale partial file
     open(results_path, "w").close()
