@@ -52,4 +52,52 @@ class StreamingResumeSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 11L),
       s"restored state should drop the post-restart replay (doc 10): $out")
   }
+
+  test("transition-pair state survives a checkpointed restart") {
+    val srcDir = Files.createTempDirectory("graft-resume2-src").toString
+    val ckpt = Files.createTempDirectory("graft-resume2-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-resume2-out").toString + "/out"
+    val savedTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      def startQuery() =
+        graft.streaming.EventStream.transitionPairs(
+            graft.streaming.EventStream.readEvents(spark, srcDir))
+          .toDF()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+
+      def writeEvents(rows: Seq[(Long, Long, Long, String)]): Unit =
+        rows.map { case (id, us, user, tpe) => (id, us, user, tpe, 1.0, "{}") }
+          .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+          .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+            "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+
+      // run 1: user 1 sees view then click
+      writeEvents(Seq((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click")))
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+
+      // run 2 (fresh query, SAME checkpoint): one more event — the
+      // (click → purchase) pair only exists if the click survived in
+      // restored state
+      writeEvents(Seq((3L, 3000L, 1L, "purchase")))
+      val q2 = startQuery()
+      q2.processAllAvailable(); q2.stop()
+
+      val out = spark.read.parquet(outDir)
+        .select("from_type", "to_type")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out == Set(("view", "click"), ("click", "purchase")),
+        s"restored state should bridge the restart: $out")
+    } finally savedTsType match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
 }
