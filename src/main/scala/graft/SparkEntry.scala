@@ -1108,6 +1108,7 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, dir) => Ev.qCohortLtv(events(s, dir))),
     "q_abc_analysis" -> (Relational.qAbcAnalysis _),
     "q_mode_argmax" -> (Relational.qModeArgmax _),
+    "q_knn_classify" -> (PipelineQueries.qKnnClassify _),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1315,6 +1316,7 @@ object SparkEntry {
     "q_cohort_ltv" -> Ev.qCohortLtvSql,
     "q_abc_analysis" -> Relational.qAbcAnalysisSql,
     "q_mode_argmax" -> Relational.qModeArgmaxSql,
+    "q_knn_classify" -> PipelineQueries.qKnnClassifySql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

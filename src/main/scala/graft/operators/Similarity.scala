@@ -1093,6 +1093,46 @@ object Similarity {
       .orderBy(col("query_id"), col("nn_rank"))
   }
 
+  /** kNN majority-vote classification over exact cosine neighbors —
+    * the non-parametric member of the classifier family (next to the
+    * NB and perceptron gates): each test vector takes the MODAL label
+    * of its k nearest train vectors, ties to the smaller label, so the
+    * prediction is engine-identical. Output per test vector:
+    * query_id, predicted_label, n_votes, true_label, correct.
+    *
+    * Scale shape: this is the dense all-pairs baseline (the oracle
+    * shape, same contract as bruteForceTopK's documented dense
+    * variants); at scale the neighbor set comes from [[annJoin]] or
+    * the IVF index instead and the vote logic is unchanged. The vote
+    * itself is bounded: k rows per query into a (query, label) count
+    * + one WindowGroupLimit.
+    */
+  def knnClassify(train: DataFrame, test: DataFrame, k: Int, dims: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val ts = test.select(col(idCol).as("query_id"), col(embCol).as("qe"),
+      norm(col(embCol), dims).as("qn"), col(labelCol).cast("long").as("true_label"))
+    val tr = train.select(col(idCol).as("nn_id"), col(embCol).as("ce"),
+      norm(col(embCol), dims).as("cn"), col(labelCol).cast("long").as("nn_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    val nbrs = ts.crossJoin(tr)
+      .select(col("query_id"), col("true_label"), col("nn_id"), col("nn_label"),
+        round(cosinePre(col("qe"), col("ce"), col("qn"), col("cn"), dims), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("n_votes").desc, col("nn_label"))
+    nbrs.groupBy(col("query_id"), col("true_label"), col("nn_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nn_label").as("predicted_label"), col("n_votes"),
+        col("true_label"),
+        (col("nn_label") === col("true_label")).cast("int").cast("long").as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   /** Matryoshka-style adaptive retrieval (public knowledge: Kusupati et
     * al., "Matryoshka Representation Learning", 2022): rank the corpus
     * by cosine over only the FIRST `dPrefix` dimensions, keep a

@@ -2821,6 +2821,45 @@ object PipelineQueries {
        |) WHERE nn_rank <= 3
        |ORDER BY query_id, nn_rank""".stripMargin
 
+  private val KnnK = 5
+
+  /** kNN majority-vote classification (see
+    * [[graft.operators.Similarity.knnClassify]]): every 10th vector is
+    * held out as test, the rest train; k = 5 cosine neighbors vote.
+    */
+  def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnClassify(e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0), k = KnnK, dims = Dims)
+  }
+
+  val qKnnClassifySql: String =
+    s"""WITH ts AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, CAST(label AS BIGINT) AS true_label
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |tr AS (
+       |  SELECT vec_id AS nn_id, embedding AS ce, CAST(label AS BIGINT) AS nn_label
+       |  FROM embeddings WHERE vec_id % 10 <> 0),
+       |nb AS (
+       |  SELECT query_id, true_label, nn_id, nn_label,
+       |         round(${cosSql("qe", "ce")}, 6) AS cos_sim
+       |  FROM ts CROSS JOIN tr),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cos_sim DESC, nn_id) AS rn
+       |    FROM nb) WHERE rn <= $KnnK),
+       |votes AS (
+       |  SELECT query_id, true_label, nn_label, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM topk GROUP BY 1, 2, 3)
+       |SELECT query_id, nn_label AS predicted_label, n_votes, true_label,
+       |       CAST(CAST(nn_label = true_label AS INT) AS BIGINT) AS correct
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY n_votes DESC, nn_label) AS vr
+       |      FROM votes)
+       |WHERE vr = 1
+       |ORDER BY query_id""".stripMargin
+
   /** Matryoshka adaptive retrieval: 16-dim prefix shortlist of 50,
     * full-dim re-rank to top-10 (see
     * [[graft.operators.Similarity.matryoshkaSearch]]).
