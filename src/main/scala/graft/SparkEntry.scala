@@ -1106,6 +1106,8 @@ object SparkEntry {
     "q_top_paths" -> ((s, dir) => Ev.qTopPaths(events(s, dir))),
     "q_hop_window" -> ((s, dir) => Ev.qHopWindow(events(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => Ev.qCohortLtv(events(s, dir))),
+    "q_cusum" -> ((s, dir) => Ev.qCusum(events(s, dir))),
+    "q_funnel_windowed" -> ((s, dir) => Ev.qFunnelWindowed(events(s, dir))),
     "q_abc_analysis" -> (Relational.qAbcAnalysis _),
     "q_mode_argmax" -> (Relational.qModeArgmax _),
     "q_knn_classify" -> (PipelineQueries.qKnnClassify _),
@@ -1314,6 +1316,8 @@ object SparkEntry {
     "q_top_paths" -> Ev.qTopPathsSql,
     "q_hop_window" -> Ev.qHopWindowSql,
     "q_cohort_ltv" -> Ev.qCohortLtvSql,
+    "q_cusum" -> Ev.qCusumSql,
+    "q_funnel_windowed" -> Ev.qFunnelWindowedSql,
     "q_abc_analysis" -> Relational.qAbcAnalysisSql,
     "q_mode_argmax" -> Relational.qModeArgmaxSql,
     "q_knn_classify" -> PipelineQueries.qKnnClassifySql,

@@ -451,6 +451,127 @@ object Events {
       |    > 9 * (st.n * st.sq - st.sx * st.sx)
       |ORDER BY event_type, hb""".stripMargin
 
+  /** CUSUM changepoint detection over the gap-filled hourly series —
+    * the SUSTAINED-drift companion to [[qAnomaly]]'s pointwise 3σ
+    * flags: a run of slightly-elevated hours that never trips 3σ
+    * accumulates here. One-sided CUSUM with the standard 0.5σ slack
+    * (without it a random walk drifts across any threshold), via the
+    * prefix-sum reformulation cusum_t = s_t − min_{i≤t} s_i ≡ the
+    * max(0, ·) recursion: dev_i = 2·(n·x_i − Σx) − ⌊√(n·Σx²−(Σx)²)⌋
+    * (the doubled-scale mean-centering keeps the half-σ slack
+    * integral; IEEE sqrt of an exact integer then floor is
+    * correctly-rounded, hence engine-identical), flagging when
+    * cusum² > 100·(n·Σx² − (Σx)²) ⇔ cusum > 5·n·σ_pop on the doubled
+    * scale. Exact while n²·Σx² < 2⁶² (hourly counts ≲ 10⁵ at a
+    * 30-day span); lift to DECIMAL beyond.
+    *
+    * Scale shape: stats are one agg per type; the two windows
+    * (prefix sum, running min) share ONE type-partitioned sort over
+    * the generated |hours|×|types| series — raw events only feed the
+    * first hourly aggregation.
+    */
+  def qCusum(events: DataFrame): DataFrame = {
+    val series = filledHourlySeries(hourlyCounts(events))
+    val stats = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sq"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.join(broadcast(stats), "event_type")
+      .withColumn("slack",
+        floor(sqrt((col("n") * col("sq") - col("sx") * col("sx")).cast(DoubleType)))
+          .cast("long"))
+      .withColumn("s_t",
+        sum(lit(2L) * (col("n") * col("x") - col("sx")) - col("slack")).over(w))
+      .withColumn("cusum", col("s_t") - min(col("s_t")).over(w))
+      .filter(col("cusum") * col("cusum") >
+        lit(100L) * (col("n") * col("sq") - col("sx") * col("sx")))
+      .select(col("event_type"), col("hb"), col("x"), col("cusum"))
+      .orderBy(col("event_type"), col("hb"))
+  }
+
+  val qCusumSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hb, event_type, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |series AS (
+      |  SELECT s.hb, t.event_type, COALESCE(h.x, 0) AS x
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN hourly h ON h.hb = s.hb AND h.event_type = t.event_type),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sq
+      |  FROM series GROUP BY 1),
+      |pref AS (
+      |  SELECT se.event_type, se.hb, se.x, st.n, st.sx, st.sq,
+      |         CAST(sum(2 * (st.n * se.x - st.sx)
+      |                  - CAST(floor(sqrt(CAST(st.n * st.sq - st.sx * st.sx AS DOUBLE)))
+      |                         AS BIGINT)) OVER w AS BIGINT) AS s_t
+      |  FROM series se JOIN stats st USING (event_type)
+      |  WINDOW w AS (PARTITION BY se.event_type ORDER BY se.hb
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |cu AS (
+      |  SELECT event_type, hb, x, n, sx, sq,
+      |         s_t - min(s_t) OVER (PARTITION BY event_type ORDER BY hb
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cusum
+      |  FROM pref)
+      |SELECT event_type, hb, x, CAST(cusum AS BIGINT) AS cusum
+      |FROM cu
+      |WHERE cusum * cusum > 100 * (n * sq - sx * sx)
+      |ORDER BY event_type, hb""".stripMargin
+
+  /** Step-timeout funnel — the real-world variant of [[qFunnel]]: each
+    * later step must occur within 48 h of the previous step's
+    * timestamp, not just after it (inclusive bound on exact integer
+    * µs, so boundary events land identically in both engines).
+    */
+  def qFunnelWindowed(events: DataFrame): DataFrame = {
+    val winUs = 172800000000L // 48 h
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view") &&
+        unix_micros(col("ts")) <= unix_micros(col("t_view")) + winUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click") &&
+        unix_micros(col("ts")) <= unix_micros(col("t_click")) + winUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy(col("user_id"))
+  }
+
+  val qFunnelWindowedSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |        AND epoch_us(e.ts) <= epoch_us(v.t_view) + 172800000000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |        AND epoch_us(e.ts) <= epoch_us(c.t_click) + 172800000000
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |       CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+      |            AS BIGINT) AS depth
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   /** The window NAVIGATION family in one pass — first_value /
     * last_value (full frame) / nth_value(2) / lag / lead with defaults
     * — per user over (ts, event_id)-ordered events: "what did this

@@ -244,6 +244,36 @@ class EventsSpec extends SparkSpec {
       8L -> (("click", "view"))))
   }
 
+  test("cusum: a sustained mean shift is flagged; flat and pre-shift hours are not") {
+    val h = 3600L * 1000000L
+    // type "a": 40 quiet hours (x=2) then 20 elevated hours (x=8);
+    // type "b": flat x=2 throughout (zero variance → never flags)
+    val rows = (0 until 60).flatMap { t =>
+      val na = if (t < 40) 2 else 8
+      (0 until na).map(i => (t * 100L + i, t * h + i, 1L, "a")) ++
+        (0 until 2).map(i => (t * 100L + 50 + i, t * h + i, 2L, "b"))
+    }
+    val out = Events.qCusum(ev(rows: _*)).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("x")))
+    assert(out.nonEmpty, "the planted shift must flag")
+    assert(out.forall(_._1 == "a"), s"flat series must stay silent: ${out.toSeq}")
+    assert(out.forall(_._2 == 8L), "only elevated hours accumulate past 5 sigma")
+  }
+
+  test("windowed funnel: a step outside its 48h window breaks the chain") {
+    val h = 3600L * 1000000L
+    val events = ev(
+      // user 1: view, click +1h, purchase +1h — full depth
+      (1L, 0L, 1L, "view"), (2L, h, 1L, "click"), (3L, 2 * h, 1L, "purchase"),
+      // user 2: click arrives 49h after the view — depth stays 1
+      (4L, 0L, 2L, "view"), (5L, 49 * h, 2L, "click"),
+      // user 3: click in-window, purchase 49h after the click — depth 2
+      (6L, 0L, 3L, "view"), (7L, h, 3L, "click"), (8L, 50 * h, 3L, "purchase"))
+    val out = Events.qFunnelWindowed(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("depth")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("autocorr: an alternating series has acf(1) = -1 and acf(2) = +1 exactly") {
     val h = 3600L * 1000000L
     // hourly counts 1,3,1,3,… over hours 0..24: one event in even
