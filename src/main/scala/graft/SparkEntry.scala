@@ -1107,6 +1107,7 @@ object SparkEntry {
     "q_hop_window" -> ((s, dir) => Ev.qHopWindow(events(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => Ev.qCohortLtv(events(s, dir))),
     "q_cusum" -> ((s, dir) => Ev.qCusum(events(s, dir))),
+    "q_seasonal_anomaly" -> ((s, dir) => Ev.qSeasonalAnomaly(events(s, dir))),
     "q_funnel_windowed" -> ((s, dir) => Ev.qFunnelWindowed(events(s, dir))),
     "q_abc_analysis" -> (Relational.qAbcAnalysis _),
     "q_mode_argmax" -> (Relational.qModeArgmax _),
@@ -1317,6 +1318,7 @@ object SparkEntry {
     "q_hop_window" -> Ev.qHopWindowSql,
     "q_cohort_ltv" -> Ev.qCohortLtvSql,
     "q_cusum" -> Ev.qCusumSql,
+    "q_seasonal_anomaly" -> Ev.qSeasonalAnomalySql,
     "q_funnel_windowed" -> Ev.qFunnelWindowedSql,
     "q_abc_analysis" -> Relational.qAbcAnalysisSql,
     "q_mode_argmax" -> Relational.qModeArgmaxSql,

@@ -525,6 +525,53 @@ object Events {
       |WHERE cusum * cusum > 100 * (n * sq - sx * sx)
       |ORDER BY event_type, hb""".stripMargin
 
+  /** Seasonal-adjusted anomaly detection — [[qAnomaly]]'s 3σ test
+    * against the HOUR-OF-DAY profile instead of the global mean: an
+    * hour is flagged only if it deviates from its own time-of-day
+    * baseline ((n_h·x − Σ_h x)² > 9·(n_h·Σ_h x² − (Σ_h x)²) per
+    * (type, hod) group — same integer lattice, stratified), so the
+    * daily cycle [[qSeasonal]] profiles stops masquerading as anomaly
+    * and a 3 AM burst that would be "normal" at noon is caught.
+    *
+    * Scale shape: identical to qAnomaly with 24× the (still bounded)
+    * stats rows; one hourly agg over raw events, one broadcast join.
+    */
+  def qSeasonalAnomaly(events: DataFrame): DataFrame = {
+    val series = filledHourlySeries(hourlyCounts(events))
+      .withColumn("hod", hour(col("hb")).cast("long"))
+    val stats = series.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("sxh"),
+        sum(col("x") * col("x")).as("sqh"))
+    val dev = col("nh") * col("x") - col("sxh")
+    series.join(broadcast(stats), Seq("event_type", "hod"))
+      .filter(dev * dev > lit(9L) * (col("nh") * col("sqh") - col("sxh") * col("sxh")))
+      .select(col("event_type"), col("hb"), col("hod"), col("x"))
+      .orderBy(col("event_type"), col("hb"))
+  }
+
+  val qSeasonalAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hb, event_type, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |series AS (
+      |  SELECT s.hb, t.event_type, COALESCE(h.x, 0) AS x,
+      |         CAST(hour(s.hb) AS BIGINT) AS hod
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN hourly h ON h.hb = s.hb AND h.event_type = t.event_type),
+      |stats AS (
+      |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nh,
+      |         CAST(sum(x) AS BIGINT) AS sxh, CAST(sum(x * x) AS BIGINT) AS sqh
+      |  FROM series GROUP BY 1, 2)
+      |SELECT se.event_type, se.hb, se.hod, se.x
+      |FROM series se JOIN stats st USING (event_type, hod)
+      |WHERE (st.nh * se.x - st.sxh) * (st.nh * se.x - st.sxh)
+      |    > 9 * (st.nh * st.sqh - st.sxh * st.sxh)
+      |ORDER BY se.event_type, se.hb""".stripMargin
+
   /** Step-timeout funnel — the real-world variant of [[qFunnel]]: each
     * later step must occur within 48 h of the previous step's
     * timestamp, not just after it (inclusive bound on exact integer
