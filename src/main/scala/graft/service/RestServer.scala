@@ -377,6 +377,25 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
       }
   }
 
+  /** Tombstone-delete route — the delete quarter of the index
+    * lifecycle at the REST edge ([[graft.sources.VectorIndex.delete]]):
+    * `ids=1,2,3` appends to the tombstone table; subsequent searches
+    * on every serving path exclude the ids immediately.
+    */
+  private def handleAnnDelete(ex: HttpExchange): Unit = ann match {
+    case None => err(ex, 404, "vector index not configured")
+    case Some((spark, indexPath, _)) =>
+      val q = query(ex)
+      (try Right(q.getOrElse("ids", "").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq)
+        catch { case _: NumberFormatException => Left("invalid ids parameter") }) match {
+        case Left(m) => err(ex, 400, m)
+        case Right(Nil) => err(ex, 400, "missing ids")
+        case Right(ids) =>
+          graft.sources.VectorIndex.delete(spark, indexPath, ids)
+          respond(ex, 200, s"""{"deleted":${ids.size}}""")
+      }
+  }
+
   // ------------------------------------------------------------- routing
 
   server.createContext("/api/ann", (ex: HttpExchange) => {
@@ -388,6 +407,7 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
         case ("OPTIONS", _) => respond(ex, 204, "")
         case ("GET", "search") => handleAnnSearch(ex)
         case ("GET", "bq") => handleBqSearch(ex)
+        case ("POST", "delete") => handleAnnDelete(ex)
         case _ => err(ex, 404, "not found")
       }
     } catch {

@@ -105,12 +105,19 @@ object VectorIndex {
     */
   def compact(spark: SparkSession, path: String): String = {
     val tmp = path + ".compact"
-    spark.read.parquet(s"$path/vectors")
+    dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
       .repartitionByRange(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$tmp/vectors")
     spark.read.parquet(s"$path/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
+    // a backfilled BQ code table must shed its tombstoned rows in the
+    // SAME swap — clearing the tombstones while stale codes survive
+    // would resurrect deleted ids on the bqServe path
+    if (new java.io.File(s"$path/bqcodes").exists)
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/bqcodes"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$tmp/bqcodes")
     StagedSwap.swap(path, tmp)
     path
   }
@@ -203,10 +210,10 @@ object VectorIndex {
     */
   def compactPq(spark: SparkSession, path: String): String = {
     val tmp = path + ".compact"
-    spark.read.parquet(s"$path/codes")
+    dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
       .repartitionByRange(col("cell")).sortWithinPartitions("cell", "vec_id", "sub")
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$tmp/codes")
-    spark.read.parquet(s"$path/vectors")
+    dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
       .repartitionByRange(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$tmp/vectors")
     spark.read.parquet(s"$path/codebook").coalesce(1)
@@ -228,7 +235,7 @@ object VectorIndex {
   def pqServe(spark: SparkSession, path: String, queryVecId: Long,
               probes: Int, m: Int, shortlist: Int, topK: Int, dims: Int): DataFrame = {
     val subDims = dims / m
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
     val codebook = spark.read.parquet(s"$path/codebook")
     val vectors = spark.read.parquet(s"$path/vectors")
     val coarse = spark.read.parquet(s"$path/coarse")
@@ -286,7 +293,7 @@ object VectorIndex {
                       queryVecId: Long, probes: Int, m: Int, shortlist: Int,
                       topK: Int, dims: Int): DataFrame = {
     val subDims = dims / m
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
     val codebook = spark.read.parquet(s"$path/codebook")
     val vectors = spark.read.parquet(s"$path/vectors")
     val coarse = spark.read.parquet(s"$path/coarse")
@@ -378,7 +385,7 @@ object VectorIndex {
     */
   def bqServe(spark: SparkSession, path: String, queryVecId: Long,
               shortlist: Int, topK: Int, dims: Int): DataFrame = {
-    val codes = spark.read.parquet(s"$path/bqcodes")
+    val codes = dropTombstoned(spark, path, spark.read.parquet(s"$path/bqcodes"))
     val vectors = spark.read.parquet(s"$path/vectors")
     val qWords = codes.filter(col("vec_id") === queryVecId)
       .collect().head.getSeq[Long](1)
@@ -400,9 +407,33 @@ object VectorIndex {
       .limit(topK)
   }
 
+  /** Tombstone delete — the fourth quarter of the index lifecycle
+    * (build / append / delete / compact), the LSM contract: a delete
+    * batch is an O(|batch|) append to a side `tombstones` table (the
+    * main tables are NEVER rewritten at delete time); every serving
+    * path anti-joins the (small, broadcast) tombstone set out of its
+    * scan; [[compact]] / [[compactPq]] physically drop the rows and
+    * clear the tombstones with the same staged swap. Contract: a
+    * tombstoned id never surfaces in any serving answer, before or
+    * after compaction (spec'd); the tombstone suppresses the id even
+    * if re-appended — compact first to genuinely re-add one.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): String = {
+    import spark.implicits._
+    ids.toDF("vec_id").write.mode("append").parquet(s"$path/tombstones")
+    path
+  }
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+                             df: DataFrame): DataFrame =
+    if (new java.io.File(s"$path/tombstones").exists)
+      df.join(broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
+        Seq("vec_id"), "left_anti")
+    else df
+
   def annServe(spark: SparkSession, path: String, queryVecId: Long,
                probes: Int, topK: Int, dims: Int): DataFrame = {
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
     val cents = spark.read.parquet(s"$path/centroids")
     val q = vectors.filter(col("vec_id") === queryVecId)
       .select(col("embedding"), col("nrm")).collect().head
@@ -436,7 +467,7 @@ object VectorIndex {
     */
   def annServeFiltered(spark: SparkSession, path: String, pred: org.apache.spark.sql.Column,
                        queryVecId: Long, probes: Int, topK: Int, dims: Int): DataFrame = {
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
     val cents = spark.read.parquet(s"$path/centroids")
     val q = vectors.filter(col("vec_id") === queryVecId)
       .select(col("embedding"), col("nrm")).collect().head

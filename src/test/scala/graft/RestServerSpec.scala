@@ -178,6 +178,19 @@ class RestServerSpec extends SparkSpec {
       assert(aget("/api/ann/bq?id=abc").statusCode() == 400)
       assert(aget("/api/ann/bq").statusCode() == 400)
       assert(get("/api/ann/bq?id=0").statusCode() == 404)
+
+      // delete route: tombstoned ids vanish from BOTH serving paths
+      def apost(path: String) = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val victim = expect.head // highest-ranked neighbor of query 0
+      val rd = apost(s"/api/ann/delete?ids=${victim.split(":")(1)}")
+      assert(rd.statusCode() == 200 && rd.body().contains("\"deleted\":1"), rd.body())
+      assert(!aget("/api/ann/search?id=0&k=5&probes=2").body().contains(victim))
+      assert(!aget("/api/ann/bq?id=0&k=5&shortlist=12").body().contains(victim))
+      assert(apost("/api/ann/delete").statusCode() == 400)
+      assert(apost("/api/ann/delete?ids=x").statusCode() == 400)
     } finally srv.stop()
   }
 

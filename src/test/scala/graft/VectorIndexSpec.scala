@@ -237,6 +237,33 @@ class VectorIndexSpec extends SparkSpec {
     assert(served.length == 5)
   }
 
+  test("tombstone delete: a deleted id never serves, compact drops it physically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vixdel").toString
+    VectorIndex.save(corpus, dir, k = 4, dims = dims)
+    VectorIndex.addBqCodes(spark, dir, dims = dims)
+    def annIds() = VectorIndex.annServe(spark, dir, 0L, probes = 4, topK = 39, dims = dims)
+      .collect().map(_.getLong(0)).toSet
+    def bqIds() = VectorIndex.bqServe(spark, dir, 0L, shortlist = 39, topK = 39, dims = dims)
+      .collect().map(_.getLong(0)).toSet
+    assert(annIds().contains(7L) && bqIds().contains(7L))
+
+    VectorIndex.delete(spark, dir, Seq(7L))
+    assert(!annIds().contains(7L), "tombstoned id surfaced in annServe")
+    assert(!bqIds().contains(7L), "tombstoned id surfaced in bqServe")
+
+    val before = spark.read.parquet(s"$dir/vectors").count()
+    VectorIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == before - 1,
+      "compact must physically drop the tombstoned row")
+    assert(!new java.io.File(s"$dir/tombstones").exists,
+      "compact must clear the tombstone table")
+    assert(!annIds().contains(7L) && !bqIds().contains(7L))
+
+    // once the tombstone is compacted away, the id is genuinely re-addable
+    VectorIndex.append(Seq((7L, vec(7))).toDF("vec_id", "embedding"), dir, dims = dims)
+    assert(annIds().contains(7L))
+  }
+
   test("the serving scan pushes the probed-cell predicate to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vix2").toString
     VectorIndex.save(corpus, dir, k = 4, dims = dims)
