@@ -79,22 +79,73 @@ object TextIndex {
     path
   }
 
+  /** Tombstone delete — score-CORRECT by construction, not just
+    * row-hidden: the tombstone row records the doc's length, so the
+    * corpus constants subtract exactly (N−1, Σdl−dl), document
+    * frequency re-derives from the surviving postings the query scans
+    * anyway (the same serve-time-df design that makes appends
+    * segment-correct), and tf/dl are per-doc — so serving after a
+    * delete is IDENTICAL to a rebuild without the doc, before any
+    * compaction (spec'd row for row, scores included). Already-
+    * tombstoned ids are skipped, so a replayed delete cannot
+    * double-subtract the stats. The dl lookup is one postings scan by
+    * doc; a deployment deleting at volume would persist a doc→dl
+    * sidecar at save time instead.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): String = {
+    import spark.implicits._
+    val tombPath = s"$path/tombstones"
+    var idDf = ids.toDF("doc")
+    if (new java.io.File(tombPath).exists)
+      idDf = idDf.join(spark.read.parquet(tombPath).select(col("doc")), Seq("doc"), "left_anti")
+    spark.read.parquet(s"$path/postings")
+      .join(broadcast(idDf), Seq("doc"), "left_semi")
+      .groupBy(col("doc")).agg(max(col("dl")).as("dl"))
+      .write.mode("append").parquet(tombPath)
+    path
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (new java.io.File(s"$path/tombstones").exists)
+      Some(spark.read.parquet(s"$path/tombstones")) else None
+
   /** Re-cluster postings into the term-range probe layout, refresh the
-    * global df column, collapse `_stats` to one row (staged swap).
+    * global df column, collapse `_stats` to one row, physically drop
+    * tombstoned postings and fold their mass out of the stats — then
+    * clear the tombstone table in the same staged swap.
     */
   def compact(spark: SparkSession, path: String): String = {
     val tmp = path + ".compact"
     val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-    spark.read.parquet(s"$path/postings")
+    val live = tombstones(spark, path) match {
+      case Some(t) => spark.read.parquet(s"$path/postings")
+        .join(broadcast(t.select(col("doc"))), Seq("doc"), "left_anti")
+      case None => spark.read.parquet(s"$path/postings")
+    }
+    live
       .withColumn("df", count(lit(1)).over(byTerm))
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$tmp/postings")
-    spark.read.parquet(s"$path/_stats")
-      .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"))
+    liveStats(spark, path)
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_stats")
     StagedSwap.swap(path, tmp)
     path
+  }
+
+  /** Corpus constants with any tombstoned mass subtracted exactly. */
+  private def liveStats(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/_stats")
+      .agg(sum(col("n")).as("n0"), sum(col("dl_sum")).as("dl_sum0"))
+    tombstones(spark, path) match {
+      case Some(t) =>
+        val tagg = t.agg(count(lit(1)).as("tn"),
+          coalesce(sum(col("dl")), lit(0L)).as("tdl"))
+        raw.crossJoin(tagg)
+          .select((col("n0") - col("tn")).as("n"),
+            (col("dl_sum0") - col("tdl")).as("dl_sum"))
+      case None => raw.select(col("n0").as("n"), col("dl_sum0").as("dl_sum"))
+    }
   }
 
   /** The warm serving plan: ranked BM25 top-k for a term bag, reading
@@ -111,8 +162,7 @@ object TextIndex {
                 topK: Int, k1: Double = 1.2, b: Double = 0.75,
                 idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "empty BM25 query")
-    val stats = spark.read.parquet(s"$path/_stats")
-      .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"))
+    val stats = liveStats(spark, path)
     val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val idf = round(log(lit(1.0) + (col("n").cast("double") - col("df_live") + lit(0.5))
       / (col("df_live") + lit(0.5))) * lit(100000.0)) / lit(100000.0)
@@ -120,8 +170,13 @@ object TextIndex {
     val tfd = col("tf").cast("double")
     val score = col("idf") * (tfd * lit(k1 + 1.0)
       / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
-    spark.read.parquet(s"$path/postings")
+    val scanned = spark.read.parquet(s"$path/postings")
       .filter(col("term").isInCollection(queryTerms))
+    val livePostings = tombstones(spark, path) match {
+      case Some(t) => scanned.join(broadcast(t.select(col("doc"))), Seq("doc"), "left_anti")
+      case None => scanned
+    }
+    livePostings
       .withColumn("df_live", count(lit(1)).over(byTerm))
       .crossJoin(broadcast(stats))
       .select(col("doc"), col("term"), col("tf"), col("dl"),

@@ -74,4 +74,33 @@ class TextIndexSpec extends SparkSpec {
     val s = spark.read.parquet(s"$dir/_stats").collect().head
     assert((s.getAs[Long]("n"), s.getAs[Long]("dl_sum")) == ((4L, 15L)))
   }
+
+  test("tombstone delete is score-correct: serve ≡ rebuild without the doc") {
+    val q = Seq("spark", "vector", "join")
+    def ranked(dir: String) = TextIndex.bm25Serve(spark, dir, q, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-tixdel").toString
+    TextIndex.save(corpus, dir)
+    assert(ranked(dir).map(_._1).contains(2L))
+
+    // deleting doc 2 must reproduce a FRESH index over the remaining
+    // corpus exactly — ids AND micro-scores (N, Σdl, df all shift)
+    TextIndex.delete(spark, dir, Seq(2L))
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-tixdel2").toString
+    TextIndex.save(corpus.filter(col("doc_id") =!= 2L), rebuilt)
+    assert(ranked(dir) == ranked(rebuilt),
+      "post-delete serving must equal the rebuild, scores included")
+
+    // a replayed delete cannot double-subtract the corpus constants
+    TextIndex.delete(spark, dir, Seq(2L))
+    assert(ranked(dir) == ranked(rebuilt))
+
+    // compact physically drops the postings and clears the tombstones
+    val before = spark.read.parquet(s"$dir/postings").count()
+    TextIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings").count() < before)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    assert(ranked(dir) == ranked(rebuilt))
+  }
 }
