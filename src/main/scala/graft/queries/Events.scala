@@ -536,8 +536,18 @@ object Events {
     * Scale shape: identical to qAnomaly with 24× the (still bounded)
     * stats rows; one hourly agg over raw events, one broadcast join.
     */
-  def qSeasonalAnomaly(events: DataFrame): DataFrame = {
-    val series = filledHourlySeries(hourlyCounts(events))
+  def qSeasonalAnomaly(events: DataFrame): DataFrame =
+    seasonalAnomalyFromHourly(hourlyCounts(events))
+
+  /** Seasonal-adjusted flags from an (hb, event_type, x) hourly-count
+    * table — the MERGEABLE form (same contract as
+    * [[anomalyFromHourly]]): hourly counts over disjoint batches sum
+    * to the whole, so a streaming loop maintains the table per
+    * micro-batch and flags from merged state (EventsSpec proves
+    * foreachBatch-merged ≡ batch).
+    */
+  def seasonalAnomalyFromHourly(hourly: DataFrame): DataFrame = {
+    val series = filledHourlySeries(hourly)
       .withColumn("hod", hour(col("hb")).cast("long"))
     val stats = series.groupBy(col("event_type"), col("hod"))
       .agg(count(lit(1)).as("nh"), sum(col("x")).as("sxh"),

@@ -150,6 +150,12 @@ class EventsSpec extends SparkSpec {
     val smoothedStream = Events.ewmaFromHourly(state.get).collect().toSeq
     val smoothedBatch = Events.qEwma(all).collect().toSeq
     assert(smoothedStream == smoothedBatch)
+
+    // and so does the seasonal-adjusted detector — third consumer of
+    // the same mergeable hourly seam
+    val seasonalStream = Events.seasonalAnomalyFromHourly(state.get).collect().toSeq
+    val seasonalBatch = Events.qSeasonalAnomaly(all).collect().toSeq
+    assert(seasonalStream == seasonalBatch)
   }
 
   test("concurrency sweep: overlaps counted, touching sessions are NOT concurrent") {
