@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   *    key, so the LSH candidate join touches only matching key slices;
   *  - `shingles` (doc_id, s, len) — range-partitioned + sorted by
   *    doc_id: the verify step fetches only candidate docs' shingle
-  *    sets (candidates are a tiny fraction of the corpus after LSH).
+  *    sets (candidates are a tiny fraction of the corpus after LSH);
+  *  - `sigkeys` (sigkey, doc_id) — PER-DOC signature keys (not the
+  *    identity-level distinct set): the gate probes
+  *    [[liveSigkeys]]' distinct projection, and keeping the owning
+  *    doc on each row is what makes [[delete]] sound — a key shared
+  *    by a deleted and a live doc stays in the gate because the live
+  *    doc's row survives the tombstone anti-join.
   *
   * Incremental semantics per batch doc, with the same md5 machinery as
   * [[graft.operators.Dedup]] (k minhash slots, banded keys, exact
@@ -75,10 +81,11 @@ object DedupIndex {
       .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/shingles")
-    // identity-level signature keys for the streaming ingest gate
-    // (graft.streaming.DocStream.gateAgainstIndex): one distinct key
-    // per corpus signature, sorted for pruned probes
-    docs.select(Dedup.signatureKey(col(textCol), k).as("sigkey")).distinct()
+    // per-doc signature keys for the streaming ingest gate
+    // (graft.streaming.DocStream.gateAgainstIndex probes the distinct
+    // projection via liveSigkeys), sorted for pruned probes
+    docs.select(Dedup.signatureKey(col(textCol), k).as("sigkey"),
+        col(idCol).cast("long").as("doc_id"))
       .repartitionByRange(col("sigkey")).sortWithinPartitions("sigkey")
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/sigkeys")
@@ -110,22 +117,70 @@ object DedupIndex {
       .sortWithinPartitions("doc_id")
       .write.mode("append").option("compression", "zstd")
       .parquet(s"$path/shingles")
-    docs.select(graft.operators.Dedup.signatureKey(col(textCol), k).as("sigkey")).distinct()
+    docs.select(graft.operators.Dedup.signatureKey(col(textCol), k).as("sigkey"),
+        col(idCol).cast("long").as("doc_id"))
       .sortWithinPartitions("sigkey")
       .write.mode("append").option("compression", "zstd")
       .parquet(s"$path/sigkeys")
     path
   }
 
+  /** Tombstone delete — the fourth quarter of the dedup-index
+    * lifecycle (save / append+compact / serve / delete). A delete
+    * batch is an O(|batch|) append to a side `tombstones` table; every
+    * serving path ([[incrementalDedup]], [[bloomGate]], the
+    * [[liveSigkeys]] gate probe) anti-joins the (small, broadcast)
+    * tombstone set out of its index-side scan, so a deleted doc can no
+    * longer claim an exact or near match and its signature leaves the
+    * gate UNLESS a live doc still carries the same key (the per-doc
+    * sigkey layout's whole point). [[compact]] later drops tombstoned
+    * rows physically from all four tables and clears the tombstones in
+    * the same staged swap. Replayed deletes are idempotent (the
+    * tombstone set is read distinct).
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): String = {
+    import spark.implicits._
+    delete(path, ids.toDF("doc_id"))
+  }
+
+  /** Distributed delete: `ids` is a one-column frame of doc ids (any
+    * integral type) — no driver materialization, so a corpus-scale
+    * purge (GDPR sweep, licence retraction) stays a parquet append.
+    */
+  def delete(path: String, ids: DataFrame): String = {
+    ids.select(ids.columns.headOption.map(col).getOrElse(col("doc_id"))
+        .cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    path
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (new java.io.File(s"$path/tombstones").exists)
+      Some(spark.read.parquet(s"$path/tombstones").distinct()) else None
+
+  private def dropTombstoned(spark: SparkSession, path: String, df: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => df
+    }
+
+  /** Distinct signature keys of LIVE (non-tombstoned) docs — the probe
+    * set for every identity-level gate (streaming gate, bloom gate).
+    */
+  def liveSigkeys(spark: SparkSession, path: String): DataFrame =
+    dropTombstoned(spark, path, spark.read.parquet(s"$path/sigkeys"))
+      .select(col("sigkey")).distinct()
+
   /** Re-cluster every index table back into its probe-optimal sorted
-    * range layout (run periodically after appends). Rewrites into a
-    * fresh directory then swaps — a compaction never serves partial
-    * state.
+    * range layout (run periodically after appends), physically drop
+    * tombstoned docs' rows from all four tables, and clear the
+    * tombstones — all in one staged swap, so a compaction never serves
+    * partial state and never resurrects a deleted doc.
     */
   def compact(spark: SparkSession, path: String): String = {
     val tmp = path + ".compact"
     def rewrite(table: String, key: String, dedup: Boolean = false): Unit = {
-      val in = spark.read.parquet(s"$path/$table")
+      val in = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
       (if (dedup) in.distinct() else in)
         .repartitionByRange(col(key)).sortWithinPartitions(key)
         .write.mode("overwrite").option("compression", "zstd")
@@ -135,9 +190,9 @@ object DedupIndex {
     rewrite("bands", "bk")
     rewrite("shingles", "doc_id")
     // appends dedup sigkeys within each batch only — cross-append
-    // duplicates collapse here
+    // duplicates (same doc re-appended) collapse here
     rewrite("sigkeys", "sigkey", dedup = true)
-    StagedSwap.swap(path, tmp)
+    StagedSwap.swap(path, tmp) // tmp has no tombstones dir → cleared
     path
   }
 
@@ -149,11 +204,11 @@ object DedupIndex {
   def incrementalDedup(spark: SparkSession, path: String, batch: DataFrame,
                        k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val idxDigests = spark.read.parquet(s"$path/digests")
+    val idxDigests = dropTombstoned(spark, path, spark.read.parquet(s"$path/digests"))
       .select(col("digest"), col("doc_id").as("old_id"))
-    val idxBands = spark.read.parquet(s"$path/bands")
+    val idxBands = dropTombstoned(spark, path, spark.read.parquet(s"$path/bands"))
       .select(col("bk"), col("band"), col("doc_id").as("old_id"))
-    val idxShingles = spark.read.parquet(s"$path/shingles")
+    val idxShingles = dropTombstoned(spark, path, spark.read.parquet(s"$path/shingles"))
       .select(col("doc_id").as("old_id"), col("s"), col("len").as("len_o"))
 
     // batch signatures feed the exact probe, the candidate probe AND
@@ -230,7 +285,7 @@ object DedupIndex {
                 k: Int = 8, bitsPerKey: Long = 10L,
                 textCol: String = "text"): DataFrame = {
     graft.plans.BloomExpressions.register(spark)
-    val sigkeys = spark.read.parquet(s"$path/sigkeys")
+    val sigkeys = liveSigkeys(spark, path)
     val nKeys = sigkeys.count()
     if (nKeys == 0L) return batch
     val numBits = math.min(math.max(nKeys * bitsPerKey, 64L), 1L << 30)

@@ -89,7 +89,10 @@ object DocStream {
     */
   def gateAgainstIndex(spark: SparkSession, docs: DataFrame,
                        indexPath: String, k: Int = 8): DataFrame = {
-    val idxSigs = spark.read.parquet(s"$indexPath/sigkeys")
+    // distinct LIVE keys: per-doc sigkey rows (deletable layout) would
+    // otherwise multiply nothing here (anti-join), but tombstoned docs'
+    // keys must leave the gate unless a live doc shares them
+    val idxSigs = graft.sources.DedupIndex.liveSigkeys(spark, indexPath)
     docs
       .withColumn("sigkey", dedupKey(col("text"), k))
       .join(idxSigs, Seq("sigkey"), "left_anti")
@@ -114,7 +117,9 @@ object DocStream {
   def gateFunnel(spark: SparkSession, docs: DataFrame,
                  indexPath: String, k: Int = 8): DataFrame = {
     import graft.functions.TextAnalysis
-    val idxSigs = spark.read.parquet(s"$indexPath/sigkeys")
+    // distinct projection — per-doc sigkey rows would multiply the
+    // LEFT join's counted rows
+    val idxSigs = graft.sources.DedupIndex.liveSigkeys(spark, indexPath)
       .withColumn("in_idx", lit(true))
     val t = TextAnalysis.tokens(col("text"))
     docs

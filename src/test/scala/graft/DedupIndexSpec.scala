@@ -119,4 +119,68 @@ class DedupIndexSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(gated == Set(301L))
   }
+
+  private def classifyAll(dir: String) =
+    DedupIndex.incrementalDedup(spark, dir, batch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+  private def gateSet(dir: String) =
+    DedupIndex.bloomGate(spark, dir, batch)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("delete: serve-after-delete ≡ rebuild-without-doc on every gate path, " +
+       "through replay and compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix-d").toString
+    DedupIndex.save(corpus, dir)
+    DedupIndex.delete(spark, dir, Seq(10L))
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-dix-r").toString
+    DedupIndex.save(corpus.filter(col("doc_id") =!= 10L), rebuilt)
+
+    // incremental classify: the tombstoned index answers exactly like a
+    // rebuild without the doc — 100/101 lose their exact/near match
+    val expect = classifyAll(rebuilt)
+    assert(classifyAll(dir) == expect)
+    assert(expect(100L) == (("unique", -1L, 0L)))
+    assert(expect(101L) == (("unique", -1L, 0L)))
+
+    // bloom gate + streaming gate: the deleted doc's signature leaves
+    assert(gateSet(dir) == gateSet(rebuilt))
+    assert(gateSet(dir).contains(100L))
+    val streamed = graft.streaming.DocStream.gateAgainstIndex(spark, batch, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed.contains(100L))
+
+    // replayed delete is idempotent
+    DedupIndex.delete(spark, dir, Seq(10L))
+    assert(classifyAll(dir) == expect)
+
+    // compact physically drops the doc from all four tables and clears
+    // the tombstones, answers unchanged
+    DedupIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    assert(classifyAll(dir) == expect && gateSet(dir) == gateSet(rebuilt))
+    for (t <- Seq("digests", "bands", "shingles", "sigkeys")) {
+      val n = spark.read.parquet(s"$dir/$t").filter(col("doc_id") === 10L).count()
+      assert(n == 0L, s"$t still holds deleted doc rows after compact")
+    }
+  }
+
+  test("delete: a signature shared with a live doc keeps gating") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix-s").toString
+    val twinned = corpus.unionByName(
+      Seq((14L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"))
+    DedupIndex.save(twinned, dir)
+    DedupIndex.delete(spark, dir, Seq(10L))
+    // the exact-dup batch doc still matches — via the LIVE twin
+    assert(classifyAll(dir)(100L) == (("exact", 14L, 1000000L)))
+    // and its signature still gates (the per-doc sigkey layout's point)
+    assert(!gateSet(dir).contains(100L))
+    // gateFunnel's LEFT join is against DISTINCT live keys: counts are
+    // per-batch-row even with twin docs sharing a key
+    val funnel = graft.streaming.DocStream.gateFunnel(spark,
+      batch.withColumn("lang", lit("en")), dir).collect().head
+    assert(funnel.getLong(0) == 4L, "arrived count inflated by sigkey join")
+  }
 }
