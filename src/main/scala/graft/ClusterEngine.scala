@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Options default to the reference's service path (MinPoints=2,
   * Radius=100 — runner/runner.go:42-50).
   */
-final class ClusterEngine(spark: SparkSession, warehouseDir: String,
+final class ClusterEngine(val spark: SparkSession, warehouseDir: String,
                           opts: ClusterOptions = ClusterOptions.service,
                           maxCached: Int = 5) {
 
@@ -140,6 +140,53 @@ final class ClusterEngine(spark: SparkSession, warehouseDir: String,
         catalog.savePyramid(id, TilePyramid.finalizePyramid(stored, full, zMin, zMax, opts, mc2))
       case None => () // no pyramid yet — nothing to maintain
     }
+    info
+  }
+
+  /** Delete points from a dataset and update its persisted pyramid —
+    * the delete mirror of [[appendAndMaintain]], and exactly as exact:
+    * the deleted rows' cell aggregates are SUBTRACTED from the stored
+    * state ([[graft.operators.TilePyramid.deleteFromState]]; decimal/
+    * count accumulators subtract exactly, min-ids re-derive only where
+    * lost), so the maintained pyramid is bit-for-bit what a rebuild
+    * without those points would produce. Falls back to a full rebuild
+    * only when the shrunken corpus crosses a density band (the grid
+    * itself would change) — the same epoch contract as the append
+    * path. The dataset itself is tombstoned ([[graft.sources.Catalog
+    * .deletePoints]]), so the live query paths exclude the points
+    * immediately; [[graft.sources.Catalog.compactPoints]] reclaims the
+    * space later. Returns the updated catalog info.
+    */
+  def deleteAndMaintain(id: String, ids: DataFrame): Catalog#SavedInfo = {
+    // the doomed rows' coordinates, pinned BEFORE the tombstones land:
+    // the subtract path needs them, and the plan must not anti-join
+    // against the very tombstones this delete writes
+    val delRows = load(id)
+      .join(ids.select(ids.columns.headOption.map(org.apache.spark.sql.functions.col)
+        .getOrElse(org.apache.spark.sql.functions.col("id"))
+        .cast("long").as("id")).distinct(), Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    delRows.count()
+    val info = catalog.deletePoints(id, ids)
+    catalog.loadPyramidState(id) match {
+      case Some((st, zMin, zMax, mc)) =>
+        val full = load(id) // fresh handle: tombstones now applied
+        if (TilePyramid.densityBand(info.numPoints) == TilePyramid.densityBand(st.densityN)) {
+          catalog.savePyramidState(id,
+            TilePyramid.deleteFromState(st, delRows, full, zMin, zMax, opts, mc),
+            zMin, zMax, mc)
+        } else {
+          // band crossed: the grid changes — rebuild the epoch at the new count
+          catalog.savePyramidState(id,
+            TilePyramid.cellState(full, zMin, zMax, opts, mc,
+              st.metaCounts.map(_._1), info.numPoints),
+            zMin, zMax, mc)
+        }
+        val (stored, _, _, mc2) = catalog.loadPyramidState(id).get
+        catalog.savePyramid(id, TilePyramid.finalizePyramid(stored, full, zMin, zMax, opts, mc2))
+      case None => () // no pyramid yet — nothing to maintain
+    }
+    delRows.unpersist()
     info
   }
 

@@ -162,6 +162,81 @@ object TilePyramid {
     PyramidState(cells, counts, a.densityN)
   }
 
+  /** Exact SUBTRACTIVE state update — the delete quarter of the
+    * pyramid lifecycle. The deleted batch is aggregated on the SAME
+    * epoch grid ([[cellState]] pinned to `st.densityN`) and its
+    * accumulators subtracted cell-by-cell: counts, decimal lon/py
+    * sums, metric sums and metadata value-counts are all exact group
+    * sums, so subtraction is exact too, and the result is bit-for-bit
+    * the state a rebuild without those points would produce — the
+    * identity PyramidDeleteSpec pins. The one non-subtractable
+    * accumulator is `min_id`: a cell loses its min exactly when
+    * `stored.min_id == deleted-batch.min_id` (the stored min is over a
+    * superset), and ONLY those ≤|batch|·zooms cells re-derive their
+    * min from the live points, via one celled pass semi-joined to the
+    * lost-cell keys — never a per-cell rescan of untouched cells.
+    * Cells whose count reaches zero vanish, like they never existed.
+    *
+    * At 100 TB: the subtract side is delete-batch-sized (broadcast);
+    * the min repair's semi join keys are delete-batch-bounded; the
+    * only corpus-scale input is the one live celled pass the min
+    * repair shares shape with — the same pass [[finalizePyramid]]
+    * already makes per maintenance cycle.
+    *
+    * `delPoints` must be rows of the indexed set (the caller resolves
+    * ids → rows against the live dataset); `livePoints` is the
+    * dataset AFTER the delete.
+    */
+  def deleteFromState(st: PyramidState, delPoints: DataFrame, livePoints: DataFrame,
+                      zMin: Int, zMax: Int, opts: ClusterOptions = ClusterOptions(),
+                      metricCols: Seq[String] = Nil,
+                      idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): PyramidState = {
+    val metaCols = st.metaCounts.map(_._1)
+    val del = cellState(delPoints, zMin, zMax, opts, metricCols, metaCols,
+      st.densityN, idCol, lonCol, latCol)
+    val dCells = del.cells.select(
+      Seq(col("zoom"), col("cell_x"), col("cell_y"),
+        col("cnt").as("d_cnt"), col("slon").as("d_slon"),
+        col("sy").as("d_sy"), col("min_id").as("d_min_id")) ++
+        metricCols.map(m => col(s"sum_$m").as(s"d_sum_$m")): _*)
+    val subtracted = st.cells.join(broadcast(dCells), pyramidKey, "left")
+      .select(
+        Seq(col("zoom"), col("cell_x"), col("cell_y"),
+          (col("cnt") - coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+          // subtract at (37,10): a (38,10)−(38,10) needs precision 39
+          // and Spark's 38-cap would steal the 10th scale digit
+          // (adjusted scale 9); at (37,10) the result is exactly
+          // (38,10) — scale intact, 27 integer digits of headroom
+          (col("slon").cast(DecimalType(37, 10)) -
+            coalesce(col("d_slon").cast(DecimalType(37, 10)),
+              lit(0).cast(DecimalType(37, 10)))).cast(SlonType).as("slon"),
+          (col("sy") - coalesce(col("d_sy"), lit(0).cast(SyType))).cast(SyType).as("sy"),
+          col("min_id"), col("d_min_id")) ++
+          metricCols.map(m => (col(s"sum_$m") - coalesce(col(s"d_sum_$m"),
+            lit(0).cast(MetricType))).cast(MetricType).as(s"sum_$m")): _*)
+      .filter(col("cnt") > 0)
+    // min repair: stored min over a superset ⇒ lost iff equal to the
+    // deleted batch's min in that cell; those cells still hold live
+    // points (cnt > 0), so the re-derived min always exists
+    val lost = subtracted
+      .filter(col("d_min_id").isNotNull && col("min_id") === col("d_min_id"))
+      .select(pyramidKey.map(col): _*)
+    val repaired = celledFor(livePoints, zMin, zMax, opts, st.densityN, lonCol, latCol)
+      .join(broadcast(lost), pyramidKey, "left_semi")
+      .groupBy(pyramidKey.map(col): _*)
+      .agg(min(col(idCol)).as("r_min_id"))
+    val cells = subtracted.join(broadcast(repaired), pyramidKey, "left")
+      .withColumn("min_id", coalesce(col("r_min_id"), col("min_id")))
+      .drop("d_min_id", "r_min_id")
+    val counts = st.metaCounts.zip(del.metaCounts).map { case ((c, ca), (_, cb)) =>
+      c -> ca.join(broadcast(cb.withColumnRenamed("vc", "d_vc")), pyramidKey :+ c, "left")
+        .select((pyramidKey :+ c).map(col) :+
+          (col("vc") - coalesce(col("d_vc"), lit(0L))).as("vc"): _*)
+        .filter(col("vc") > 0)
+    }
+    PyramidState(cells, counts, st.densityN)
+  }
+
   /** Served pyramid rows from a (possibly incrementally maintained)
     * state. `points` must be the epoch's FULL accumulated point set —
     * cells below minPoints explode back to their member rows, and those

@@ -212,6 +212,28 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
     }
   }
 
+  /** Point delete at the REST edge ([[graft.ClusterEngine
+    * .deleteAndMaintain]]): `ids=1,2,3` tombstones the points and
+    * subtractively maintains the persisted pyramid in the same call,
+    * so both the live and the serving paths answer without the points
+    * immediately.
+    */
+  private def handleDeletePoints(ex: HttpExchange, id: String): Unit = {
+    val q = query(ex)
+    (engine.describe(id),
+      try Right(q.getOrElse("ids", "").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq)
+      catch { case _: NumberFormatException => Left("invalid ids parameter") }) match {
+      case (None, _) => err(ex, 400, s"unknown cluster $id")
+      case (_, Left(m)) => err(ex, 400, m)
+      case (_, Right(Nil)) => err(ex, 400, "missing ids")
+      case (Some(info), Right(ids)) =>
+        import engine.spark.implicits._
+        val updated = engine.deleteAndMaintain(info.id, ids.toDF("id"))
+        respond(ex, 200,
+          s"""{"message":"Deleted","clusterInfo":${infoJson(updated)}}""")
+    }
+  }
+
   private def handlePyramidBuild(ex: HttpExchange, id: String): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     def intField(k: String, dflt: Int): Int =
@@ -293,6 +315,26 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
               s""""matchId":${r.getLong(2)},"jaccardPpm":${r.getLong(3)}}"""
           }
         respond(ex, 200, out.mkString("[", ",", "]"))
+      }
+  }
+
+  /** Dedup-index tombstone delete ([[graft.sources.DedupIndex
+    * .delete]]): `ids=1,2,3` appends to the tombstone table; the
+    * check/gate paths immediately stop matching against the deleted
+    * docs, and a signature shared with a live doc keeps gating (the
+    * per-doc sigkey layout's contract).
+    */
+  private def handleDedupDelete(ex: HttpExchange): Unit = dedup match {
+    case None => err(ex, 404, "dedup index not configured")
+    case Some((spark, indexPath)) =>
+      val q = query(ex)
+      (try Right(q.getOrElse("ids", "").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq)
+        catch { case _: NumberFormatException => Left("invalid ids parameter") }) match {
+        case Left(m) => err(ex, 400, m)
+        case Right(Nil) => err(ex, 400, "missing ids")
+        case Right(ids) =>
+          graft.sources.DedupIndex.delete(spark, indexPath, ids)
+          respond(ex, 200, s"""{"deleted":${ids.size}}""")
       }
   }
 
@@ -423,6 +465,7 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
       (method, sub) match {
         case ("OPTIONS", _) => respond(ex, 204, "")
         case ("POST", "check") => handleDedupCheck(ex)
+        case ("POST", "delete") => handleDedupDelete(ex)
         case _ => err(ex, 404, "not found")
       }
     } catch {
@@ -450,6 +493,7 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
         case ("POST", List(id, "load")) => handleLoad(ex, id)
         case ("POST", List(id, "append")) => handleAppend(ex, id)
         case ("POST", List(id, "pyramid")) => handlePyramidBuild(ex, id)
+        case ("POST", List(id, "delete")) => handleDeletePoints(ex, id)
         case _ => err(ex, 404, "not found")
       }
     } catch {

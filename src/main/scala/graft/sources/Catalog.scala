@@ -236,7 +236,16 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
         lru.put(id, df) // refresh recency
         df
       case None =>
-        val df = spark.read.parquet(dsPath(id)).persist(StorageLevel.MEMORY_AND_DISK)
+        val raw = spark.read.parquet(dsPath(id))
+        // tombstoned points ([[deletePoints]]) leave every serving
+        // answer immediately; the anti-join rides the broadcast-small
+        // tombstone set and disappears entirely once [[compactPoints]]
+        // drops the rows physically
+        val tomb = s"${dsPath(id)}/_tombstones"
+        val visible = if (new java.io.File(tomb).exists)
+          raw.join(broadcast(spark.read.parquet(tomb).distinct()), Seq("id"), "left_anti")
+        else raw
+        val df = visible.persist(StorageLevel.MEMORY_AND_DISK)
         lru.put(id, df)
         if (lru.size > maxCached) {
           val (evictId, evictDf) = lru.head
@@ -250,6 +259,76 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
 
   /** Currently cached dataset ids, least-recent first (test hook). */
   def cachedIds: Seq[String] = synchronized(lru.keys.toSeq)
+
+  /** Tombstone-delete points by id — the delete quarter of the dataset
+    * lifecycle (save / append / load+serve / delete), the same side-
+    * table contract as the vector/text/dedup indexes: an O(|batch|)
+    * parquet append, never a rewrite. [[load]] anti-joins the set out
+    * of every subsequent read (the handle cache is invalidated here);
+    * [[compactPoints]] later drops the rows physically. Only ids that
+    * are LIVE right now count toward the meta decrement, so replayed
+    * deletes are idempotent and unknown ids are no-ops.
+    * Returns the updated catalog info.
+    */
+  def deletePoints(id: String, ids: DataFrame): SavedInfo = {
+    val prev = list().find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"unknown dataset $id"))
+    val path = dsPath(id)
+    val toRemove = load(id)
+      .join(ids.select(ids.columns.headOption.map(col).getOrElse(col("id"))
+        .cast("long").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE touching the directory: the write below must
+    // not re-plan against the tombstone files it is creating
+    val removed = toRemove.count()
+    toRemove.write.mode("append").parquet(s"$path/_tombstones")
+    toRemove.unpersist()
+    synchronized {
+      lru.remove(id).foreach(_.unpersist())
+      lastAccessMs.remove(id)
+    }
+    val info = SavedInfo(id, prev.numPoints - removed, prev.createdAtMs, path, dirSize(path))
+    Files.writeString(Paths.get(path, "_graft_meta.json"),
+      s"""{"id":"$id","numPoints":${info.numPoints},"createdAtMs":${info.createdAtMs},"fileSizeBytes":${info.fileSizeBytes}}""")
+    info
+  }
+
+  /** Physically drop tombstoned rows and clear the tombstones — the
+    * compaction half of [[deletePoints]]' LSM contract. Rewrites the
+    * live rows into a staged directory (same tile partitioning and
+    * compression), carries the sidecar artifacts (pyramid, pyramid
+    * state, meta) across, then swaps — a reader never sees partial
+    * state, and the tombstone table dies with the old directory.
+    */
+  def compactPoints(id: String): SavedInfo = {
+    val prev = list().find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"unknown dataset $id"))
+    val path = dsPath(id)
+    if (new java.io.File(s"$path/_tombstones").exists) {
+      val tmp = path + ".compact"
+      spark.read.parquet(path)
+        .join(broadcast(spark.read.parquet(s"$path/_tombstones").distinct()),
+          Seq("id"), "left_anti")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("tile_z5")
+        .parquet(tmp)
+      for (aux <- Seq("_pyramid", "_pyramid_state", "_pyramid_state_meta.json",
+        "_graft_meta.json")) {
+        val f = new java.io.File(s"$path/$aux")
+        if (f.exists) { f.renameTo(new java.io.File(s"$tmp/$aux")); () }
+      }
+      StagedSwap.swap(path, tmp)
+      synchronized {
+        lru.remove(id).foreach(_.unpersist())
+        lastAccessMs.remove(id)
+      }
+    }
+    val info = SavedInfo(id, prev.numPoints, prev.createdAtMs, path, dirSize(path))
+    Files.writeString(Paths.get(path, "_graft_meta.json"),
+      s"""{"id":"$id","numPoints":${info.numPoints},"createdAtMs":${info.createdAtMs},"fileSizeBytes":${info.fileSizeBytes}}""")
+    info
+  }
 
   /** S6/Q5: list saved datasets from their meta files. */
   def list(): Seq[SavedInfo] = {

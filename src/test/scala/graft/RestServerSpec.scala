@@ -123,7 +123,37 @@ class RestServerSpec extends SparkSpec {
       assert(dpost("""{"docs":[]}""").statusCode() == 400)
       // unconfigured server 404s the route
       assert(post("/api/dedup/check", """{"docs":[{"id":1,"text":"x"}]}""").statusCode() == 404)
+
+      // delete route: the tombstoned doc stops matching immediately
+      def ddel(path: String) = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val rd = ddel("/api/dedup/delete?ids=10")
+      assert(rd.statusCode() == 200 && rd.body().contains("\"deleted\":1"), rd.body())
+      val after = dpost("""{"docs":[
+        {"id":1,"text":"the quick brown fox jumps over the lazy dog tonight"}]}""")
+      assert(after.body().contains("""{"id":1,"status":"unique","matchId":-1"""), after.body())
+      assert(ddel("/api/dedup/delete").statusCode() == 400)
+      assert(ddel("/api/dedup/delete?ids=x").statusCode() == 400)
     } finally srv.stop()
+  }
+
+  test("POST /api/clusters/{id}/delete tombstones points and maintains the pyramid") {
+    import org.apache.spark.sql.functions._
+    val id = engine.list().head.id
+    engine.buildAndSavePyramid(id, 0, 2)
+    val r = post(s"/api/clusters/$id/delete?ids=1,2,3", "")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains(""""numPoints":997""" /* 800 + 200 appended - 3 */), r.body())
+    assert(engine.load(id).filter(col("id").isin(1L, 2L, 3L)).count() == 0L)
+    // the maintained pyramid's zoom-0 mass reflects the delete
+    val total = engine.catalog.loadPyramid(id)
+      .filter(col("zoom") === 0).agg(sum(col("count"))).head().getLong(0)
+    assert(total == 997L)
+    assert(post(s"/api/clusters/$id/delete", "").statusCode() == 400)
+    assert(post(s"/api/clusters/$id/delete?ids=x", "").statusCode() == 400)
+    assert(post("/api/clusters/no-such-dataset/delete?ids=1", "").statusCode() == 400)
   }
 
   test("GET /api/ann/search serves ANN top-k from the vector index") {
