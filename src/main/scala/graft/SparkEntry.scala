@@ -788,7 +788,7 @@ object SparkEntry {
     * the event_type "value:ppm" frequency string — mirroring
     * [[graft.operators.TilePyramid.build]]'s metaCols join.
     */
-  private def pyramidCte(withMeta: Boolean = false): String = {
+  private def pyramidCte(withMeta: Boolean = false, ptsWhere: String = ""): String = {
     val mp = flagOpts.minPoints
     val zr = "(CAST(z.zoom AS DOUBLE) / 16.0)"
     val metaCol = if (withMeta) ", event_type" else ""
@@ -816,7 +816,7 @@ object SparkEntry {
         |         CASE WHEN c.event_type IS NULL THEN NULL
         |              ELSE c.event_type || ':1000000' END AS event_type_freq""".stripMargin
     else ""
-    s"""pts AS ($pointsSql),
+    s"""pts AS (SELECT * FROM ($pointsSql)${if (ptsWhere.isEmpty) "" else s" WHERE $ptsWhere"}),
        |params AS (SELECT count(*) AS n FROM pts),
        |celled AS (
        |  SELECT id, value, lon, lat, zoom, px, py$metaCol,
@@ -892,6 +892,36 @@ object SparkEntry {
         col("count"), col("is_cluster"), col("value"))
       .orderBy("zoom", "id")
   }
+
+  /** Subtractive pyramid delete ([[graft.operators.TilePyramid
+    * .deleteFromState]]): the full-corpus state (metric sums AND
+    * metadata frequency counts) loses its id % 17 = 0 points by exact
+    * cell-wise subtraction — min-ids re-derived only where the cell's
+    * min was deleted — then finalizes against the live points. The
+    * oracle is a FULL REBUILD over the surviving points (same pyramid
+    * CTE with the pts filter), so delete-then-serve ≡
+    * rebuild-without-the-points, bit-for-bit, frequency strings
+    * included. (Same density band either side: the band thresholds are
+    * nowhere near a 1/17 shave at any SF — the epoch grid is
+    * identical, as the maintenance contract requires.)
+    */
+  private def qPyramidDeleted(s: SparkSession, dir: String): DataFrame = {
+    val pts = eventPoints(s, dir)
+    val n = pts.count() // epoch pinned at the pre-delete corpus
+    val st = graft.operators.TilePyramid.cellState(
+      pts, 0, 3, flagOpts, Seq("value"), Seq("event_type"), n)
+    val live = pts.filter(col("id") % 17 =!= 0)
+    val st2 = graft.operators.TilePyramid.deleteFromState(
+      st, pts.filter(col("id") % 17 === 0), live, 0, 3, flagOpts, Seq("value"))
+    graft.operators.TilePyramid.finalizePyramid(st2, live, 0, 3, flagOpts, Seq("value"))
+      .select(col("zoom").cast("long").as("zoom"), col("id"),
+        col("lon"), r5(col("lat")).as("lat"),
+        col("count"), col("is_cluster"), col("value"), col("event_type_freq"))
+      .orderBy("zoom", "id")
+  }
+
+  private def pyramidDeletedSql: String =
+    s"WITH ${pyramidCte(withMeta = true, ptsWhere = "id % 17 <> 0")}\nSELECT * FROM pyr ORDER BY zoom, id"
 
   // ------------------------------------------------------- pyramid serving
 
@@ -1103,6 +1133,7 @@ object SparkEntry {
     "q_window_nav" -> ((s, dir) => Ev.qWindowNav(events(s, dir))),
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
+    "q_ab_test" -> ((s, dir) => Ev.qAbTest(events(s, dir))),
     "q_top_paths" -> ((s, dir) => Ev.qTopPaths(events(s, dir))),
     "q_hop_window" -> ((s, dir) => Ev.qHopWindow(events(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => Ev.qCohortLtv(events(s, dir))),
@@ -1125,6 +1156,7 @@ object SparkEntry {
     "q_dow_profile" -> (Relational.qDowProfile _),
     "q_skyline" -> (Relational.qSkyline _),
     "q_histogram" -> (Relational.qHistogram _),
+    "q_basket_rules" -> (Relational.qBasketRules _),
     "q_rank_family" -> (Relational.qRankFamily _),
     "q_rag_pack" -> (PipelineQueries.qRagPack _),
     "q_range_window" -> ((s, dir) => Ev.qRangeWindow(events(s, dir))),
@@ -1152,11 +1184,15 @@ object SparkEntry {
     "q_dedup_groups" -> (DedupQueries.qGroups _),
     "q_dedup_savings" -> (DedupQueries.qDedupSavings _),
     "q_dedup_incremental" -> (DedupQueries.qIncremental _),
+    "q_dedup_deleted" -> (DedupQueries.qDedupDeleted _),
+    "q_bloom_gate_deleted" -> (DedupQueries.qBloomGateDeleted _),
     "q_pagerank" -> (DedupQueries.qPagerank _),
+    "q_pagerank_personal" -> (DedupQueries.qPersonalizedPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
     "q_common_neighbors" -> (DedupQueries.qCommonNeighbors _),
     "q_collocations" -> (PipelineQueries.qCollocations _),
     "q_graph_hops" -> (DedupQueries.qGraphHops _),
+    "q_shortest_path" -> (DedupQueries.qShortestPath _),
     "q_containment" -> (DedupQueries.qContainment _),
     "q_jaccard_curve" -> (DedupQueries.qJaccardCurve _),
     "q_dedup_best" -> (DedupQueries.qDedupBest _),
@@ -1276,6 +1312,7 @@ object SparkEntry {
     "q_ivf_search_trained" -> (PipelineQueries.qIvfSearchTrained _),
     "q_tile_pyramid" -> (qTilePyramid _),
     "q_pyramid_incr" -> (qPyramidIncr _),
+    "q_pyramid_deleted" -> (qPyramidDeleted _),
     "q_pyramid_serve" -> (qPyramidServe _),
     "q_pyramid_meta" -> (qPyramidMeta _),
     "q_pyramid_summary" -> (qPyramidSummary _),
@@ -1314,6 +1351,7 @@ object SparkEntry {
     "q_window_nav" -> Ev.qWindowNavSql,
     "q_concurrency" -> Ev.qConcurrencySql,
     "q_transitions" -> Ev.qTransitionsSql,
+    "q_ab_test" -> Ev.qAbTestSql,
     "q_top_paths" -> Ev.qTopPathsSql,
     "q_hop_window" -> Ev.qHopWindowSql,
     "q_cohort_ltv" -> Ev.qCohortLtvSql,
@@ -1336,6 +1374,7 @@ object SparkEntry {
     "q_dow_profile" -> Relational.qDowProfileSql,
     "q_skyline" -> Relational.qSkylineSql,
     "q_histogram" -> Relational.qHistogramSql,
+    "q_basket_rules" -> Relational.qBasketRulesSql,
     "q_rank_family" -> Relational.qRankFamilySql,
     "q_rag_pack" -> PipelineQueries.qRagPackSql,
     "q_range_window" -> Ev.qRangeWindowSql,
@@ -1363,11 +1402,15 @@ object SparkEntry {
     "q_dedup_groups" -> DedupQueries.qGroupsSql,
     "q_dedup_savings" -> DedupQueries.qDedupSavingsSql,
     "q_dedup_incremental" -> DedupQueries.qIncrementalSql,
+    "q_dedup_deleted" -> DedupQueries.qDedupDeletedSql,
+    "q_bloom_gate_deleted" -> DedupQueries.qBloomGateDeletedSql,
     "q_pagerank" -> DedupQueries.qPagerankSql,
+    "q_pagerank_personal" -> DedupQueries.qPersonalizedPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
     "q_common_neighbors" -> DedupQueries.qCommonNeighborsSql,
     "q_collocations" -> PipelineQueries.qCollocationsSql,
     "q_graph_hops" -> DedupQueries.qGraphHopsSql,
+    "q_shortest_path" -> DedupQueries.qShortestPathSql,
     "q_containment" -> DedupQueries.qContainmentSql,
     "q_jaccard_curve" -> DedupQueries.qJaccardCurveSql,
     "q_dedup_best" -> DedupQueries.qDedupBestSql,
@@ -1492,6 +1535,8 @@ object SparkEntry {
     "q_ivf_search_trained" -> PipelineQueries.qIvfSearchTrainedSql,
     "q_tile_pyramid" -> tilePyramidSql,
     "q_pyramid_incr" -> tilePyramidSql, // incremental ≡ full rebuild, same oracle
+    "q_pyramid_deleted" -> pyramidDeletedSql, // subtractive delete ≡ rebuild-without
+
     "q_pyramid_serve" -> pyramidServeSql,
     "q_pyramid_meta" -> pyramidMetaSql,
     "q_pyramid_summary" -> pyramidSummarySql,

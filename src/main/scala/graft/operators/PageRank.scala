@@ -60,6 +60,47 @@ object PageRank {
     rank.select(col("id").as("doc_id"), col("r").as("rank_micro"))
   }
 
+  /** PERSONALIZED PageRank on the same exact micro-unit lattice as
+    * [[rankMicro]]: the teleport mass lands only on the
+    * personalization set instead of uniformly, so the stationary rank
+    * measures proximity TO THOSE SOURCES through the graph — "which
+    * docs sit closest to this known-bad boilerplate family" rather
+    * than global hubness. Identical iteration shape (one equi-join +
+    * one destination aggregation per round, degrees riding the edge
+    * list); the source set joins in as a broadcast-small flag frame,
+    * both for the initial mass and the per-round base term. Sources
+    * absent from the graph contribute nothing — exactly the oracle's
+    * node-set semantics. Output (UNORDERED): doc_id, ppr_micro.
+    */
+  def personalizedRankMicro(pairs: DataFrame, sources: DataFrame,
+                            iters: Int = 4, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val base = Unit6 * (100L - dampingPct) / 100L
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val edges = CachePool.track(pairs
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .withColumn("deg", count(lit(1)).over(byU)))
+    val src = CachePool.track(sources
+      .select(col(sources.columns.head).cast("long").as("id")).distinct()
+      .withColumn("is_src", lit(true)))
+    var rank = edges.select(col("u").as("id")).distinct()
+      .join(broadcast(src), Seq("id"), "left")
+      .select(col("id"), when(col("is_src"), lit(Unit6)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      rank = edges.join(rank, edges("u") === rank("id"))
+        .select(col("v"), expr("r div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+        .join(broadcast(src), col("v") === src("id"), "left")
+        .select(col("v").as("id"),
+          (when(col("is_src"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * inflow) div 100")).as("r"))
+    }
+    rank.select(col("id").as("doc_id"), col("r").as("ppr_micro"))
+  }
+
   /** Multi-source bounded-hop BFS over the undirected pair graph: the
     * shortest hop distance for EVERY ordered (src, dst) pair reachable
     * within `maxHops` — the neighborhood-radius query ("how far is each
@@ -101,6 +142,51 @@ object PageRank {
       reached = CachePool.track(reached.union(frontier))
     }
     reached
+  }
+
+  /** Hop-bounded WEIGHTED shortest paths from every node — the
+    * weighted twin of [[boundedHops]] (multi-source Bellman–Ford):
+    * minimum total edge weight over walks of at most `maxHops` edges,
+    * hop count breaking cost ties (fewest hops among equal-cost
+    * walks). Both criteria ride ONE integer lattice — `cost·10 + hops`
+    * (hence `maxHops ≤ 9`) — so the answer is engine-exact, no double
+    * accumulation anywhere.
+    *
+    * Per relaxation round the frontier keeps only the per-(src, dst)
+    * minimum: any continuation of a dominated walk is dominated
+    * (non-negative weights), so each of the `maxHops − 1` rounds is
+    * one co-partitioned join + partial-aggregated min — state is
+    * bounded by reachable PAIRS, never by walk count, and the round
+    * count is a compile-time constant, not data-dependent. That is the
+    * 100 TB shape: k joins over a pair-keyed frame, no driver loop,
+    * no walk enumeration (the DuckDB oracle DOES enumerate walks
+    * declaratively — recursive CTE — and must agree).
+    */
+  def weightedHops(pairs: DataFrame, maxHops: Int,
+                   aCol: String = "id_a", bCol: String = "id_b",
+                   wCol: String = "w"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 9, "hops ride a base-10 tie lattice")
+    val edges = CachePool.track(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"), col(wCol).cast("long").as("w"))
+        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v"), col(wCol).cast("long").as("w"))))
+    var frontier = CachePool.track(
+      edges.groupBy(col("u").as("src_id"), col("v").as("doc_id"))
+        .agg(min(col("w")).as("cost"))
+        .withColumn("hops", lit(1L)))
+    var best = frontier
+    for (h <- 2 to maxHops) {
+      val next = frontier.as("f").join(edges.as("e"), col("f.doc_id") === col("e.u"))
+        .filter(col("e.v") =!= col("f.src_id"))
+        .groupBy(col("f.src_id").as("src_id"), col("e.v").as("doc_id"))
+        .agg(min(col("f.cost") + col("e.w")).as("cost"))
+        .withColumn("hops", lit(h.toLong))
+      frontier = CachePool.track(next)
+      best = best.union(frontier)
+    }
+    best.groupBy(col("src_id"), col("doc_id"))
+      .agg(min(col("cost") * 10 + col("hops")).as("c"))
+      .selectExpr("src_id", "doc_id",
+        "c DIV 10 AS cost_ppm", "c % 10 AS hops")
   }
 
   /** Per-node triangle count + local clustering coefficient over the

@@ -359,6 +359,65 @@ object DedupQueries {
       |WHERE c.sigkey IS NULL
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Serving after a tombstone delete ([[graft.sources.DedupIndex
+    * .delete]]): the corpus index loses its doc_id % 7 = 0 members via
+    * a distributed tombstone append (pre-compaction — the serving
+    * shape right after a purge), then the same ingest batch is
+    * classified against the survivors only. The oracle is the
+    * incremental oracle with the deleted docs excluded from the
+    * corpus, so serve-after-delete ≡ rebuild-without-docs at the
+    * oracle level too (DedupIndexSpec proves the same identity for the
+    * bloom/streaming gates and through [[graft.sources.DedupIndex
+    * .compact]]).
+    */
+  private val deletedIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def deletedIndexPath(s: SparkSession, dir: String): String =
+    deletedIndexPaths.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val corpus = docs(s, dir).filter(col("doc_id") % 13 =!= 0)
+      val p = graft.sources.DedupIndex.save(corpus,
+        "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_dedupindex_del")
+      graft.sources.DedupIndex.delete(p,
+        corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      p
+    })
+
+  /** The corpus-filter anchor shared by the incremental/bloom oracles;
+    * the deleted twins rewrite it, guarded so silent drift is
+    * impossible (the ADVICE.md derived-oracle contract).
+    */
+  private val CorpusAnchor =
+    "corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0)"
+  private def withDeletedCorpus(sql: String): String = {
+    require(sql.contains(CorpusAnchor),
+      "incremental-oracle corpus CTE drifted; update the deleted-twin rewrite")
+    sql.replace(CorpusAnchor,
+      "corpus AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 13 <> 0 AND doc_id % 7 <> 0)")
+  }
+
+  def qDedupDeleted(s: SparkSession, dir: String): DataFrame = {
+    val batch = docs(s, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 13 === 0)
+    graft.sources.DedupIndex.incrementalDedup(s, deletedIndexPath(s, dir), batch)
+  }
+
+  val qDedupDeletedSql: String = withDeletedCorpus(qIncrementalSql)
+
+  /** Bloom gate on the tombstoned index: the bloom is rebuilt from the
+    * LIVE distinct sigkeys, so batch docs whose only signature twin was
+    * deleted are now admitted.
+    */
+  def qBloomGateDeleted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val batch = docs(s, dir).filter(col("doc_id") % 13 === 0)
+    graft.sources.DedupIndex.bloomGate(s, deletedIndexPath(s, dir), batch)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qBloomGateDeletedSql: String = withDeletedCorpus(qBloomGateSql)
+
   /** Corpus release diff: snapshot A (doc_id % 11 ≠ 0) vs snapshot B
     * (doc_id % 9 ≠ 0, with docs at doc_id % 7 = 0 revised) — every doc
     * classified added/removed/modified/unchanged by content digest
@@ -433,6 +492,54 @@ object DedupQueries {
        |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
        |$iterCtes
        |SELECT id AS doc_id, r AS rank_micro FROM r$PrIters ORDER BY doc_id""".stripMargin
+  }
+
+  /** Personalized PageRank from the doc_id % 50 = 0 seed set (see
+    * [[graft.operators.PageRank.personalizedRankMicro]]): proximity of
+    * every graph member to the seeds through the near-dup topology —
+    * the "expand from known-bad docs" curation query that global
+    * PageRank's uniform teleport cannot answer. Same exact integer
+    * lattice and iteration count as `q_pagerank`; the oracle unrolls
+    * the same rounds with the seed CASE in both the initial mass and
+    * the per-round base term.
+    */
+  def qPersonalizedPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.personalizedRankMicro(
+      minhashPairsShared(s, dir),
+      docs(s, dir).filter(col("doc_id") % 50 === 0).select(col("doc_id")),
+      iters = PrIters, dampingPct = PrDampingPct)
+      .orderBy("doc_id")
+
+  val qPersonalizedPagerankSql: String = {
+    val base = 1000000L * (100L - PrDampingPct) / 100L
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS id,
+         |         CAST(CASE WHEN s.id IS NOT NULL THEN $base ELSE 0 END
+         |              + ($PrDampingPct * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN r${i - 1} r ON e.u = r.id JOIN deg d ON e.u = d.u
+         |  LEFT JOIN src s ON e.v = s.id
+         |  GROUP BY e.v, s.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashVerifiedCte,
+       |npairs AS (
+       |  SELECT id_a, id_b FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM npairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM npairs
+       |),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+       |src AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+       |r0 AS (
+       |  SELECT d.u AS id,
+       |         CAST(CASE WHEN s.id IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       |  FROM deg d LEFT JOIN src s ON d.u = s.id
+       |),
+       |$iterCtes
+       |SELECT id AS doc_id, r AS ppr_micro FROM r$PrIters ORDER BY doc_id""".stripMargin
   }
 
   /** Per-node triangle count + local clustering coefficient over the
@@ -609,6 +716,49 @@ object DedupQueries {
        |  WHERE w.d < $HopsMax AND e.v <> w.src
        |)
        |SELECT src AS src_id, id AS doc_id, CAST(min(d) AS BIGINT) AS hops
+       |FROM walk GROUP BY src, id
+       |ORDER BY src_id, doc_id""".stripMargin
+
+  /** Hop-bounded weighted shortest paths over the near-dup graph
+    * ([[graft.operators.PageRank.weightedHops]]): edge weight =
+    * 1000000 − jaccard_ppm (similarity → distance), so the minimum
+    * cost between two docs within 3 hops measures how much mutation a
+    * contamination chain accumulated — two docs 2 hops apart through a
+    * 0.9-Jaccard bridge are closer than direct 0.55-Jaccard neighbors,
+    * a distinction [[qGraphHops]]' unweighted hop counts erase. The
+    * oracle enumerates walks declaratively (recursive CTE) and takes
+    * the same min over the cost·10+hops tie lattice that the iterative
+    * Bellman–Ford plan maintains per-round minima on.
+    */
+  def qShortestPath(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank
+      .weightedHops(minhashPairsShared(s, dir)
+          .withColumn("w", lit(1000000L) - col("jaccard_ppm")),
+        maxHops = HopsMax)
+      .orderBy("src_id", "doc_id")
+
+  val qShortestPathSql: String =
+    s"""WITH RECURSIVE $minhashVerifiedCte,
+       |npairs AS (
+       |  SELECT id_a, id_b,
+       |         1000000 - CAST(round(inter * 1000000.0 / union_n) AS BIGINT) AS w
+       |  FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v, w FROM npairs
+       |  UNION ALL
+       |  SELECT id_b, id_a, w FROM npairs
+       |),
+       |walk(src, id, cost, d) AS (
+       |  SELECT u, v, w, 1 FROM edges
+       |  UNION
+       |  SELECT wk.src, e.v, wk.cost + e.w, wk.d + 1
+       |  FROM walk wk JOIN edges e ON e.u = wk.id
+       |  WHERE wk.d < $HopsMax AND e.v <> wk.src
+       |)
+       |SELECT src AS src_id, id AS doc_id,
+       |       CAST(min(cost * 10 + d) // 10 AS BIGINT) AS cost_ppm,
+       |       CAST(min(cost * 10 + d) % 10 AS BIGINT) AS hops
        |FROM walk GROUP BY src, id
        |ORDER BY src_id, doc_id""".stripMargin
 

@@ -1202,4 +1202,78 @@ object Events {
       |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
       |ORDER BY event_type, lag_k""".stripMargin
   }
+
+  /** A/B conversion test: deterministic id-parity variant assignment
+    * (the hash-bucket experiment split), per-user conversion =
+    * above-average purchase spend — `cents·n_users > total_cents`, an
+    * exact integer cross-multiplication on the cents lattice, so the
+    * split is never degenerate and never touches a float mean. The 2×2
+    * contingency cells feed exact integer-ppm rates and the Pearson
+    * chi-square statistic with its 95% verdict; the chi-square is ONE
+    * double expression over four exact BIGINT cells (products stay
+    * well under 2^53), written with identical association both
+    * engines — the [[Relational.qCorrMatrix]] playbook. Scale shape:
+    * per-user spend is a map-side-combined groupBy on user_id; the
+    * global total is a broadcast one-row frame; the 2×2 cells are one
+    * partial-aggregated global agg — three mergeable aggregations, no
+    * ordered pass anywhere.
+    */
+  def qAbTest(events: DataFrame): DataFrame = {
+    val spend = events.groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0d)).cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
+      .withColumn("variant", col("user_id") % 2)
+    val totals = spend.agg(sum(col("cents")).cast("long").as("tot"),
+      count(lit(1)).as("nu"))
+    val users = spend.crossJoin(broadcast(totals))
+      .withColumn("converted", (col("cents") * col("nu") > col("tot")).cast("long"))
+    users.agg(
+      sum(when(col("variant") === 0 && col("converted") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("variant") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("variant") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("variant") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("d"))
+      .selectExpr("a + b AS n_control", "a AS conv_control",
+        "c + d AS n_treat", "c AS conv_treat",
+        "a * 1000000 DIV (a + b) AS rate_control_ppm",
+        "c * 1000000 DIV (c + d) AS rate_treat_ppm",
+        "round(CAST(a + b + c + d AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)" +
+          " * CAST(a * d - b * c AS DOUBLE)" +
+          " / (CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE)), 6)" +
+          " AS chi2")
+      .withColumn("significant", col("chi2") > lit(3.841459))
+  }
+
+  val qAbTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+      |           AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+      |         user_id % 2 AS variant
+      |  FROM events GROUP BY user_id
+      |),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nu FROM u),
+      |c0 AS (
+      |  SELECT user_id, variant,
+      |         CASE WHEN cents * nu > tot THEN 1 ELSE 0 END AS converted
+      |  FROM u CROSS JOIN t
+      |),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM c0
+      |)
+      |SELECT *, chi2 > 3.841459 AS significant FROM (
+      |  SELECT a + b AS n_control, a AS conv_control,
+      |         c + d AS n_treat, c AS conv_treat,
+      |         a * 1000000 // (a + b) AS rate_control_ppm,
+      |         c * 1000000 // (c + d) AS rate_treat_ppm,
+      |         round(CAST(a + b + c + d AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+      |           * CAST(a * d - b * c AS DOUBLE)
+      |           / (CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE)), 6)
+      |           AS chi2
+      |  FROM cells
+      |)""".stripMargin
 }

@@ -1060,4 +1060,71 @@ object Relational {
        |       COALESCE(cnt, 0) AS cnt
        |FROM spine s CROSS JOIN st LEFT JOIN counts c ON c.bucket = s.bucket
        |ORDER BY s.bucket""".stripMargin
+
+  private val MinPairSupport = 5L
+
+  /** Market-basket association rules at the brand level: each order is
+    * a basket of the distinct part brands it contains; every brand
+    * pair co-occurring in ≥ [[MinPairSupport]] baskets gets exact
+    * integer-ppm support, both confidence directions and lift. The
+    * whole lattice is BIGINT floor division — no doubles anywhere, so
+    * engine-identical at any SF. Plan shape at 100 TB: brand rides in
+    * on a broadcast dim join; the pair generation is a self
+    * hash-equi-join co-partitioned on the order key whose per-order
+    * output is C(brands-in-order, 2) — bounded by basket width, never
+    * by catalog size; brand-pair counts map-side combine into at most
+    * |brands|² rows; the count/total frames joined back are broadcast.
+    */
+  def qBasketRules(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val part = s.read.parquet(s"$dir/part.parquet")
+    val baskets = li
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        "l_partkey")
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val totals = baskets.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemCounts = baskets.groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+    baskets.as("x")
+      .join(baskets.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") && col("x.p_brand") < col("y.p_brand"))
+      .groupBy(col("x.p_brand").as("brand_a"), col("y.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= MinPairSupport)
+      .join(broadcast(itemCounts.select(col("p_brand").as("brand_a"),
+        col("cnt").as("count_a"))), "brand_a")
+      .join(broadcast(itemCounts.select(col("p_brand").as("brand_b"),
+        col("cnt").as("count_b"))), "brand_b")
+      .crossJoin(broadcast(totals))
+      .selectExpr("brand_a", "brand_b", "pair_count", "count_a", "count_b", "n_orders",
+        "pair_count * 1000000 DIV n_orders AS support_ppm",
+        "pair_count * 1000000 DIV count_a AS conf_ab_ppm",
+        "pair_count * 1000000 DIV count_b AS conf_ba_ppm",
+        "pair_count * n_orders * 1000000 DIV (count_a * count_b) AS lift_ppm")
+      .orderBy("brand_a", "brand_b")
+  }
+
+  val qBasketRulesSql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey, p_brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |),
+       |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets),
+       |ic AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM baskets GROUP BY 1),
+       |pc AS (
+       |  SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+       |         CAST(count(*) AS BIGINT) AS pair_count
+       |  FROM baskets x JOIN baskets y
+       |    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+       |  GROUP BY 1, 2
+       |)
+       |SELECT brand_a, brand_b, pair_count, a.cnt AS count_a, b.cnt AS count_b,
+       |       n_orders,
+       |       pair_count * 1000000 // n_orders AS support_ppm,
+       |       pair_count * 1000000 // a.cnt AS conf_ab_ppm,
+       |       pair_count * 1000000 // b.cnt AS conf_ba_ppm,
+       |       pair_count * n_orders * 1000000 // (a.cnt * b.cnt) AS lift_ppm
+       |FROM pc JOIN ic a ON brand_a = a.p_brand JOIN ic b ON brand_b = b.p_brand
+       |CROSS JOIN n
+       |WHERE pair_count >= $MinPairSupport
+       |ORDER BY brand_a, brand_b""".stripMargin
 }
