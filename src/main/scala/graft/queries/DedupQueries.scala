@@ -374,12 +374,30 @@ object DedupQueries {
   private def deletedIndexPath(s: SparkSession, dir: String): String =
     deletedIndexPaths.getOrElseUpdate(dir, {
       import org.apache.spark.sql.functions.col
-      val corpus = docs(s, dir).filter(col("doc_id") % 13 =!= 0)
-      val p = graft.sources.DedupIndex.save(corpus,
+      // clone the shared index's files instead of re-shingling the
+      // corpus — the delete must not mutate the index the other
+      // incremental/bloom queries serve from, but a tombstone test
+      // needs only its own copy of the SAME persisted state
+      val src = java.nio.file.Paths.get(dedupIndexPath(s, dir))
+      val dst = java.nio.file.Paths.get(
         "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_dedupindex_del")
-      graft.sources.DedupIndex.delete(p,
-        corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
-      p
+      if (java.nio.file.Files.isDirectory(dst)) {
+        val w = java.nio.file.Files.walk(dst)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally w.close()
+      }
+      val w = java.nio.file.Files.walk(src)
+      try w.forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+        ()
+      } finally w.close()
+      graft.sources.DedupIndex.delete(dst.toString,
+        docs(s, dir).filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0)
+          .select(col("doc_id")))
+      dst.toString
     })
 
   /** The corpus-filter anchor shared by the incremental/bloom oracles;

@@ -1075,20 +1075,33 @@ object Relational {
     * by catalog size; brand-pair counts map-side combine into at most
     * |brands|² rows; the count/total frames joined back are broadcast.
     */
-  def qBasketRules(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
-    val part = s.read.parquet(s"$dir/part.parquet")
-    val baskets = li
-      .join(broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_brand"))),
-        "l_partkey")
-      .select(col("l_orderkey"), col("p_brand")).distinct()
-    val totals = baskets.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val itemCounts = baskets.groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+  /** Pair co-occurrence counts from a (l_orderkey, p_brand) basket
+    * frame — MERGEABLE: counts are plain sums, so per-batch counts
+    * from an ORDER-ATOMIC stream (a micro-batch carries whole orders,
+    * the natural ingest unit) union+sum into exactly the full-corpus
+    * counts (StreamingSpec proves it).
+    */
+  def basketPairCounts(baskets: DataFrame): DataFrame =
     baskets.as("x")
       .join(baskets.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") && col("x.p_brand") < col("y.p_brand"))
       .groupBy(col("x.p_brand").as("brand_a"), col("y.p_brand").as("brand_b"))
       .agg(count(lit(1)).as("pair_count"))
+
+  /** Per-brand basket counts (same mergeable contract). */
+  def basketItemCounts(baskets: DataFrame): DataFrame =
+    baskets.groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+
+  /** One-row basket total (same mergeable contract). */
+  def basketTotals(baskets: DataFrame): DataFrame =
+    baskets.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** The rule lattice from the three count frames — shared by the
+    * batch query and the streaming-merge twin.
+    */
+  def basketRulesFromCounts(pairCounts: DataFrame, itemCounts: DataFrame,
+                            totals: DataFrame): DataFrame =
+    pairCounts
       .filter(col("pair_count") >= MinPairSupport)
       .join(broadcast(itemCounts.select(col("p_brand").as("brand_a"),
         col("cnt").as("count_a"))), "brand_a")
@@ -1101,6 +1114,16 @@ object Relational {
         "pair_count * 1000000 DIV count_b AS conf_ba_ppm",
         "pair_count * n_orders * 1000000 DIV (count_a * count_b) AS lift_ppm")
       .orderBy("brand_a", "brand_b")
+
+  def qBasketRules(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val part = s.read.parquet(s"$dir/part.parquet")
+    val baskets = li
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        "l_partkey")
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    basketRulesFromCounts(basketPairCounts(baskets), basketItemCounts(baskets),
+      basketTotals(baskets))
   }
 
   val qBasketRulesSql: String =

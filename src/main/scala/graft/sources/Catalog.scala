@@ -85,6 +85,20 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     */
   def save(points: DataFrame, id: String): SavedInfo = {
     val path = dsPath(id)
+    // a re-save is a NEW dataset: stale tombstones from a previous
+    // incarnation must not haunt recycled ids, and a cached handle
+    // pins the old file listing
+    val tomb = new java.io.File(s"$path/_tombstones")
+    if (tomb.exists) {
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+      }
+      rmRf(tomb)
+    }
+    synchronized {
+      lru.remove(id).foreach(_.unpersist())
+      lastAccessMs.remove(id)
+    }
     val obs = org.apache.spark.sql.Observation(s"graft_save_$id")
     points
       .observe(obs, count(lit(1)).as("n"))

@@ -544,4 +544,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     } finally q.stop()
   }
+
+  test("streaming basket-rule counts merge to the batch rules (order-atomic batches)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.Relational
+    // 40 orders, 2-4 brands each (deterministic), arriving as two
+    // order-atomic micro-batches (orders never straddle a batch — the
+    // natural ingest unit). Pair/item/total counts are plain sums, so
+    // the merged state must reproduce the one-pass batch rules exactly.
+    val baskets = (1 to 40).flatMap { o =>
+      (0 until 2 + o % 3).map(i => (o.toLong, s"Brand#${(o * 7 + i * 3) % 5}"))
+    }.toDF("l_orderkey", "p_brand").distinct()
+    val dir = Files.createTempDirectory("graft-stream-basket")
+    baskets.filter(col("l_orderkey") % 2 === 0).write.parquet(s"$dir/b0.parquet")
+    baskets.filter(col("l_orderkey") % 2 === 1).write.parquet(s"$dir/b1.parquet")
+
+    var pairs: Option[org.apache.spark.sql.DataFrame] = None
+    var items: Option[org.apache.spark.sql.DataFrame] = None
+    var total = 0L
+    val q = spark.readStream
+      .schema(baskets.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*.parquet")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        val p = Relational.basketPairCounts(b)
+        val it = Relational.basketItemCounts(b)
+        pairs = Some(pairs.fold(p)(prev => prev.unionByName(p)
+          .groupBy("brand_a", "brand_b").agg(sum(col("pair_count")).as("pair_count"))))
+        items = Some(items.fold(it)(prev => prev.unionByName(it)
+          .groupBy("p_brand").agg(sum(col("cnt")).as("cnt"))))
+        total += Relational.basketTotals(b).head().getLong(0)
+        pairs.foreach(x => { x.persist().count(); () })
+        items.foreach(x => { x.persist().count(); () })
+        b.unpersist(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val merged = Relational.basketRulesFromCounts(pairs.get, items.get,
+      Seq(total).toDF("n_orders")).collect().toSeq
+    val batch = Relational.basketRulesFromCounts(
+      Relational.basketPairCounts(baskets), Relational.basketItemCounts(baskets),
+      Relational.basketTotals(baskets)).collect().toSeq
+    assert(merged == batch && merged.nonEmpty)
+  }
 }
