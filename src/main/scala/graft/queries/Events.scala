@@ -1219,10 +1219,12 @@ object Events {
     * ordered pass anywhere.
     */
   def qAbTest(events: DataFrame): DataFrame = {
-    val spend = events.groupBy(col("user_id"))
+    // persisted: feeds BOTH the broadcast total and the cells — an
+    // unpersisted plan scans events twice
+    val spend = graft.operators.CachePool.track(events.groupBy(col("user_id"))
       .agg((sum(when(col("event_type") === "purchase", col("value"))
         .otherwise(lit(0d)).cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
-      .withColumn("variant", col("user_id") % 2)
+      .withColumn("variant", col("user_id") % 2))
     val totals = spend.agg(sum(col("cents")).cast("long").as("tot"),
       count(lit(1)).as("nu"))
     val users = spend.crossJoin(broadcast(totals))

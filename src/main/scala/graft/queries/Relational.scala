@@ -1118,10 +1118,13 @@ object Relational {
   def qBasketRules(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     val part = s.read.parquet(s"$dir/part.parquet")
-    val baskets = li
+    // one distinct-baskets pass feeds the pair self-join (both sides),
+    // the item counts and the total — persisted, or the plan recomputes
+    // the scan+distinct five times
+    val baskets = graft.operators.CachePool.track(li
       .join(broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_brand"))),
         "l_partkey")
-      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .select(col("l_orderkey"), col("p_brand")).distinct())
     basketRulesFromCounts(basketPairCounts(baskets), basketItemCounts(baskets),
       basketTotals(baskets))
   }
