@@ -78,4 +78,57 @@ class IncrementalPipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted2.isEmpty)
   }
+
+  test("right-to-be-forgotten sweep: one doc purged from every index in one motion") {
+    import graft.sources.TextIndex
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark shuffles partition data across the executor fleet"),
+      (3L, "completely unrelated third document about map reduce jobs"),
+      (4L, "a fourth document mentioning spark exactly once here")
+    ).toDF("doc_id", "text")
+    val embs = corpus.select(col("doc_id").as("vec_id")).as[Long]
+      .collect().toSeq.map(i => (i, embed(i))).toDF("vec_id", "embedding")
+    val tix = java.nio.file.Files.createTempDirectory("graft-gdpr-tix").toString
+    val vix = java.nio.file.Files.createTempDirectory("graft-gdpr-vix").toString
+    val dix = java.nio.file.Files.createTempDirectory("graft-gdpr-dix").toString
+    TextIndex.save(corpus, tix)
+    VectorIndex.save(embs, vix, k = 2, dims = dims)
+    DedupIndex.save(corpus, dix)
+
+    // the purge: one id, three O(1)-ish tombstone appends
+    TextIndex.delete(spark, tix, Seq(2L))
+    VectorIndex.delete(spark, vix, Seq(2L))
+    DedupIndex.delete(spark, dix, Seq(2L))
+
+    def assertGone(): Unit = {
+      // text: doc 2 out of every ranking, even for its own best term
+      val ranked = TextIndex.bm25Serve(spark, tix, Seq("spark", "executor"), topK = 10)
+        .collect().map(_.getLong(0))
+      assert(!ranked.contains(2L) && ranked.contains(4L))
+      // vectors: doc 2 out of ANN top-k however hard we probe
+      val ann = VectorIndex.annServe(spark, vix, queryVecId = 1L,
+        probes = 2, topK = 4, dims = dims).collect().map(_.getLong(0))
+      assert(!ann.contains(2L) && ann.nonEmpty)
+      // dedup: replaying the forgotten text is UNIQUE again and the
+      // ingest gate re-admits it
+      val replay = Seq((99L, "spark shuffles partition data across the executor fleet"))
+        .toDF("doc_id", "text")
+      val cls = DedupIndex.incrementalDedup(spark, dix, replay).collect().head
+      assert(cls.getString(1) == "unique")
+      val admitted = DedupIndex.bloomGate(spark, dix, replay)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(admitted.sameElements(Array(99L)))
+    }
+    assertGone()
+
+    // compaction reclaims the rows everywhere; the contract holds
+    TextIndex.compact(spark, tix)
+    VectorIndex.compact(spark, vix)
+    DedupIndex.compact(spark, dix)
+    for (p <- Seq(tix, vix, dix))
+      assert(!new java.io.File(s"$p/tombstones").exists &&
+             !new java.io.File(s"$p/_tombstones").exists)
+    assertGone()
+  }
 }

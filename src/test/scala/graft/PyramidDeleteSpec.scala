@@ -42,6 +42,21 @@ class PyramidDeleteSpec extends SparkSpec {
     val rebuilt = TilePyramid.finalizePyramid(
       TilePyramid.cellState(live, 0, 4, opts, metrics, meta, n), live, 0, 4, opts, metrics)
     assertSame(maintained, rebuilt)
+
+    // repair boundedness: min ids changed EXACTLY where the stored min
+    // was deleted — never a gratuitous recompute of untouched cells
+    val delIds = del.select(col("id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val changed = st.cells.select(col("zoom"), col("cell_x"), col("cell_y"),
+        col("min_id"))
+      .join(st2.cells.select(col("zoom"), col("cell_x"), col("cell_y"),
+        col("min_id").as("m2")), Seq("zoom", "cell_x", "cell_y"))
+      .filter(col("min_id") =!= col("m2"))
+      .select(col("min_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    assert(changed.nonEmpty, "expected some lost minima with ids 1..60 deleted")
+    assert(changed.forall(delIds.contains),
+      "a cell's min changed although its min was not deleted")
   }
 
   test("deleting every point of a cell removes the cell entirely") {
