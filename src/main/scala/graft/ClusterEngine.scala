@@ -158,22 +158,28 @@ final class ClusterEngine(val spark: SparkSession, warehouseDir: String,
     * space later. Returns the updated catalog info.
     */
   def deleteAndMaintain(id: String, ids: DataFrame): Catalog#SavedInfo = {
+    val state = catalog.loadPyramidState(id)
     // the doomed rows' coordinates, pinned BEFORE the tombstones land:
     // the subtract path needs them, and the plan must not anti-join
-    // against the very tombstones this delete writes
-    val delRows = load(id)
-      .join(ids.select(ids.columns.headOption.map(org.apache.spark.sql.functions.col)
-        .getOrElse(org.apache.spark.sql.functions.col("id"))
-        .cast("long").as("id")).distinct(), Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    delRows.count()
+    // against the very tombstones this delete writes. Only the
+    // pyramid-maintaining path pays for this — a plain delete is just
+    // the tombstone append.
+    val delRows = state.map { _ =>
+      val d = load(id)
+        .join(ids.select(ids.columns.headOption.map(org.apache.spark.sql.functions.col)
+          .getOrElse(org.apache.spark.sql.functions.col("id"))
+          .cast("long").as("id")).distinct(), Seq("id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
     val info = catalog.deletePoints(id, ids)
-    catalog.loadPyramidState(id) match {
+    state match {
       case Some((st, zMin, zMax, mc)) =>
         val full = load(id) // fresh handle: tombstones now applied
         if (TilePyramid.densityBand(info.numPoints) == TilePyramid.densityBand(st.densityN)) {
           catalog.savePyramidState(id,
-            TilePyramid.deleteFromState(st, delRows, full, zMin, zMax, opts, mc),
+            TilePyramid.deleteFromState(st, delRows.get, full, zMin, zMax, opts, mc),
             zMin, zMax, mc)
         } else {
           // band crossed: the grid changes — rebuild the epoch at the new count
@@ -186,7 +192,7 @@ final class ClusterEngine(val spark: SparkSession, warehouseDir: String,
         catalog.savePyramid(id, TilePyramid.finalizePyramid(stored, full, zMin, zMax, opts, mc2))
       case None => () // no pyramid yet — nothing to maintain
     }
-    delRows.unpersist()
+    delRows.foreach(_.unpersist())
     info
   }
 
@@ -195,7 +201,13 @@ final class ClusterEngine(val spark: SparkSession, warehouseDir: String,
     * per batch and would otherwise collide with the original dataset's.
     */
   def appendPoints(id: String, numPoints: Long, seed: Long = 43L): Catalog#SavedInfo = {
-    val existing = list().find(_.id == id).map(_.numPoints).getOrElse(0L)
+    // continue after the HIGHEST id ever issued, live or tombstoned —
+    // numPoints is a COUNT and drops below max(id) after a delete, so
+    // offsetting by it would either collide with a live id (ambiguous
+    // min-id cluster identity, double-removal on a later delete) or
+    // resurrect a tombstoned one (the new point anti-joined out of
+    // every read forever while meta and pyramid still count it)
+    val existing = catalog.maxIssuedId(id)
     appendAndMaintain(id,
       PointGen.uniformPoints(spark, numPoints, Bounds.World, seed)
         .withColumn("id", org.apache.spark.sql.functions.col("id") + existing))

@@ -23,7 +23,9 @@ object Explain {
         "q_ivf_filtered_auto", "q_cdc_apply", "q_media_decode",
         "q_data_profile", "q_corr_matrix",
         "q_bq_search", "q_ivfbq_search", "q_skyline", "q_histogram",
-        "q_graph_hops", "q_rag_pack", "q_containment", "q_percentile_cont")
+        "q_graph_hops", "q_rag_pack", "q_containment", "q_percentile_cont",
+        "q_shortest_path", "q_pagerank_personal", "q_basket_rules",
+        "q_ab_test", "q_dedup_deleted", "q_pyramid_deleted")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

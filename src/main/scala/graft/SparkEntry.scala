@@ -911,6 +911,13 @@ object SparkEntry {
     val st = graft.operators.TilePyramid.cellState(
       pts, 0, 3, flagOpts, Seq("value"), Seq("event_type"), n)
     val live = pts.filter(col("id") % 17 =!= 0)
+    // the oracle's params.n counts the SURVIVORS while the subtractive
+    // path keeps the pre-delete epoch — sound only while both counts
+    // share a density band; guard it so a fixture change can't turn
+    // the comment's assumption into a silent grid mismatch
+    require(graft.operators.TilePyramid.densityBand(n) ==
+      graft.operators.TilePyramid.densityBand(live.count()),
+      s"1/17 delete crosses a density band at n=$n; pick a different fixture split")
     val st2 = graft.operators.TilePyramid.deleteFromState(
       st, pts.filter(col("id") % 17 === 0), live, 0, 3, flagOpts, Seq("value"))
     graft.operators.TilePyramid.finalizePyramid(st2, live, 0, 3, flagOpts, Seq("value"))

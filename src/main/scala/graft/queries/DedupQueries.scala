@@ -371,8 +371,12 @@ object DedupQueries {
     * .compact]]).
     */
   private val deletedIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  // synchronized: TrieMap.getOrElseUpdate may evaluate the by-name
+  // body in two racing first callers, and this body does rmRf+copy on
+  // a shared destination — one thread's clear would eat the other's
+  // half-finished clone
   private def deletedIndexPath(s: SparkSession, dir: String): String =
-    deletedIndexPaths.getOrElseUpdate(dir, {
+    deletedIndexPaths.synchronized { deletedIndexPaths.getOrElseUpdate(dir, {
       import org.apache.spark.sql.functions.col
       // clone the shared index's files instead of re-shingling the
       // corpus — the delete must not mutate the index the other
@@ -398,7 +402,7 @@ object DedupQueries {
         docs(s, dir).filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0)
           .select(col("doc_id")))
       dst.toString
-    })
+    }) }
 
   /** The corpus-filter anchor shared by the incremental/bloom oracles;
     * the deleted twins rewrite it, guarded so silent drift is

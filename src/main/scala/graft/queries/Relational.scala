@@ -1112,7 +1112,12 @@ object Relational {
         "pair_count * 1000000 DIV n_orders AS support_ppm",
         "pair_count * 1000000 DIV count_a AS conf_ab_ppm",
         "pair_count * 1000000 DIV count_b AS conf_ba_ppm",
-        "pair_count * n_orders * 1000000 DIV (count_a * count_b) AS lift_ppm")
+        // two-step floor, NOT pair*n*1e6/(ca*cb): the single-step
+        // numerator overflows int64 around SF10+ (Spark would wrap,
+        // DuckDB would raise — a silent oracle split); this shape's
+        // intermediate is bounded by 1e6·n_orders at any scale, and
+        // both engines floor identically at each step
+        "(pair_count * 1000000 DIV count_a) * n_orders DIV count_b AS lift_ppm")
       .orderBy("brand_a", "brand_b")
 
   def qBasketRules(s: SparkSession, dir: String): DataFrame = {
@@ -1148,7 +1153,7 @@ object Relational {
        |       pair_count * 1000000 // n_orders AS support_ppm,
        |       pair_count * 1000000 // a.cnt AS conf_ab_ppm,
        |       pair_count * 1000000 // b.cnt AS conf_ba_ppm,
-       |       pair_count * n_orders * 1000000 // (a.cnt * b.cnt) AS lift_ppm
+       |       (pair_count * 1000000 // a.cnt) * n_orders // b.cnt AS lift_ppm
        |FROM pc JOIN ic a ON brand_a = a.p_brand JOIN ic b ON brand_b = b.p_brand
        |CROSS JOIN n
        |WHERE pair_count >= $MinPairSupport

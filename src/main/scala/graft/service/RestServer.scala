@@ -218,21 +218,16 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
     * so both the live and the serving paths answer without the points
     * immediately.
     */
-  private def handleDeletePoints(ex: HttpExchange, id: String): Unit = {
-    val q = query(ex)
-    (engine.describe(id),
-      try Right(q.getOrElse("ids", "").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq)
-      catch { case _: NumberFormatException => Left("invalid ids parameter") }) match {
+  private def handleDeletePoints(ex: HttpExchange, id: String): Unit =
+    (engine.describe(id), parseIds(ex)) match {
       case (None, _) => err(ex, 400, s"unknown cluster $id")
       case (_, Left(m)) => err(ex, 400, m)
-      case (_, Right(Nil)) => err(ex, 400, "missing ids")
       case (Some(info), Right(ids)) =>
         import engine.spark.implicits._
         val updated = engine.deleteAndMaintain(info.id, ids.toDF("id"))
         respond(ex, 200,
           s"""{"message":"Deleted","clusterInfo":${infoJson(updated)}}""")
     }
-  }
 
   private def handlePyramidBuild(ex: HttpExchange, id: String): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -318,6 +313,14 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
       }
   }
 
+  /** Shared `ids=1,2,3` parameter contract of the delete routes. */
+  private def parseIds(ex: HttpExchange): Either[String, Seq[Long]] =
+    try {
+      val ids = query(ex).getOrElse("ids", "")
+        .split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq
+      if (ids.isEmpty) Left("missing ids") else Right(ids)
+    } catch { case _: NumberFormatException => Left("invalid ids parameter") }
+
   /** Dedup-index tombstone delete ([[graft.sources.DedupIndex
     * .delete]]): `ids=1,2,3` appends to the tombstone table; the
     * check/gate paths immediately stop matching against the deleted
@@ -327,11 +330,8 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
   private def handleDedupDelete(ex: HttpExchange): Unit = dedup match {
     case None => err(ex, 404, "dedup index not configured")
     case Some((spark, indexPath)) =>
-      val q = query(ex)
-      (try Right(q.getOrElse("ids", "").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq)
-        catch { case _: NumberFormatException => Left("invalid ids parameter") }) match {
+      parseIds(ex) match {
         case Left(m) => err(ex, 400, m)
-        case Right(Nil) => err(ex, 400, "missing ids")
         case Right(ids) =>
           graft.sources.DedupIndex.delete(spark, indexPath, ids)
           respond(ex, 200, s"""{"deleted":${ids.size}}""")
@@ -427,11 +427,8 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
   private def handleAnnDelete(ex: HttpExchange): Unit = ann match {
     case None => err(ex, 404, "vector index not configured")
     case Some((spark, indexPath, _)) =>
-      val q = query(ex)
-      (try Right(q.getOrElse("ids", "").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq)
-        catch { case _: NumberFormatException => Left("invalid ids parameter") }) match {
+      parseIds(ex) match {
         case Left(m) => err(ex, 400, m)
-        case Right(Nil) => err(ex, 400, "missing ids")
         case Right(ids) =>
           graft.sources.VectorIndex.delete(spark, indexPath, ids)
           respond(ex, 200, s"""{"deleted":${ids.size}}""")

@@ -89,12 +89,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     // incarnation must not haunt recycled ids, and a cached handle
     // pins the old file listing
     val tomb = new java.io.File(s"$path/_tombstones")
-    if (tomb.exists) {
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
-      }
-      rmRf(tomb)
-    }
+    if (tomb.exists) StagedSwap.rmRf(tomb)
     synchronized {
       lru.remove(id).foreach(_.unpersist())
       lastAccessMs.remove(id)
@@ -274,6 +269,22 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
   /** Currently cached dataset ids, least-recent first (test hook). */
   def cachedIds: Seq[String] = synchronized(lru.keys.toSeq)
 
+  /** Highest id ever issued for a dataset — live rows OR tombstoned
+    * ones (a recycled tombstoned id would be anti-joined out of every
+    * read forever). The id-allocation watermark for generated appends;
+    * 0 for an empty dataset.
+    */
+  def maxIssuedId(id: String): Long = {
+    val liveMax = Option(load(id).agg(max(col("id"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val tomb = s"${dsPath(id)}/_tombstones"
+    val tombMax = if (new java.io.File(tomb).exists)
+      Option(spark.read.parquet(tomb).agg(max(col("id"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    else 0L
+    math.max(liveMax, tombMax)
+  }
+
   /** Tombstone-delete points by id — the delete quarter of the dataset
     * lifecycle (save / append / load+serve / delete), the same side-
     * table contract as the vector/text/dedup indexes: an O(|batch|)
@@ -327,12 +338,17 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("tile_z5")
         .parquet(tmp)
-      for (aux <- Seq("_pyramid", "_pyramid_state", "_pyramid_state_meta.json",
-        "_graft_meta.json")) {
-        val f = new java.io.File(s"$path/$aux")
-        if (f.exists) { f.renameTo(new java.io.File(s"$tmp/$aux")); () }
+      // sidecars (pyramid, state, meta) move INSIDE the swap window:
+      // staging the live dir first means no moment exists where the
+      // dataset path is present but missing its meta/pyramid — the
+      // same all-or-nothing contract the other indexes' swaps give
+      StagedSwap.swapCarrying(path, tmp) { bak =>
+        for (aux <- Seq("_pyramid", "_pyramid_state", "_pyramid_state_meta.json",
+          "_graft_meta.json")) {
+          val f = new java.io.File(bak, aux)
+          if (f.exists) { f.renameTo(new java.io.File(s"$tmp/$aux")); () }
+        }
       }
-      StagedSwap.swap(path, tmp)
       synchronized {
         lru.remove(id).foreach(_.unpersist())
         lastAccessMs.remove(id)

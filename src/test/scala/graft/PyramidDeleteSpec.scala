@@ -104,6 +104,23 @@ class PyramidDeleteSpec extends SparkSpec {
     assert(engine.list().find(_.id == id).get.numPoints == liveCount)
   }
 
+  test("append after delete never recycles ids, live or tombstoned") {
+    val engine = new ClusterEngine(spark,
+      Files.createTempDirectory("graft-del-ids").toString, opts)
+    val id = "cluster-100p-t0-ids"
+    engine.createDataset(id, 100) // ids 1..100
+    // delete the MAX id and an interior one: numPoints (98) is now
+    // below max(id) (100) — offsetting new ids by the count would
+    // either collide with live id 99..100 or resurrect tombstoned 100
+    engine.deleteAndMaintain(id, Seq(5L, 100L).toDF("id"))
+    engine.appendPoints(id, 10)
+    val ids = engine.load(id).select("id").as[Long].collect().sorted
+    assert(ids.length == ids.distinct.length, "duplicate ids after append")
+    assert(ids.max == 110L, s"expected fresh ids 101..110, got max ${ids.max}")
+    assert(!ids.contains(5L) && !ids.contains(100L), "tombstoned id resurrected")
+    assert(engine.list().find(_.id == id).get.numPoints == 108L)
+  }
+
   test("band-crossing delete rebuilds the epoch at the new grid") {
     val engine = new ClusterEngine(spark,
       Files.createTempDirectory("graft-del-band").toString, opts)
