@@ -1141,6 +1141,7 @@ object SparkEntry {
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_ab_test" -> ((s, dir) => Ev.qAbTest(events(s, dir))),
+    "q_pattern_funnel" -> ((s, dir) => Ev.qPatternFunnel(events(s, dir))),
     "q_top_paths" -> ((s, dir) => Ev.qTopPaths(events(s, dir))),
     "q_hop_window" -> ((s, dir) => Ev.qHopWindow(events(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => Ev.qCohortLtv(events(s, dir))),
@@ -1359,6 +1360,7 @@ object SparkEntry {
     "q_concurrency" -> Ev.qConcurrencySql,
     "q_transitions" -> Ev.qTransitionsSql,
     "q_ab_test" -> Ev.qAbTestSql,
+    "q_pattern_funnel" -> Ev.qPatternFunnelSql,
     "q_top_paths" -> Ev.qTopPathsSql,
     "q_hop_window" -> Ev.qHopWindowSql,
     "q_cohort_ltv" -> Ev.qCohortLtvSql,

@@ -1203,6 +1203,79 @@ object Events {
       |ORDER BY event_type, lag_k""".stripMargin
   }
 
+  /** Pattern-INSTANCE extraction — the MATCH_RECOGNIZE-lite shape the
+    * aggregate funnels can't answer: for every purchase, the matched
+    * occurrence of `view → click+ → purchase` with NO error strictly
+    * between the view and the purchase, emitting the concrete match
+    * (which view event opened it, how many clicks it carried). "Most
+    * recent qualifying view" semantics; positions (per-user
+    * row_number over the unique (ts, event_id) order) replace
+    * timestamps everywhere, so ties cannot make frames diverge
+    * between engines. Two window layers + one co-partitioned
+    * self-join on (user, position): one shuffle by user for the
+    * windows, the join reuses the same key — nothing quadratic, state
+    * bounded by |events|.
+    *
+    * Output: user_id, view_eid, purchase_eid, n_clicks (≥ 1), ordered
+    * by purchase_eid.
+    */
+  def qPatternFunnel(events: DataFrame): DataFrame = {
+    val w0 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val s1 = events.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("rn", row_number().over(w0))
+      .withColumn("is_click", when(col("event_type") === "click", 1L).otherwise(0L))
+      .drop("ts")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val s2 = s1
+      .withColumn("cum_clicks", sum(col("is_click")).over(w))
+      .withColumn("last_view_rn",
+        max(when(col("event_type") === "view", col("rn"))).over(w))
+      .withColumn("last_error_rn",
+        max(when(col("event_type") === "error", col("rn"))).over(w))
+    val p = s2.filter(col("event_type") === "purchase" &&
+      col("last_view_rn").isNotNull &&
+      (col("last_error_rn").isNull || col("last_error_rn") < col("last_view_rn")))
+    val v = s2.filter(col("event_type") === "view")
+      .select(col("user_id"), col("rn").as("v_rn"),
+        col("event_id").as("view_eid"), col("cum_clicks").as("v_cum"))
+    p.join(v, p("user_id") === v("user_id") && p("last_view_rn") === v("v_rn"))
+      .select(p("user_id"), col("view_eid"),
+        p("event_id").as("purchase_eid"),
+        (p("cum_clicks") - col("v_cum")).as("n_clicks"))
+      .filter(col("n_clicks") >= 1)
+      .orderBy("purchase_eid")
+  }
+
+  val qPatternFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, event_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      |  FROM events
+      |),
+      |s2 AS (
+      |  SELECT *,
+      |         CAST(sum(is_click) OVER w AS BIGINT) AS cum_clicks,
+      |         max(CASE WHEN event_type = 'view' THEN rn END) OVER w AS last_view_rn,
+      |         max(CASE WHEN event_type = 'error' THEN rn END) OVER w AS last_error_rn
+      |  FROM s1
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+      |),
+      |p AS (
+      |  SELECT * FROM s2
+      |  WHERE event_type = 'purchase' AND last_view_rn IS NOT NULL
+      |    AND (last_error_rn IS NULL OR last_error_rn < last_view_rn)
+      |),
+      |v AS (
+      |  SELECT user_id, rn AS v_rn, event_id AS view_eid, cum_clicks AS v_cum
+      |  FROM s2 WHERE event_type = 'view'
+      |)
+      |SELECT p.user_id, v.view_eid, p.event_id AS purchase_eid,
+      |       CAST(p.cum_clicks - v.v_cum AS BIGINT) AS n_clicks
+      |FROM p JOIN v ON p.user_id = v.user_id AND p.last_view_rn = v.v_rn
+      |WHERE p.cum_clicks - v.v_cum >= 1
+      |ORDER BY purchase_eid""".stripMargin
+
   /** A/B conversion test: deterministic id-parity variant assignment
     * (the hash-bucket experiment split), per-user conversion =
     * above-average purchase spend — `cents·n_users > total_cents`, an

@@ -26,6 +26,32 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("pattern funnel extracts concrete matches; an error between blocks, before doesn't") {
+    val events = ev(
+      // user 1: view, 2 clicks, purchase — one match with n_clicks = 2
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
+      (3L, 3000L, 1L, "click"), (4L, 4000L, 1L, "purchase"),
+      // user 2: error BETWEEN the view and the purchase — blocked
+      (5L, 1000L, 2L, "view"), (6L, 2000L, 2L, "click"),
+      (7L, 3000L, 2L, "error"), (8L, 4000L, 2L, "purchase"),
+      // user 3: error BEFORE the view — does not block; 1 click
+      (9L, 1000L, 3L, "error"), (10L, 2000L, 3L, "view"),
+      (11L, 3000L, 3L, "click"), (12L, 4000L, 3L, "purchase"),
+      // user 4: view then purchase with NO click — no match (click+ required)
+      (13L, 1000L, 4L, "view"), (14L, 2000L, 4L, "purchase"),
+      // user 5: two views; the MOST RECENT qualifying view anchors
+      (15L, 1000L, 5L, "view"), (16L, 2000L, 5L, "click"),
+      (17L, 3000L, 5L, "view"), (18L, 4000L, 5L, "click"),
+      (19L, 5000L, 5L, "purchase"))
+    val out = Events.qPatternFunnel(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 4L, 2L),   // user 1: view 1 → purchase 4, 2 clicks
+      (3L, 10L, 12L, 1L), // user 3: prior error ignored
+      (5L, 17L, 19L, 1L)  // user 5: anchored at the LATEST view; 1 click after it
+    ))
+  }
+
   test("funnel picks the FIRST valid completion of each step") {
     val events = ev(
       (1L, 1000L, 1L, "view"), (2L, 5000L, 1L, "click"),
