@@ -319,6 +319,31 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     info
   }
 
+  /** Fraction of STORED points that are tombstoned (dead / (live +
+    * dead); 0 with no tombstones) — the compaction-pressure signal.
+    * Live count comes from the meta file (already maintained by
+    * [[deletePoints]]), so this is one tombstone-table count, not a
+    * dataset scan.
+    */
+  def deadFraction(id: String): Double = {
+    val tomb = s"${dsPath(id)}/_tombstones"
+    if (!new java.io.File(tomb).exists) return 0.0
+    val dead = spark.read.parquet(tomb).distinct().count()
+    val live = list().find(_.id == id).map(_.numPoints).getOrElse(0L)
+    if (dead + live == 0L) 0.0 else dead.toDouble / (dead + live)
+  }
+
+  /** Policy-driven compaction: rewrite only when the dead fraction
+    * crosses `maxDead` — trickle deletes amortize into occasional
+    * rewrites instead of rewriting the dataset per delete. Returns
+    * whether it compacted.
+    */
+  def compactIfStale(id: String, maxDead: Double = 0.2): Boolean = {
+    val stale = deadFraction(id) > maxDead
+    if (stale) { compactPoints(id); () }
+    stale
+  }
+
   /** Physically drop tombstoned rows and clear the tombstones — the
     * compaction half of [[deletePoints]]' LSM contract. Rewrites the
     * live rows into a staged directory (same tile partitioning and

@@ -164,6 +164,29 @@ object DedupIndex {
       case None    => df
     }
 
+  /** Fraction of stored docs that are tombstoned (0 with no
+    * tombstones) — the compaction-pressure signal.
+    */
+  def deadFraction(spark: SparkSession, path: String): Double =
+    tombstones(spark, path) match {
+      case None => 0.0
+      case Some(t) =>
+        val total = spark.read.parquet(s"$path/digests")
+          .select(col("doc_id")).distinct().count()
+        if (total == 0L) 0.0 else t.count().toDouble / total
+    }
+
+  /** Policy-driven compaction — the maintenance loop's call: compact
+    * only when the dead fraction crosses `maxDead` (default 20%), so
+    * steady trickle deletes amortize into occasional rewrites instead
+    * of rewriting the index per delete. Returns whether it compacted.
+    */
+  def compactIfStale(spark: SparkSession, path: String, maxDead: Double = 0.2): Boolean = {
+    val stale = deadFraction(spark, path) > maxDead
+    if (stale) { compact(spark, path); () }
+    stale
+  }
+
   /** Distinct signature keys of LIVE (non-tombstoned) docs — the probe
     * set for every identity-level gate (streaming gate, bloom gate).
     */

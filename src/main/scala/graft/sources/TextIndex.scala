@@ -109,6 +109,27 @@ object TextIndex {
     if (new java.io.File(s"$path/tombstones").exists)
       Some(spark.read.parquet(s"$path/tombstones")) else None
 
+  /** Fraction of indexed docs that are tombstoned (0 with no
+    * tombstones) — the compaction-pressure signal.
+    */
+  def deadFraction(spark: SparkSession, path: String): Double =
+    tombstones(spark, path) match {
+      case None => 0.0
+      case Some(t) =>
+        val total = spark.read.parquet(s"$path/postings")
+          .select(col("doc")).distinct().count()
+        if (total == 0L) 0.0 else t.select(col("doc")).distinct().count().toDouble / total
+    }
+
+  /** Policy-driven compaction: compact only when the dead fraction
+    * crosses `maxDead`. Returns whether it compacted.
+    */
+  def compactIfStale(spark: SparkSession, path: String, maxDead: Double = 0.2): Boolean = {
+    val stale = deadFraction(spark, path) > maxDead
+    if (stale) { compact(spark, path); () }
+    stale
+  }
+
   /** Re-cluster postings into the term-range probe layout, refresh the
     * global df column, collapse `_stats` to one row, physically drop
     * tombstoned postings and fold their mass out of the stats — then

@@ -431,6 +431,33 @@ object VectorIndex {
         Seq("vec_id"), "left_anti")
     else df
 
+  /** Fraction of stored vectors that are tombstoned (0 with no
+    * tombstones) — the compaction-pressure signal.
+    */
+  def deadFraction(spark: SparkSession, path: String): Double =
+    if (!new java.io.File(s"$path/tombstones").exists) 0.0
+    else {
+      val table = if (new java.io.File(s"$path/vectors").exists) "vectors" else "codes"
+      val total = spark.read.parquet(s"$path/$table").count()
+      if (total == 0L) 0.0
+      else spark.read.parquet(s"$path/tombstones").distinct().count().toDouble / total
+    }
+
+  /** Policy-driven compaction: compact only when the dead fraction
+    * crosses `maxDead` — trickle deletes amortize into occasional
+    * rewrites. Uses [[compactPq]] when the index is a codes layout.
+    * Returns whether it compacted.
+    */
+  def compactIfStale(spark: SparkSession, path: String, maxDead: Double = 0.2): Boolean = {
+    val stale = deadFraction(spark, path) > maxDead
+    if (stale) {
+      if (new java.io.File(s"$path/codes").exists) compactPq(spark, path)
+      else compact(spark, path)
+      ()
+    }
+    stale
+  }
+
   def annServe(spark: SparkSession, path: String, queryVecId: Long,
                probes: Int, topK: Int, dims: Int): DataFrame = {
     val vectors = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
