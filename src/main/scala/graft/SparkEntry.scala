@@ -1165,6 +1165,7 @@ object SparkEntry {
     "q_skyline" -> (Relational.qSkyline _),
     "q_histogram" -> (Relational.qHistogram _),
     "q_basket_rules" -> (Relational.qBasketRules _),
+    "q_regression" -> (Relational.qRegression _),
     "q_rank_family" -> (Relational.qRankFamily _),
     "q_rag_pack" -> (PipelineQueries.qRagPack _),
     "q_range_window" -> ((s, dir) => Ev.qRangeWindow(events(s, dir))),
@@ -1384,6 +1385,7 @@ object SparkEntry {
     "q_skyline" -> Relational.qSkylineSql,
     "q_histogram" -> Relational.qHistogramSql,
     "q_basket_rules" -> Relational.qBasketRulesSql,
+    "q_regression" -> Relational.qRegressionSql,
     "q_rank_family" -> Relational.qRankFamilySql,
     "q_rag_pack" -> PipelineQueries.qRagPackSql,
     "q_range_window" -> Ev.qRangeWindowSql,

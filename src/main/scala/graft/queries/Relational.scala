@@ -301,6 +301,63 @@ object Relational {
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
 
+  /** Per-group simple OLS on the exact-moment lattice (the
+    * [[qCorrMatrix]] discipline): for each return flag, regress
+    * extended price on quantity — slope, intercept, r² from five
+    * DECIMAL-exact moment sums, each finished as ONE double
+    * expression with identical association both engines and rounded
+    * to 6 dp. The intercept consumes the UNROUNDED slope (both sides
+    * compute it from the same raw expression), so no rounding
+    * composes. One mergeable aggregation pass; at 100 TB this is a
+    * map-side-combined groupBy and five sums — the minimum any
+    * regression pays.
+    */
+  def qRegression(s: SparkSession, dir: String): DataFrame = {
+    val d4 = DecimalType(38, 4)
+    val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast(DoubleType).as("sx"),
+        sum(y.cast(DecimalType(18, 2))).cast(DoubleType).as("sy"),
+        sum((x.cast(d4) * y.cast(d4)).cast(d4)).cast(DoubleType).as("sxy"),
+        sum((x.cast(d4) * x.cast(d4)).cast(d4)).cast(DoubleType).as("sxx"),
+        sum((y.cast(d4) * y.cast(d4)).cast(d4)).cast(DoubleType).as("syy"))
+      .withColumn("slope_raw",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6).as("intercept"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val qRegressionSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_extendedprice AS DECIMAL(38,4)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_quantity AS DECIMAL(38,4)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(l_extendedprice AS DECIMAL(38,4)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag
+      |),
+      |s AS (
+      |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw FROM m
+      |)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round(slope_raw, 6) AS slope,
+      |  round((sy - slope_raw * sx) / n, 6) AS intercept,
+      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** CUBE over returnflag/linestatus — every grouping-set combination
     * (the rollup query's superset: +the linestatus-only subtotals).
     * Same exact sums; NULL markers order first on both sides.

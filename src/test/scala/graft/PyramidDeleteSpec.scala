@@ -104,6 +104,40 @@ class PyramidDeleteSpec extends SparkSpec {
     assert(engine.list().find(_.id == id).get.numPoints == liveCount)
   }
 
+  test("property: ANY random delete subset maintains to the rebuild exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Test => ScTest}
+    val all = PointGen.uniformPoints(spark, 1500, Bounds.World, seed = 31L)
+    val n = all.count()
+    val st = TilePyramid.cellState(all, 0, 2, opts, metrics, meta, n)
+    // salted-hash membership: every draw deletes a DIFFERENT ~1/d of
+    // the corpus; the subtractive state must reproduce the epoch-pinned
+    // rebuild over the survivors bit-for-bit each time — including the
+    // min-id repairs the random subset happens to force
+    val gen = for {
+      d <- Gen.chooseNum(2, 8)
+      salt <- Gen.chooseNum(1L, 1000000L)
+    } yield (d, salt)
+    val prop = forAll(gen) { case (d, salt) =>
+      val isDel = org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.xxhash64(col("id"), lit(salt)), lit(d)) === 0
+      val del = all.filter(isDel)
+      val live = all.filter(!isDel)
+      val maintained = TilePyramid.finalizePyramid(
+        TilePyramid.deleteFromState(st, del, live, 0, 2, opts, metrics),
+        live, 0, 2, opts, metrics)
+      val rebuilt = TilePyramid.finalizePyramid(
+        TilePyramid.cellState(live, 0, 2, opts, metrics, meta, n),
+        live, 0, 2, opts, metrics)
+      maintained.collect().map(_.toString).sorted.toSeq ==
+        rebuilt.collect().map(_.toString).sorted.toSeq
+    }
+    val res = org.scalacheck.Test.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("append after delete never recycles ids, live or tombstoned") {
     val engine = new ClusterEngine(spark,
       Files.createTempDirectory("graft-del-ids").toString, opts)
