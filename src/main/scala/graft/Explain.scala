@@ -25,7 +25,8 @@ object Explain {
         "q_bq_search", "q_ivfbq_search", "q_skyline", "q_histogram",
         "q_graph_hops", "q_rag_pack", "q_containment", "q_percentile_cont",
         "q_shortest_path", "q_pagerank_personal", "q_basket_rules",
-        "q_ab_test", "q_dedup_deleted", "q_pyramid_deleted")
+        "q_ab_test", "q_dedup_deleted", "q_pyramid_deleted",
+        "q_pattern_funnel", "q_regression")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
