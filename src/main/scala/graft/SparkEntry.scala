@@ -1166,6 +1166,7 @@ object SparkEntry {
     "q_histogram" -> (Relational.qHistogram _),
     "q_basket_rules" -> (Relational.qBasketRules _),
     "q_regression" -> (Relational.qRegression _),
+    "q_gini" -> (Relational.qGini _),
     "q_rank_family" -> (Relational.qRankFamily _),
     "q_rag_pack" -> (PipelineQueries.qRagPack _),
     "q_range_window" -> ((s, dir) => Ev.qRangeWindow(events(s, dir))),
@@ -1386,6 +1387,7 @@ object SparkEntry {
     "q_histogram" -> Relational.qHistogramSql,
     "q_basket_rules" -> Relational.qBasketRulesSql,
     "q_regression" -> Relational.qRegressionSql,
+    "q_gini" -> Relational.qGiniSql,
     "q_rank_family" -> Relational.qRankFamilySql,
     "q_rag_pack" -> PipelineQueries.qRagPackSql,
     "q_range_window" -> Ev.qRangeWindowSql,

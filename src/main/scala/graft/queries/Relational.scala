@@ -358,6 +358,57 @@ object Relational {
       |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** Revenue-concentration Gini coefficient over per-customer spend —
+    * the scalar inequality measure beside [[qAbcAnalysis]]'s Pareto
+    * bands: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with x ascending and i the
+    * 1-based rank. Ranks come from a total order on (cents, custkey)
+    * so ties can't split engines; Σx and Σ(i·x) accumulate as
+    * DECIMAL(38,0) on the cents lattice (exact at any SF — i·x alone
+    * would push int64 around SF100); the finish is one double
+    * expression rounded to 6 dp. The global rank is the exact SPEC
+    * shape (one ordered partition, same caveat as [[qNtile]]); the
+    * 100 TB path replaces it with range-partitioned ranking off
+    * sampled quantile boundaries, with this query as its oracle.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val rev = s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val d0 = DecimalType(38, 0)
+    rev.withColumn("rn", row_number().over(w))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(d0)).cast(d0).as("sx"),
+        sum(col("rn").cast(d0) * col("cents").cast(d0)).cast(d0).as("six"))
+      .select(col("n").as("n_customers"),
+        col("sx").cast("long").as("total_cents"),
+        round(lit(2.0) * col("six").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("sx").cast(DoubleType)) -
+          (col("n").cast(DoubleType) + lit(1.0)) / col("n").cast(DoubleType), 6)
+          .as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey
+      |),
+      |r AS (
+      |  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM rev
+      |),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |         CAST(sum(CAST(rn AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS six
+      |  FROM r
+      |)
+      |SELECT n AS n_customers, CAST(sx AS BIGINT) AS total_cents,
+      |       round(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+      |FROM s""".stripMargin
+
   /** CUBE over returnflag/linestatus — every grouping-set combination
     * (the rollup query's superset: +the linestatus-only subtotals).
     * Same exact sums; NULL markers order first on both sides.
