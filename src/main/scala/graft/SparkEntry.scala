@@ -151,13 +151,23 @@ object SparkEntry {
               throw new IllegalStateException(
                 s"$file: ts is unannotated INT64 with no footer statistics — " +
                   "cannot classify epoch unit; refusing to guess (r6 bug class)")
+            // confidence bands (r9 advice: the old open-ended ≥1e13 µs
+            // branch silently swallowed the ambiguous middle): a value is
+            // classified only when it falls INSIDE one band —
+            //   ns band [1e17, 1e19): 1973..2286 as epoch-nanos
+            //   µs band [1e13, 4e15]: 1970-05..2096 as epoch-micros
+            // the gap (4e15, 1e17) is year>2096-if-µs / pre-1973-if-ns —
+            // plausible as neither, so it fails loudly instead of guessing.
             val m = mins.min
-            if (m >= 100000000000000000L) Some(TsLayout.NanosLong)       // ≥1e17: ns
-            else if (m >= 10000000000000L) Some(TsLayout.MicrosLong)     // ≥1e13: µs
+            if (m >= 100000000000000000L)
+              Some(TsLayout.NanosLong)   // [1e17, Long.Max≈9.2e18): ns (≤ year 2262)
+            else if (m >= 10000000000000L && m <= 4000000000000000L)
+              Some(TsLayout.MicrosLong)                                   // [1e13,4e15]: µs
             else
               throw new IllegalStateException(
-                s"$file: ts is unannotated INT64 with min=$m — neither plausible " +
-                  "epoch-nanos (≥1e17) nor epoch-micros (≥1e13); refusing to guess")
+                s"$file: ts is unannotated INT64 with min=$m — outside both the " +
+                  "epoch-nanos confidence band [1e17,1e19) and the epoch-micros band " +
+                  "[1e13,4e15]; refusing to guess the unit (r6 bug class)")
           case _ => Some(TsLayout.Native)
         }
       } finally reader.close()
@@ -1167,6 +1177,8 @@ object SparkEntry {
     "q_basket_rules" -> (Relational.qBasketRules _),
     "q_regression" -> (Relational.qRegression _),
     "q_gini" -> (Relational.qGini _),
+    "q_gini_dist" -> (Relational.qGiniDist _),
+    "q_abc_dist" -> (Relational.qAbcDist _),
     "q_rank_family" -> (Relational.qRankFamily _),
     "q_rag_pack" -> (PipelineQueries.qRagPack _),
     "q_range_window" -> ((s, dir) => Ev.qRangeWindow(events(s, dir))),
@@ -1388,6 +1400,10 @@ object SparkEntry {
     "q_basket_rules" -> Relational.qBasketRulesSql,
     "q_regression" -> Relational.qRegressionSql,
     "q_gini" -> Relational.qGiniSql,
+    // the distributed-rank twins are DEFINED result-identical to their
+    // single-partition specs — shared oracles prove it hash-exactly
+    "q_gini_dist" -> Relational.qGiniSql,
+    "q_abc_dist" -> Relational.qAbcAnalysisSql,
     "q_rank_family" -> Relational.qRankFamilySql,
     "q_rag_pack" -> PipelineQueries.qRagPackSql,
     "q_range_window" -> Ev.qRangeWindowSql,

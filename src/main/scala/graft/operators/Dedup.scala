@@ -197,11 +197,17 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= greatest(lit(1),
         (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int")))
-      .select(col("id"), col("shingle")))
+      .select(col("id"), col("shingle"), col("len")))
     // duplicate pairs (several shared prefix shingles) are fine —
-    // verifyJaccard counts DISTINCT shingles, so no dedup exchange here
+    // verifyJaccard counts DISTINCT shingles, so no dedup exchange here.
+    // ppjoin's length filter rides the join: jaccard ≥ t ⟹
+    // inter ≤ min(|a|,|b|) and union ≥ max(|a|,|b|), so
+    // min ≥ t·max — a free necessary-condition predicate that prunes
+    // length-mismatched candidates before the (distinct-count) verify.
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          col("a.len") >= lit(threshold) * col("b.len") &&
+          col("b.len") >= lit(threshold) * col("a.len"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     verifyJaccard(cand, sh, idCol, threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"),

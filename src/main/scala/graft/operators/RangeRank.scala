@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT global ranking / running sums — the scale-safe
+  * replacement for `Window.orderBy` with no `partitionBy`, which
+  * serializes the whole input through ONE task (the r9 verdict's
+  * "single-partition global window" weak class).
+  *
+  * Shape (the classic two-pass range rank):
+  *  1. bucket boundaries from one mergeable `approx_percentile` sketch
+  *     pass, broadcast;
+  *  2. each row maps to a bucket by STRICT comparison against the
+  *     boundaries — all rows sharing the order key land in the same
+  *     bucket, so bucket index is a monotone function of the key and
+  *     the bucket partition respects any (key, tieBreak…) total order;
+  *  3. a per-bucket window (parallel: one partition per bucket) ranks /
+  *     prefix-sums locally;
+  *  4. per-bucket totals (≤ nBuckets rows) turn into cumulative offsets
+  *     via a tiny triangular self-join — no window, no driver collect —
+  *     broadcast back, and `global = local + offset`.
+  *
+  * The sketch only affects bucket BALANCE, never correctness: ranks and
+  * running sums are exact for any boundary choice, so results are
+  * hash-identical to the single-partition spec (the oracles pin this).
+  * Degenerate inputs (every key equal) collapse to one bucket — the
+  * same work the global window would do, never more.
+  */
+object RangeRank {
+
+  /** `df` plus a `_bucket` column: bucket index ascending in the sort
+    * direction of `key` (desc = highest keys in bucket 0). Key-ties
+    * always share a bucket (strict comparisons), so tie-breaking is
+    * fully contained within one bucket's window.
+    */
+  private def bucketed(df: DataFrame, key: Column, desc: Boolean,
+                       nBuckets: Int): DataFrame = {
+    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val bounds = df.agg(
+      percentile_approx(key.cast("double"), array(qs: _*), lit(10000)).as("_bs"))
+    val k = key.cast("double")
+    val cnt =
+      if (desc) size(filter(col("_bs"), b => k < b))
+      else size(filter(col("_bs"), b => k > b))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_bucket", cnt)
+      .drop("_bs")
+  }
+
+  /** Cumulative offsets over the per-bucket totals: (_bucket, _off)
+    * with `_off` = Σ of all LOWER buckets' `_v`. Triangular self-join
+    * over ≤ nBuckets rows — deliberately not a window.
+    */
+  private def cumOffsets(per: DataFrame): DataFrame =
+    per.join(per.select(col("_bucket").as("_pb"), col("_v").as("_pv")),
+        col("_pb") < col("_bucket"), "left")
+      .groupBy(col("_bucket"))
+      .agg(coalesce(sum(col("_pv")), lit(0L)).as("_off"))
+
+  private def ordering(key: Column, tieBreak: Seq[Column], desc: Boolean): Seq[Column] =
+    (if (desc) key.desc else key.asc) +: tieBreak.map(_.asc)
+
+  /** `df` plus an exact 1-based global `row_number` column `out` under
+    * the total order (key [desc], tieBreak asc…), computed with only
+    * per-bucket windows.
+    */
+  def withGlobalRank(df: DataFrame, key: Column, tieBreak: Seq[Column],
+                     desc: Boolean = false, nBuckets: Int = 32,
+                     out: String = "rn"): DataFrame = {
+    val b = bucketed(df, key, desc, nBuckets)
+    val per = b.groupBy(col("_bucket")).agg(count(lit(1)).as("_v"))
+    val w = Window.partitionBy(col("_bucket")).orderBy(ordering(key, tieBreak, desc): _*)
+    b.join(broadcast(cumOffsets(per)), "_bucket")
+      .withColumn(out, row_number().over(w).cast("long") + col("_off"))
+      .drop("_bucket", "_off")
+  }
+
+  /** `df` plus an exact global running sum of `sumExpr` under the total
+    * order (key [desc], tieBreak asc…). `rowsFrame = false` keeps the
+    * default peer-inclusive RANGE frame (ties see their whole peer
+    * group — the sweep-line convention); `true` uses ROWS
+    * unboundedPreceding..currentRow (per-row cumulative; only
+    * order-deterministic when the total order has no ties).
+    */
+  def withRunningSum(df: DataFrame, sumExpr: Column, key: Column,
+                     tieBreak: Seq[Column], desc: Boolean = false,
+                     rowsFrame: Boolean = false, nBuckets: Int = 32,
+                     out: String = "running"): DataFrame = {
+    val b = bucketed(df, key, desc, nBuckets)
+    val per = b.groupBy(col("_bucket")).agg(sum(sumExpr).as("_v"))
+    val w0 = Window.partitionBy(col("_bucket")).orderBy(ordering(key, tieBreak, desc): _*)
+    val w = if (rowsFrame) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow) else w0
+    b.join(broadcast(cumOffsets(per)), "_bucket")
+      .withColumn(out, sum(sumExpr).over(w) + col("_off"))
+      .drop("_bucket", "_off")
+  }
+}

@@ -190,8 +190,17 @@ object TilePyramid {
   def deleteFromState(st: PyramidState, delPoints: DataFrame, livePoints: DataFrame,
                       zMin: Int, zMax: Int, opts: ClusterOptions = ClusterOptions(),
                       metricCols: Seq[String] = Nil,
-                      idCol: String = "id", lonCol: String = "lon", latCol: String = "lat"): PyramidState = {
+                      idCol: String = "id", lonCol: String = "lon", latCol: String = "lat",
+                      maxBroadcastDeleteRows: Long = 2000000L): PyramidState = {
     val metaCols = st.metaCounts.map(_._1)
+    // broadcast is the right shape for the usual trickle-delete batch,
+    // but a corpus-scale purge (a GDPR sweep deleting a double-digit
+    // fraction) would blow the broadcast threshold / driver memory —
+    // gate the hint on the actual batch size (one batch-sized count;
+    // the batch is about to be scanned zMax−zMin+1 times anyway) and
+    // fall back to plain shuffle joins above it (r9 advice).
+    val bcast: DataFrame => DataFrame =
+      if (delPoints.count() <= maxBroadcastDeleteRows) broadcast else identity
     val del = cellState(delPoints, zMin, zMax, opts, metricCols, metaCols,
       st.densityN, idCol, lonCol, latCol)
     val dCells = del.cells.select(
@@ -199,7 +208,7 @@ object TilePyramid {
         col("cnt").as("d_cnt"), col("slon").as("d_slon"),
         col("sy").as("d_sy"), col("min_id").as("d_min_id")) ++
         metricCols.map(m => col(s"sum_$m").as(s"d_sum_$m")): _*)
-    val subtracted = st.cells.join(broadcast(dCells), pyramidKey, "left")
+    val subtracted = st.cells.join(bcast(dCells), pyramidKey, "left")
       .select(
         Seq(col("zoom"), col("cell_x"), col("cell_y"),
           (col("cnt") - coalesce(col("d_cnt"), lit(0L))).as("cnt"),
@@ -222,14 +231,14 @@ object TilePyramid {
       .filter(col("d_min_id").isNotNull && col("min_id") === col("d_min_id"))
       .select(pyramidKey.map(col): _*)
     val repaired = celledFor(livePoints, zMin, zMax, opts, st.densityN, lonCol, latCol)
-      .join(broadcast(lost), pyramidKey, "left_semi")
+      .join(bcast(lost), pyramidKey, "left_semi")
       .groupBy(pyramidKey.map(col): _*)
       .agg(min(col(idCol)).as("r_min_id"))
-    val cells = subtracted.join(broadcast(repaired), pyramidKey, "left")
+    val cells = subtracted.join(bcast(repaired), pyramidKey, "left")
       .withColumn("min_id", coalesce(col("r_min_id"), col("min_id")))
       .drop("d_min_id", "r_min_id")
     val counts = st.metaCounts.zip(del.metaCounts).map { case ((c, ca), (_, cb)) =>
-      c -> ca.join(broadcast(cb.withColumnRenamed("vc", "d_vc")), pyramidKey :+ c, "left")
+      c -> ca.join(bcast(cb.withColumnRenamed("vc", "d_vc")), pyramidKey :+ c, "left")
         .select((pyramidKey :+ c).map(col) :+
           (col("vc") - coalesce(col("d_vc"), lit(0L))).as("vc"): _*)
         .filter(col("vc") > 0)

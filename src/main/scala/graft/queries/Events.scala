@@ -162,19 +162,23 @@ object Events {
     * answer is its max plus the first instant reaching it.
     *
     * Scale shape: the sweep input is 2×|sessions| — already aggregated
-    * by sessionization, orders of magnitude below raw events; at true
-    * scale the global curve splits into per-partition sweeps + boundary
-    * offsets (the standard parallel prefix-sum), which this exact spec
-    * shape would oracle.
+    * by sessionization, orders of magnitude below raw events — and the
+    * running sum is the parallel prefix-sum its spec prescribed:
+    * [[graft.operators.RangeRank.withRunningSum]] range-buckets the
+    * boundaries by t, prefix-sums each bucket in parallel and adds
+    * broadcast bucket offsets. Key-ties share a bucket and the
+    * peer-inclusive RANGE frame is preserved within it, so the curve is
+    * bit-identical to the single-partition form (same oracle).
     */
   def qConcurrency(events: DataFrame): DataFrame = {
     val sess = qSessionize(events)
     val bounds = sess.select(unix_micros(col("t_start")).as("t"), lit(1L).as("delta"))
       .unionAll(sess.select(unix_micros(col("t_end")).as("t"), lit(-1L).as("delta")))
-    // peer-inclusive default frame: conc at (t, delta) counts all
+    // peer-inclusive frame: conc at (t, delta) counts all
     // boundaries ≤ the peer group — deterministic under duplicates
-    val sweep = bounds.select(col("t"),
-      sum(col("delta")).over(Window.orderBy(col("t"), col("delta"))).as("conc"))
+    val sweep = graft.operators.RangeRank
+      .withRunningSum(bounds, col("delta"), col("t"), Seq(col("delta")), out = "conc")
+      .select(col("t"), col("conc"))
     val peak = sweep.agg(max(col("conc")).as("peak_concurrency"))
     val n = sess.agg(count(lit(1)).as("n_sessions"))
     sweep.crossJoin(broadcast(peak))
@@ -1307,13 +1311,19 @@ object Events {
       sum(when(col("variant") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("b"),
       sum(when(col("variant") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("c"),
       sum(when(col("variant") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("d"))
+      // nullif guards (r9 advice): a degenerate fixture (an empty
+      // variant, or zero/all conversions) zeroes a marginal — the
+      // unguarded forms then integer-divide by zero / produce NaN in
+      // Spark while DuckDB errors or differs. NULL is the shared,
+      // hash-stable answer both engines agree on, guarded identically
+      // in the oracle SQL below.
       .selectExpr("a + b AS n_control", "a AS conv_control",
         "c + d AS n_treat", "c AS conv_treat",
-        "a * 1000000 DIV (a + b) AS rate_control_ppm",
-        "c * 1000000 DIV (c + d) AS rate_treat_ppm",
+        "a * 1000000 DIV nullif(a + b, 0) AS rate_control_ppm",
+        "c * 1000000 DIV nullif(c + d, 0) AS rate_treat_ppm",
         "round(CAST(a + b + c + d AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)" +
           " * CAST(a * d - b * c AS DOUBLE)" +
-          " / (CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE)), 6)" +
+          " / nullif(CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE), 0.0), 6)" +
           " AS chi2")
       .withColumn("significant", col("chi2") > lit(3.841459))
   }
@@ -1343,11 +1353,11 @@ object Events {
       |SELECT *, chi2 > 3.841459 AS significant FROM (
       |  SELECT a + b AS n_control, a AS conv_control,
       |         c + d AS n_treat, c AS conv_treat,
-      |         a * 1000000 // (a + b) AS rate_control_ppm,
-      |         c * 1000000 // (c + d) AS rate_treat_ppm,
+      |         a * 1000000 // nullif(a + b, 0) AS rate_control_ppm,
+      |         c * 1000000 // nullif(c + d, 0) AS rate_treat_ppm,
       |         round(CAST(a + b + c + d AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
       |           * CAST(a * d - b * c AS DOUBLE)
-      |           / (CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE)), 6)
+      |           / nullif(CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE), 0.0), 6)
       |           AS chi2
       |  FROM cells
       |)""".stripMargin

@@ -389,6 +389,33 @@ object Relational {
           .as("gini"))
   }
 
+  /** The 100 TB twin of [[qGini]]: the global (cents, custkey) rank
+    * comes from [[graft.operators.RangeRank.withGlobalRank]]
+    * (range-bucketed two-pass rank — per-bucket parallel windows +
+    * broadcast offsets) instead of a single-partition
+    * `Window.orderBy`. Ranks are EXACT for any sketch boundary choice,
+    * so this shares [[qGiniSql]] verbatim as its oracle; the no-global-
+    * window plan shape is pinned by RangeRankScaleSpec.
+    */
+  def qGiniDist(s: SparkSession, dir: String): DataFrame = {
+    val rev = s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val d0 = DecimalType(38, 0)
+    graft.operators.RangeRank
+      .withGlobalRank(rev, col("cents"), Seq(col("o_custkey")), out = "rn")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(d0)).cast(d0).as("sx"),
+        sum(col("rn").cast(d0) * col("cents").cast(d0)).cast(d0).as("six"))
+      .select(col("n").as("n_customers"),
+        col("sx").cast("long").as("total_cents"),
+        round(lit(2.0) * col("six").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("sx").cast(DoubleType)) -
+          (col("n").cast(DoubleType) + lit(1.0)) / col("n").cast(DoubleType), 6)
+          .as("gini"))
+  }
+
   val qGiniSql: String =
     """WITH rev AS (
       |  SELECT o_custkey,
@@ -1021,6 +1048,38 @@ object Relational {
     val w = Window.orderBy(col("cents").desc, col("o_custkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rev.withColumn("cum_cents", sum(col("cents")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(expr("cum_cents * 1000000 div total_cents") <= 800000, "A")
+          .when(expr("cum_cents * 1000000 div total_cents") <= 950000, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("class_revenue_cents"),
+        max(col("total_cents")).as("total_cents"))
+      .select(col("abc_class"), col("n_customers"), col("class_revenue_cents"),
+        expr("class_revenue_cents * 1000000 div total_cents").as("revenue_share_ppm"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** The 100 TB twin of [[qAbcAnalysis]]: the global descending
+    * cumulative-revenue sweep runs through
+    * [[graft.operators.RangeRank.withRunningSum]] (range-bucketed
+    * prefix sum — per-bucket parallel windows + broadcast bucket
+    * offsets) instead of a single-partition window. The ROWS frame and
+    * (cents desc, custkey) total order are identical, custkey makes the
+    * order tie-free, and bucket offsets are exact long sums — so the
+    * cum_cents column (and everything downstream) is bit-identical to
+    * the spec, sharing [[qAbcAnalysisSql]] verbatim as its oracle.
+    */
+  def qAbcDist(s: SparkSession, dir: String): DataFrame = {
+    val rev = s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val total = rev.agg(sum(col("cents")).as("total_cents"))
+    graft.operators.RangeRank
+      .withRunningSum(rev, col("cents"), col("cents"), Seq(col("o_custkey")),
+        desc = true, rowsFrame = true, out = "cum_cents")
       .crossJoin(broadcast(total))
       .withColumn("abc_class",
         when(expr("cum_cents * 1000000 div total_cents") <= 800000, "A")

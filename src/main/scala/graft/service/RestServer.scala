@@ -333,9 +333,34 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
       parseIds(ex) match {
         case Left(m) => err(ex, 400, m)
         case Right(ids) =>
+          // `deleted` counts ids that actually transitioned to
+          // tombstoned — members not already dead — mirroring the
+          // clusters route whose clusterInfo reflects the true
+          // decrement; `requested` keeps the raw batch size (r9
+          // advice: unknown/already-deleted ids are not "deleted").
+          val newly = newlyDead(spark, ids,
+            s"$indexPath/digests", "doc_id", s"$indexPath/tombstones")
           graft.sources.DedupIndex.delete(spark, indexPath, ids)
-          respond(ex, 200, s"""{"deleted":${ids.size}}""")
+          respond(ex, 200, s"""{"requested":${ids.size},"deleted":$newly}""")
       }
+  }
+
+  /** How many of `ids` are live members about to be tombstoned: ids
+    * present in the member table minus ids already in the tombstone
+    * table. Request-sized broadcast joins — REST-edge cheap.
+    */
+  private def newlyDead(spark: org.apache.spark.sql.SparkSession, ids: Seq[Long],
+                        memberPath: String, idCol: String, tombPath: String): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val idsDf = ids.toDF(idCol)
+    val members = spark.read.parquet(memberPath).select(col(idCol)).distinct()
+    val live = members.join(broadcast(idsDf), Seq(idCol), "left_semi")
+    val dead =
+      if (new java.io.File(tombPath).exists)
+        live.join(broadcast(spark.read.parquet(tombPath).distinct()), Seq(idCol), "left_anti")
+      else live
+    dead.count()
   }
 
   /** ANN top-k route over the configured persisted vector index; the
@@ -430,8 +455,12 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
       parseIds(ex) match {
         case Left(m) => err(ex, 400, m)
         case Right(ids) =>
+          val table =
+            if (new java.io.File(s"$indexPath/vectors").exists) "vectors" else "codes"
+          val newly = newlyDead(spark, ids,
+            s"$indexPath/$table", "vec_id", s"$indexPath/tombstones")
           graft.sources.VectorIndex.delete(spark, indexPath, ids)
-          respond(ex, 200, s"""{"deleted":${ids.size}}""")
+          respond(ex, 200, s"""{"requested":${ids.size},"deleted":$newly}""")
       }
   }
 

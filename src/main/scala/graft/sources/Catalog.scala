@@ -371,7 +371,12 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
         for (aux <- Seq("_pyramid", "_pyramid_state", "_pyramid_state_meta.json",
           "_graft_meta.json")) {
           val f = new java.io.File(bak, aux)
-          if (f.exists) { f.renameTo(new java.io.File(s"$tmp/$aux")); () }
+          // a silently-failed carry would let rmRf(bak) destroy the only
+          // copy of the pyramid/meta — fail the swap loudly instead, like
+          // swap() itself does for its renames
+          if (f.exists)
+            require(f.renameTo(new java.io.File(s"$tmp/$aux")),
+              s"could not carry sidecar $aux from $bak into $tmp")
         }
       }
       synchronized {

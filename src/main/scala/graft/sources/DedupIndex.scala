@@ -89,6 +89,7 @@ object DedupIndex {
       .repartitionByRange(col("sigkey")).sortWithinPartitions("sigkey")
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/sigkeys")
+    refreshGateState(docs.sparkSession, path) // gate sidecar maintained at mutation time
     path
   }
 
@@ -122,6 +123,7 @@ object DedupIndex {
       .sortWithinPartitions("sigkey")
       .write.mode("append").option("compression", "zstd")
       .parquet(s"$path/sigkeys")
+    refreshGateState(docs.sparkSession, path)
     path
   }
 
@@ -151,6 +153,10 @@ object DedupIndex {
     ids.select(ids.columns.headOption.map(col).getOrElse(col("doc_id"))
         .cast("long").as("doc_id"))
       .write.mode("append").parquet(s"$path/tombstones")
+    // the delete pays the gate refresh (live projection + bloom rebuild)
+    // so subsequent gate builds stay warm — r9 advice; the tombstone
+    // append itself remains O(|batch|)
+    refreshGateState(ids.sparkSession, path)
     path
   }
 
@@ -165,15 +171,22 @@ object DedupIndex {
     }
 
   /** Fraction of stored docs that are tombstoned (0 with no
-    * tombstones) — the compaction-pressure signal.
+    * tombstones) — the compaction-pressure signal. Only tombstoned ids
+    * that are actually MEMBERS count ([[delete]] appends raw ids
+    * unchecked, so a batch of unknown/foreign ids would otherwise
+    * inflate the ratio past 1.0 and trigger spurious
+    * [[compactIfStale]] rewrites — r9 advice).
     */
   def deadFraction(spark: SparkSession, path: String): Double =
     tombstones(spark, path) match {
       case None => 0.0
       case Some(t) =>
-        val total = spark.read.parquet(s"$path/digests")
-          .select(col("doc_id")).distinct().count()
-        if (total == 0L) 0.0 else t.count().toDouble / total
+        val members = spark.read.parquet(s"$path/digests")
+          .select(col("doc_id")).distinct()
+        val total = members.count()
+        if (total == 0L) 0.0
+        else members.join(broadcast(t), Seq("doc_id"), "left_semi")
+          .count().toDouble / total
     }
 
   /** Policy-driven compaction — the maintenance loop's call: compact
@@ -187,12 +200,79 @@ object DedupIndex {
     stale
   }
 
+  // ------------------------------------------------- gate-state sidecar
+  //
+  // The identity gates (streaming gate, bloom gate) probe the DISTINCT
+  // live signature keys. Deriving that projection per probe —
+  // sigkeys scan → tombstone anti-join → distinct, plus the bloom
+  // aggregate — is what regressed q_bloom_gate in r9 (+62%). The
+  // projection and the serialized bloom are now MAINTAINED, not
+  // derived: materialized once under `_gate/` with a stamp of the
+  // (sigkeys, tombstones) file state they were built from, refreshed
+  // eagerly at mutation time (save/append/delete/compact) and lazily
+  // on stamp mismatch. A warm gate build is a sorted-parquet read plus
+  // one small binary file — no distinct, no anti-join, no aggregate.
+
+  /** Fingerprint of the inputs the gate state derives from. */
+  private def gateStamp(path: String): String = {
+    def ls(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$path/$sub")
+      Option(d.listFiles()).map(_.toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.length}").sorted).getOrElse(Nil)
+    }
+    val s = (ls("sigkeys") :+ "|") ++ ls("tombstones")
+    java.util.UUID.nameUUIDFromBytes(
+      s.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+  }
+
+  /** Rebuild `_gate/` (live distinct sigkeys sorted by key + serialized
+    * bloom + meta) iff the stamp says its inputs changed. Staged into
+    * `_gate.tmp` and swapped, stamp written last — a crash mid-refresh
+    * leaves either the old consistent state or a missing stamp (which
+    * forces a rebuild), never a half-written gate.
+    */
+  private def refreshGateState(spark: SparkSession, path: String,
+                               bitsPerKey: Long = 10L): Unit = synchronized {
+    val stamp = gateStamp(path)
+    val stampFile = java.nio.file.Paths.get(path, "_gate", "stamp")
+    if (java.nio.file.Files.isRegularFile(stampFile) &&
+        java.nio.file.Files.readString(stampFile) == stamp) return
+    val tmp = new java.io.File(s"$path/_gate.tmp")
+    StagedSwap.rmRf(tmp)
+    val live = dropTombstoned(spark, path, spark.read.parquet(s"$path/sigkeys"))
+      .select(col("sigkey")).distinct()
+    live.repartitionByRange(col("sigkey")).sortWithinPartitions("sigkey")
+      .write.option("compression", "zstd").parquet(s"$tmp/live_sigkeys")
+    val reread = spark.read.parquet(s"$tmp/live_sigkeys")
+    val nKeys = reread.count()
+    val numBits = math.min(math.max(nKeys * bitsPerKey, 64L), 1L << 30)
+    if (nKeys > 0L) {
+      graft.plans.BloomExpressions.register(spark)
+      val bytes = reread
+        .select(call_function("graft_bloom_agg", xxhash64(col("sigkey")),
+          lit(nKeys), lit(numBits)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/bloom.bin"), bytes)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/meta.json"),
+      s"""{"nKeys":$nKeys,"numBits":$numBits}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/stamp"), stamp)
+    val dst = new java.io.File(s"$path/_gate")
+    StagedSwap.rmRf(dst)
+    require(tmp.renameTo(dst), s"could not swap gate state into $dst")
+  }
+
   /** Distinct signature keys of LIVE (non-tombstoned) docs — the probe
     * set for every identity-level gate (streaming gate, bloom gate).
+    * Served from the maintained `_gate/` projection (key-sorted parquet,
+    * probe-prunable); rebuilt here only if a mutation outran the eager
+    * refresh.
     */
-  def liveSigkeys(spark: SparkSession, path: String): DataFrame =
-    dropTombstoned(spark, path, spark.read.parquet(s"$path/sigkeys"))
-      .select(col("sigkey")).distinct()
+  def liveSigkeys(spark: SparkSession, path: String): DataFrame = {
+    refreshGateState(spark, path)
+    spark.read.parquet(s"$path/_gate/live_sigkeys")
+  }
 
   /** Re-cluster every index table back into its probe-optimal sorted
     * range layout (run periodically after appends), physically drop
@@ -216,6 +296,7 @@ object DedupIndex {
     // duplicates (same doc re-appended) collapse here
     rewrite("sigkeys", "sigkey", dedup = true)
     StagedSwap.swap(path, tmp) // tmp has no tombstones dir → cleared
+    refreshGateState(spark, path)
     path
   }
 
@@ -308,14 +389,18 @@ object DedupIndex {
                 k: Int = 8, bitsPerKey: Long = 10L,
                 textCol: String = "text"): DataFrame = {
     graft.plans.BloomExpressions.register(spark)
-    val sigkeys = liveSigkeys(spark, path)
-    val nKeys = sigkeys.count()
+    // bloom + live projection come from the maintained gate sidecar —
+    // a warm gate build does zero index-side aggregation (r9 bench
+    // regression fix: the per-probe anti-join+distinct+bloom-agg moved
+    // to mutation time)
+    refreshGateState(spark, path, bitsPerKey)
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_gate/meta.json"))
+    val nKeys = "\"nKeys\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toLong
     if (nKeys == 0L) return batch
-    val numBits = math.min(math.max(nKeys * bitsPerKey, 64L), 1L << 30)
-    val bloomBytes = sigkeys
-      .select(call_function("graft_bloom_agg", xxhash64(col("sigkey")),
-        lit(nKeys), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val sigkeys = spark.read.parquet(s"$path/_gate/live_sigkeys")
+    val bloomBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_gate/bloom.bin"))
 
     val keyed = CachePool.track(
       batch.withColumn("sigkey", Dedup.signatureKey(col(textCol), k)))

@@ -432,15 +432,21 @@ object VectorIndex {
     else df
 
   /** Fraction of stored vectors that are tombstoned (0 with no
-    * tombstones) — the compaction-pressure signal.
+    * tombstones) — the compaction-pressure signal. Tombstoned ids that
+    * were never members ([[delete]] appends raw ids unchecked) are
+    * excluded via a semi-join, so the ratio can't exceed 1.0 or trigger
+    * spurious [[compactIfStale]] rewrites (r9 advice).
     */
   def deadFraction(spark: SparkSession, path: String): Double =
     if (!new java.io.File(s"$path/tombstones").exists) 0.0
     else {
       val table = if (new java.io.File(s"$path/vectors").exists) "vectors" else "codes"
-      val total = spark.read.parquet(s"$path/$table").count()
+      val members = spark.read.parquet(s"$path/$table").select(col("vec_id"))
+      val total = members.count()
       if (total == 0L) 0.0
-      else spark.read.parquet(s"$path/tombstones").distinct().count().toDouble / total
+      else members.join(
+          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
+          Seq("vec_id"), "left_semi").count().toDouble / total
     }
 
   /** Policy-driven compaction: compact only when the dead fraction

@@ -118,6 +118,35 @@ class FixtureContractSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- ts magnitude bands
+
+  test("unannotated INT64 ts outside both confidence bands fails loudly") {
+    // r9 advice: the old open-ended `≥1e13 → µs` branch silently
+    // misclassified a pre-1973 epoch-ns value as µs. The probe now
+    // classifies only INSIDE a band — ns [1e17, Long.Max), µs
+    // [1e13, 4e15] — and throws on the ambiguous gap.
+    import spark.implicits._
+    def writeTs(v: Long): String = {
+      val p = java.nio.file.Files.createTempDirectory("tsband").toString + "/t"
+      Seq(v).toDF("ts").write.parquet(p)
+      p
+    }
+    // inside the bands: classified, no throw
+    assert(SparkEntry.tsLayout(spark, writeTs(1700000000000000L)) ==  // 2023 in µs
+      SparkEntry.TsLayout.MicrosLong)
+    assert(SparkEntry.tsLayout(spark, writeTs(1700000000000000000L)) == // 2023 in ns
+      SparkEntry.TsLayout.NanosLong)
+    // the gap (4e15, 1e17): pre-1973 if ns, year>2096 if µs → loud failure
+    val e = intercept[IllegalStateException] {
+      SparkEntry.tsLayout(spark, writeTs(50000000000000000L)) // 5e16
+    }
+    assert(e.getMessage.contains("confidence band"), e.getMessage)
+    // far below the µs band: also loud
+    intercept[IllegalStateException] {
+      SparkEntry.tsLayout(spark, writeTs(1000000000L)) // epoch-seconds magnitude
+    }
+  }
+
   test("orders/lineitem date columns span more than a day") {
     // Same unit-compression canary for the other timestamp-bearing
     // tables (they load via plain reads today; this pins that a future

@@ -136,6 +136,12 @@ class RestServerSpec extends SparkSpec {
       assert(after.body().contains("""{"id":1,"status":"unique","matchId":-1"""), after.body())
       assert(ddel("/api/dedup/delete").statusCode() == 400)
       assert(ddel("/api/dedup/delete?ids=x").statusCode() == 400)
+      // truthful delete counts (r9 advice): an already-tombstoned id and
+      // an id never indexed are NOT reported as deleted
+      val rd2 = ddel("/api/dedup/delete?ids=10,99999")
+      assert(rd2.statusCode() == 200 &&
+        rd2.body().contains("\"requested\":2") && rd2.body().contains("\"deleted\":0"),
+        rd2.body())
     } finally srv.stop()
   }
 
@@ -221,6 +227,12 @@ class RestServerSpec extends SparkSpec {
       assert(!aget("/api/ann/bq?id=0&k=5&shortlist=12").body().contains(victim))
       assert(apost("/api/ann/delete").statusCode() == 400)
       assert(apost("/api/ann/delete?ids=x").statusCode() == 400)
+      // truthful delete counts: replaying the same id (already dead) and
+      // adding an unknown id tombstones nothing new
+      val rd2 = apost(s"/api/ann/delete?ids=${victim.split(":")(1)},99999")
+      assert(rd2.statusCode() == 200 &&
+        rd2.body().contains("\"requested\":2") && rd2.body().contains("\"deleted\":0"),
+        rd2.body())
     } finally srv.stop()
   }
 
