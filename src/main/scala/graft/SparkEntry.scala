@@ -1161,6 +1161,8 @@ object SparkEntry {
     "q_abc_analysis" -> (Relational.qAbcAnalysis _),
     "q_mode_argmax" -> (Relational.qModeArgmax _),
     "q_knn_classify" -> (PipelineQueries.qKnnClassify _),
+    "q_knn_classify_ann" -> (PipelineQueries.qKnnClassifyAnn _),
+    "q_knn_ann_recall" -> (PipelineQueries.qKnnAnnRecall _),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1384,6 +1386,8 @@ object SparkEntry {
     "q_abc_analysis" -> Relational.qAbcAnalysisSql,
     "q_mode_argmax" -> Relational.qModeArgmaxSql,
     "q_knn_classify" -> PipelineQueries.qKnnClassifySql,
+    "q_knn_classify_ann" -> PipelineQueries.qKnnClassifyAnnSql,
+    "q_knn_ann_recall" -> PipelineQueries.qKnnAnnRecallSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

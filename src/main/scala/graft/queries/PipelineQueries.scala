@@ -2860,6 +2860,100 @@ object PipelineQueries {
        |WHERE vr = 1
        |ORDER BY query_id""".stripMargin
 
+  /** ANN-pathed kNN classification (see
+    * [[graft.operators.Similarity.knnClassifyAnn]]): the neighbor
+    * stage is the hyperplane-signature bucket join — never the dense
+    * cross join — with the majority-vote tail unchanged. Same
+    * train/test split as `q_knn_classify`; its own oracle replays the
+    * sig-bucket candidate generation, so the scale path is itself
+    * hash-checked end to end.
+    */
+  def qKnnClassifyAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnClassifyAnn(e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0), bits = AnnJoinBits, k = KnnK, dims = Dims)
+  }
+
+  val qKnnClassifyAnnSql: String =
+    s"""WITH ts AS (
+       |  SELECT vec_id AS query_id, embedding AS qe,
+       |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig,
+       |         CAST(label AS BIGINT) AS true_label
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |tr AS (
+       |  SELECT vec_id AS nn_id, embedding AS ce,
+       |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig,
+       |         CAST(label AS BIGINT) AS nn_label
+       |  FROM embeddings WHERE vec_id % 10 <> 0),
+       |nb AS (
+       |  SELECT query_id, true_label, nn_id, nn_label,
+       |         round(${cosSql("qe", "ce")}, 6) AS cos_sim
+       |  FROM ts JOIN tr USING (sig)),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cos_sim DESC, nn_id) AS rn
+       |    FROM nb) WHERE rn <= $KnnK),
+       |votes AS (
+       |  SELECT query_id, true_label, nn_label, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM topk GROUP BY 1, 2, 3)
+       |SELECT query_id, nn_label AS predicted_label, n_votes, true_label,
+       |       CAST(CAST(nn_label = true_label AS INT) AS BIGINT) AS correct
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY n_votes DESC, nn_label) AS vr
+       |      FROM votes)
+       |WHERE vr = 1
+       |ORDER BY query_id""".stripMargin
+
+  /** Neighbor recall of the ANN kNN path vs the exact dense top-k:
+    * what fraction of the true (query, neighbor) pairs the
+    * signature-bucket join recovers — the accept/reject metric for
+    * trusting `q_knn_classify_ann` over the dense baseline. Integer
+    * floor-ppm output.
+    */
+  def qKnnAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val train = e.filter(col("vec_id") % 10 =!= 0)
+    val test = e.filter(col("vec_id") % 10 === 0)
+    val ann = Similarity.annJoin(test, train, bits = AnnJoinBits, k = KnnK, dims = Dims)
+      .select(col("query_id"), col("nn_id"))
+    val exact = Similarity.knnNeighbors(train, test, k = KnnK, dims = Dims)
+      .select(col("query_id"), col("nn_id"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    ann.join(exact, Seq("query_id", "nn_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(broadcast(total))
+      .select(col("n_overlap"), col("n_exact"),
+        expr("n_overlap * 1000000 div n_exact").as("recall_ppm"))
+  }
+
+  def qKnnAnnRecallSql: String =
+    s"""WITH ts AS (
+       |  SELECT vec_id AS query_id, embedding AS qe,
+       |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |tr AS (
+       |  SELECT vec_id AS nn_id, embedding AS ce,
+       |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig
+       |  FROM embeddings WHERE vec_id % 10 <> 0),
+       |ann AS (
+       |  SELECT query_id, nn_id FROM (
+       |    SELECT query_id, nn_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY round(${cosSql("qe", "ce")}, 6) DESC, nn_id) AS rn
+       |    FROM ts JOIN tr USING (sig)) WHERE rn <= $KnnK),
+       |ex AS (
+       |  SELECT query_id, nn_id FROM (
+       |    SELECT query_id, nn_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY round(${cosSql("qe", "ce")}, 6) DESC, nn_id) AS rn
+       |    FROM ts CROSS JOIN tr) WHERE rn <= $KnnK),
+       |o AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+       |      FROM ann JOIN ex USING (query_id, nn_id)),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+       |SELECT n_overlap, n_exact, n_overlap * 1000000 // n_exact AS recall_ppm
+       |FROM o, t""".stripMargin
+
   /** Matryoshka adaptive retrieval: 16-dim prefix shortlist of 50,
     * full-dim re-rank to top-10 (see
     * [[graft.operators.Similarity.matryoshkaSearch]]).
