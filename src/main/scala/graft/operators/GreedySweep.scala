@@ -18,11 +18,25 @@ import org.apache.spark.sql.types._
   * cluster.go:1379-1464). The deterministic distributed re-spec here:
   * points are bucketed into coarse tiles (32·radius wide), each tile is
   * swept independently inside ONE `mapPartitions` pass in a fixed
-  * (px, id) order — same-input ⇒ same-output, unlike the reference.
+  * (x, id) order — same-input ⇒ same-output, unlike the reference.
   * Near tile borders results may differ from a global sweep (bounded by
   * one radius); the default engine mode remains [[GridCluster]]
   * (SURVEY §7.1 standardization) and the dispatcher below reproduces the
   * reference's method choice.
+  *
+  * QUANTIZED EXACT ARITHMETIC (round-10): the sweep runs on projected
+  * coordinates quantized to the 1/64-pixel integer lattice
+  * (`qx = round(px·64)` — the ·2⁶ scaling is a bare exponent bump, so
+  * no new float error enters) and metrics quantized to cents. Every
+  * membership decision is then an exact int64 comparison and every
+  * centroid accumulator an exact int64 sum — order-free and
+  * bit-identical across engines — which is what lets the driver's
+  * DuckDB oracle replay the sweep hash-exactly (a recursive CTE over
+  * the same per-tile (qx, id)-sorted lists; see
+  * [[graft.SparkEntry]]'s `greedySweepSql`). Granularity 1/64 px is
+  * ~0.04% of the default 40 px radius — far inside the reference's own
+  * float noise — and the coarse lattice step keeps the
+  * libm-last-ulp-flips-the-rounding probability per point at ~2⁻²⁶.
   *
   * This is the one justified `mapPartitions` in the clustering path:
   * the sweep is inherently imperative-sequential (each decision depends
@@ -35,6 +49,23 @@ import org.apache.spark.sql.types._
   * from greedy above 50k viewport points anyway.
   */
 object GreedySweep {
+
+  /** Coordinate lattice: quantized units per pixel (a power of two, so
+    * `px · Scale` is exact).
+    */
+  val Scale: Double = 64.0
+
+  /** Tile width on the quantized lattice: 32·radius px. */
+  def tileWidthQ(opts: ClusterOptions): Long =
+    math.max(1L, math.round(opts.radius * 32.0 * Scale))
+
+  /** Squared radius on the quantized lattice (int64 — membership tests
+    * are exact integer comparisons).
+    */
+  def radius2Q(opts: ClusterOptions): Long = {
+    val rq = opts.radius * Scale
+    math.round(rq * rq)
+  }
 
   /** @param maxSweepPoints per-tile memory guard: a tile whose point
     *                        count exceeds this is NOT buffered for the
@@ -58,18 +89,20 @@ object GreedySweep {
               maxSweepPoints: Int = 50000,
               fallbackTiles: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val se = opts.scaleExtent(zoom)
-    val radius = opts.radius
-    val tileW = radius * 32.0
-    // Fallback cell size: the density factor normally depends on the
-    // viewport count, unknown mid-stream — the fallback only engages for
-    // tiles already past the cutoff, so it deterministically uses the
-    // threshold itself as the count (the "big input" branch the
-    // reference dispatcher routes to grid).
+    val tileWq = tileWidthQ(opts)
+    val r2q = radius2Q(opts)
+    // Fallback cell size (px): the density factor normally depends on
+    // the viewport count, unknown mid-stream — the fallback only
+    // engages for tiles already past the cutoff, so it
+    // deterministically uses the threshold itself as the count (the
+    // "big input" branch the reference dispatcher routes to grid).
     val fallbackCellSize = opts.cellSize(zoom, maxSweepPoints.toLong + 1)
     val proj = GridCluster.projectToViewport(points, zoom, bounds, opts, lonCol, latCol)
-      .select(Seq(col(idCol).cast("long").as("_id"), col("px"), col("py")) ++
-        metricCols.map(m => col(m).cast("double")): _*)
-      .withColumn("_tile", floor(col("px") / lit(tileW)))
+      .select(Seq(col(idCol).cast("long").as("_id"),
+        round(col("px") * lit(Scale)).cast("long").as("qx"),
+        round(col("py") * lit(Scale)).cast("long").as("qy")) ++
+        metricCols.map(m => round(col(m) * lit(100.0)).cast("long").as(m)): _*)
+      .withColumn("_tile", expr(s"qx div $tileWq"))
 
     val outSchema = StructType(
       Seq(StructField(idCol, LongType), StructField(lonCol, DoubleType),
@@ -80,54 +113,63 @@ object GreedySweep {
     val nMetrics = metricCols.size
     val minPoints = opts.minPoints
 
+    // lattice units → degrees, the exact expression shapes the oracle
+    // mirrors: x = (Σqx/c)/Scale px, then the Mercator inverses.
+    // Local copies only — a field reference would drag the (non-
+    // serializable) GreedySweep$ object into the task closure.
+    val scaleL = Scale
+    val outLon = (sumQx: Long, c: Long) =>
+      Mercator.invXs((sumQx.toDouble / c) / scaleL, se)
+    val outLat = (sumQy: Long, c: Long) =>
+      Mercator.invYs((sumQy.toDouble / c) / scaleL, se)
+
     val swept = proj
       .repartition(col("_tile"))
-      .sortWithinPartitions(col("_tile"), col("px"), col("_id"))
+      .sortWithinPartitions(col("_tile"), col("qx"), col("_id"))
       .mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
 
         def sweep(buf: scala.collection.mutable.ArrayBuffer[Row]): Unit = {
           val n = buf.length
           val processed = new Array[Boolean](n)
-          val r2 = radius * radius
           var i = 0
           while (i < n) {
             if (!processed(i)) {
               val pi = buf(i)
-              val px = pi.getDouble(1)
-              val py = pi.getDouble(2)
+              val px = pi.getLong(1)
+              val py = pi.getLong(2)
               val nearby = scala.collection.mutable.ArrayBuffer(i)
               var j = i + 1
               var cont = true
               while (j < n && cont) {
                 val pj = buf(j)
-                if (pj.getDouble(1) - px > radius) cont = false // x-window break
+                val dx = pj.getLong(1) - px
+                if (dx * dx > r2q) cont = false // x-window break (qx sorted)
                 else if (!processed(j)) {
-                  val dx = pj.getDouble(1) - px
-                  val dy = pj.getDouble(2) - py
-                  if (dx * dx + dy * dy <= r2) nearby += j
+                  val dy = pj.getLong(2) - py
+                  if (dx * dx + dy * dy <= r2q) nearby += j
                 }
                 j += 1
               }
               if (nearby.length >= minPoints) {
-                var sx = 0.0; var sy = 0.0
-                val sums = new Array[Double](nMetrics)
+                var sx = 0L; var sy = 0L
+                val sums = new Array[Long](nMetrics)
                 nearby.foreach { k =>
                   val p = buf(k)
-                  sx += p.getDouble(1); sy += p.getDouble(2)
+                  sx += p.getLong(1); sy += p.getLong(2)
                   var m = 0
-                  while (m < nMetrics) { sums(m) += p.getDouble(3 + m); m += 1 }
+                  while (m < nMetrics) { sums(m) += p.getLong(3 + m); m += 1 }
                   processed(k) = true
                 }
                 val c = nearby.length
                 out += Row.fromSeq(
-                  Seq(pi.getLong(0), Mercator.invXs(sx / c, se), Mercator.invYs(sy / c, se),
-                    c.toLong, true) ++ sums.toSeq)
+                  Seq(pi.getLong(0), outLon(sx, c), outLat(sy, c), c.toLong, true) ++
+                    sums.toSeq.map(_ / 100.0))
               } else {
                 processed(i) = true
                 out += Row.fromSeq(
-                  Seq(pi.getLong(0), Mercator.invXs(px, se), Mercator.invYs(py, se), 1L, false) ++
-                    (0 until nMetrics).map(m => pi.getDouble(3 + m)))
+                  Seq(pi.getLong(0), outLon(px, 1), outLat(py, 1), 1L, false) ++
+                    (0 until nMetrics).map(m => pi.getLong(3 + m) / 100.0))
               }
             }
             i += 1
@@ -138,27 +180,30 @@ object GreedySweep {
         // aggregates, with member rows buffered only while the cell is
         // still below minPoints (they may need to be emitted as
         // singles) — memory per cell is O(minPoints), not O(points).
+        // The fallback is a memory guard, not an oracle path (the
+        // driver's sweep oracle never triggers it), so its cell snap
+        // runs in plain double math off the quantized coords.
         final class CellState {
           var cnt = 0L
-          var sx = 0.0
-          var sy = 0.0
+          var sx = 0L
+          var sy = 0L
           var minId = Long.MaxValue
-          val sums = new Array[Double](nMetrics)
+          val sums = new Array[Long](nMetrics)
           var members: scala.collection.mutable.ArrayBuffer[Row] =
             scala.collection.mutable.ArrayBuffer.empty
         }
         var grid: scala.collection.mutable.HashMap[(Long, Long), CellState] = null
 
         def addToGrid(r: Row): Unit = {
-          val key = (math.floor(r.getDouble(1) / fallbackCellSize).toLong,
-            math.floor(r.getDouble(2) / fallbackCellSize).toLong)
+          val key = (math.floor(r.getLong(1) / Scale / fallbackCellSize).toLong,
+            math.floor(r.getLong(2) / Scale / fallbackCellSize).toLong)
           val st = grid.getOrElseUpdate(key, new CellState)
           st.cnt += 1
-          st.sx += r.getDouble(1)
-          st.sy += r.getDouble(2)
+          st.sx += r.getLong(1)
+          st.sy += r.getLong(2)
           if (r.getLong(0) < st.minId) st.minId = r.getLong(0)
           var m = 0
-          while (m < nMetrics) { st.sums(m) += r.getDouble(3 + m); m += 1 }
+          while (m < nMetrics) { st.sums(m) += r.getLong(3 + m); m += 1 }
           if (st.cnt < minPoints) st.members += r
           else st.members = null // cluster-bound: member rows not needed
         }
@@ -168,13 +213,13 @@ object GreedySweep {
           grid.toSeq.sortBy(_._1).foreach { case (_, st) =>
             if (st.cnt >= minPoints)
               out += Row.fromSeq(
-                Seq(st.minId, Mercator.invXs(st.sx / st.cnt, se),
-                  Mercator.invYs(st.sy / st.cnt, se), st.cnt, true) ++ st.sums.toSeq)
+                Seq(st.minId, outLon(st.sx, st.cnt), outLat(st.sy, st.cnt),
+                  st.cnt, true) ++ st.sums.toSeq.map(_ / 100.0))
             else st.members.foreach { p =>
               out += Row.fromSeq(
-                Seq(p.getLong(0), Mercator.invXs(p.getDouble(1), se),
-                  Mercator.invYs(p.getDouble(2), se), 1L, false) ++
-                  (0 until nMetrics).map(m => p.getDouble(3 + m)))
+                Seq(p.getLong(0), outLon(p.getLong(1), 1), outLat(p.getLong(2), 1),
+                  1L, false) ++
+                  (0 until nMetrics).map(m => p.getLong(3 + m) / 100.0))
             }
           }
           grid = null
