@@ -213,6 +213,16 @@ object DedupIndex {
   // on stamp mismatch. A warm gate build is a sorted-parquet read plus
   // one small binary file — no distinct, no anti-join, no aggregate.
 
+  /** The gate-build projection the refresh materializes: distinct live
+    * sigkeys. Package-visible so DedupShuffleSpec can pin its shuffle
+    * volume (the distinct's exchange must carry ≤ distinct-keys ×
+    * partitions rows — map-side combined — not one row per stored
+    * sigkey).
+    */
+  private[graft] def gateProjection(spark: SparkSession, path: String): DataFrame =
+    dropTombstoned(spark, path, spark.read.parquet(s"$path/sigkeys"))
+      .select(col("sigkey")).distinct()
+
   /** Fingerprint of the inputs the gate state derives from. */
   private def gateStamp(path: String): String = {
     def ls(sub: String): Seq[String] = {
@@ -240,8 +250,7 @@ object DedupIndex {
         java.nio.file.Files.readString(stampFile) == stamp) return
     val tmp = new java.io.File(s"$path/_gate.tmp")
     StagedSwap.rmRf(tmp)
-    val live = dropTombstoned(spark, path, spark.read.parquet(s"$path/sigkeys"))
-      .select(col("sigkey")).distinct()
+    val live = gateProjection(spark, path)
     live.repartitionByRange(col("sigkey")).sortWithinPartitions("sigkey")
       .write.option("compression", "zstd").parquet(s"$tmp/live_sigkeys")
     val reread = spark.read.parquet(s"$tmp/live_sigkeys")

@@ -1,0 +1,122 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** Shuffle-volume pins for the two heaviest shuffles without a volume
+  * spec (r9 verdict #8), in the PyramidSkewSpec style: execute, then
+  * assert on the exchanges' `shuffleRecordsWritten` metrics at N and
+  * 10×N.
+  *
+  *  - dedup gate build ([[graft.sources.DedupIndex]]'s live-sigkey
+  *    projection): the distinct must be map-side combined, so its
+  *    exchange carries ≤ distinct-keys × partitions rows — duplicating
+  *    every doc 10× must NOT inflate it;
+  *  - basket pair join ([[Relational.basketPairCounts]]): the self-join
+  *    shuffles each basket row once per side (linear in |baskets|,
+  *    never the quadratic pair count), and the pair-count aggregation
+  *    above it is partial-aggregated to ≤ brand-pairs × partitions.
+  */
+class DedupShuffleSpec extends SparkSpec {
+
+  // AQE off so the raw exchanges and their metrics are visible
+  private lazy val noAqe = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // function registrations are per-session; the dedup path needs the
+    // native shingle/bloom expressions
+    graft.plans.TextExpressions.register(s)
+    graft.plans.BloomExpressions.register(s)
+    s
+  }
+
+  private def exchangesOf(df: DataFrame): Seq[ShuffleExchangeLike] = {
+    df.collect()
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
+  }
+
+  private def written(e: ShuffleExchangeLike): Long =
+    e.metrics("shuffleRecordsWritten").value
+
+  test("gate-build distinct shuffles distinct keys, not stored sigkey rows") {
+    import noAqe.implicits._
+    val parts = 8
+    val distinctDocs = 400
+
+    def buildIndex(copies: Int): String = {
+      // `copies` docs per distinct text — distinct key set constant
+      val docs = (0 until distinctDocs * copies)
+        .map(i => (i.toLong, s"alpha beta gamma delta text${i % distinctDocs} epsilon zeta eta"))
+        .toDF("doc_id", "text")
+        .repartition(parts)
+      val path = java.nio.file.Files.createTempDirectory("gatevol").toString + s"/idx$copies"
+      graft.sources.DedupIndex.save(docs, path)
+      path
+    }
+
+    def gateVolume(path: String): Long = {
+      val proj = graft.sources.DedupIndex.gateProjection(noAqe, path)
+      val exchanges = exchangesOf(proj)
+      assert(exchanges.nonEmpty, "no exchange in the gate projection plan")
+      // map-side partial aggregate BELOW the distinct's exchange
+      val belowExchange = exchanges.flatMap(_.collect { case a: BaseAggregateExec => a })
+      assert(belowExchange.nonEmpty,
+        s"no partial aggregate below the distinct exchange:\n${proj.queryExecution.executedPlan}")
+      exchanges.map(written).sum
+    }
+
+    val vol1 = gateVolume(buildIndex(1))
+    val vol10 = gateVolume(buildIndex(10))
+    // each partition emits each distinct key at most once
+    assert(vol1 <= distinctDocs.toLong * parts,
+      s"gate build shuffled $vol1 rows > $distinctDocs keys x $parts partitions")
+    assert(vol10 <= distinctDocs.toLong * parts,
+      s"10x duplicated corpus inflated the gate shuffle to $vol10")
+    info(s"gate-build shuffle: @1x=$vol1 @10x=$vol10 (keys=$distinctDocs, parts=$parts)")
+  }
+
+  test("basket pair join shuffles baskets linearly, pair counts partial-aggregated") {
+    import noAqe.implicits._
+    val brands = 12
+
+    def pairVolumes(nOrders: Int): (Long, Long) = {
+      // w = 6 brands per basket → 15 pairs per basket; pair rows = 15·B
+      val baskets = (0 until nOrders).flatMap(o =>
+        (0 until 6).map(b => (o.toLong, s"B${(o + b) % brands}")))
+        .toDF("l_orderkey", "p_brand")
+        .repartition(8)
+      val pc = Relational.basketPairCounts(baskets)
+      val exchanges = exchangesOf(pc)
+      assert(exchanges.nonEmpty)
+      // split: exchanges feeding the join (below any aggregate) vs the
+      // aggregation exchange (has a partial aggregate below it)
+      val (aggEx, joinEx) = exchanges.partition(
+        _.collect { case a: BaseAggregateExec => a }.nonEmpty)
+      assert(aggEx.nonEmpty, "pair-count aggregation exchange not found")
+      assert(joinEx.nonEmpty, "join input exchanges not found")
+      (joinEx.map(written).sum, aggEx.map(written).sum)
+    }
+
+    val base = 2000
+    val (join1, agg1) = pairVolumes(base)
+    val (join10, agg10) = pairVolumes(base * 10)
+
+    // join inputs: one row per basket row per side — LINEAR in baskets,
+    // never the 15·B pair explosion
+    assert(join1 <= 2L * base * 6,
+      s"join exchanges carried $join1 rows > 2x basket rows (${2 * base * 6})")
+    assert(join10 <= 2L * base * 10 * 6,
+      s"join exchanges carried $join10 rows at 10x > linear bound")
+    assert(join10 <= join1 * 12, s"join shuffle superlinear: $join1 -> $join10")
+
+    // pair-count agg: ≤ distinct brand pairs × partitions, NOT 15·B
+    val pairBound = brands.toLong * brands * 8
+    assert(agg1 <= pairBound, s"agg exchange carried $agg1 > $pairBound")
+    assert(agg10 <= pairBound,
+      s"10x baskets inflated the pair-count agg shuffle to $agg10 (> $pairBound)")
+    info(s"basket shuffles: join@1x=$join1 join@10x=$join10 agg@1x=$agg1 agg@10x=$agg10")
+  }
+}
