@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{Bounds, ClusterOptions}
 import graft.operators.GridCluster
-import graft.queries.{DedupQueries, PipelineQueries, QualityQueries, Relational, Events => Ev}
+import graft.queries.{DedupQueries, EvalQueries, PipelineQueries, QualityQueries, Relational, Events => Ev}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -1282,6 +1282,11 @@ object SparkEntry {
     "q_knn_classify" -> (PipelineQueries.qKnnClassify _),
     "q_knn_classify_ann" -> (PipelineQueries.qKnnClassifyAnn _),
     "q_knn_ann_recall" -> (PipelineQueries.qKnnAnnRecall _),
+    "q_rank_metrics" -> (PipelineQueries.qRankMetrics _),
+    "q_mutual_info" -> (EvalQueries.qMutualInfo _),
+    "q_benford" -> (EvalQueries.qBenford _),
+    "q_cohens_kappa" -> (EvalQueries.qCohensKappa _),
+    "q_twa" -> ((s, dir) => EvalQueries.qTwa(events(s, dir))),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1507,6 +1512,11 @@ object SparkEntry {
     "q_knn_classify" -> PipelineQueries.qKnnClassifySql,
     "q_knn_classify_ann" -> PipelineQueries.qKnnClassifyAnnSql,
     "q_knn_ann_recall" -> PipelineQueries.qKnnAnnRecallSql,
+    "q_rank_metrics" -> PipelineQueries.qRankMetricsSql,
+    "q_mutual_info" -> EvalQueries.qMutualInfoSql,
+    "q_benford" -> EvalQueries.qBenfordSql,
+    "q_cohens_kappa" -> EvalQueries.qCohensKappaSql,
+    "q_twa" -> EvalQueries.qTwaSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dataset-evaluation / statistical-profiling queries — the QA
+  * artifacts a training-data pipeline publishes about its tables:
+  * association between categorical columns (mutual information,
+  * chi-square), first-digit conformance (Benford), inter-annotator
+  * agreement (Cohen's kappa), and time-weighted averages over event
+  * streams.
+  *
+  * Oracle discipline: every metric is either pure integer arithmetic
+  * on a ppm lattice, or a sum of PER-CELL terms each rounded to an
+  * integer micro/nano unit first — so no float accumulation order
+  * exists anywhere and the DuckDB hash compare is exact (the
+  * q_rank_metrics playbook).
+  */
+object EvalQueries {
+
+  /** Mutual information + chi-square independence between `source` and
+    * `lang` over `documents` — "is my language mix confounded with my
+    * source mix?". Cell terms round to nano-nats / micro units before
+    * the exact BIGINT sum. One map-side-combined (source, lang) count
+    * feeds everything; marginals are broadcast-sized.
+    */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val cells = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("nxy"))
+    val bySrc = cells.groupBy(col("source")).agg(sum(col("nxy")).as("nx"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    cells
+      .join(broadcast(bySrc), "source")
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n"), col("n_sources"), col("n_langs"),
+        // per-cell terms → integer lattice BEFORE summation
+        expr("CAST(round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          "ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+          "(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1000000000.0) AS BIGINT)")
+          .as("mi_term"),
+        expr("CAST(round((CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)) * (CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * " +
+          "CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(nx AS DOUBLE) * " +
+          "CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          .as("chi2_term"))
+      .groupBy(col("n"), col("n_sources"), col("n_langs"))
+      .agg(sum(col("mi_term")).as("mi_nano"),
+        sum(col("chi2_term")).as("chi2_micro"))
+      .select(col("n"), col("n_sources"), col("n_langs"),
+        ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
+        col("mi_nano"), col("chi2_micro"))
+  }
+
+  val qMutualInfoSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS nxy
+      |  FROM documents GROUP BY 1, 2),
+      |bx AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+      |by_ AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |        FROM cells),
+      |terms AS (
+      |  SELECT n, n_sources, n_langs,
+      |         CAST(round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |           ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)) /
+      |           (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1000000000.0) AS BIGINT)
+      |           AS mi_term,
+      |         CAST(round((CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+      |           / CAST(n AS DOUBLE)) * (CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) *
+      |           CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(nx AS DOUBLE) *
+      |           CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |           AS chi2_term
+      |  FROM cells JOIN bx USING (source) JOIN by_ USING (lang) CROSS JOIN tot)
+      |SELECT n, n_sources, n_langs,
+      |       (n_sources - 1) * (n_langs - 1) AS dof,
+      |       CAST(sum(mi_term) AS BIGINT) AS mi_nano,
+      |       CAST(sum(chi2_term) AS BIGINT) AS chi2_micro
+      |FROM terms GROUP BY 1, 2, 3""".stripMargin
+
+  /** Benford first-digit profile of order totals: observed vs expected
+    * leading-digit shares on the ppm lattice. The leading digit comes
+    * from exact integer cents via the decimal-string length (never
+    * `floor(log10)` — a libm ulp at a power of ten would misbin), and
+    * `floor(log10(1+1/d)·1e6)` expectations sit far from integer
+    * boundaries, so the output is engine-exact.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val digits = o
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .select(expr(
+        "cents DIV CAST(pow(10, length(CAST(cents AS STRING)) - 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("total"),
+        expr("n * 1000000 DIV total").as("observed_ppm"),
+        expr("CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000.0) AS BIGINT)")
+          .as("expected_ppm"))
+      .withColumn("diff_ppm", col("observed_ppm") - col("expected_ppm"))
+      .orderBy("digit")
+  }
+
+  val qBenfordSql: String =
+    """WITH c AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |d AS (
+      |  SELECT cents // CAST(pow(10, length(CAST(cents AS VARCHAR)) - 1) AS BIGINT)
+      |           AS digit
+      |  FROM c),
+      |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+      |SELECT digit, n, total,
+      |       n * 1000000 // total AS observed_ppm,
+      |       CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000.0) AS BIGINT)
+      |         AS expected_ppm,
+      |       n * 1000000 // total
+      |         - CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000.0) AS BIGINT)
+      |         AS diff_ppm
+      |FROM g CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+
+  /** Cohen's kappa between two deterministic document "annotators" —
+    * a length gate (n_chars ≥ 300) and a token-count gate (≥ 61
+    * whitespace-split tokens) — the agreement-beyond-chance metric a
+    * labeling QA step publishes. Entirely on the ppm integer lattice
+    * from the exact 2×2 cells: po, pe and kappa are all integer floor
+    * divisions, bit-identical across engines.
+    */
+  def qCohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(
+        (col("n_chars") >= 300).cast("long").as("a1"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) >= 60)
+          .cast("long").as("a2"))
+    d.agg(
+        sum(when(col("a1") === 1 && col("a2") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("a1") === 1 && col("a2") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("a1") === 0 && col("a2") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("a1") === 0 && col("a2") === 0, 1L).otherwise(0L)).as("d"))
+      .selectExpr("a", "b", "c", "d", "a + b + c + d AS n",
+        "(a + d) * 1000000 DIV (a + b + c + d) AS po_ppm",
+        "((a + b) * (a + c) + (c + d) * (b + d)) * 1000000 DIV " +
+          "((a + b + c + d) * (a + b + c + d)) AS pe_ppm")
+      .selectExpr("n", "a", "b", "c", "d", "po_ppm", "pe_ppm",
+        "(po_ppm - pe_ppm) * 1000000 DIV nullif(1000000 - pe_ppm, 0) AS kappa_ppm")
+  }
+
+  val qCohensKappaSql: String =
+    """WITH lab AS (
+      |  SELECT CAST(n_chars >= 300 AS BIGINT) AS a1,
+      |         CAST(length(text) - length(replace(text, ' ', '')) >= 60 AS BIGINT) AS a2
+      |  FROM documents),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN a1 = 1 AND a2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN a1 = 0 AND a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM lab),
+      |p AS (
+      |  SELECT a, b, c, d, a + b + c + d AS n,
+      |         (a + d) * 1000000 // (a + b + c + d) AS po_ppm,
+      |         ((a + b) * (a + c) + (c + d) * (b + d)) * 1000000 //
+      |           ((a + b + c + d) * (a + b + c + d)) AS pe_ppm
+      |  FROM cells)
+      |SELECT n, a, b, c, d, po_ppm, pe_ppm,
+      |       (po_ppm - pe_ppm) * 1000000 // nullif(1000000 - pe_ppm, 0) AS kappa_ppm
+      |FROM p""".stripMargin
+
+  /** Time-weighted average event value per user (left-constant
+    * interpolation: each value holds until the user's next event) —
+    * the correct mean for irregularly-sampled series, where the plain
+    * AVG over-weights bursts. Weights are exact cents × µs products
+    * accumulated as DECIMAL(38,0) (int64 would wrap near 2^63 at
+    * corpus scale); the finish is one double division rounded to 6 dp.
+    * Per-user windows only — no global ordering anywhere.
+    */
+  def qTwa(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val d0 = DecimalType(38, 0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .withColumn("dt_us", col("next_us") - unix_micros(col("ts")))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us").cast(d0)).cast(d0).as("span_us"),
+        sum((col("cents").cast(d0) * col("dt_us").cast(d0)).cast(d0)).cast(d0).as("wsum"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        col("span_us").cast("long").as("span_us"),
+        round(col("wsum").cast("double") / col("span_us").cast("double") / lit(100.0), 6)
+          .as("twa_value"))
+      .orderBy("user_id")
+  }
+
+  val qTwaSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           - epoch_us(ts) AS dt_us
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+      |         CAST(sum(CAST(dt_us AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS span_us,
+      |         CAST(sum(CAST(cents AS DECIMAL(38,0)) * CAST(dt_us AS DECIMAL(38,0)))
+      |              AS DECIMAL(38,0)) AS wsum
+      |  FROM e WHERE dt_us IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT user_id, n_intervals, CAST(span_us AS BIGINT) AS span_us,
+      |       round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0, 6)
+      |         AS twa_value
+      |FROM g WHERE span_us > 0
+      |ORDER BY user_id""".stripMargin
+}

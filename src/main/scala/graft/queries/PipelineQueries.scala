@@ -2954,6 +2954,112 @@ object PipelineQueries {
        |SELECT n_overlap, n_exact, n_overlap * 1000000 // n_exact AS recall_ppm
        |FROM o, t""".stripMargin
 
+  private val RankK = 10
+
+  /** Retrieval-quality metrics — MRR, NDCG@10 and AP@10 per query over
+    * the ANN retrieval (`annJoin`, same split as `q_ann_join`), with
+    * binary relevance = label match. The offline eval artifact a
+    * retrieval pipeline publishes before trusting an index.
+    *
+    * Every metric lives on an INTEGER micro lattice: each DCG/AP term
+    * is rounded to micro-units first (`round(1e6/log2(rank+1))`,
+    * `cum_rel·1e6 div rank`) and the per-query totals are exact BIGINT
+    * sums — so no float summation order exists anywhere and both
+    * engines agree bit-for-bit. IDCG sums the ideal-ranking terms for
+    * min(corpus docs with the query's label, 10).
+    *
+    * Scale shape: one sig-bucket candidate join (linear), two bounded
+    * windows over ≤ k rows per query, one broadcast label-count join.
+    */
+  def qRankMetrics(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < AnnJoinSplit)
+    val corpus = e.filter(col("vec_id") >= AnnJoinSplit)
+    val retrieved = Similarity.annJoin(queries, corpus, AnnJoinBits, RankK, Dims)
+    val ql = queries.select(col("vec_id").as("query_id"), col("label").cast("long").as("qlabel"))
+    val cl = corpus.select(col("vec_id").as("nn_id"), col("label").cast("long").as("nlabel"))
+    val labCounts = corpus.groupBy(col("label").cast("long").as("qlabel"))
+      .agg(count(lit(1)).as("r_corpus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("nn_rank"))
+    val scored = retrieved.join(ql, "query_id").join(cl, "nn_id")
+      .withColumn("rel", (col("nlabel") === col("qlabel")).cast("long"))
+      .withColumn("cum_rel", sum(col("rel")).over(w))
+    scored.groupBy(col("query_id"), col("qlabel"))
+      .agg(
+        sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1, col("nn_rank"))).as("first_rel"),
+        sum(when(col("rel") === 1,
+            expr("CAST(round(1000000.0 / (ln(nn_rank + 1) / ln(2.0))) AS BIGINT)"))
+          .otherwise(lit(0L))).as("dcg_micro"),
+        sum(when(col("rel") === 1, expr("cum_rel * 1000000 DIV nn_rank"))
+          .otherwise(lit(0L))).as("ap_sum"))
+      .join(broadcast(labCounts), "qlabel")
+      .withColumn("r_total", least(col("r_corpus"), lit(RankK.toLong)))
+      .withColumn("idcg_micro", expr(
+        "aggregate(sequence(1, CAST(r_total AS INT)), 0L, " +
+          "(acc, i) -> acc + CAST(round(1000000.0 / (ln(i + 1) / ln(2.0))) AS BIGINT))"))
+      .select(col("query_id"), col("qlabel"), col("n_rel"), col("r_total"),
+        coalesce(expr("1000000 DIV first_rel"), lit(0L)).as("mrr_ppm"),
+        col("dcg_micro"), col("idcg_micro"),
+        expr("dcg_micro * 1000000 DIV nullif(idcg_micro, 0)").as("ndcg_ppm"),
+        expr("ap_sum DIV nullif(r_total, 0)").as("ap_ppm"))
+      .orderBy("query_id")
+  }
+
+  def qRankMetricsSql: String =
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe,
+       |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig,
+       |         CAST(label AS BIGINT) AS qlabel
+       |  FROM embeddings WHERE vec_id < $AnnJoinSplit),
+       |cs AS (
+       |  SELECT vec_id AS nn_id, embedding AS ce,
+       |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig,
+       |         CAST(label AS BIGINT) AS nlabel
+       |  FROM embeddings WHERE vec_id >= $AnnJoinSplit),
+       |lc AS (SELECT nlabel AS qlabel, CAST(count(*) AS BIGINT) AS r_corpus
+       |       FROM cs GROUP BY 1),
+       |ret AS (
+       |  SELECT query_id, qlabel, nn_id, nlabel, nn_rank,
+       |         CAST(nlabel = qlabel AS BIGINT) AS rel
+       |  FROM (
+       |    SELECT query_id, qlabel, nn_id, nlabel,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY round(${cosSql("qe", "ce")}, 6) DESC, nn_id) AS nn_rank
+       |    FROM qs JOIN cs USING (sig))
+       |  WHERE nn_rank <= $RankK),
+       |cum AS (
+       |  SELECT *, CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY nn_rank) AS BIGINT)
+       |           AS cum_rel
+       |  FROM ret),
+       |agg AS (
+       |  SELECT query_id, qlabel,
+       |         CAST(sum(rel) AS BIGINT) AS n_rel,
+       |         min(CASE WHEN rel = 1 THEN nn_rank END) AS first_rel,
+       |         CAST(sum(CASE WHEN rel = 1
+       |               THEN CAST(round(1000000.0 / (ln(nn_rank + 1) / ln(2.0))) AS BIGINT)
+       |               ELSE 0 END) AS BIGINT) AS dcg_micro,
+       |         CAST(sum(CASE WHEN rel = 1 THEN cum_rel * 1000000 // nn_rank
+       |               ELSE 0 END) AS BIGINT) AS ap_sum
+       |  FROM cum GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT agg.*, least(lc.r_corpus, $RankK) AS r_total
+       |  FROM agg JOIN lc USING (qlabel))
+       |SELECT query_id, qlabel, n_rel, r_total,
+       |       COALESCE(1000000 // first_rel, 0) AS mrr_ppm,
+       |       dcg_micro,
+       |       CAST(list_sum(list_transform(generate_series(1, CAST(r_total AS INT)),
+       |              i -> CAST(round(1000000.0 / (ln(i + 1) / ln(2.0))) AS BIGINT)))
+       |            AS BIGINT) AS idcg_micro,
+       |       dcg_micro * 1000000 // nullif(CAST(list_sum(list_transform(
+       |              generate_series(1, CAST(r_total AS INT)),
+       |              i -> CAST(round(1000000.0 / (ln(i + 1) / ln(2.0))) AS BIGINT)))
+       |            AS BIGINT), 0) AS ndcg_ppm,
+       |       ap_sum // nullif(r_total, 0) AS ap_ppm
+       |FROM wide
+       |ORDER BY query_id""".stripMargin
+
   /** Matryoshka adaptive retrieval: 16-dim prefix shortlist of 50,
     * full-dim re-rank to top-10 (see
     * [[graft.operators.Similarity.matryoshkaSearch]]).
