@@ -744,6 +744,61 @@ object SparkEntry {
        |ORDER BY zone""".stripMargin
   }
 
+  /** Grid KDE heatmap over the mixture points (see
+    * [[graft.operators.Heatmap.kde]]): integer Epanechnikov-style
+    * kernel over the 5°-cell counts, top-50 hottest cells under a
+    * (density desc, cell) total order. The blobs surface as kernel
+    * peaks; all-integer arithmetic end to end.
+    */
+  private val KdeRadius = 2
+
+  private def qKdeHeatmap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Heatmap.kde(densityCells(s, dir), radius = KdeRadius)
+      .orderBy(col("density").desc, col("cell_x"), col("cell_y"))
+      .limit(50)
+
+  private val kdeHeatmapSql: String = {
+    val r2p1 = KdeRadius * KdeRadius + 1
+    s"""WITH pts AS ($densityCentiSql),
+       |cl AS (SELECT centi_lon // 500 AS cx, centi_lat // 500 AS cy FROM pts),
+       |counts AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY 1, 2),
+       |off AS (
+       |  SELECT dx, dy, CAST($r2p1 - (dx * dx + dy * dy) AS BIGINT) AS w
+       |  FROM (SELECT unnest(generate_series(-$KdeRadius, $KdeRadius)) AS dx)
+       |  CROSS JOIN (SELECT unnest(generate_series(-$KdeRadius, $KdeRadius)) AS dy)
+       |  WHERE $r2p1 - (dx * dx + dy * dy) > 0
+       |)
+       |SELECT c.cx + o.dx AS cell_x, c.cy + o.dy AS cell_y,
+       |       CAST(sum(c.n * o.w) AS BIGINT) AS density
+       |FROM counts c CROSS JOIN off o
+       |GROUP BY 1, 2
+       |ORDER BY density DESC, cell_x, cell_y
+       |LIMIT 50""".stripMargin
+  }
+
+  /** Geohash encoding + prefix rollup (see
+    * [[graft.functions.Geohash]]): every point encoded at precision 5,
+    * grouped by hash — the geohash twin of the tile_z5 partition key
+    * ([[graft.sources.Catalog]]) and the standard spatial bucketing
+    * column at 100 TB. Spark and oracle expressions are generated from
+    * the same unrolled bit loop.
+    */
+  private def qGeohash(s: SparkSession, dir: String): DataFrame =
+    eventPoints(s, dir)
+      .select(graft.functions.Geohash.encode(col("lon"), col("lat"), 5).as("geohash"),
+        col("id"))
+      .groupBy(col("geohash"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+      .orderBy("geohash")
+
+  private val geohashSql: String =
+    s"""WITH pts AS ($pointsSql)
+       |SELECT ${graft.functions.Geohash.encodeSql("lon", "lat", 5)} AS geohash,
+       |       CAST(count(*) AS BIGINT) AS n, min(id) AS min_id
+       |FROM pts
+       |GROUP BY 1
+       |ORDER BY geohash""".stripMargin
+
   /** Z-order storage-layout report over the point table (see
     * [[graft.operators.ZOrder.layoutStats]]).
     */
@@ -1473,6 +1528,8 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_density_cluster" -> (qDensityCluster _),
+    "q_kde_heatmap" -> (qKdeHeatmap _),
+    "q_geohash" -> (qGeohash _),
     "q_geofence" -> (qGeofence _),
     "q_spatial_nearest" -> (qSpatialNearest _),
     "q_freq_rollup" -> (qFreqRollup _),
@@ -1710,6 +1767,8 @@ object SparkEntry {
     "q_zorder" -> zorderSql,
     "q_spatial_join" -> spatialJoinSql,
     "q_density_cluster" -> densityClusterSql,
+    "q_kde_heatmap" -> kdeHeatmapSql,
+    "q_geohash" -> geohashSql,
     "q_geofence" -> geofenceSql,
     "q_spatial_nearest" -> spatialNearestSql,
     "q_freq_rollup" -> freqRollupSql,
