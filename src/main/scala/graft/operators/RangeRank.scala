@@ -37,14 +37,18 @@ object RangeRank {
     */
   private def bucketed(df: DataFrame, key: Column, desc: Boolean,
                        nBuckets: Int): DataFrame = {
+    // the input feeds the sketch pass, the per-bucket totals AND the
+    // final windowed join — pool-persist it once, or an expensive
+    // upstream (e.g. q_concurrency's sessionize) runs three times
+    val in = CachePool.track(df)
     val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
-    val bounds = df.agg(
-      percentile_approx(key.cast("double"), array(qs: _*), lit(10000)).as("_bs"))
+    val bounds = in.agg(
+      percentile_approx(key.cast("double"), array(qs: _*), lit(2000)).as("_bs"))
     val k = key.cast("double")
     val cnt =
       if (desc) size(filter(col("_bs"), b => k < b))
       else size(filter(col("_bs"), b => k > b))
-    df.crossJoin(broadcast(bounds))
+    in.crossJoin(broadcast(bounds))
       .withColumn("_bucket", cnt)
       .drop("_bs")
   }

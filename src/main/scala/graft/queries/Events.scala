@@ -128,15 +128,19 @@ object Events {
       |  )
       |)""".stripMargin
 
-  def qSessionize(events: DataFrame): DataFrame = {
+  /** Session aggregates WITHOUT the presentation sort — the form set
+    * consumers (concurrency sweep, range join) should take: the global
+    * ORDER BY exists only for the driver's deterministic hash compare.
+    */
+  private def sessionAgg(events: DataFrame): DataFrame =
     sessionAssign(events)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
-      .orderBy(col("user_id"), col("session_id"))
 
-  }
+  def qSessionize(events: DataFrame): DataFrame =
+    sessionAgg(events).orderBy(col("user_id"), col("session_id"))
 
   /** Sessionize SELECT without the final ORDER BY (reused as a CTE by
     * the range-join oracle).
@@ -171,7 +175,11 @@ object Events {
     * bit-identical to the single-partition form (same oracle).
     */
   def qConcurrency(events: DataFrame): DataFrame = {
-    val sess = qSessionize(events)
+    // sessionize feeds both boundary arms AND the session count;
+    // the sweep curve feeds the peak agg AND the final filter —
+    // persist each once (pool-bounded) or the session window re-runs
+    // per consumer
+    val sess = graft.operators.CachePool.track(sessionAgg(events))
     val bounds = sess.select(unix_micros(col("t_start")).as("t"), lit(1L).as("delta"))
       .unionAll(sess.select(unix_micros(col("t_end")).as("t"), lit(-1L).as("delta")))
     // peer-inclusive frame: conc at (t, delta) counts all
@@ -179,13 +187,15 @@ object Events {
     val sweep = graft.operators.RangeRank
       .withRunningSum(bounds, col("delta"), col("t"), Seq(col("delta")), out = "conc")
       .select(col("t"), col("conc"))
-    val peak = sweep.agg(max(col("conc")).as("peak_concurrency"))
+    // (peak, earliest-instant-at-peak) in ONE exact lexicographic
+    // struct-max agg — integer fields, so max((conc, −t)) is
+    // deterministic and replaces the old peak-broadcast → filter →
+    // groupBy tail (three jobs of fixed overhead) with one
+    val best = sweep
+      .agg(max(struct(col("conc"), (-col("t")).as("negt"))).as("b"))
+      .select(col("b.conc").as("peak_concurrency"), (-col("b.negt")).as("t_peak_us"))
     val n = sess.agg(count(lit(1)).as("n_sessions"))
-    sweep.crossJoin(broadcast(peak))
-      .filter(col("conc") === col("peak_concurrency"))
-      .groupBy(col("peak_concurrency"))
-      .agg(min(col("t")).as("t_peak_us"))
-      .crossJoin(broadcast(n))
+    best.crossJoin(broadcast(n))
       .select(col("peak_concurrency"), col("t_peak_us"), col("n_sessions"))
   }
 
@@ -214,7 +224,7 @@ object Events {
     * timeline, so exactly one row per event comes back.
     */
   def qRangeJoin(events: DataFrame): DataFrame = {
-    val sess = qSessionize(events)
+    val sess = sessionAgg(events)
       .select(col("user_id"), col("session_id"), col("t_start"), col("t_end"))
     graft.operators.RangeJoin.bucketed(
       events.select(col("event_id"), col("user_id"), col("ts")),
