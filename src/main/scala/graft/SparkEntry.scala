@@ -1430,6 +1430,8 @@ object SparkEntry {
     "q_multiprobe_recall" -> (PipelineQueries.qMultiProbeRecall _),
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
     "q_media_decode" -> (PipelineQueries.qMediaDecode _),
+    "q_dhash" -> (PipelineQueries.qDhash _),
+    "q_dhash_near" -> (PipelineQueries.qDhashNear _),
     "q_media_resize" -> (PipelineQueries.qMediaResize _),
     "q_media_frames" -> (PipelineQueries.qMediaFrames _),
     "q_audio_decode" -> (PipelineQueries.qAudioDecode _),
@@ -1666,6 +1668,8 @@ object SparkEntry {
     "q_multiprobe_recall" -> PipelineQueries.qMultiProbeRecallSql,
     "q_multimodal" -> PipelineQueries.qMultimodalSql,
     "q_media_decode" -> PipelineQueries.qMediaDecodeSql,
+    "q_dhash" -> PipelineQueries.qDhashSql,
+    "q_dhash_near" -> PipelineQueries.qDhashNearSql,
     "q_media_resize" -> PipelineQueries.qMediaResizeSql,
     "q_media_frames" -> PipelineQueries.qMediaFramesSql,
     "q_audio_decode" -> PipelineQueries.qAudioDecodeSql,

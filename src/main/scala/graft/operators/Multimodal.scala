@@ -339,4 +339,122 @@ object Multimodal {
         }
       }
   }
+
+  // ----------------------------------------------------- perceptual hash
+
+  /** dHash row: the 64 gradient bits packed as two 32-bit halves
+    * (hi = bits 32..63) — neither engine needs the overflowing
+    * `1 << 63` signed shift, and band keys fall out of the halves.
+    */
+  final case class DHashRow(doc_id: Long, width: Long, height: Long,
+                            hash_hi: Long, hash_lo: Long)
+
+  /** Difference-hash (dHash) over REAL decoded images — the standard
+    * perceptual fingerprint for image near-dup detection (public
+    * knowledge; 64 bits = sign of adjacent column-block luminance
+    * gradients on a 9×8 grid). All arithmetic is exact integer:
+    * luminance `(299r+587g+114b) div 1000`, block membership by the
+    * exact floor-boundary inverse (`bi = (9x+8) div w`), block means
+    * on the milli lattice — so a SQL oracle recomputes the identical
+    * hash from the synthetic pixel formula, proving decode → hash
+    * end-to-end. Images narrower than the 9×8 grid yield no row.
+    *
+    * Scale shape: one mapPartitions decode pass (codec init amortised
+    * per partition, the [[decodeMeta]] contract), emitting 4 longs per
+    * image — the hash table is corpus-row-sized, never pixel-sized,
+    * and downstream near-dup joins band on 16-bit hash slices.
+    */
+  def dHash(media: DataFrame, idCol: String = "doc_id",
+            payloadCol: String = "payload"): Dataset[DHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          val img =
+            try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+            catch { case _: Exception => None }
+          img.flatMap { im =>
+            val w = im.getWidth
+            val h = im.getHeight
+            if (w < 9 || h < 8) None
+            else {
+              val sums = Array.ofDim[Long](8, 9)
+              val cnts = Array.ofDim[Long](8, 9)
+              var y = 0
+              while (y < h) {
+                val bj = ((8 * y + 7) / h)
+                var x = 0
+                while (x < w) {
+                  val bi = ((9 * x + 8) / w)
+                  val p = im.getRGB(x, y)
+                  val lum = (((p >> 16) & 255) * 299L +
+                    ((p >> 8) & 255) * 587L + (p & 255) * 114L) / 1000L
+                  sums(bj)(bi) += lum
+                  cnts(bj)(bi) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              var hi = 0L
+              var lo = 0L
+              var j = 0
+              while (j < 8) {
+                var i = 0
+                while (i < 8) {
+                  val a = sums(j)(i) * 1000L / cnts(j)(i)
+                  val b = sums(j)(i + 1) * 1000L / cnts(j)(i + 1)
+                  if (b > a) {
+                    val k = j * 8 + i
+                    if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+                  }
+                  i += 1
+                }
+                j += 1
+              }
+              Some(DHashRow(id, w.toLong, h.toLong, hi, lo))
+            }
+          }
+        }
+      }
+  }
+
+  /** Image near-dup pairs over a dHash table via byte-band blocking:
+    * two hashes within hamming ≤ 7 MUST share one of their 8 bytes
+    * (pigeonhole), so candidates come from an equi-join on
+    * (band, byte) — never an all-pairs hash comparison — and are
+    * verified by exact popcount. Output: id_a, id_b, hamming (≤
+    * `maxHamming`), ordered.
+    *
+    * Scale: the hash table is corpus-row-sized (4 longs per image);
+    * band buckets spread over 8 × 256 keys per band value; the verify
+    * is per-candidate O(1).
+    */
+  def dHashNearDup(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "byte-band blocking is pigeonhole-lossless only up to hamming 7")
+    val banded = CachePool.track(hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        explode(array((0 until 8).map { k =>
+          struct(lit(k).as("k"),
+            (if (k < 4) shiftright(col("hash_lo"), 8 * k)
+             else shiftright(col("hash_hi"), 8 * (k - 4)))
+              .bitwiseAND(lit(255L)).as("b"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("band.k").as("k"), col("band.b").as("b")))
+    banded.as("x").join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.hash_hi").as("ha"), col("x.hash_lo").as("la"),
+        col("y.hash_hi").as("hb"), col("y.hash_lo").as("lb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
 }

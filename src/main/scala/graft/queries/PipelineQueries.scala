@@ -1701,6 +1701,92 @@ object PipelineQueries {
       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Perceptual dHash over the REAL decoded BMP payloads (see
+    * [[graft.operators.Multimodal.dHash]]): the oracle recomputes every
+    * 64-bit gradient hash analytically from the synthetic pixel
+    * formula, so a single wrong decoded pixel, block boundary or
+    * luminance coefficient breaks the hash compare. Restricted to the
+    * BMP third of the media table (lossless 3BYTE_BGR round trip;
+    * PNG-gray ids go through a colorspace conversion the oracle can't
+    * replicate) and to widths ≥ 9 (the 9×8 grid needs nonempty
+    * blocks — w = 8 iff doc_id % 25 = 0).
+    */
+  def qDhash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.dHash(
+      graft.operators.Multimodal.synthMediaTable(s, dir)
+        .filter(col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0))
+      .toDF()
+      .orderBy("doc_id")
+
+  /** Shared dHash CTE chain, ending in `dh` = (doc_id, width, height,
+    * hash_hi, hash_lo) — the analytic recomputation of every hash from
+    * the synthetic pixel formula.
+    */
+  private val dhashCtes: String =
+    """ids AS (
+      |  SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id * 3) % 17 AS h
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 25 <> 0),
+      |px AS (
+      |  SELECT doc_id, w, h, s % w AS x, s // w AS y
+      |  FROM (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS s FROM ids)),
+      |lum AS (
+      |  SELECT doc_id, w, h,
+      |         ((9 * x + 8) // w) AS bi, ((8 * y + 7) // h) AS bj,
+      |         ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) // 1000)
+      |           AS l
+      |  FROM (SELECT *, (doc_id * 31 + y * w + x) & 16777215 AS v FROM px)),
+      |blocks AS (
+      |  SELECT doc_id, w, h, bj, bi,
+      |         CAST(sum(l) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS m
+      |  FROM lum GROUP BY 1, 2, 3, 4, 5),
+      |bits AS (
+      |  SELECT a.doc_id, a.w, a.h, a.bj * 8 + a.bi AS k,
+      |         CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+      |  FROM blocks a JOIN blocks b
+      |    ON a.doc_id = b.doc_id AND a.bj = b.bj AND b.bi = a.bi + 1
+      |  WHERE a.bi < 8),
+      |dh AS (
+      |  SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |         CAST(sum(CASE WHEN bit = 1 AND k >= 32
+      |                       THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
+      |           AS hash_hi,
+      |         CAST(sum(CASE WHEN bit = 1 AND k < 32
+      |                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+      |           AS hash_lo
+      |  FROM bits GROUP BY 1, 2, 3)""".stripMargin
+
+  val qDhashSql: String =
+    s"WITH $dhashCtes\nSELECT * FROM dh ORDER BY doc_id"
+
+  /** Image near-dup pairs via byte-band blocking over the dHashes (see
+    * [[graft.operators.Multimodal.dHashNearDup]]): candidates share at
+    * least one of the 8 byte bands (pigeonhole-lossless for hamming ≤
+    * 7), verified by exact popcount.
+    */
+  def qDhashNear(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.dHashNearDup(
+      graft.operators.Multimodal.dHash(
+        graft.operators.Multimodal.synthMediaTable(s, dir)
+          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0)).toDF())
+
+  val qDhashNearSql: String =
+    s"""WITH $dhashCtes,
+       |bands AS (
+       |  SELECT doc_id, hash_hi, hash_lo, k,
+       |         CASE WHEN k < 4 THEN (hash_lo >> (8 * k)) & 255
+       |              ELSE (hash_hi >> (8 * (k - 4))) & 255 END AS b
+       |  FROM dh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         x.hash_hi AS ha, x.hash_lo AS la, y.hash_hi AS hb, y.hash_lo AS lb
+       |  FROM bands x JOIN bands y
+       |    ON x.k = y.k AND x.b = y.b AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Real thumbnail resize over the synthetic media table (see
     * [[graft.operators.Multimodal.resizeThumbs]]): decode →
     * bilinear-scale into a 16-box → PNG re-encode → RE-DECODE. The

@@ -96,4 +96,30 @@ class MultimodalSpec extends SparkSpec {
     g2.drawImage(img, 0, 0, tw, th, null); g2.dispose()
     assert((scaled.getRGB(8, 4) & 0xffffff) == 0xff0000)
   }
+
+  test("dHash: a one-pixel perturbation stays near, a different image is far") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def bmp(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(32, 16, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 16; x <- 0 until 32) img.setRGB(x, y, f(x, y) & 0xffffff)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val base = bmp((x, y) => (x * 8) ^ (y * 16) | ((x * y) << 8))
+    val nearCopy = bmp((x, y) => if (x == 5 && y == 5) 0 else (x * 8) ^ (y * 16) | ((x * y) << 8))
+    val far = bmp((x, y) => ((31 - x) * 8) | ((15 - y) << 16))
+    val media = Seq((1L, base), (2L, nearCopy), (3L, far)).toDF("doc_id", "payload")
+    val hashes = graft.operators.Multimodal.dHash(media).toDF()
+    assert(hashes.count() == 3)
+    val pairs = graft.operators.Multimodal.dHashNearDup(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the perturbed copy pairs with the original at tiny hamming; the
+    // reversed-gradient image pairs with neither
+    assert(pairs.exists { case (a, b, hm) => a == 1L && b == 2L && hm <= 2 }, pairs.toSeq)
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L }, pairs.toSeq)
+  }
 }
