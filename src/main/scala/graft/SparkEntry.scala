@@ -1453,6 +1453,8 @@ object SparkEntry {
     "q_gopher_quality" -> (QualityQueries.qGopher _),
     "q_winnow" -> (QualityQueries.qWinnow _),
     "q_kmv_distinct" -> (QualityQueries.qKmv _),
+    "q_hll" -> (QualityQueries.qHll _),
+    "q_hll_merge" -> (QualityQueries.qHllMerge _),
     "q_kmv_setops" -> (QualityQueries.qKmvSetOps _),
     "q_redact" -> (QualityQueries.qRedact _),
     "q_url_dedup" -> (QualityQueries.qUrlDedup _),
@@ -1691,6 +1693,9 @@ object SparkEntry {
     "q_gopher_quality" -> QualityQueries.qGopherSql,
     "q_winnow" -> QualityQueries.qWinnowSql,
     "q_kmv_distinct" -> QualityQueries.qKmvSql,
+    "q_hll" -> QualityQueries.qHllSql,
+    // merged-halves sketch ≡ whole-corpus sketch by construction
+    "q_hll_merge" -> QualityQueries.qHllSql,
     "q_kmv_setops" -> QualityQueries.qKmvSetOpsSql,
     "q_redact" -> QualityQueries.qRedactSql,
     "q_url_dedup" -> QualityQueries.qUrlDedupSql,

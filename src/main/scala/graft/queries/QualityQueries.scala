@@ -69,6 +69,89 @@ object QualityQueries {
       |  list_transform(generate_series(1, n - 5), j -> list_min(hs[j:j+3])))) AS fp
       |FROM h ORDER BY doc_id, fp""".stripMargin
 
+  // ------------------------------------------- HLL cardinality sketch
+
+  import org.apache.spark.sql.functions.{col, explode, split, countDistinct}
+
+  private def srcTokens(d: DataFrame): DataFrame =
+    d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+
+  /** Per-source distinct-token estimate via the HyperLogLog sketch
+    * (see [[graft.operators.Hll]]) beside the exact count — the
+    * second cardinality sketch next to `q_kmv_distinct`, with exact
+    * integer registers and a 2^−53-lattice harmonic sum so the oracle
+    * hash-compares registers AND estimates.
+    */
+  def qHll(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.CachePool.track(srcTokens(docs(s, dir)))
+    val exact = toks.groupBy(col("source")).agg(countDistinct(col("tok")).as("n_exact"))
+    graft.operators.Hll.estimate(toks, Seq("source"), col("tok"))
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), col("n_regs"), col("v_zero"),
+        col("sum_inv_scaled"), col("est_distinct"))
+      .orderBy("source")
+  }
+
+  private val hllCtes: String =
+    """toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |hs AS (
+      |  SELECT source, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+      |rr AS (
+      |  SELECT source, h >> 52 AS reg,
+      |         CASE WHEN (h & 4503599627370495) = 0 THEN 53
+      |              ELSE 52 - list_max(list_transform(generate_series(0, 51),
+      |                j -> CASE WHEN (((h & 4503599627370495) >> j) & 1) = 1
+      |                     THEN j ELSE -1 END))
+      |         END AS rank
+      |  FROM hs),
+      |rm AS (SELECT source, reg, max(rank) AS mj FROM rr GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_regs,
+      |         CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS present_sum
+      |  FROM rm GROUP BY 1),
+      |fin AS (
+      |  SELECT source, n_regs, 256 - n_regs AS v_zero,
+      |         present_sum + (256 - n_regs) * 9007199254740992 AS sum_inv_scaled,
+      |         (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 9007199254740992.0
+      |           / CAST(present_sum + (256 - n_regs) * 9007199254740992 AS DOUBLE)
+      |           AS raw_est
+      |  FROM agg),
+      |ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+      |       FROM toks GROUP BY 1)""".stripMargin
+
+  val qHllSql: String =
+    s"""WITH $hllCtes
+       |SELECT fin.source, ex.n_exact, fin.n_regs, fin.v_zero, fin.sum_inv_scaled,
+       |       round(CASE WHEN fin.v_zero > 0 AND fin.raw_est <= 640.0
+       |                  THEN 256.0 * ln(256.0 / CAST(fin.v_zero AS DOUBLE))
+       |                  ELSE fin.raw_est END, 3) AS est_distinct
+       |FROM fin JOIN ex ON fin.source = ex.source
+       |ORDER BY fin.source""".stripMargin
+
+  /** Mergeability proof for the HLL sketch: register tables built over
+    * the doc_id-parity halves of the corpus merge by register max and
+    * finalize to EXACTLY the whole-corpus sketch (register max is
+    * associative and every accumulator exact) — so it shares
+    * [[qHllSql]] verbatim, and incremental cardinality maintenance at
+    * 100 TB is a batch-sized register aggregation plus this merge.
+    */
+  def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.operators.CachePool.track(docs(s, dir))
+    val ra = graft.operators.Hll.registers(
+      srcTokens(d.filter(col("doc_id") % 2 === 0)), Seq("source"), col("tok"))
+    val rb = graft.operators.Hll.registers(
+      srcTokens(d.filter(col("doc_id") % 2 =!= 0)), Seq("source"), col("tok"))
+    val exact = srcTokens(d).groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("n_exact"))
+    graft.operators.Hll
+      .finalizeEstimate(graft.operators.Hll.merge(ra, rb, Seq("source")), Seq("source"))
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), col("n_regs"), col("v_zero"),
+        col("sum_inv_scaled"), col("est_distinct"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------ KMV cardinality sketch
 
   def qKmv(s: SparkSession, dir: String): DataFrame =
