@@ -1342,6 +1342,9 @@ object SparkEntry {
     "q_benford" -> (EvalQueries.qBenford _),
     "q_cohens_kappa" -> (EvalQueries.qCohensKappa _),
     "q_twa" -> ((s, dir) => EvalQueries.qTwa(events(s, dir))),
+    "q_entropy" -> (EvalQueries.qEntropy _),
+    "q_mad_outliers" -> ((s, dir) => Ev.qMadOutliers(events(s, dir))),
+    "q_interval_union" -> ((s, dir) => Ev.qIntervalUnion(events(s, dir))),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1578,6 +1581,9 @@ object SparkEntry {
     "q_benford" -> EvalQueries.qBenfordSql,
     "q_cohens_kappa" -> EvalQueries.qCohensKappaSql,
     "q_twa" -> EvalQueries.qTwaSql,
+    "q_entropy" -> EvalQueries.qEntropySql,
+    "q_mad_outliers" -> Ev.qMadOutliersSql,
+    "q_interval_union" -> Ev.qIntervalUnionSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

@@ -86,6 +86,53 @@ object EvalQueries {
       |       CAST(sum(chi2_term) AS BIGINT) AS chi2_micro
       |FROM terms GROUP BY 1, 2, 3""".stripMargin
 
+  /** Shannon entropy (and its normalized ratio to the uniform maximum)
+    * of each categorical documents column — "how concentrated is my
+    * source / language mix?". Per-value nano-nat terms are rounded to
+    * integers before the exact sum ([[qMutualInfo]]'s lattice), the
+    * ratio is a ppm floor division; one map-side-combined count per
+    * column.
+    */
+  def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    def arm(c: String): DataFrame = {
+      val counts = d.groupBy(col(c).as("v")).agg(count(lit(1)).as("nx"))
+      val tot = counts.agg(sum(col("nx")).as("n"), count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("n"), col("k"),
+          expr("CAST(round(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT)")
+            .as("term"))
+        .groupBy(col("n"), col("k"))
+        .agg(sum(col("term")).as("h_nano"))
+        .select(lit(c).as("column_name"), col("n"), col("k"), col("h_nano"),
+          expr("CAST(round(ln(CAST(k AS DOUBLE)) * 1000000000.0) AS BIGINT)")
+            .as("hmax_nano"))
+        .withColumn("ratio_ppm", expr("h_nano * 1000000 div nullif(hmax_nano, 0)"))
+    }
+    arm("source").unionByName(arm("lang")).orderBy("column_name")
+  }
+
+  val qEntropySql: String = {
+    def arm(c: String): String =
+      s"""SELECT '$c' AS column_name, n, k, CAST(sum(term) AS BIGINT) AS h_nano,
+         |       CAST(round(ln(CAST(k AS DOUBLE)) * 1000000000.0) AS BIGINT) AS hmax_nano,
+         |       CAST(sum(term) AS BIGINT) * 1000000
+         |         // nullif(CAST(round(ln(CAST(k AS DOUBLE)) * 1000000000.0) AS BIGINT), 0)
+         |         AS ratio_ppm
+         |FROM (
+         |  SELECT n, k,
+         |         CAST(round(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |           ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT)
+         |           AS term
+         |  FROM (SELECT $c AS v, CAST(count(*) AS BIGINT) AS nx FROM documents GROUP BY 1)
+         |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                     CAST(count(DISTINCT $c) AS BIGINT) AS k FROM documents)
+         |)
+         |GROUP BY n, k""".stripMargin
+    s"${arm("source")}\nUNION ALL\n${arm("lang")}\nORDER BY column_name"
+  }
+
   /** Benford first-digit profile of order totals: observed vs expected
     * leading-digit shares on the ppm lattice. The leading digit comes
     * from exact integer cents via the decimal-string length (never

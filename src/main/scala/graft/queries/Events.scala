@@ -1371,4 +1371,124 @@ object Events {
       |           AS chi2
       |  FROM cells
       |)""".stripMargin
+
+  /** Robust outlier detection via the median absolute deviation — the
+    * heavy-tail-safe sibling of [[qAnomaly]]'s mean/sigma gate (a few
+    * extreme values can't move the fence). Entirely on integer
+    * lattices: medians use the parity-free `x[(n-1) div 2] + x[n div 2]`
+    * doubled form over exact cents (the [[Relational.qPercentileCont]]
+    * row-number machinery), deviations ride a x2 lattice, the MAD a
+    * x4 lattice, and the 3·1.4826·MAD fence is one exact integer
+    * cross-multiplication (20000·d > 44478·mad_x4). Windows are
+    * per-event-type only.
+    */
+  def qMadOutliers(events: DataFrame): DataFrame = {
+    val v = graft.operators.CachePool.track(
+      events.select(col("event_type").as("grp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c")))
+    val w = Window.partitionBy(col("grp")).orderBy(col("c"))
+    val r = v.withColumn("rn", row_number().over(w).cast("long"))
+    val n = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    // (n-1)/2 = n/2 for odd n: the two rank picks collapse to ONE row —
+    // doubling that row keeps the parity-free doubled-median sum right
+    val med = r.join(broadcast(n), "grp")
+      .filter(col("rn") === expr("(n - 1) div 2 + 1") || col("rn") === expr("n div 2 + 1"))
+      .groupBy(col("grp"))
+      .agg(when(count(lit(1)) === 1, sum(col("c")) * 2)
+        .otherwise(sum(col("c"))).cast("long").as("med_x2"))
+    val d = v.join(broadcast(med), "grp")
+      .withColumn("d", abs(col("c") * 2 - col("med_x2")))
+    val dc = graft.operators.CachePool.track(d)
+    val wd = Window.partitionBy(col("grp")).orderBy(col("d"))
+    val rd = dc.withColumn("rn", row_number().over(wd).cast("long"))
+    val mad = rd.join(broadcast(n), "grp")
+      .filter(col("rn") === expr("(n - 1) div 2 + 1") || col("rn") === expr("n div 2 + 1"))
+      .groupBy(col("grp"))
+      .agg(when(count(lit(1)) === 1, sum(col("d")) * 2)
+        .otherwise(sum(col("d"))).cast("long").as("mad_x4"))
+    dc.join(broadcast(mad), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med_x2")).as("med_x2"), max(col("mad_x4")).as("mad_x4"),
+        sum(when(col("d") * 20000 > col("mad_x4") * 44478, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
+      .orderBy("grp")
+  }
+
+  val qMadOutliersSql: String =
+    """WITH v AS (SELECT event_type AS grp,
+      |                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY grp),
+      |r AS (SELECT grp, c,
+      |             CAST(row_number() OVER (PARTITION BY grp ORDER BY c) AS BIGINT) AS rn
+      |      FROM v),
+      |med AS (
+      |  SELECT grp, CAST(CASE WHEN count(*) = 1 THEN sum(c) * 2 ELSE sum(c) END AS BIGINT)
+      |           AS med_x2
+      |  FROM r JOIN n USING (grp)
+      |  WHERE rn = (n - 1) // 2 + 1 OR rn = n // 2 + 1
+      |  GROUP BY grp),
+      |d AS (SELECT v.grp, abs(v.c * 2 - med.med_x2) AS d, med.med_x2
+      |      FROM v JOIN med ON v.grp = med.grp),
+      |rd AS (SELECT grp, d, med_x2,
+      |              CAST(row_number() OVER (PARTITION BY grp ORDER BY d) AS BIGINT) AS rn
+      |       FROM d),
+      |mad AS (
+      |  SELECT grp, CAST(CASE WHEN count(*) = 1 THEN sum(d) * 2 ELSE sum(d) END AS BIGINT)
+      |           AS mad_x4
+      |  FROM rd JOIN n USING (grp)
+      |  WHERE rn = (n - 1) // 2 + 1 OR rn = n // 2 + 1
+      |  GROUP BY grp)
+      |SELECT d.grp, CAST(count(*) AS BIGINT) AS n,
+      |       max(d.med_x2) AS med_x2, max(mad.mad_x4) AS mad_x4,
+      |       CAST(sum(CASE WHEN d.d * 20000 > mad.mad_x4 * 44478 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_outliers,
+      |       CAST(sum(CASE WHEN d.d * 20000 > mad.mad_x4 * 44478 THEN 1 ELSE 0 END)
+      |            AS BIGINT) * 1000000
+      |         // CAST(count(*) AS BIGINT) AS outlier_ppm
+      |FROM d JOIN mad ON d.grp = mad.grp
+      |GROUP BY d.grp
+      |ORDER BY d.grp""".stripMargin
+
+  /** Per-user interval-union coverage: each event opens a 5-minute
+    * activity window; overlaps merge via the classic prefix-max sweep
+    * (running max of interval ends per user, contribution =
+    * max(0, end − max(start, prev_max_end))) — total covered time
+    * without materializing merged intervals. Exact integer µs; windows
+    * per user only.
+    */
+  def qIntervalUnion(events: DataFrame): DataFrame = {
+    val winUs = 300L * 1000000L
+    val iv = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + lit(winUs)).as("e"))
+    val prevMax = max(col("e")).over(
+      Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("pm", prevMax)
+      .withColumn("contrib",
+        greatest(lit(0L), col("e") - greatest(col("s"), coalesce(col("pm"), col("s")))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("contrib")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  val qIntervalUnionSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + 300000000 AS e
+      |  FROM events),
+      |sw AS (
+      |  SELECT user_id, s, e,
+      |         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(greatest(0, e - greatest(s, COALESCE(pm, s)))) AS BIGINT)
+      |         AS covered_us
+      |FROM sw
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

@@ -81,6 +81,38 @@ class EvalQueriesSpec extends SparkSpec {
     assert(out(2L) == 7.75)
   }
 
+  test("MAD outliers: a planted extreme value is fenced, tight values are not") {
+    // 99 values at 10.00 ± 0.02 and one at 500.00: mean/sigma would be
+    // dragged, the MAD fence is not
+    val ev = ((1 to 99).map(i => (i.toLong, 1L, "a", 10.0 + (i % 5) * 0.01)) :+
+      (100L, 1L, "a", 500.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val r = graft.queries.Events.qMadOutliers(ev).collect().head
+    assert(r.getAs[Long]("n") == 100)
+    assert(r.getAs[Long]("n_outliers") == 1L, r.toString)
+    // median 10.02-ish on the doubled lattice
+    assert(math.abs(r.getAs[Long]("med_x2") - 2 * 1002L) <= 2)
+  }
+
+  test("interval union merges overlaps and counts gaps once") {
+    val ev = Seq(
+      // user 1: events at 0min and 2min (overlapping 5-min windows →
+      // union = 7 min), then 100min (disjoint → +5 min) = 12 min
+      (1L, 1L, "2024-01-01 00:00:00"),
+      (2L, 1L, "2024-01-01 00:02:00"),
+      (3L, 1L, "2024-01-01 01:40:00"),
+      // user 2: one event → 5 min
+      (4L, 2L, "2024-01-01 00:00:00")
+    ).toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+    val out = graft.queries.Events.qIntervalUnion(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("covered_us")).toMap
+    assert(out(1L) == 12L * 60 * 1000000, out.toString)
+    assert(out(2L) == 5L * 60 * 1000000)
+  }
+
   test("rank metrics: perfect retrieval pins mrr/ndcg/ap at 1e6 on a hand corpus") {
     // all metrics are exercised through the real query on fixture data
     // by the oracle gate; here pin the lattice endpoints analytically
