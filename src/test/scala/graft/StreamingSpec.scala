@@ -591,4 +591,41 @@ class StreamingSpec extends SparkSpec {
       Relational.basketTotals(baskets)).collect().toSeq
     assert(merged == batch && merged.nonEmpty)
   }
+
+  test("streaming HLL registers merge to the whole-corpus sketch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graft-stream-hll")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/d0.parquet")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/d1.parquet")
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+
+    var regs: Option[org.apache.spark.sql.DataFrame] = None
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*.parquet")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = graft.operators.Hll.registers(toks(batch), Seq("source"), col("tok"))
+        regs = Some(regs.fold(b)(prev =>
+          graft.operators.Hll.merge(prev, b, Seq("source"))))
+        regs.foreach(x => { x.persist().count(); () }) // pin before the batch frame dies
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // register max is associative + every accumulator exact, so the
+    // per-micro-batch merge must finalize BIT-IDENTICALLY to the
+    // one-pass corpus sketch — the streaming cardinality gate at 100 TB
+    val streamed = graft.operators.Hll
+      .finalizeEstimate(regs.get, Seq("source")).collect().toSeq.sortBy(_.getString(0))
+    val batch = graft.operators.Hll
+      .finalizeEstimate(graft.operators.Hll.registers(toks(docs), Seq("source"), col("tok")),
+        Seq("source")).collect().toSeq.sortBy(_.getString(0))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
