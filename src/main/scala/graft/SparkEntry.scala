@@ -1338,6 +1338,8 @@ object SparkEntry {
     "q_knn_classify_ann" -> (PipelineQueries.qKnnClassifyAnn _),
     "q_knn_ann_recall" -> (PipelineQueries.qKnnAnnRecall _),
     "q_rank_metrics" -> (PipelineQueries.qRankMetrics _),
+    "q_label_noise" -> (PipelineQueries.qLabelNoise _),
+    "q_embed_drift" -> (PipelineQueries.qEmbedDrift _),
     "q_mutual_info" -> (EvalQueries.qMutualInfo _),
     "q_benford" -> (EvalQueries.qBenford _),
     "q_cohens_kappa" -> (EvalQueries.qCohensKappa _),
@@ -1577,6 +1579,8 @@ object SparkEntry {
     "q_knn_classify_ann" -> PipelineQueries.qKnnClassifyAnnSql,
     "q_knn_ann_recall" -> PipelineQueries.qKnnAnnRecallSql,
     "q_rank_metrics" -> PipelineQueries.qRankMetricsSql,
+    "q_label_noise" -> PipelineQueries.qLabelNoiseSql,
+    "q_embed_drift" -> PipelineQueries.qEmbedDriftSql,
     "q_mutual_info" -> EvalQueries.qMutualInfoSql,
     "q_benford" -> EvalQueries.qBenfordSql,
     "q_cohens_kappa" -> EvalQueries.qCohensKappaSql,

@@ -1172,6 +1172,45 @@ object Similarity {
     majorityVote(nbrs)
   }
 
+  /** Label-noise screening by self-kNN disagreement (the
+    * confident-learning-style gate a labeled training set runs before
+    * fine-tuning): every vector takes the majority label of its k
+    * nearest OTHER vectors; a vector whose neighborhood outvotes its
+    * own label is flagged. Neighbors come from the hyperplane-signature
+    * bucket join with the self-pair excluded in the join condition —
+    * the [[annJoin]] scale shape, never the dense self cross join.
+    * Output per label: label, n, n_voted (vectors with ≥1 same-bucket
+    * neighbor), n_flagged, noise_ppm (flagged per voted).
+    */
+  def labelNoise(embs: DataFrame, bits: Int, k: Int, dims: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding",
+                 labelCol: String = "label"): DataFrame = {
+    val side = embs.select(col(idCol).cast("long").as("id"), col(embCol).as("e"),
+      norm(col(embCol), dims).as("nn"),
+      hyperplaneSig(col(embCol), bits, dims).as("sig"),
+      col(labelCol).cast("long").as("lab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    val nbrs = side.as("a").join(side.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("a.lab").as("true_label"),
+        col("b.id").as("nn_id"), col("b.lab").as("nn_label"),
+        round(cosinePre(col("a.e"), col("b.e"), col("a.nn"), col("b.nn"), dims), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("true_label"), col("nn_label"))
+    majorityVote(nbrs)
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_voted"),
+        sum(lit(1L) - col("correct")).as("n_flagged"))
+      .join(embs.groupBy(col(labelCol).cast("long").as("label"))
+        .agg(count(lit(1)).as("n")), "label")
+      .select(col("label"), col("n"), col("n_voted"), col("n_flagged"),
+        expr("n_flagged * 1000000 div nullif(n_voted, 0)").as("noise_ppm"))
+      .orderBy("label")
+  }
+
   /** Matryoshka-style adaptive retrieval (public knowledge: Kusupati et
     * al., "Matryoshka Representation Learning", 2022): rank the corpus
     * by cosine over only the FIRST `dPrefix` dimensions, keep a

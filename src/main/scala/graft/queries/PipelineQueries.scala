@@ -3146,6 +3146,85 @@ object PipelineQueries {
        |FROM wide
        |ORDER BY query_id""".stripMargin
 
+  /** Label-noise screening by self-kNN disagreement (see
+    * [[graft.operators.Similarity.labelNoise]]): sig-bucket neighbors
+    * with the self-pair excluded in the join condition, majority vote,
+    * per-label flag rates. ANN scale shape end to end, own oracle.
+    */
+  def qLabelNoise(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelNoise(embs(s, dir), bits = AnnJoinBits, k = KnnK, dims = Dims)
+
+  val qLabelNoiseSql: String =
+    s"""WITH side AS (
+       |  SELECT vec_id AS id, embedding AS e,
+       |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig,
+       |         CAST(label AS BIGINT) AS lab
+       |  FROM embeddings),
+       |nb AS (
+       |  SELECT query_id, true_label, nn_label FROM (
+       |    SELECT a.id AS query_id, a.lab AS true_label, b.id AS nn_id, b.lab AS nn_label,
+       |           row_number() OVER (PARTITION BY a.id
+       |             ORDER BY round(${cosSql("a.e", "b.e")}, 6) DESC, b.id) AS rn
+       |    FROM side a JOIN side b ON a.sig = b.sig AND a.id <> b.id)
+       |  WHERE rn <= $KnnK),
+       |votes AS (
+       |  SELECT query_id, true_label, nn_label, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM nb GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, true_label, nn_label AS predicted,
+       |         CAST(CAST(nn_label = true_label AS INT) AS BIGINT) AS correct
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY n_votes DESC, nn_label) AS vr
+       |        FROM votes)
+       |  WHERE vr = 1),
+       |agg AS (
+       |  SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_voted,
+       |         CAST(sum(1 - correct) AS BIGINT) AS n_flagged
+       |  FROM pred GROUP BY 1),
+       |tot AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+       |        FROM embeddings GROUP BY 1)
+       |SELECT label, n, n_voted, n_flagged,
+       |       n_flagged * 1000000 // nullif(n_voted, 0) AS noise_ppm
+       |FROM agg JOIN tot USING (label)
+       |ORDER BY label""".stripMargin
+
+  /** Embedding drift between the vec_id-parity halves (the
+    * "yesterday vs today snapshot" monitoring shape): per-dimension
+    * micro-lattice mean shift, most-drifted dimensions first. All
+    * integer from the [[qEmbedDimStats]] quantization.
+    */
+  def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    def half(p: Int, nCol: String, mCol: String): DataFrame =
+      e.filter(col("vec_id") % 2 === p)
+        .select(posexplode(col("embedding")).as(Seq("dim", "ev")))
+        .select(col("dim").cast("long").as("dim"),
+          expr("CAST(round(CAST(ev AS DOUBLE) * 1000000.0) AS BIGINT)").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(nCol),
+          expr("CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)").as(mCol))
+    half(0, "n_a", "mean_a_micro").join(half(1, "n_b", "mean_b_micro"), "dim")
+      .withColumn("drift_micro", abs(col("mean_a_micro") - col("mean_b_micro")))
+      .orderBy(col("drift_micro").desc, col("dim"))
+  }
+
+  val qEmbedDriftSql: String =
+    """WITH m AS (
+      |  SELECT vec_id % 2 AS half, CAST(dim AS BIGINT) AS dim,
+      |         CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+      |  FROM (SELECT vec_id, unnest(embedding) AS e,
+      |               unnest(generate_series(0, len(embedding) - 1)) AS dim
+      |        FROM embeddings)),
+      |g AS (SELECT half, dim, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+      |      FROM m GROUP BY 1, 2),
+      |a AS (SELECT dim, n AS n_a, mu AS mean_a_micro FROM g WHERE half = 0),
+      |b AS (SELECT dim, n AS n_b, mu AS mean_b_micro FROM g WHERE half = 1)
+      |SELECT dim, n_a, mean_a_micro, n_b, mean_b_micro,
+      |       abs(mean_a_micro - mean_b_micro) AS drift_micro
+      |FROM a JOIN b USING (dim)
+      |ORDER BY drift_micro DESC, dim""".stripMargin
+
   /** Matryoshka adaptive retrieval: 16-dim prefix shortlist of 50,
     * full-dim re-rank to top-10 (see
     * [[graft.operators.Similarity.matryoshkaSearch]]).
