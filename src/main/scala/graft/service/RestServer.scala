@@ -50,7 +50,8 @@ import java.time.Instant
   */
 final class RestServer(engine: ClusterEngine, port: Int = 0,
                        dedup: Option[(org.apache.spark.sql.SparkSession, String)] = None,
-                       ann: Option[(org.apache.spark.sql.SparkSession, String, Int)] = None) {
+                       ann: Option[(org.apache.spark.sql.SparkSession, String, Int)] = None,
+                       text: Option[(org.apache.spark.sql.SparkSession, String)] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // most-RECENT dataset is the initial default (main.go:70-72) — by
@@ -476,6 +477,63 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
         case ("GET", "search") => handleAnnSearch(ex)
         case ("GET", "bq") => handleBqSearch(ex)
         case ("POST", "delete") => handleAnnDelete(ex)
+        case _ => err(ex, 404, "not found")
+      }
+    } catch {
+      case e: Throwable => err(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+  })
+
+  /** BM25 text-search route over the configured persisted
+    * [[graft.sources.TextIndex]]: `q` is +-or-space separated terms;
+    * the request-time work is the term-pruned postings scan
+    * ([[graft.sources.TextIndex.bm25Serve]] — the plan Bench times as
+    * `bm25_warm_sec`), delete-aware by construction.
+    */
+  private def handleTextSearch(ex: HttpExchange): Unit = text match {
+    case None => err(ex, 404, "text index not configured")
+    case Some((spark, indexPath)) =>
+      val q = query(ex)
+      val terms = q.getOrElse("q", "").split("[+ ]").filter(_.nonEmpty).toSeq
+      val k = try q.getOrElse("k", "10").toInt
+        catch { case _: NumberFormatException => -1 }
+      if (terms.isEmpty) err(ex, 400, "missing q")
+      else if (k <= 0) err(ex, 400, "invalid k")
+      else {
+        val out = graft.sources.TextIndex.bm25Serve(spark, indexPath, terms, k)
+          .collect().map { r =>
+            s"""{"docId":${r.getLong(0)},"scoreMicro":${r.getLong(1)}}"""
+          }
+        respond(ex, 200, out.mkString("[", ",", "]"))
+      }
+  }
+
+  /** Text-index tombstone delete at the REST edge (score-correct by
+    * [[graft.sources.TextIndex.delete]]'s length-carrying contract);
+    * truthful counts like the other delete routes.
+    */
+  private def handleTextDelete(ex: HttpExchange): Unit = text match {
+    case None => err(ex, 404, "text index not configured")
+    case Some((spark, indexPath)) =>
+      parseIds(ex) match {
+        case Left(m) => err(ex, 400, m)
+        case Right(ids) =>
+          val newly = newlyDead(spark, ids,
+            s"$indexPath/postings", "doc", s"$indexPath/tombstones")
+          graft.sources.TextIndex.delete(spark, indexPath, ids)
+          respond(ex, 200, s"""{"requested":${ids.size},"deleted":$newly}""")
+      }
+  }
+
+  server.createContext("/api/search", (ex: HttpExchange) => {
+    try {
+      val method = ex.getRequestMethod
+      val sub = ex.getRequestURI.getPath.stripSuffix("/")
+        .stripPrefix("/api/search").stripPrefix("/")
+      (method, sub) match {
+        case ("OPTIONS", _) => respond(ex, 204, "")
+        case ("GET", "") => handleTextSearch(ex)
+        case ("POST", "delete") => handleTextDelete(ex)
         case _ => err(ex, 404, "not found")
       }
     } catch {

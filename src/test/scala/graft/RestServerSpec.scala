@@ -98,6 +98,50 @@ class RestServerSpec extends SparkSpec {
     assert(post("/api/clusters/nope/append", """{"numPoints": 1}""").statusCode() == 400)
   }
 
+  test("GET /api/search ranks by served BM25; delete drops the doc with truthful counts") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-rest-tix").toString
+    val docs = Seq(
+      (1L, "spark shuffle join aggregation"),
+      (2L, "spark spark spark streaming"),
+      (3L, "entirely unrelated gardening prose")
+    ).toDF("doc_id", "text")
+    graft.sources.TextIndex.save(docs, idx)
+    val srv = new RestServer(engine, text = Some((spark, idx)))
+    srv.start()
+    try {
+      val r = get2(srv, "/api/search?q=spark&k=2")
+      assert(r.statusCode() == 200, r.body())
+      // doc 2 has the highest spark tf → ranked first; doc 3 absent
+      assert(r.body().indexOf("\"docId\":2") >= 0 &&
+        (r.body().indexOf("\"docId\":1") < 0 ||
+          r.body().indexOf("\"docId\":2") < r.body().indexOf("\"docId\":1")), r.body())
+      assert(!r.body().contains("\"docId\":3"))
+      // row-identical to the direct serving plan
+      val direct = graft.sources.TextIndex.bm25Serve(spark, idx, Seq("spark"), 2)
+        .collect().map(row => s""""docId":${row.getLong(0)},"scoreMicro":${row.getLong(1)}""")
+      direct.foreach(d => assert(r.body().contains(d), s"$d missing in ${r.body()}"))
+      assert(get2(srv, "/api/search").statusCode() == 400)
+      assert(get2(srv, "/api/search?q=spark&k=0").statusCode() == 400)
+
+      // delete: truthful counts; the doc leaves the ranking immediately
+      def spost(path: String) = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val rd = spost("/api/search/delete?ids=2,999")
+      assert(rd.statusCode() == 200 &&
+        rd.body().contains("\"requested\":2") && rd.body().contains("\"deleted\":1"), rd.body())
+      val after = get2(srv, "/api/search?q=spark&k=3")
+      assert(!after.body().contains("\"docId\":2") && after.body().contains("\"docId\":1"),
+        after.body())
+    } finally srv.stop()
+  }
+
+  private def get2(srv: RestServer, path: String) = http.send(
+    HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}$path")).GET().build(),
+    HttpResponse.BodyHandlers.ofString())
+
   test("POST /api/dedup/check classifies a request batch against the index") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-rest-dix").toString
