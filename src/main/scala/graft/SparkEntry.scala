@@ -1437,6 +1437,7 @@ object SparkEntry {
     "q_media_decode" -> (PipelineQueries.qMediaDecode _),
     "q_dhash" -> (PipelineQueries.qDhash _),
     "q_dhash_near" -> (PipelineQueries.qDhashNear _),
+    "q_dhash_groups" -> (PipelineQueries.qDhashGroups _),
     "q_media_resize" -> (PipelineQueries.qMediaResize _),
     "q_media_frames" -> (PipelineQueries.qMediaFrames _),
     "q_audio_decode" -> (PipelineQueries.qAudioDecode _),
@@ -1682,6 +1683,7 @@ object SparkEntry {
     "q_media_decode" -> PipelineQueries.qMediaDecodeSql,
     "q_dhash" -> PipelineQueries.qDhashSql,
     "q_dhash_near" -> PipelineQueries.qDhashNearSql,
+    "q_dhash_groups" -> PipelineQueries.qDhashGroupsSql,
     "q_media_resize" -> PipelineQueries.qMediaResizeSql,
     "q_media_frames" -> PipelineQueries.qMediaFramesSql,
     "q_audio_decode" -> PipelineQueries.qAudioDecodeSql,

@@ -1787,6 +1787,44 @@ object PipelineQueries {
        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 7
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Image near-dup GROUPS: min-label connected components over the
+    * dHash hamming pairs ([[graft.operators.Dedup.nearDupGroups]]'
+    * pointer-jumping propagation, re-targeted at the image graph); the
+    * oracle re-derives components with the recursive-CTE closure (the
+    * `q_dedup_groups` check pattern on image edges).
+    */
+  def qDhashGroups(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.nearDupGroups(
+        qDhashNear(s, dir).select(col("id_a"), col("id_b")))
+      .orderBy("doc_id")
+
+  val qDhashGroupsSql: String =
+    s"""WITH RECURSIVE $dhashCtes,
+       |bands AS (
+       |  SELECT doc_id, hash_hi, hash_lo, k,
+       |         CASE WHEN k < 4 THEN (hash_lo >> (8 * k)) & 255
+       |              ELSE (hash_hi >> (8 * (k - 4))) & 255 END AS b
+       |  FROM dh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)),
+       |npairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.k = y.k AND x.b = y.b AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.hash_hi, y.hash_hi))
+       |      + bit_count(xor(x.hash_lo, y.hash_lo)) <= 7),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM npairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM npairs
+       |),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)
+       |SELECT u AS doc_id, least(u, min(v)) AS group_id
+       |FROM reach GROUP BY u
+       |ORDER BY doc_id""".stripMargin
+
   /** Real thumbnail resize over the synthetic media table (see
     * [[graft.operators.Multimodal.resizeThumbs]]): decode →
     * bilinear-scale into a 16-box → PNG re-encode → RE-DECODE. The

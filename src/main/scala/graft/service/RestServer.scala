@@ -47,6 +47,13 @@ import java.time.Instant
   *    [{vecId,hamming,cosSim}] — binary-quantized top-k: popcount-
   *    Hamming shortlist over the 8-byte packed codes, exact rerank
   *    (requires the index dir's `bqcodes` table).
+  *
+  * Text-retrieval extension (enabled when a persisted
+  * [[graft.sources.TextIndex]] is configured):
+  *  - GET /api/search?q=term+term[&k=10] → [{docId,scoreMicro}] —
+  *    served BM25 top-k (term-pruned postings scan, delete-aware);
+  *  - POST /api/search/delete?ids=1,2 → truthful requested/deleted
+  *    counts, score-correct subtraction per the TextIndex contract.
   */
 final class RestServer(engine: ClusterEngine, port: Int = 0,
                        dedup: Option[(org.apache.spark.sql.SparkSession, String)] = None,
