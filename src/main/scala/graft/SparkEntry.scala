@@ -1347,6 +1347,8 @@ object SparkEntry {
     "q_entropy" -> (EvalQueries.qEntropy _),
     "q_mad_outliers" -> ((s, dir) => Ev.qMadOutliers(events(s, dir))),
     "q_interval_union" -> ((s, dir) => Ev.qIntervalUnion(events(s, dir))),
+    "q_trend" -> ((s, dir) => Ev.qTrend(events(s, dir))),
+    "q_blocklist" -> (EvalQueries.qBlocklist _),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
     "q_percentile_cont" -> (Relational.qPercentileCont _),
@@ -1589,6 +1591,8 @@ object SparkEntry {
     "q_entropy" -> EvalQueries.qEntropySql,
     "q_mad_outliers" -> Ev.qMadOutliersSql,
     "q_interval_union" -> Ev.qIntervalUnionSql,
+    "q_trend" -> Ev.qTrendSql,
+    "q_blocklist" -> EvalQueries.qBlocklistSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,
     "q_percentile_cont" -> Relational.qPercentileContSql,

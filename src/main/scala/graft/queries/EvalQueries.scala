@@ -86,6 +86,42 @@ object EvalQueries {
       |       CAST(sum(chi2_term) AS BIGINT) AS chi2_micro
       |FROM terms GROUP BY 1, 2, 3""".stripMargin
 
+  /** Blocklist / brand-safety term matching: every document probed
+    * against a fixed term list in one pass — hits, distinct matched
+    * terms, and the first match position (1-based token index). The
+    * list is a broadcast join against the exploded token stream; at
+    * 100 TB the blocklist side stays driver-sized and the scan is the
+    * corpus tokenization the pipeline already pays. Spark predicate
+    * and oracle SQL derive from ONE term-list constant.
+    */
+  val Blocklist: Seq[String] = Seq("hash", "vector", "stream")
+
+  def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    toks.filter(col("tok").isInCollection(Blocklist))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("tok")).as("n_terms"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  val qBlocklistSql: String = {
+    val inList = Blocklist.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+       |       CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM toks WHERE tok IN ($inList)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Shannon entropy (and its normalized ratio to the uniform maximum)
     * of each categorical documents column — "how concentrated is my
     * source / language mix?". Per-value nano-nat terms are rounded to

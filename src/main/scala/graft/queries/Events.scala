@@ -1491,4 +1491,82 @@ object Events {
       |FROM sw
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** Mann–Kendall trend test over the per-type daily count series —
+    * the nonparametric "is this metric drifting?" monitor (rank-based:
+    * robust to outliers and any monotone transform). S = Σ sgn(x_j −
+    * x_i) over day pairs, tie-corrected variance on the ×18 integer
+    * lattice, z from the continuity-corrected S — sqrt/division are
+    * exactly-rounded IEEE ops on identical inputs, so z is
+    * engine-identical bit for bit (no libm anywhere). The pairwise
+    * self-join runs over the per-(type, day) AGGREGATE (≤ days rows
+    * per type), never raw events.
+    */
+  def qTrend(events: DataFrame): DataFrame = {
+    val daily = graft.operators.CachePool.track(
+      events.groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x")))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.x") - col("a.x"))).cast("long").as("s"),
+        count(lit(1)).as("n_pairs"))
+    val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    pairs.join(broadcast(nd), "event_type").join(broadcast(ties), "event_type")
+      .withColumn("var18", expr("n * (n - 1) * (2 * n + 5) - tie18"))
+      .withColumn("z_milli", expr(
+        "CAST(round(CASE WHEN var18 <= 0 THEN 0.0 " +
+          "WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+          "WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+          "ELSE 0.0 END * 1000.0) AS BIGINT)"))
+      .withColumn("trend",
+        when(col("z_milli") > 1960, "increasing")
+          .when(col("z_milli") < -1960, "decreasing")
+          .otherwise("none"))
+      .select(col("event_type"), col("n"), col("n_pairs"), col("s"),
+        col("var18"), col("z_milli"), col("trend"))
+      .orderBy("event_type")
+  }
+
+  val qTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type,
+      |         CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s,
+      |         CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      |  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |v AS (
+      |  SELECT p.event_type, nd.n, p.n_pairs, p.s,
+      |         nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie18 AS var18
+      |  FROM p JOIN nd ON p.event_type = nd.event_type
+      |  JOIN ties ON p.event_type = ties.event_type),
+      |z AS (
+      |  SELECT *,
+      |         CAST(round(CASE WHEN var18 <= 0 THEN 0.0
+      |           WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |           WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |           ELSE 0.0 END * 1000.0) AS BIGINT) AS z_milli
+      |  FROM v)
+      |SELECT event_type, n, n_pairs, s, var18, z_milli,
+      |       CASE WHEN z_milli > 1960 THEN 'increasing'
+      |            WHEN z_milli < -1960 THEN 'decreasing'
+      |            ELSE 'none' END AS trend
+      |FROM z
+      |ORDER BY event_type""".stripMargin
 }
