@@ -799,6 +799,65 @@ object SparkEntry {
        |GROUP BY 1
        |ORDER BY geohash""".stripMargin
 
+  /** The haversine great-circle expression in milli-miles — ONE shape
+    * string instantiated by both the Spark expr and the oracle SQL
+    * (sin/cos/asin/sqrt agree to the last ulp in practice; the
+    * milli-mile rounding absorbs it).
+    */
+  private def haversineMilliSql(lon1: String, lat1: String,
+                                lon2: String, lat2: String): String =
+    s"CAST(round(2.0 * 3958.8 * asin(sqrt(" +
+      s"sin(($lat2 - $lat1) * pi() / 360.0) * sin(($lat2 - $lat1) * pi() / 360.0) + " +
+      s"cos($lat1 * pi() / 180.0) * cos($lat2 * pi() / 180.0) * " +
+      s"sin(($lon2 - $lon1) * pi() / 360.0) * sin(($lon2 - $lon1) * pi() / 360.0)" +
+      s")) * 1000.0) AS BIGINT)"
+
+  /** Nearest reference city by great-circle distance for every point
+    * (haversine, milli-mile lattice; the spherical sibling of the
+    * planar [[graft.operators.SpatialJoin.nearestWithin]]), rolled up
+    * per city. City list = [[graft.sources.PointGen.Cities]] — the
+    * same constant the S3 generator uses — on both the Spark and
+    * oracle sides.
+    */
+  private def qHaversineCity(s: SparkSession, dir: String): DataFrame = {
+    val cityCol = array(graft.sources.PointGen.Cities.map { case (n0, clon, clat) =>
+      struct(lit(n0).as("city"), lit(clon).as("clon"), lit(clat).as("clat"))
+    }: _*)
+    val joined = eventPoints(s, dir).select(col("id"), col("lon"), col("lat"))
+      .select(col("id"), col("lon"), col("lat"), explode(cityCol).as("c"))
+      .select(col("id"), col("lon"), col("lat"), col("c.city").as("city"),
+        col("c.clon").as("clon"), col("c.clat").as("clat"))
+      .withColumn("dmilli", expr(haversineMilliSql("lon", "lat", "clon", "clat")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dmilli"), col("city"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("city"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("dmilli")).as("min_dmilli"),
+        max(col("dmilli")).as("max_dmilli"))
+      .orderBy("city")
+  }
+
+  private def haversineCitySql: String = {
+    val values = graft.sources.PointGen.Cities
+      .map { case (n0, clon, clat) => s"('$n0', ${d(clon)}, ${d(clat)})" }
+      .mkString(", ")
+    s"""WITH pts AS ($pointsSql),
+       |cities(city, clon, clat) AS (VALUES $values),
+       |j AS (
+       |  SELECT id, city,
+       |         ${haversineMilliSql("lon", "lat", "clon", "clat")} AS dmilli
+       |  FROM pts CROSS JOIN cities),
+       |near AS (
+       |  SELECT id, city, dmilli FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dmilli, city) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT city, CAST(count(*) AS BIGINT) AS n_points,
+       |       min(dmilli) AS min_dmilli, max(dmilli) AS max_dmilli
+       |FROM near GROUP BY city
+       |ORDER BY city""".stripMargin
+  }
+
   /** Z-order storage-layout report over the point table (see
     * [[graft.operators.ZOrder.layoutStats]]).
     */
@@ -1544,6 +1603,7 @@ object SparkEntry {
     "q_geohash" -> (qGeohash _),
     "q_geofence" -> (qGeofence _),
     "q_spatial_nearest" -> (qSpatialNearest _),
+    "q_haversine_city" -> (qHaversineCity _),
     "q_freq_rollup" -> (qFreqRollup _),
     "q_cluster_summary" -> (qClusterSummary _),
     "q_geojson" -> (qGeoJson _)
@@ -1796,6 +1856,7 @@ object SparkEntry {
     "q_geohash" -> geohashSql,
     "q_geofence" -> geofenceSql,
     "q_spatial_nearest" -> spatialNearestSql,
+    "q_haversine_city" -> haversineCitySql,
     "q_freq_rollup" -> freqRollupSql,
     "q_cluster_summary" -> clusterSummarySql,
     "q_geojson" -> geoJsonSql,

@@ -49,11 +49,16 @@ object PointGen {
     * is dropped (non-reproducible); metadata matches its menu
     * (timestamp/category/city/temperature/elevation).
     */
+  /** The reference's city list (name, lon, lat) — shared by the S3
+    * generator and the haversine nearest-city query.
+    */
+  val Cities: Seq[(String, Double, Double)] = Seq(
+    ("New York", -74.0060, 40.7128), ("Los Angeles", -118.2437, 34.0522),
+    ("Chicago", -87.6298, 41.8781), ("Miami", -80.1918, 25.7617),
+    ("Seattle", -122.3321, 47.6062), ("Austin", -97.7431, 30.2672))
+
   def cityPoints(spark: SparkSession, n: Long, seed: Long): DataFrame = {
-    val cities = Seq( // (name, lon, lat) — the reference's city list
-      ("New York", -74.0060, 40.7128), ("Los Angeles", -118.2437, 34.0522),
-      ("Chicago", -87.6298, 41.8781), ("Miami", -80.1918, 25.7617),
-      ("Seattle", -122.3321, 47.6062), ("Austin", -97.7431, 30.2672))
+    val cities = Cities
     val categories = Seq("Urban", "Suburban", "Industrial", "Commercial", "Residential")
     val picked = new scala.util.Random(seed).shuffle(cities).take(3)
     val id = col("id")
