@@ -858,6 +858,89 @@ object SparkEntry {
        |ORDER BY city""".stripMargin
   }
 
+  /** Douglas–Peucker trajectory simplification over each user's
+    * event track ([[graft.operators.Trajectory.simplify]]), points on
+    * the exact centi-degree lattice and ordered by (ts, event_id);
+    * the oracle replays the recursion as a segment-splitting recursive
+    * CTE (kept points = every segment endpoint the split tree ever
+    * creates).
+    */
+  private val TrajEps = 2000L // centi-degrees
+
+  private def qTrajSimplify(s: SparkSession, dir: String): DataFrame = {
+    val pts = events(s, dir)
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))).cast("long"))
+      .select(col("user_id"), col("idx"),
+        expr("(event_id * 7919) % 36000").as("x"),
+        expr("(event_id * 104729) % 17000").as("y"))
+    graft.operators.Trajectory.simplify(pts, TrajEps)
+      .toDF()
+      .orderBy("user_id", "idx")
+  }
+
+  private def trajSimplifySql: String = {
+    val eps2 = TrajEps * TrajEps
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT user_id,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |              AS BIGINT) AS idx,
+       |         CAST((event_id * 7919) % 36000 AS BIGINT) AS x,
+       |         CAST((event_id * 104729) % 17000 AS BIGINT) AS y
+       |  FROM events),
+       |tr AS (SELECT user_id, list(struct_pack(x := x, y := y) ORDER BY idx) AS ps
+       |       FROM pts GROUP BY user_id),
+       |dp AS (
+       |  SELECT user_id, ps, CAST(1 AS BIGINT) AS i0, CAST(len(ps) AS BIGINT) AS i1
+       |  FROM tr WHERE len(ps) >= 2
+       |  UNION ALL
+       |  SELECT user_id, ps, seg.s AS i0, seg.e AS i1
+       |  FROM (
+       |    SELECT user_id, ps, i0, i1, best,
+       |           unnest([struct_pack(s := i0, e := best),
+       |                   struct_pack(s := best, e := i1)]) AS seg
+       |    FROM (
+       |      SELECT user_id, ps, i0, i1,
+       |             CASE WHEN maxnum > threshold
+       |                  THEN i0 + list_position(nums, maxnum) ELSE NULL END AS best
+       |      FROM (
+       |        SELECT user_id, ps, i0, i1, nums, list_max(nums) AS maxnum,
+       |               CASE WHEN sl2 = 0 THEN $eps2 ELSE $eps2 * sl2 END AS threshold
+       |        FROM (
+       |          SELECT user_id, ps, i0, i1, sl2,
+       |                 list_transform(range(i0 + 1, i1), j ->
+       |                   CASE WHEN sl2 = 0
+       |                        THEN (ps[j].x - x0) * (ps[j].x - x0)
+       |                           + (ps[j].y - y0) * (ps[j].y - y0)
+       |                        ELSE ((x1 - x0) * (ps[j].y - y0)
+       |                              - (y1 - y0) * (ps[j].x - x0))
+       |                           * ((x1 - x0) * (ps[j].y - y0)
+       |                              - (y1 - y0) * (ps[j].x - x0)) END) AS nums
+       |          FROM (
+       |            SELECT user_id, ps, i0, i1,
+       |                   ps[i0].x AS x0, ps[i0].y AS y0,
+       |                   ps[i1].x AS x1, ps[i1].y AS y1,
+       |                   (ps[i1].x - ps[i0].x) * (ps[i1].x - ps[i0].x)
+       |                   + (ps[i1].y - ps[i0].y) * (ps[i1].y - ps[i0].y) AS sl2
+       |            FROM dp
+       |          )
+       |        )
+       |      )
+       |    ) WHERE best IS NOT NULL
+       |  )
+       |),
+       |kept AS (
+       |  SELECT user_id, i0 AS idx FROM dp
+       |  UNION
+       |  SELECT user_id, i1 FROM dp
+       |  UNION
+       |  SELECT user_id, CAST(1 AS BIGINT) FROM tr WHERE len(ps) = 1)
+       |SELECT k.user_id, k.idx, p.x, p.y
+       |FROM kept k JOIN pts p ON k.user_id = p.user_id AND k.idx = p.idx
+       |ORDER BY k.user_id, k.idx""".stripMargin
+  }
+
   /** Z-order storage-layout report over the point table (see
     * [[graft.operators.ZOrder.layoutStats]]).
     */
@@ -1604,6 +1687,7 @@ object SparkEntry {
     "q_geofence" -> (qGeofence _),
     "q_spatial_nearest" -> (qSpatialNearest _),
     "q_haversine_city" -> (qHaversineCity _),
+    "q_traj_simplify" -> (qTrajSimplify _),
     "q_freq_rollup" -> (qFreqRollup _),
     "q_cluster_summary" -> (qClusterSummary _),
     "q_geojson" -> (qGeoJson _)
@@ -1857,6 +1941,7 @@ object SparkEntry {
     "q_geofence" -> geofenceSql,
     "q_spatial_nearest" -> spatialNearestSql,
     "q_haversine_city" -> haversineCitySql,
+    "q_traj_simplify" -> trajSimplifySql,
     "q_freq_rollup" -> freqRollupSql,
     "q_cluster_summary" -> clusterSummarySql,
     "q_geojson" -> geoJsonSql,
