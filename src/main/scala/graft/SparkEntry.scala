@@ -1490,6 +1490,7 @@ object SparkEntry {
     "q_mad_outliers" -> ((s, dir) => Ev.qMadOutliers(events(s, dir))),
     "q_interval_union" -> ((s, dir) => Ev.qIntervalUnion(events(s, dir))),
     "q_trend" -> ((s, dir) => Ev.qTrend(events(s, dir))),
+    "q_moving_median" -> ((s, dir) => Ev.qMovingMedian(events(s, dir))),
     "q_blocklist" -> (EvalQueries.qBlocklist _),
     "q_attribution" -> ((s, dir) => Ev.qAttribution(events(s, dir))),
     "q_autocorr" -> ((s, dir) => Ev.qAutocorr(events(s, dir))),
@@ -1736,6 +1737,7 @@ object SparkEntry {
     "q_mad_outliers" -> Ev.qMadOutliersSql,
     "q_interval_union" -> Ev.qIntervalUnionSql,
     "q_trend" -> Ev.qTrendSql,
+    "q_moving_median" -> Ev.qMovingMedianSql,
     "q_blocklist" -> EvalQueries.qBlocklistSql,
     "q_attribution" -> Ev.qAttributionSql,
     "q_autocorr" -> Ev.qAutocorrSql,

@@ -1569,4 +1569,39 @@ object Events {
       |            ELSE 'none' END AS trend
       |FROM z
       |ORDER BY event_type""".stripMargin
+
+  /** Trailing moving MEDIAN (5-row frame) per user — the robust
+    * smoother beside [[qMovingAvg]]'s mean frames: the window's values
+    * collect into a sorted list and the parity-free doubled median
+    * (`sorted[(k-1) div 2] + sorted[k div 2]`) stays on the exact
+    * cents×2 lattice, so partial (warm-up) frames and even frames are
+    * engine-identical with no interpolation ambiguity. Per-user
+    * windows only; the frame is O(1) rows.
+    */
+  def qMovingMedian(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .withColumn("win", sort_array(collect_list(col("c")).over(w)))
+      .select(col("user_id"), col("event_id"),
+        expr("size(win)").cast("long").as("k"),
+        expr("(element_at(win, CAST((size(win) - 1) div 2 AS INT) + 1) + " +
+          "element_at(win, CAST(size(win) div 2 AS INT) + 1))").as("med_x2"))
+      .orderBy("event_id")
+  }
+
+  val qMovingMedianSql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id,
+      |         list_sort(list(CAST(round(value * 100) AS BIGINT))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+      |  FROM events)
+      |SELECT user_id, event_id, CAST(len(win) AS BIGINT) AS k,
+      |       CAST(win[(len(win) - 1) // 2 + 1] + win[len(win) // 2 + 1] AS BIGINT)
+      |         AS med_x2
+      |FROM b
+      |ORDER BY event_id""".stripMargin
 }
