@@ -81,6 +81,44 @@ object RangeRank {
       .drop("_bucket", "_off")
   }
 
+  /** PER-GROUP exact rank without a per-group-spanning window — the
+    * grouped sibling of [[withGlobalRank]] for low-cardinality group
+    * keys (a `Window.partitionBy(event_type)` with 5 types serializes
+    * a fifth of the corpus through one task; this splits every group
+    * across `nBuckets` parallel windows instead). Boundaries come from
+    * one grouped `approx_percentile` pass; offsets are per-(group,
+    * bucket) cumulative counts via the same triangular self-join keyed
+    * by group. `grpCols` must identify the group uniquely.
+    */
+  def withGroupedRank(df: DataFrame, grpCols: Seq[String], key: Column,
+                      tieBreak: Seq[Column], desc: Boolean = false,
+                      nBuckets: Int = 32, out: String = "rn"): DataFrame = {
+    val in = CachePool.track(df)
+    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val bounds = in.groupBy(grpCols.map(col): _*)
+      .agg(percentile_approx(key.cast("double"), array(qs: _*), lit(2000)).as("_bs"))
+    val k = key.cast("double")
+    val cnt =
+      if (desc) size(filter(col("_bs"), x => k < x))
+      else size(filter(col("_bs"), x => k > x))
+    val b = in.join(broadcast(bounds), grpCols)
+      .withColumn("_bucket", cnt)
+      .drop("_bs")
+    val per = b.groupBy((grpCols :+ "_bucket").map(col): _*).agg(count(lit(1)).as("_v"))
+    val lower = per.select((grpCols.map(c => col(c).as(s"_g_$c")) :+
+      col("_bucket").as("_pb") :+ col("_v").as("_pv")): _*)
+    val cond = grpCols.map(c => col(c) === col(s"_g_$c")).reduce(_ && _) &&
+      col("_pb") < col("_bucket")
+    val offsets = per.join(lower, cond, "left")
+      .groupBy((grpCols :+ "_bucket").map(col): _*)
+      .agg(coalesce(sum(col("_pv")), lit(0L)).as("_off"))
+    val w = Window.partitionBy((grpCols :+ "_bucket").map(col): _*)
+      .orderBy(ordering(key, tieBreak, desc): _*)
+    b.join(broadcast(offsets), grpCols :+ "_bucket")
+      .withColumn(out, row_number().over(w).cast("long") + col("_off"))
+      .drop("_bucket", "_off")
+  }
+
   /** `df` plus an exact global running sum of `sumExpr` under the total
     * order (key [desc], tieBreak asc…). `rowsFrame = false` keeps the
     * default peer-inclusive RANGE frame (ties see their whole peer

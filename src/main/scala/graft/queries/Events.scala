@@ -1386,8 +1386,11 @@ object Events {
     val v = graft.operators.CachePool.track(
       events.select(col("event_type").as("grp"),
         expr("CAST(round(value * 100) AS BIGINT)").as("c")))
-    val w = Window.partitionBy(col("grp")).orderBy(col("c"))
-    val r = v.withColumn("rn", row_number().over(w).cast("long"))
+    // per-group ranks via the grouped range-rank (a bare
+    // Window.partitionBy(event_type) would serialize a fifth of the
+    // corpus per task at 5 types — the r9 weak class, grouped flavor)
+    val r = graft.operators.RangeRank.withGroupedRank(
+      v, Seq("grp"), col("c"), Nil, out = "rn")
     val n = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
     // (n-1)/2 = n/2 for odd n: the two rank picks collapse to ONE row —
     // doubling that row keeps the parity-free doubled-median sum right
@@ -1399,8 +1402,8 @@ object Events {
     val d = v.join(broadcast(med), "grp")
       .withColumn("d", abs(col("c") * 2 - col("med_x2")))
     val dc = graft.operators.CachePool.track(d)
-    val wd = Window.partitionBy(col("grp")).orderBy(col("d"))
-    val rd = dc.withColumn("rn", row_number().over(wd).cast("long"))
+    val rd = graft.operators.RangeRank.withGroupedRank(
+      dc, Seq("grp"), col("d"), Nil, out = "rn")
     val mad = rd.join(broadcast(n), "grp")
       .filter(col("rn") === expr("(n - 1) div 2 + 1") || col("rn") === expr("n div 2 + 1"))
       .groupBy(col("grp"))

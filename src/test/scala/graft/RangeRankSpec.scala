@@ -74,6 +74,19 @@ class RangeRankSpec extends SparkSpec {
       "balancedShards")
   }
 
+  test("qMadOutliers ranks through (group, bucket) windows, never group-only") {
+    val events = SparkEntry.events(spark, dir)
+    val df = Ev.qMadOutliers(events)
+    df.collect()
+    def strip(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        .flatMap(strip) ++ p.collect { case w: WindowExec => w }
+    strip(df.queryExecution.executedPlan).foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"rank window partitioned by the low-cardinality group alone:\n${w.treeString}")
+    }
+  }
+
   test("qConcurrency sweep has no global window and matches a serial recompute") {
     val events = SparkEntry.events(spark, dir)
     val out = Ev.qConcurrency(events).collect()
