@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * "single-partition global window" weak class).
   *
   * Shape (the classic two-pass range rank):
-  *  1. bucket boundaries from one mergeable `approx_percentile` sketch
-  *     pass, broadcast;
+  *  1. bucket boundaries from one mergeable min/max range pass,
+  *     broadcast (uniform-width buckets — codegen'd assignment);
   *  2. each row maps to a bucket by STRICT comparison against the
   *     boundaries — all rows sharing the order key land in the same
   *     bucket, so bucket index is a monotone function of the key and
@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *     via a tiny triangular self-join — no window, no driver collect —
   *     broadcast back, and `global = local + offset`.
   *
-  * The sketch only affects bucket BALANCE, never correctness: ranks and
+  * The boundary choice only affects bucket BALANCE, never correctness:
+  * ranks and
   * running sums are exact for any boundary choice, so results are
   * hash-identical to the single-partition spec (the oracles pin this).
   * Degenerate inputs (every key equal) collapse to one bucket — the
@@ -37,20 +38,23 @@ object RangeRank {
     */
   private def bucketed(df: DataFrame, key: Column, desc: Boolean,
                        nBuckets: Int): DataFrame = {
-    // the input feeds the sketch pass, the per-bucket totals AND the
+    // the input feeds the range pass, the per-bucket totals AND the
     // final windowed join — pool-persist it once, or an expensive
-    // upstream (e.g. q_concurrency's sessionize) runs three times
+    // upstream (e.g. q_concurrency's sessionize) runs three times.
+    // Buckets are UNIFORM-WIDTH between the broadcast min/max
+    // (codegen'd width_bucket — a per-row interpreted array scan over
+    // sketch boundaries costs more than the windows it saves; balance
+    // under heavy value skew is worse, correctness identical).
     val in = CachePool.track(df)
-    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
-    val bounds = in.agg(
-      percentile_approx(key.cast("double"), array(qs: _*), lit(2000)).as("_bs"))
+    val mm = in.agg(min(key.cast("double")).as("_lo"), max(key.cast("double")).as("_hi"))
     val k = key.cast("double")
-    val cnt =
-      if (desc) size(filter(col("_bs"), b => k < b))
-      else size(filter(col("_bs"), b => k > b))
-    in.crossJoin(broadcast(bounds))
+    val asc = when(col("_hi") === col("_lo"), lit(1L))
+      .otherwise(least(width_bucket(k, col("_lo"), col("_hi"), lit(nBuckets)),
+        lit(nBuckets.toLong)))
+    val cnt = if (desc) lit(nBuckets.toLong + 1) - asc else asc
+    in.crossJoin(broadcast(mm))
       .withColumn("_bucket", cnt)
-      .drop("_bs")
+      .drop("_lo", "_hi")
   }
 
   /** Cumulative offsets over the per-bucket totals: (_bucket, _off)
@@ -86,24 +90,25 @@ object RangeRank {
     * keys (a `Window.partitionBy(event_type)` with 5 types serializes
     * a fifth of the corpus through one task; this splits every group
     * across `nBuckets` parallel windows instead). Boundaries come from
-    * one grouped `approx_percentile` pass; offsets are per-(group,
-    * bucket) cumulative counts via the same triangular self-join keyed
-    * by group. `grpCols` must identify the group uniquely.
+    * one grouped min/max pass (uniform-width buckets); offsets are
+    * per-(group, bucket) cumulative counts via the same triangular
+    * self-join keyed by group. `grpCols` must identify the group
+    * uniquely.
     */
   def withGroupedRank(df: DataFrame, grpCols: Seq[String], key: Column,
                       tieBreak: Seq[Column], desc: Boolean = false,
                       nBuckets: Int = 32, out: String = "rn"): DataFrame = {
     val in = CachePool.track(df)
-    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
-    val bounds = in.groupBy(grpCols.map(col): _*)
-      .agg(percentile_approx(key.cast("double"), array(qs: _*), lit(2000)).as("_bs"))
+    val mm = in.groupBy(grpCols.map(col): _*)
+      .agg(min(key.cast("double")).as("_lo"), max(key.cast("double")).as("_hi"))
     val k = key.cast("double")
-    val cnt =
-      if (desc) size(filter(col("_bs"), x => k < x))
-      else size(filter(col("_bs"), x => k > x))
-    val b = in.join(broadcast(bounds), grpCols)
+    val asc = when(col("_hi") === col("_lo"), lit(1L))
+      .otherwise(least(width_bucket(k, col("_lo"), col("_hi"), lit(nBuckets)),
+        lit(nBuckets.toLong)))
+    val cnt = if (desc) lit(nBuckets.toLong + 1) - asc else asc
+    val b = in.join(broadcast(mm), grpCols)
       .withColumn("_bucket", cnt)
-      .drop("_bs")
+      .drop("_lo", "_hi")
     val per = b.groupBy((grpCols :+ "_bucket").map(col): _*).agg(count(lit(1)).as("_v"))
     val lower = per.select((grpCols.map(c => col(c).as(s"_g_$c")) :+
       col("_bucket").as("_pb") :+ col("_v").as("_pv")): _*)
@@ -117,6 +122,59 @@ object RangeRank {
     b.join(broadcast(offsets), grpCols :+ "_bucket")
       .withColumn(out, row_number().over(w).cast("long") + col("_off"))
       .drop("_bucket", "_off")
+  }
+
+  /** Exact per-group ORDER STATISTICS without ranking the group: for
+    * each group, return the rows sitting at the 1-based ranks given by
+    * `rankExprs` (SQL expressions over the group's row count `n`,
+    * e.g. `"(n - 1) div 2 + 1"`). Only the buckets CONTAINING a target
+    * rank are window-ranked — ~1/nBuckets of the rows — everything
+    * else stops at the per-bucket count. Duplicate target ranks (odd-n
+    * medians) intentionally return duplicate rows, so a parity-free
+    * doubled median is just `sum` over the selection.
+    * Output: df's columns + `target_rank`.
+    */
+  def groupedRankSelect(df: DataFrame, grpCols: Seq[String], key: Column,
+                        rankExprs: Seq[String], nBuckets: Int = 32): DataFrame = {
+    val in = CachePool.track(df)
+    val mm = in.groupBy(grpCols.map(col): _*)
+      .agg(min(key.cast("double")).as("_lo"), max(key.cast("double")).as("_hi"))
+    val k = key.cast("double")
+    val b = in.join(broadcast(mm), grpCols)
+      .withColumn("_bucket",
+        when(col("_hi") === col("_lo"), lit(1L))
+          .otherwise(least(width_bucket(k, col("_lo"), col("_hi"), lit(nBuckets)),
+            lit(nBuckets.toLong))))
+      .drop("_lo", "_hi")
+    val per = b.groupBy((grpCols :+ "_bucket").map(col): _*).agg(count(lit(1)).as("_v"))
+    val lower = per.select((grpCols.map(c => col(c).as(s"_g_$c")) :+
+      col("_bucket").as("_pb") :+ col("_v").as("_pv")): _*)
+    val cond = grpCols.map(c => col(c) === col(s"_g_$c")).reduce(_ && _) &&
+      col("_pb") < col("_bucket")
+    val ranged = per.join(lower, cond, "left")
+      .groupBy((grpCols :+ "_bucket").map(col) :+ col("_v"): _*)
+      .agg(coalesce(sum(col("_pv")), lit(0L)).as("_off"))
+    val nPer = per.groupBy(grpCols.map(col): _*).agg(sum(col("_v")).as("n"))
+    val targets = rankExprs
+      .map(e => nPer.withColumn("_tr", expr(e)))
+      .reduce(_ unionByName _)
+      .select(grpCols.map(col) :+ col("_tr"): _*)
+    // the bucket holding rank tr: off < tr ≤ off + v (at most one per target)
+    val tCond = grpCols.map(c => col(c) === col(s"_t_$c")).reduce(_ && _) &&
+      col("_off") < col("_tr") && col("_tr") <= col("_off") + col("_v")
+    val targetBuckets = ranged.join(
+        targets.select(grpCols.map(c => col(c).as(s"_t_$c")) :+ col("_tr"): _*),
+        tCond)
+      .select((grpCols.map(col) :+ col("_bucket") :+ col("_off") :+ col("_tr")): _*)
+    val w = Window.partitionBy((grpCols :+ "_bucket").map(col): _*).orderBy(key.asc)
+    b.join(broadcast(targetBuckets
+          .select((grpCols :+ "_bucket").map(col): _*).distinct()),
+        grpCols :+ "_bucket")
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .join(broadcast(targetBuckets), grpCols :+ "_bucket")
+      .filter(col("_off") + col("_rn") === col("_tr"))
+      .withColumnRenamed("_tr", "target_rank")
+      .drop("_bucket", "_off", "_rn")
   }
 
   /** `df` plus an exact global running sum of `sumExpr` under the total

@@ -1386,29 +1386,25 @@ object Events {
     val v = graft.operators.CachePool.track(
       events.select(col("event_type").as("grp"),
         expr("CAST(round(value * 100) AS BIGINT)").as("c")))
-    // per-group ranks via the grouped range-rank (a bare
+    // medians by EXACT rank SELECTION (a bare
     // Window.partitionBy(event_type) would serialize a fifth of the
-    // corpus per task at 5 types — the r9 weak class, grouped flavor)
-    val r = graft.operators.RangeRank.withGroupedRank(
-      v, Seq("grp"), col("c"), Nil, out = "rn")
-    val n = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
-    // (n-1)/2 = n/2 for odd n: the two rank picks collapse to ONE row —
-    // doubling that row keeps the parity-free doubled-median sum right
-    val med = r.join(broadcast(n), "grp")
-      .filter(col("rn") === expr("(n - 1) div 2 + 1") || col("rn") === expr("n div 2 + 1"))
+    // corpus per task at 5 types; even the grouped full rank does 32×
+    // more window work than needed): groupedRankSelect window-ranks
+    // only the buckets holding the two target ranks, and its
+    // duplicate-target convention makes `sum` the parity-free doubled
+    // median directly
+    val medianRanks = Seq("(n - 1) div 2 + 1", "n div 2 + 1")
+    val med = graft.operators.RangeRank
+      .groupedRankSelect(v, Seq("grp"), col("c"), medianRanks)
       .groupBy(col("grp"))
-      .agg(when(count(lit(1)) === 1, sum(col("c")) * 2)
-        .otherwise(sum(col("c"))).cast("long").as("med_x2"))
+      .agg(sum(col("c")).cast("long").as("med_x2"))
     val d = v.join(broadcast(med), "grp")
       .withColumn("d", abs(col("c") * 2 - col("med_x2")))
     val dc = graft.operators.CachePool.track(d)
-    val rd = graft.operators.RangeRank.withGroupedRank(
-      dc, Seq("grp"), col("d"), Nil, out = "rn")
-    val mad = rd.join(broadcast(n), "grp")
-      .filter(col("rn") === expr("(n - 1) div 2 + 1") || col("rn") === expr("n div 2 + 1"))
+    val mad = graft.operators.RangeRank
+      .groupedRankSelect(dc, Seq("grp"), col("d"), medianRanks)
       .groupBy(col("grp"))
-      .agg(when(count(lit(1)) === 1, sum(col("d")) * 2)
-        .otherwise(sum(col("d"))).cast("long").as("mad_x4"))
+      .agg(sum(col("d")).cast("long").as("mad_x4"))
     dc.join(broadcast(mad), "grp")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
