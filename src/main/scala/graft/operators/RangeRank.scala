@@ -78,7 +78,9 @@ object RangeRank {
                      desc: Boolean = false, nBuckets: Int = 32,
                      out: String = "rn"): DataFrame = {
     val b = bucketed(df, key, desc, nBuckets)
-    val per = b.groupBy(col("_bucket")).agg(count(lit(1)).as("_v"))
+    // ≤ nBuckets rows but a corpus pass to compute; cumOffsets consumes
+    // it on both sides of its self-join — persist or it runs twice.
+    val per = CachePool.track(b.groupBy(col("_bucket")).agg(count(lit(1)).as("_v")))
     val w = Window.partitionBy(col("_bucket")).orderBy(ordering(key, tieBreak, desc): _*)
     b.join(broadcast(cumOffsets(per)), "_bucket")
       .withColumn(out, row_number().over(w).cast("long") + col("_off"))
@@ -109,7 +111,12 @@ object RangeRank {
     val b = in.join(broadcast(mm), grpCols)
       .withColumn("_bucket", cnt)
       .drop("_lo", "_hi")
-    val per = b.groupBy((grpCols :+ "_bucket").map(col): _*).agg(count(lit(1)).as("_v"))
+    // per is ≤ |groups|·nBuckets rows but COSTS a corpus pass — and it
+    // feeds both sides of the triangular join (and, in rank-select, the
+    // two broadcast builds). Persist it or every tiny consumer
+    // re-scans the corpus.
+    val per = CachePool.track(
+      b.groupBy((grpCols :+ "_bucket").map(col): _*).agg(count(lit(1)).as("_v")))
     val lower = per.select((grpCols.map(c => col(c).as(s"_g_$c")) :+
       col("_bucket").as("_pb") :+ col("_v").as("_pv")): _*)
     val cond = grpCols.map(c => col(c) === col(s"_g_$c")).reduce(_ && _) &&
@@ -146,7 +153,12 @@ object RangeRank {
           .otherwise(least(width_bucket(k, col("_lo"), col("_hi"), lit(nBuckets)),
             lit(nBuckets.toLong))))
       .drop("_lo", "_hi")
-    val per = b.groupBy((grpCols :+ "_bucket").map(col): _*).agg(count(lit(1)).as("_v"))
+    // per is ≤ |groups|·nBuckets rows but COSTS a corpus pass — and it
+    // feeds both sides of the triangular join (and, in rank-select, the
+    // two broadcast builds). Persist it or every tiny consumer
+    // re-scans the corpus.
+    val per = CachePool.track(
+      b.groupBy((grpCols :+ "_bucket").map(col): _*).agg(count(lit(1)).as("_v")))
     val lower = per.select((grpCols.map(c => col(c).as(s"_g_$c")) :+
       col("_bucket").as("_pb") :+ col("_v").as("_pv")): _*)
     val cond = grpCols.map(c => col(c) === col(s"_g_$c")).reduce(_ && _) &&
@@ -162,19 +174,23 @@ object RangeRank {
     // the bucket holding rank tr: off < tr ≤ off + v (at most one per target)
     val tCond = grpCols.map(c => col(c) === col(s"_t_$c")).reduce(_ && _) &&
       col("_off") < col("_tr") && col("_tr") <= col("_off") + col("_v")
+    // one broadcast frame: (group, bucket, off, sorted target array) —
+    // duplicate targets kept as array duplicates so the post-window
+    // explode(filter(...)) returns one row PER matching target. A
+    // second broadcast (distinct buckets pre-window + full targets
+    // post-window) would re-run the whole tiny-aggregate chain as a
+    // separate job — at low SF the query is pure job-count overhead.
     val targetBuckets = ranged.join(
         targets.select(grpCols.map(c => col(c).as(s"_t_$c")) :+ col("_tr"): _*),
         tCond)
-      .select((grpCols.map(col) :+ col("_bucket") :+ col("_off") :+ col("_tr")): _*)
+      .groupBy((grpCols :+ "_bucket").map(col) :+ col("_off"): _*)
+      .agg(sort_array(collect_list(col("_tr"))).as("_trs"))
     val w = Window.partitionBy((grpCols :+ "_bucket").map(col): _*).orderBy(key.asc)
-    b.join(broadcast(targetBuckets
-          .select((grpCols :+ "_bucket").map(col): _*).distinct()),
-        grpCols :+ "_bucket")
+    b.join(broadcast(targetBuckets), grpCols :+ "_bucket")
       .withColumn("_rn", row_number().over(w).cast("long"))
-      .join(broadcast(targetBuckets), grpCols :+ "_bucket")
-      .filter(col("_off") + col("_rn") === col("_tr"))
-      .withColumnRenamed("_tr", "target_rank")
-      .drop("_bucket", "_off", "_rn")
+      .withColumn("target_rank",
+        explode(filter(col("_trs"), t => t === col("_off") + col("_rn"))))
+      .drop("_bucket", "_off", "_rn", "_trs")
   }
 
   /** `df` plus an exact global running sum of `sumExpr` under the total
@@ -189,7 +205,8 @@ object RangeRank {
                      rowsFrame: Boolean = false, nBuckets: Int = 32,
                      out: String = "running"): DataFrame = {
     val b = bucketed(df, key, desc, nBuckets)
-    val per = b.groupBy(col("_bucket")).agg(sum(sumExpr).as("_v"))
+    // same persist rationale as withGlobalRank's per
+    val per = CachePool.track(b.groupBy(col("_bucket")).agg(sum(sumExpr).as("_v")))
     val w0 = Window.partitionBy(col("_bucket")).orderBy(ordering(key, tieBreak, desc): _*)
     val w = if (rowsFrame) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow) else w0
     b.join(broadcast(cumOffsets(per)), "_bucket")
