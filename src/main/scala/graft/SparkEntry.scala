@@ -1487,6 +1487,8 @@ object SparkEntry {
     "q_cohens_kappa" -> (EvalQueries.qCohensKappa _),
     "q_twa" -> ((s, dir) => EvalQueries.qTwa(events(s, dir))),
     "q_entropy" -> (EvalQueries.qEntropy _),
+    "q_auc" -> (EvalQueries.qAuc _),
+    "q_pr_curve" -> (EvalQueries.qPrCurve _),
     "q_mad_outliers" -> ((s, dir) => Ev.qMadOutliers(events(s, dir))),
     "q_interval_union" -> ((s, dir) => Ev.qIntervalUnion(events(s, dir))),
     "q_trend" -> ((s, dir) => Ev.qTrend(events(s, dir))),
@@ -1734,6 +1736,8 @@ object SparkEntry {
     "q_cohens_kappa" -> EvalQueries.qCohensKappaSql,
     "q_twa" -> EvalQueries.qTwaSql,
     "q_entropy" -> EvalQueries.qEntropySql,
+    "q_auc" -> EvalQueries.qAucSql,
+    "q_pr_curve" -> EvalQueries.qPrCurveSql,
     "q_mad_outliers" -> Ev.qMadOutliersSql,
     "q_interval_union" -> Ev.qIntervalUnionSql,
     "q_trend" -> Ev.qTrendSql,

@@ -188,4 +188,17 @@ object Classifier {
         when(col("y") === col("pred"), lit(1L)).otherwise(lit(0L)))
       .orderBy(idCol)
   }
+
+  /** Raw decision-function values for ranking-quality evaluation
+    * (AUC / PR curves): (id, y, score = w·x + b) with the final
+    * iteration's weights folded in as plan literals — the same
+    * stateless per-row pass as [[perceptronScore]] but keeping the
+    * exact BIGINT margin instead of its sign.
+    */
+  def perceptronRaw(docs: DataFrame, iters: Int = 5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val feats = CachePool.track(gateFeatures(docs, textCol, idCol))
+    val (w, b, _) = trainLoop(feats, iters)
+    feats.select(col(idCol), col("y"), (col("y") * marginCol(w, b)).as("score"))
+  }
 }

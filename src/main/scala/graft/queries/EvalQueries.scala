@@ -309,4 +309,129 @@ object EvalQueries {
       |         AS twa_value
       |FROM g WHERE span_us > 0
       |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- classifier ranking eval
+
+  /** Exact ROC-AUC from (y ∈ {−1,+1}, score: BIGINT) rows via the
+    * Mann–Whitney pair count: AUC·n₊·n₋ = #{score₊ > score₋} +
+    * ½·#{score₊ = score₋}. Scores aggregate per DISTINCT value first
+    * (pos/neg counts), negatives-strictly-below comes from
+    * [[graft.operators.RangeRank.withRunningSum]] over the distinct-
+    * score table (peer-inclusive running − own), so no single-partition
+    * window exists even when the score lattice is corpus-sized; the
+    * final pair sums are one bounded aggregation. Exact while pair
+    * counts fit int64 (n₊·n₋ < 2⁶³ — an eval-set property, as
+    * q_trend's S statistic).
+    */
+  def aucFromScores(raw: DataFrame): DataFrame = {
+    val per = raw.groupBy(col("score"))
+      .agg(sum(when(col("y") === 1, lit(1L)).otherwise(lit(0L))).as("pos"),
+        sum(when(col("y") === -1, lit(1L)).otherwise(lit(0L))).as("neg"))
+    val run = graft.operators.RangeRank.withRunningSum(
+      per, col("neg"), col("score"), Nil)
+    run.agg(
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"),
+        sum(col("pos") * (col("running") - col("neg"))).cast("long").as("pairs_gt"),
+        sum(col("pos") * col("neg")).cast("long").as("pairs_eq"))
+      .withColumn("auc_ppm", expr(
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
+          "ELSE ((2 * pairs_gt + pairs_eq) * 1000000) div (2 * n_pos * n_neg) END"))
+  }
+
+  /** ROC-AUC of the distilled perceptron quality gate's raw margin
+    * against its own rule label — "how well does the learned
+    * hyperplane RANK documents", the threshold-free companion of
+    * q_perceptron_score's accuracy.
+    */
+  def qAuc(s: SparkSession, dir: String): DataFrame =
+    aucFromScores(graft.operators.Classifier.perceptronRaw(
+      s.read.parquet(s"$dir/documents.parquet"), iters = 5))
+
+  val qAucSql: String =
+    s"""WITH ${QualityQueries.perceptronCtes},
+       |sc AS (
+       |  SELECT CAST(p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4 + p.w5*x5 + p.b AS BIGINT)
+       |           AS score, y
+       |  FROM feat CROSS JOIN i5 p),
+       |per AS (
+       |  SELECT score,
+       |         CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS pos,
+       |         CAST(count(*) FILTER (WHERE y = -1) AS BIGINT) AS neg
+       |  FROM sc GROUP BY score),
+       |run AS (
+       |  SELECT *, CAST(sum(neg) OVER (ORDER BY score) AS BIGINT) AS running
+       |  FROM per),
+       |agg AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |         CAST(sum(neg) AS BIGINT) AS n_neg,
+       |         CAST(sum(pos * (running - neg)) AS BIGINT) AS pairs_gt,
+       |         CAST(sum(pos * neg) AS BIGINT) AS pairs_eq
+       |  FROM run)
+       |SELECT n_pos, n_neg, pairs_gt, pairs_eq,
+       |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |            ELSE ((2 * pairs_gt + pairs_eq) * 1000000) // (2 * n_pos * n_neg)
+       |       END AS auc_ppm
+       |FROM agg""".stripMargin
+
+  /** Precision / recall / F1 sweep over an 11-point integer threshold
+    * grid lo + ⌊(hi−lo)·i/10⌋ (i = 0…10) of the perceptron's raw
+    * margin — the operating-point picker published next to q_auc. One
+    * conditional-aggregation pass over an 11× broadcast-grid fanout
+    * (map-side combined to 11 rows); ppm floor divisions, zero
+    * denominators NULL-guarded identically both engines.
+    */
+  def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val raw = graft.operators.CachePool.track(
+      graft.operators.Classifier.perceptronRaw(
+        s.read.parquet(s"$dir/documents.parquet"), iters = 5))
+    val grid = raw.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      .select(explode(sequence(lit(0L), lit(10L))).as("i"), col("lo"), col("hi"))
+      .withColumn("thresh", expr("lo + (((hi - lo) * i) div 10)"))
+      .select("i", "thresh")
+    raw.crossJoin(broadcast(grid))
+      .groupBy(col("i"), col("thresh"))
+      .agg(
+        sum(when(col("score") >= col("thresh") && col("y") === 1, lit(1L))
+          .otherwise(lit(0L))).cast("long").as("tp"),
+        sum(when(col("score") >= col("thresh") && col("y") === -1, lit(1L))
+          .otherwise(lit(0L))).cast("long").as("fp"),
+        sum(when(col("score") < col("thresh") && col("y") === 1, lit(1L))
+          .otherwise(lit(0L))).cast("long").as("fn"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN tp + fp = 0 THEN NULL ELSE (tp * 1000000) div (tp + fp) END"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN tp + fn = 0 THEN NULL ELSE (tp * 1000000) div (tp + fn) END"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN 2*tp + fp + fn = 0 THEN NULL " +
+          "ELSE (2 * tp * 1000000) div (2*tp + fp + fn) END"))
+      .orderBy("i")
+  }
+
+  val qPrCurveSql: String =
+    s"""WITH ${QualityQueries.perceptronCtes},
+       |sc AS (
+       |  SELECT CAST(p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4 + p.w5*x5 + p.b AS BIGINT)
+       |           AS score, y
+       |  FROM feat CROSS JOIN i5 p),
+       |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM sc),
+       |grid AS (
+       |  SELECT CAST(i AS BIGINT) AS i, lo + (((hi - lo) * i) // 10) AS thresh
+       |  FROM mm CROSS JOIN (SELECT unnest(range(0, 11)) AS i)),
+       |cells AS (
+       |  SELECT i, thresh,
+       |         CAST(count(*) FILTER (WHERE score >= thresh AND y = 1) AS BIGINT) AS tp,
+       |         CAST(count(*) FILTER (WHERE score >= thresh AND y = -1) AS BIGINT) AS fp,
+       |         CAST(count(*) FILTER (WHERE score < thresh AND y = 1) AS BIGINT) AS fn
+       |  FROM sc CROSS JOIN grid
+       |  GROUP BY i, thresh)
+       |SELECT i, thresh, tp, fp, fn,
+       |       CASE WHEN tp + fp = 0 THEN NULL
+       |            ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+       |       CASE WHEN tp + fn = 0 THEN NULL
+       |            ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm,
+       |       CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+       |            ELSE (2 * tp * 1000000) // (2*tp + fp + fn) END AS f1_ppm
+       |FROM cells
+       |ORDER BY i""".stripMargin
 }

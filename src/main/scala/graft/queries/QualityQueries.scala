@@ -794,7 +794,7 @@ object QualityQueries {
   /** Shared CTE chain: feat (doc_id + integer features + label) and the
     * five unrolled weight iterations i1..i5.
     */
-  private val perceptronCtes: String = {
+  private[queries] val perceptronCtes: String = {
     val en = inList(TextAnalysis.stopwords("en"))
     def margin(p: String) =
       s"y * ($p.w1*x1 + $p.w2*x2 + $p.w3*x3 + $p.w4*x4 + $p.w5*x5 + $p.b)"

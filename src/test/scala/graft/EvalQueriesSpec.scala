@@ -128,4 +128,37 @@ class EvalQueriesSpec extends SparkSpec {
         assert(ndcg <= 1000000, s"ndcg_ppm $ndcg > 1")
     }
   }
+
+  test("auc: perfect separation 1.0, inverted 0.0, all-tied 0.5, mixed hand case") {
+    def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = EvalQueries.aucFromScores(rows.toDF("y", "score")).collect().head
+      (r.getAs[Long]("pairs_gt"), r.getAs[Long]("pairs_eq"),
+        r.getAs[Long]("auc_ppm"), r.getAs[Long]("n_pos") * r.getAs[Long]("n_neg"))
+    }
+    // every positive above every negative
+    val (_, _, perfect, _) = auc(Seq((1L, 10L), (1L, 9L), (-1L, 2L), (-1L, 1L)))
+    assert(perfect == 1000000L)
+    val (_, _, inverted, _) = auc(Seq((-1L, 10L), (-1L, 9L), (1L, 2L), (1L, 1L)))
+    assert(inverted == 0L)
+    val (gt, eq, tied, prs) = auc(Seq((1L, 5L), (1L, 5L), (-1L, 5L), (-1L, 5L)))
+    assert(gt == 0 && eq == prs && tied == 500000L)
+    // mixed: pos {3,1}, neg {2,2} → gt pairs {3>2,3>2} = 2, eq 0 → 2/4
+    val (g2, e2, mixed, _) = auc(Seq((1L, 3L), (1L, 1L), (-1L, 2L), (-1L, 2L)))
+    assert(g2 == 2 && e2 == 0 && mixed == 500000L)
+  }
+
+  test("pr curve: thresholds bracket the score range and counts partition") {
+    val rows = EvalQueries.qPrCurve(spark, dir).collect()
+    assert(rows.length == 11)
+    val nPos = rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fn")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == nPos) // positives partition
+      assert(r.getAs[Long]("recall_ppm") <= 1000000)
+    }
+    // i=0 threshold = min score → everything predicted positive → recall 1
+    assert(rows.head.getAs[Long]("fn") == 0 && rows.head.getAs[Long]("recall_ppm") == 1000000)
+    // recall is monotone non-increasing in the threshold
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+  }
 }
