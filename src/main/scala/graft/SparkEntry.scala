@@ -1545,6 +1545,7 @@ object SparkEntry {
     "q_pagerank_personal" -> (DedupQueries.qPersonalizedPagerank _),
     "q_triangles" -> (DedupQueries.qTriangles _),
     "q_common_neighbors" -> (DedupQueries.qCommonNeighbors _),
+    "q_assortativity" -> (DedupQueries.qAssortativity _),
     "q_collocations" -> (PipelineQueries.qCollocations _),
     "q_graph_hops" -> (DedupQueries.qGraphHops _),
     "q_shortest_path" -> (DedupQueries.qShortestPath _),
@@ -1796,6 +1797,7 @@ object SparkEntry {
     "q_pagerank_personal" -> DedupQueries.qPersonalizedPagerankSql,
     "q_triangles" -> DedupQueries.qTrianglesSql,
     "q_common_neighbors" -> DedupQueries.qCommonNeighborsSql,
+    "q_assortativity" -> DedupQueries.qAssortativitySql,
     "q_collocations" -> PipelineQueries.qCollocationsSql,
     "q_graph_hops" -> DedupQueries.qGraphHopsSql,
     "q_shortest_path" -> DedupQueries.qShortestPathSql,

@@ -290,4 +290,44 @@ object PageRank {
         coalesce(col("edge_flag"), lit(0L)).as("is_edge"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Degree assortativity (Newman's r) of the undirected pair graph:
+    * do high-degree docs link to other high-degree docs (template
+    * families clumping, r → 1) or to leaves (hub-and-spoke copying,
+    * r < 0)? With per-edge endpoint degrees (j, k) and m edges,
+    * r = (4m·S1 − S2²) / (2m·S3 − S2²) for S1 = Σjk, S2 = Σ(j+k),
+    * S3 = Σ(j²+k²) — moment sums kept as exact DECIMAL(38,0) (per-edge
+    * BIGINT products, as q_gini), ONE double expression finish rounded
+    * to ppm, zero denominator NULL-guarded in double both engines.
+    * Scale shape: degree table + two key-co-partitioned joins + one
+    * map-side-combined moment aggregation — no windows, no collect.
+    */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val e = CachePool.track(
+      pairs.select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b")).distinct())
+    val deg = CachePool.track(
+      e.select(col("a").as("u")).unionByName(e.select(col("b").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("d")))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    e.join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("da") * col("db")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s1"),
+        sum((col("da") + col("db")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s2"),
+        sum((col("da") * col("da") + col("db") * col("db"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s3"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("n_edges"), col("s1"), col("s2"), col("s3"))
+      .withColumn("assort_ppm", expr(
+        "CASE WHEN 2.0 * CAST(n_edges AS DOUBLE) * CAST(s3 AS DOUBLE) " +
+          "- CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) = 0.0 THEN NULL " +
+          "ELSE CAST(round((4.0 * CAST(n_edges AS DOUBLE) * CAST(s1 AS DOUBLE) " +
+          "- CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) " +
+          "/ (2.0 * CAST(n_edges AS DOUBLE) * CAST(s3 AS DOUBLE) " +
+          "- CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) * 1000000.0) AS BIGINT) END"))
+  }
 }

@@ -649,6 +649,51 @@ object DedupQueries {
        |LEFT JOIN e ON e.a = cn.na AND e.b = cn.nb
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Degree assortativity of the near-dup graph (see
+    * [[graft.operators.PageRank.assortativity]]): one number saying
+    * whether duplication is template-family clumping (high-degree ↔
+    * high-degree, r → 1) or hub-and-spoke copying (r < 0) — the
+    * graph-level companion of the per-node triangle/clustering view.
+    * Same shared pair graph; oracle recomputes the exact moment sums.
+    */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.assortativity(minhashPairsShared(s, dir))
+
+  val qAssortativitySql: String =
+    s"""WITH $minhashVerifiedCte,
+       |npairs AS (
+       |  SELECT id_a, id_b FROM verified WHERE inter * 1.0 / union_n >= 0.5
+       |),
+       |e AS (
+       |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM npairs
+       |),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY id
+       |),
+       |j AS (
+       |  SELECT da.d AS dda, db.d AS ddb
+       |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+       |),
+       |agg AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |         CAST(count(*) AS BIGINT) AS n_edges,
+       |         CAST(sum(dda * ddb) AS DECIMAL(38,0)) AS s1,
+       |         CAST(sum(dda + ddb) AS DECIMAL(38,0)) AS s2,
+       |         CAST(sum(dda * dda + ddb * ddb) AS DECIMAL(38,0)) AS s3
+       |  FROM j
+       |)
+       |SELECT n_nodes, n_edges, s1, s2, s3,
+       |       CASE WHEN 2.0 * CAST(n_edges AS DOUBLE) * CAST(s3 AS DOUBLE)
+       |                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) = 0.0 THEN NULL
+       |            ELSE CAST(round((4.0 * CAST(n_edges AS DOUBLE) * CAST(s1 AS DOUBLE)
+       |                             - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       |                            / (2.0 * CAST(n_edges AS DOUBLE) * CAST(s3 AS DOUBLE)
+       |                               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       |                            * 1000000.0) AS BIGINT) END AS assort_ppm
+       |FROM agg""".stripMargin
+
   /** Asymmetric containment near-superset pairs (see
     * [[graft.operators.Dedup.containmentPairs]]): both containment
     * directions in exact integer ppm over the SAME banded candidates as

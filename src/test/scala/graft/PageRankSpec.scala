@@ -91,6 +91,21 @@ class PageRankSpec extends SparkSpec {
     assert(!out.contains((1L, 2L)))
   }
 
+  test("assortativity: star graph is perfectly disassortative, regular graph NULL, path hand case") {
+    // star K1,4: every edge joins degree 4 to degree 1 → r = −1
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("id_a", "id_b")
+    val s = PageRank.assortativity(star).collect().head
+    assert(s.getAs[Long]("n_nodes") == 5 && s.getAs[Long]("n_edges") == 4)
+    assert(s.getAs[Long]("assort_ppm") == -1000000L)
+    // 4-cycle: all degrees 2 → zero variance → NULL-guarded
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    assert(PageRank.assortativity(cyc).collect().head.isNullAt(5))
+    // path a—b—c: edges (1,2),(2,1) degree pairs → m=2, S1=4, S2=6, S3=10
+    // r = (4·2·4 − 36) / (2·2·10 − 36) = −4/4 = −1
+    val p = PageRank.assortativity(pathPairs).collect().head
+    assert(p.getAs[Long]("assort_ppm") == -1000000L)
+  }
+
   test("commonNeighbors: maxCenterDegree drops wedges through hubs") {
     val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("id_a", "id_b")
     assert(PageRank.commonNeighbors(star).count() == 3) // all leaf pairs via the hub
