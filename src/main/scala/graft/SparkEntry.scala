@@ -1632,6 +1632,7 @@ object SparkEntry {
     "q_nb_classify" -> (PipelineQueries.qNbClassify _),
     "q_fuzzy_join" -> (PipelineQueries.qFuzzyJoin _),
     "q_embed_whiten" -> (PipelineQueries.qEmbedWhiten _),
+    "q_embed_pca" -> (PipelineQueries.qEmbedPca _),
     "q_embed_hygiene" -> (PipelineQueries.qEmbedHygiene _),
     "q_random_proj" -> (PipelineQueries.qRandomProj _),
     "q_quantile_sketch" -> (PipelineQueries.qQuantileSketch _),
@@ -1887,6 +1888,7 @@ object SparkEntry {
     "q_nb_classify" -> PipelineQueries.qNbClassifySql,
     "q_fuzzy_join" -> PipelineQueries.qFuzzyJoinSql,
     "q_embed_whiten" -> PipelineQueries.qEmbedWhitenSql,
+    "q_embed_pca" -> PipelineQueries.qEmbedPcaSql,
     "q_embed_hygiene" -> PipelineQueries.qEmbedHygieneSql,
     "q_random_proj" -> PipelineQueries.qRandomProjSql,
     "q_quantile_sketch" -> PipelineQueries.qQuantileSketchSql,

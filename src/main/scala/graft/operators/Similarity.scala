@@ -1662,4 +1662,76 @@ object Similarity {
       .filter(col("cos_u") > 0))
     marginMine(pairs, kNeigh, marginPpmMin)
   }
+
+  /** Top principal component of the embedding table by FIXED-ROUND
+    * power iteration on the centered micro lattice — the direction a
+    * whitening/compression pass would strip first, published with its
+    * explained-variance share.
+    *
+    * Every round is exact integer arithmetic + one correctly-rounded
+    * IEEE normalize, so the result is hash-identical across engines:
+    * s_i = Σ_d c_{i,d}·w_d (exact BIGINT), rescaled by TRUNCATING
+    * division by 2²⁷ (Spark's `div` ≡ DuckDB's `//`, both truncate
+    * toward zero on integer operands), u_d = Σ_i c_{i,d}·s'_i as
+    * DECIMAL(38,0), then w ← round(u·10⁶/‖u‖) back on the 10⁶ lattice
+    * (‖u‖ one IEEE sqrt of exact sums, ε-free — a zero u maps to w=0
+    * via the guard). Uniform w₀; `iters` is part of the operator
+    * contract, not a convergence knob.
+    *
+    * Scale shape: the centered long form persists once; each round is
+    * two key-co-partitioned aggregations (per-vector dot, bounded
+    * per-dim combine) — the PageRank loop shape, nothing driver-side.
+    * Output (ORDERED): dim, loading_ppm, ev_ppm.
+    */
+  def pcaTopComponent(embs: DataFrame, dims: Int, iters: Int = 4,
+                      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val f = embs.select(col(idCol).cast("long").as("vec_id"),
+      posexplode(transform(col(embCol),
+        e => round(e.cast("double") * lit(1000000.0)).cast("long"))).as(Seq("dim", "v")))
+    val m = f.groupBy(col("dim"))
+      .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("m_micro"))
+    val c = CachePool.track(
+      f.join(broadcast(m), "dim")
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          (col("v") - col("m_micro")).as("cv")))
+    var w = embs.sparkSession.range(dims)
+      .select(col("id").as("dim"), lit(1000000L).as("w"))
+    for (_ <- 1 to iters) {
+      val s = c.join(broadcast(w), "dim")
+        .groupBy(col("vec_id")).agg(sum(col("cv") * col("w")).as("s"))
+        .select(col("vec_id"), expr("s div 134217728").as("stv"))
+      // u is dims rows but a corpus pass; it feeds both the norm and
+      // the renormalized w (RangeRank lesson: persist the tiny frame).
+      // The norm must NOT be a float sum of u² (accumulation order
+      // differs across engines/partitionings): floor-rescale u by 2²⁰
+      // first, square-sum EXACTLY in DECIMAL, one IEEE sqrt — every
+      // input to the rounding is bit-identical everywhere.
+      val u = CachePool.track(
+        c.join(s, "vec_id")
+          .groupBy(col("dim"))
+          .agg(sum((col("cv") * col("stv")).cast(dec)).cast(dec).as("u"))
+          .select(col("dim"), expr("u div 1048576").as("un")))
+      val nrm = u.agg(
+        sqrt(sum(col("un").cast(dec) * col("un").cast(dec)).cast("double")).as("nrm"))
+      w = u.crossJoin(broadcast(nrm))
+        .select(col("dim"),
+          when(col("nrm") === 0.0, lit(0L))
+            .otherwise(round(col("un").cast("double") / col("nrm") * lit(1000000.0))
+              .cast("long")).as("w"))
+    }
+    val wf = CachePool.track(w)
+    val proj = c.join(broadcast(wf), "dim")
+      .groupBy(col("vec_id")).agg(sum(col("cv") * col("w")).as("s"))
+    val ev = proj.agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("ss2"))
+      .crossJoin(c.agg(sum((col("cv") * col("cv")).cast(dec)).as("cv2")))
+      .crossJoin(wf.agg(sum(col("w") * col("w")).cast("double").as("w2")))
+      .select(expr(
+        "CASE WHEN CAST(cv2 AS DOUBLE) * w2 = 0.0 THEN NULL " +
+          "ELSE CAST(round(CAST(ss2 AS DOUBLE) / (CAST(cv2 AS DOUBLE) * w2) " +
+          "* 1000000.0) AS BIGINT) END").as("ev_ppm"))
+    wf.crossJoin(broadcast(ev))
+      .select(col("dim"), col("w").as("loading_ppm"), col("ev_ppm"))
+      .orderBy("dim")
+  }
 }

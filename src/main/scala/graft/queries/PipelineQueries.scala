@@ -2483,6 +2483,70 @@ object PipelineQueries {
       |FROM f JOIN stats s ON f.dim = s.dim
       |ORDER BY f.vec_id, f.dim""".stripMargin
 
+  /** Top principal component of the embedding table (see
+    * [[graft.operators.Similarity.pcaTopComponent]]): 4 power-iteration
+    * rounds on the centered micro lattice, loadings on the 10⁶ lattice
+    * plus the explained-variance share — the whitening/compression
+    * planning artifact next to q_embed_dimstats' per-dim variances.
+    */
+  def qEmbedPca(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopComponent(embs(s, dir), dims = Dims, iters = 4)
+
+  val qEmbedPcaSql: String = {
+    def iter(k: Int): String =
+      s"""s$k AS (
+         |  SELECT vec_id, CAST(sum(cv * w) AS BIGINT) AS s
+         |  FROM c JOIN w${k - 1} USING (dim) GROUP BY vec_id
+         |),
+         |u$k AS (
+         |  SELECT dim, sum(CAST(cv AS HUGEINT) * (s // 134217728)) // 1048576 AS un
+         |  FROM c JOIN s$k USING (vec_id) GROUP BY dim
+         |),
+         |n$k AS (
+         |  SELECT sqrt(CAST(sum(CAST(un AS HUGEINT) * un) AS DOUBLE)) AS nrm FROM u$k
+         |),
+         |w$k AS (
+         |  SELECT dim, CASE WHEN nrm = 0.0 THEN CAST(0 AS BIGINT)
+         |                   ELSE CAST(round(CAST(un AS DOUBLE) / nrm * 1000000.0)
+         |                             AS BIGINT) END AS w
+         |  FROM u$k CROSS JOIN n$k
+         |)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |         CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+       |  FROM (
+       |    SELECT vec_id, unnest(embedding) AS e,
+       |           unnest(generate_series(0, len(embedding) - 1)) AS dim
+       |    FROM embeddings
+       |  )
+       |),
+       |m AS (
+       |  SELECT dim, CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m_micro
+       |  FROM f GROUP BY dim
+       |),
+       |c AS (
+       |  SELECT vec_id, f.dim AS dim, v - m_micro AS cv
+       |  FROM f JOIN m ON f.dim = m.dim
+       |),
+       |w0 AS (SELECT dim, CAST(1000000 AS BIGINT) AS w FROM m),
+       |${(1 to 4).map(iter).mkString(",\n")},
+       |p AS (
+       |  SELECT vec_id, CAST(sum(cv * w) AS BIGINT) AS s
+       |  FROM c JOIN w4 USING (dim) GROUP BY vec_id
+       |),
+       |ev AS (
+       |  SELECT CASE WHEN cv2 * w2 = 0.0 THEN NULL
+       |              ELSE CAST(round(ss2 / (cv2 * w2) * 1000000.0) AS BIGINT)
+       |         END AS ev_ppm
+       |  FROM (SELECT CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE) AS ss2 FROM p)
+       |  CROSS JOIN (SELECT CAST(sum(CAST(cv AS HUGEINT) * cv) AS DOUBLE) AS cv2 FROM c)
+       |  CROSS JOIN (SELECT CAST(sum(w * w) AS DOUBLE) AS w2 FROM w4)
+       |)
+       |SELECT dim, w AS loading_ppm, ev_ppm
+       |FROM w4 CROSS JOIN ev
+       |ORDER BY dim""".stripMargin
+  }
+
   /** Oracle for the shuffle-skew advisor over the events table's user
     * key (see [[graft.operators.SkewJoin.skewReport]]; the query fn is
     * wired in SparkEntry where the events reader lives).

@@ -679,4 +679,37 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.length == 5)
     assert(pruned.map(_.getAs[Long]("cell")).distinct.length <= 2)
   }
+
+  test("pcaTopComponent: single-axis variance loads on that axis with ev = 1") {
+    // all variance along dim 2 (values −2, 0, +2), other dims constant
+    val axis = Seq(
+      (0L, Array.tabulate(dims)(j => if (j == 2) -2.0f else 0.5f)),
+      (1L, Array.tabulate(dims)(j => if (j == 2) 0.0f else 0.5f)),
+      (2L, Array.tabulate(dims)(j => if (j == 2) 2.0f else 0.5f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.pcaTopComponent(axis, dims).collect()
+    assert(rows.length == dims)
+    val byDim = rows.map(r => r.getAs[Long]("dim") -> r.getAs[Long]("loading_ppm")).toMap
+    assert(math.abs(math.abs(byDim(2L)) - 1000000L) <= 1)
+    assert(byDim.filterKeys(_ != 2L).values.forall(_ == 0L))
+    assert(math.abs(rows.head.getAs[Long]("ev_ppm") - 1000000L) <= 1)
+  }
+
+  test("pcaTopComponent: dominant direction found in a two-cluster mix; ev in (0,1]") {
+    // clusters at ±(3,3,0,…) plus small orthogonal jitter on dim 5
+    val two = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      val jit = ((i % 5) - 2) * 0.1f
+      (i.toLong, Array.tabulate(dims)(j =>
+        if (j == 0 || j == 1) sign * 3.0f else if (j == 5) jit else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.pcaTopComponent(two, dims).collect()
+    val byDim = rows.map(r => r.getAs[Long]("dim") -> r.getAs[Long]("loading_ppm")).toMap
+    // w is unit on the 1e6 lattice; the cluster axis (1,1)/√2 dominates
+    assert(math.abs(math.abs(byDim(0L)) - 707107L) < 2000)
+    assert(math.abs(byDim(0L) - byDim(1L)) < 2000)
+    assert(math.abs(byDim(5L)) < 50000)
+    val ev = rows.head.getAs[Long]("ev_ppm")
+    assert(ev > 900000 && ev <= 1000000)
+  }
 }
