@@ -1465,6 +1465,8 @@ object SparkEntry {
     "q_seasonal" -> ((s, dir) => Ev.qSeasonal(events(s, dir))),
     "q_window_nav" -> ((s, dir) => Ev.qWindowNav(events(s, dir))),
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
+    "q_survival" -> ((s, dir) => Ev.qSurvival(events(s, dir))),
+    "q_reservoir" -> (PipelineQueries.qReservoir _),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_ab_test" -> ((s, dir) => Ev.qAbTest(events(s, dir))),
     "q_pattern_funnel" -> ((s, dir) => Ev.qPatternFunnel(events(s, dir))),
@@ -1716,6 +1718,8 @@ object SparkEntry {
     "q_seasonal" -> Ev.qSeasonalSql,
     "q_window_nav" -> Ev.qWindowNavSql,
     "q_concurrency" -> Ev.qConcurrencySql,
+    "q_survival" -> Ev.qSurvivalSql,
+    "q_reservoir" -> PipelineQueries.qReservoirSql,
     "q_transitions" -> Ev.qTransitionsSql,
     "q_ab_test" -> Ev.qAbTestSql,
     "q_pattern_funnel" -> Ev.qPatternFunnelSql,

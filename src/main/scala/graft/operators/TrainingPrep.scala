@@ -97,6 +97,26 @@ object TrainingPrep {
       .withColumn("sample_rate", rateCol)
   }
 
+  /** EXACT-k deterministic sample per stratum — the fixed-budget
+    * sibling of [[sampleStrata]]'s fixed-rate keep (an eval-set or
+    * human-review draw wants "500 docs per source", not "0.3%"). Each
+    * row's priority is the full md5 of a salted id ("smp:" + id) —
+    * uniform, reproducible, engine-identical — and the k smallest
+    * priorities per stratum win, ties broken by id. The rank-filter
+    * compiles to WindowGroupLimit (per-partition top-k heap below the
+    * shuffle), so no stratum is ever fully sorted.
+    * Output: stratumCol, pick_rank (1..k), idCol.
+    */
+  def topKSample(docs: DataFrame, stratumCol: String, k: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val pri = md5(concat(lit("smp:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(pri.asc, col(idCol).asc)
+    docs.select(col(stratumCol), col(idCol))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= k)
+      .select(col(stratumCol), col("pick_rank"), col(idCol))
+  }
+
   /** Benchmark decontamination: corpus docs sharing ANY word-3-gram
     * shingle with the evaluation set, with how many distinct shingles
     * they share — the standard pre-training scrub against eval

@@ -217,6 +217,101 @@ object Events {
        |WHERE conc = peak
        |GROUP BY pk.peak, n.n_sessions""".stripMargin
 
+  /** Kaplan–Meier survival curve of session durations with honest
+    * right-censoring: a session whose last event lands inside the
+    * 30-minute sessionization gap of the corpus horizon may still be
+    * open, so it contributes risk but no death. Per distinct duration
+    * (whole-second lattice): deaths d, censored c, at-risk
+    * n = N − (everything that left strictly earlier), the log-survival
+    * accumulates as EXACT nano-nat prefix sums of per-time terms
+    * round(ln((n−d)/n)·10⁹) — the q_mutual_info transcendental
+    * contract: round each term to the integer lattice BEFORE summing,
+    * so no float accumulation order exists — and S(t) finishes as one
+    * exp per emitted row. d = n can only happen at the LAST distinct
+    * duration (risk would hit zero after), where S is pinned 0.
+    *
+    * Scale shape: sessionization aggregates events once; the curve
+    * table is distinct durations; both prefix sums are
+    * [[graft.operators.RangeRank.withRunningSum]] range-bucketed
+    * passes — no single-partition window at any duration cardinality.
+    * Output (ORDERED): dur_s, n_risk, n_events, n_censored, km_lnlat,
+    * surv_ppm — only event times emit (censoring-only durations still
+    * deplete the risk set).
+    */
+  def qSurvival(events: DataFrame): DataFrame = {
+    val sess = graft.operators.CachePool.track(sessionAgg(events))
+    val horizon = sess.agg(max(unix_micros(col("t_end"))).as("h_us"))
+    val per = graft.operators.CachePool.track(
+      sess.crossJoin(broadcast(horizon))
+        .select(
+          expr("(unix_micros(t_end) - unix_micros(t_start)) div 1000000").as("dur_s"),
+          when(unix_micros(col("t_end")) >= col("h_us") - lit(1800000000L), lit(1L))
+            .otherwise(lit(0L)).as("cens")))
+    val tbl = per.groupBy(col("dur_s"))
+      .agg(sum(lit(1L) - col("cens")).as("n_events"), sum(col("cens")).as("n_censored"))
+    val tot = per.agg(count(lit(1)).as("n_total"))
+    val r1 = graft.operators.RangeRank.withRunningSum(
+        tbl, col("n_events") + col("n_censored"), col("dur_s"), Nil, out = "cum_incl")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - (col("cum_incl") - col("n_events") - col("n_censored")))
+      .withColumn("term_nano", expr(
+        "CASE WHEN n_events < n_risk THEN CAST(round(ln((CAST(n_risk AS DOUBLE)" +
+          " - n_events) / n_risk) * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+    graft.operators.RangeRank.withRunningSum(
+        r1, col("term_nano"), col("dur_s"), Nil, out = "km_lnlat")
+      .filter(col("n_events") > 0)
+      .select(col("dur_s"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("km_lnlat"),
+        expr("CASE WHEN n_events >= n_risk THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(round(exp(CAST(km_lnlat AS DOUBLE) / 1000000000.0) * 1000000.0) " +
+          "AS BIGINT) END").as("surv_ppm"))
+      .orderBy("dur_s")
+  }
+
+  val qSurvivalSql: String =
+    s"""WITH sessions AS ($sessionizeBody),
+       |h AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+       |per AS (
+       |  SELECT (epoch_us(t_end) - epoch_us(t_start)) // 1000000 AS dur_s,
+       |         CASE WHEN epoch_us(t_end) >= h_us - 1800000000
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS cens
+       |  FROM sessions CROSS JOIN h
+       |),
+       |tbl AS (
+       |  SELECT dur_s, CAST(sum(1 - cens) AS BIGINT) AS n_events,
+       |         CAST(sum(cens) AS BIGINT) AS n_censored
+       |  FROM per GROUP BY dur_s
+       |),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM per),
+       |r1 AS (
+       |  SELECT *, CAST(sum(n_events + n_censored) OVER (ORDER BY dur_s) AS BIGINT)
+       |              AS cum_incl
+       |  FROM tbl
+       |),
+       |risk AS (
+       |  SELECT *, n_total - (cum_incl - n_events - n_censored) AS n_risk
+       |  FROM r1 CROSS JOIN tot
+       |),
+       |t2 AS (
+       |  SELECT *, CASE WHEN n_events < n_risk
+       |                 THEN CAST(round(ln((CAST(n_risk AS DOUBLE) - n_events) / n_risk)
+       |                                 * 1000000000.0) AS BIGINT)
+       |                 ELSE CAST(0 AS BIGINT) END AS term_nano
+       |  FROM risk
+       |),
+       |r2 AS (
+       |  SELECT *, CAST(sum(term_nano) OVER (ORDER BY dur_s) AS BIGINT) AS km_lnlat
+       |  FROM t2
+       |)
+       |SELECT dur_s, n_risk, n_events, n_censored, km_lnlat,
+       |       CASE WHEN n_events >= n_risk THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(round(exp(CAST(km_lnlat AS DOUBLE) / 1000000000.0)
+       |                            * 1000000.0) AS BIGINT) END AS surv_ppm
+       |FROM r2
+       |WHERE n_events > 0
+       |ORDER BY dur_s""".stripMargin
+
   /** Range join (bucketed): assign every event to the session interval
     * containing it — `ts BETWEEN t_start AND t_end` on the same user,
     * executed as the equi-join-on-(key, bucket) rewrite

@@ -2483,6 +2483,28 @@ object PipelineQueries {
       |FROM f JOIN stats s ON f.dim = s.dim
       |ORDER BY f.vec_id, f.dim""".stripMargin
 
+  /** Exact-25-per-source deterministic sample (see
+    * [[graft.operators.TrainingPrep.topKSample]]): the fixed-budget
+    * review/eval draw — reproducible under reruns and appends of
+    * UNSAMPLED ids, engine-identical via the shared md5 priority.
+    */
+  def qReservoir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingPrep.topKSample(docs(s, dir), "source", k = 25)
+      .orderBy("source", "pick_rank")
+
+  val qReservoirSql: String =
+    """SELECT source, pick_rank, doc_id
+      |FROM (
+      |  SELECT source, doc_id,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY source
+      |           ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |           AS BIGINT) AS pick_rank
+      |  FROM documents
+      |)
+      |WHERE pick_rank <= 25
+      |ORDER BY source, pick_rank""".stripMargin
+
   /** Top principal component of the embedding table (see
     * [[graft.operators.Similarity.pcaTopComponent]]): 4 power-iteration
     * rounds on the centered micro lattice, loadings on the 10⁶ lattice

@@ -320,4 +320,26 @@ class EventsSpec extends SparkSpec {
     assert(out(2L) == 1.0)  // perfect correlation at the period
     assert(out(3L) == -1.0)
   }
+
+  test("survival: hand-built KM curve with one honestly-censored session") {
+    val s = 1000000L
+    // u1, u2: 10 s sessions; u3: 20 s; u99 ends AT the horizon → its
+    // 15 s session is censored (within the 30-min gap of max t_end)
+    val events = ev(
+      (1L, 0L, 1L, "a"), (2L, 10L * s, 1L, "a"),
+      (3L, 0L, 2L, "a"), (4L, 10L * s, 2L, "a"),
+      (5L, 0L, 3L, "a"), (6L, 20L * s, 3L, "a"),
+      (7L, 4000L * s, 99L, "a"), (8L, 4015L * s, 99L, "a"))
+    val rows = Events.qSurvival(events).collect()
+    // censoring-only duration 15 emits no row; event times 10 and 20 do
+    assert(rows.map(_.getAs[Long]("dur_s")).toSeq == Seq(10L, 20L))
+    val at10 = rows(0)
+    assert(at10.getAs[Long]("n_risk") == 4 && at10.getAs[Long]("n_events") == 2)
+    // S(10) = 1 − 2/4 = 0.5 exactly (one ln term, nano-lattice round-trip)
+    assert(math.abs(at10.getAs[Long]("surv_ppm") - 500000L) <= 1)
+    val at20 = rows(1)
+    // after 2 deaths and the censored 15 s session leave, one at risk
+    assert(at20.getAs[Long]("n_risk") == 1 && at20.getAs[Long]("n_censored") == 0)
+    assert(at20.getAs[Long]("surv_ppm") == 0) // d = n at the last time → S pinned 0
+  }
 }

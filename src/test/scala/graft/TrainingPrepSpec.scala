@@ -244,4 +244,23 @@ class TrainingPrepSpec extends SparkSpec {
       groups.filter(lit(false)), 0.8, 0.1)
     assert(solo.select(col("doc_id"), col("split")).exceptAll(perDoc).isEmpty)
   }
+
+  test("topKSample: exact k per stratum, deterministic, small strata kept whole") {
+    val docs = (0 until 200).map(i => (i.toLong, if (i < 190) "big" else "tiny"))
+      .toDF("doc_id", "source")
+    val out = TrainingPrep.topKSample(docs, "source", k = 20, idCol = "doc_id")
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 20L, "tiny" -> 10L)) // k capped by stratum size
+    // ranks are contiguous 1..n per stratum
+    val ranks = out.filter(col("source") === "big")
+      .select("pick_rank").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks == (1L to 20L))
+    // deterministic under repartitioning — same picked ids
+    val again = TrainingPrep.topKSample(docs.repartition(13), "source", 20, "doc_id")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // the plan never fully sorts a stratum: rank filter → WindowGroupLimit
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
 }
