@@ -1466,6 +1466,7 @@ object SparkEntry {
     "q_window_nav" -> ((s, dir) => Ev.qWindowNav(events(s, dir))),
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
     "q_survival" -> ((s, dir) => Ev.qSurvival(events(s, dir))),
+    "q_ks_test" -> ((s, dir) => Ev.qKsTest(events(s, dir))),
     "q_reservoir" -> (PipelineQueries.qReservoir _),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_ab_test" -> ((s, dir) => Ev.qAbTest(events(s, dir))),
@@ -1491,6 +1492,7 @@ object SparkEntry {
     "q_entropy" -> (EvalQueries.qEntropy _),
     "q_auc" -> (EvalQueries.qAuc _),
     "q_pr_curve" -> (EvalQueries.qPrCurve _),
+    "q_lift_curve" -> (EvalQueries.qLiftCurve _),
     "q_mad_outliers" -> ((s, dir) => Ev.qMadOutliers(events(s, dir))),
     "q_interval_union" -> ((s, dir) => Ev.qIntervalUnion(events(s, dir))),
     "q_trend" -> ((s, dir) => Ev.qTrend(events(s, dir))),
@@ -1719,6 +1721,7 @@ object SparkEntry {
     "q_window_nav" -> Ev.qWindowNavSql,
     "q_concurrency" -> Ev.qConcurrencySql,
     "q_survival" -> Ev.qSurvivalSql,
+    "q_ks_test" -> Ev.qKsTestSql,
     "q_reservoir" -> PipelineQueries.qReservoirSql,
     "q_transitions" -> Ev.qTransitionsSql,
     "q_ab_test" -> Ev.qAbTestSql,
@@ -1744,6 +1747,7 @@ object SparkEntry {
     "q_entropy" -> EvalQueries.qEntropySql,
     "q_auc" -> EvalQueries.qAucSql,
     "q_pr_curve" -> EvalQueries.qPrCurveSql,
+    "q_lift_curve" -> EvalQueries.qLiftCurveSql,
     "q_mad_outliers" -> Ev.qMadOutliersSql,
     "q_interval_union" -> Ev.qIntervalUnionSql,
     "q_trend" -> Ev.qTrendSql,

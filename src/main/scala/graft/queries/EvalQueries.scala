@@ -374,6 +374,75 @@ object EvalQueries {
        |       END AS auc_ppm
        |FROM agg""".stripMargin
 
+  /** Cumulative-gains / lift table by score decile — "how many of the
+    * good documents live in the top 10/20/…% of the ranking": the
+    * targeting-efficiency view next to q_auc's threshold-free rank
+    * quality. Global rank comes from
+    * [[graft.operators.RangeRank.withGlobalRank]] (range-bucketed, no
+    * single-partition window); deciles are exact integer arithmetic on
+    * the rank; the ≤10-row cumulative runs as a triangular self-join.
+    * gain = cum_pos/n_pos, lift = (cum_pos·n)/(n_pos·cum_rows), both
+    * exact ppm floor divisions, NULL-guarded.
+    */
+  def qLiftCurve(s: SparkSession, dir: String): DataFrame = {
+    val raw = graft.operators.CachePool.track(
+      graft.operators.Classifier.perceptronRaw(
+        s.read.parquet(s"$dir/documents.parquet"), iters = 5))
+    val tot = raw.agg(count(lit(1)).as("n"),
+      sum(when(col("y") === 1, lit(1L)).otherwise(lit(0L))).as("n_pos"))
+    val dec = graft.operators.RangeRank.withGlobalRank(
+        raw, col("score"), Seq(col("doc_id")), desc = true, out = "rn")
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(((rn - 1) * 10) div n) + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("y") === 1, lit(1L)).otherwise(lit(0L))).as("n_pos_dec"),
+        max(col("n")).as("n"), max(col("n_pos")).as("n_pos"))
+    dec.join(dec.select(col("decile").as("d2"), col("n_pos_dec").as("p2"),
+          col("n_rows").as("r2")), col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_rows"), col("n_pos_dec"), col("n"), col("n_pos"))
+      .agg(sum(col("p2")).cast("long").as("cum_pos"),
+        sum(col("r2")).cast("long").as("cum_rows"))
+      .selectExpr("decile", "n_rows", "n_pos_dec", "cum_pos",
+        "cum_pos * 1000000 DIV nullif(n_pos, 0) AS gain_ppm",
+        "CASE WHEN cum_rows = 0 OR n_pos = 0 THEN NULL " +
+          "ELSE (cum_pos * n * 1000000) DIV (n_pos * cum_rows) END AS lift_ppm")
+      .orderBy("decile")
+  }
+
+  val qLiftCurveSql: String =
+    s"""WITH ${QualityQueries.perceptronCtes},
+       |sc AS (
+       |  SELECT doc_id, y,
+       |         CAST(p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4 + p.w5*x5 + p.b AS BIGINT)
+       |           AS score
+       |  FROM feat CROSS JOIN i5 p),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_pos
+       |  FROM sc),
+       |r AS (
+       |  SELECT y, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+       |  FROM sc),
+       |dec AS (
+       |  SELECT (((rn - 1) * 10) // n) + 1 AS decile,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_pos_dec,
+       |         max(n) AS n, max(n_pos) AS n_pos
+       |  FROM r CROSS JOIN t
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT decile, n_rows, n_pos_dec, n, n_pos,
+       |         CAST(sum(n_pos_dec) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+       |         CAST(sum(n_rows) OVER (ORDER BY decile) AS BIGINT) AS cum_rows
+       |  FROM dec)
+       |SELECT decile, n_rows, n_pos_dec, cum_pos,
+       |       cum_pos * 1000000 // nullif(n_pos, 0) AS gain_ppm,
+       |       CASE WHEN cum_rows = 0 OR n_pos = 0 THEN NULL
+       |            ELSE (cum_pos * n * 1000000) // (n_pos * cum_rows) END AS lift_ppm
+       |FROM cum
+       |ORDER BY decile""".stripMargin
+
   /** Precision / recall / F1 sweep over an 11-point integer threshold
     * grid lo + ⌊(hi−lo)·i/10⌋ (i = 0…10) of the perceptron's raw
     * margin — the operating-point picker published next to q_auc. One

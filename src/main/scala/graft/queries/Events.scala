@@ -1433,6 +1433,87 @@ object Events {
       .withColumn("significant", col("chi2") > lit(3.841459))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between the id-parity
+    * cohorts' per-user spend distributions — the distribution-level
+    * companion of [[qAbTest]]'s conversion-rate cell test: did the
+    * treatment shift spend ANYWHERE, not just at the mean?
+    *
+    * All exact integers until the verdict: per-distinct-cents cohort
+    * counts, both empirical CDFs as range-bucketed running sums
+    * ([[graft.operators.RangeRank.withRunningSum]] twice — no
+    * single-partition window at any cents cardinality), the statistic
+    * cross-multiplied as |F₀·n₁ − F₁·n₀| so no division exists, and
+    * argmax-with-first-location as ONE lexicographic struct-max over
+    * integer fields. The 95% verdict (c(α)=1.358102) is the only
+    * double, computed identically both engines, NULL on an empty
+    * cohort.
+    */
+  def qKsTest(events: DataFrame): DataFrame = {
+    val spend = graft.operators.CachePool.track(events.groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0d)).cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
+      .withColumn("variant", col("user_id") % 2))
+    val per = spend.groupBy(col("cents"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    val tot = spend.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+    val f0 = graft.operators.RangeRank.withRunningSum(
+      per, col("c0"), col("cents"), Nil, out = "f0")
+    val d = graft.operators.RangeRank.withRunningSum(
+        f0, col("c1"), col("cents"), Nil, out = "f1")
+      .crossJoin(broadcast(tot))
+      .withColumn("stat", abs(col("f0") * col("n1") - col("f1") * col("n0")))
+    d.agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        max(struct(col("stat"), (lit(0L) - col("cents")).as("negc"))).as("m"))
+      .selectExpr("n0", "n1", "m.stat AS d_scaled", "-m.negc AS d_at_cents",
+        "m.stat * 1000000 DIV nullif(n0 * n1, 0) AS d_ppm",
+        "CASE WHEN n0 = 0 OR n1 = 0 THEN NULL " +
+          "ELSE CAST(m.stat AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1) > " +
+          "1.358102 * sqrt((CAST(n0 AS DOUBLE) + n1) / (CAST(n0 AS DOUBLE) * n1)) " +
+          "END AS reject_95")
+  }
+
+  val qKsTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+      |           AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+      |         user_id % 2 AS variant
+      |  FROM events GROUP BY user_id
+      |),
+      |per AS (
+      |  SELECT cents,
+      |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM u GROUP BY cents
+      |),
+      |t AS (
+      |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM u
+      |),
+      |d AS (
+      |  SELECT cents,
+      |         abs(CAST(sum(c0) OVER (ORDER BY cents) AS BIGINT) * n1
+      |             - CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) * n0) AS stat,
+      |         n0, n1
+      |  FROM per CROSS JOIN t
+      |),
+      |mx AS (SELECT max(stat) AS d_scaled FROM d)
+      |SELECT n0, n1, d_scaled,
+      |       (SELECT min(cents) FROM d WHERE stat = d_scaled) AS d_at_cents,
+      |       d_scaled * 1000000 // nullif(n0 * n1, 0) AS d_ppm,
+      |       CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+      |            ELSE CAST(d_scaled AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1) >
+      |                 1.358102 * sqrt((CAST(n0 AS DOUBLE) + n1)
+      |                                 / (CAST(n0 AS DOUBLE) * n1))
+      |       END AS reject_95
+      |FROM d CROSS JOIN mx
+      |GROUP BY n0, n1, d_scaled
+      |""".stripMargin
+
   val qAbTestSql: String =
     """WITH u AS (
       |  SELECT user_id,

@@ -147,6 +147,21 @@ class EvalQueriesSpec extends SparkSpec {
     assert(g2 == 2 && e2 == 0 && mixed == 500000L)
   }
 
+  test("lift curve: gains monotone to 1, decile populations partition the corpus") {
+    val rows = EvalQueries.qLiftCurve(spark, dir).collect()
+    assert(rows.length == 10)
+    val gains = rows.map(_.getAs[Long]("gain_ppm"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
+    assert(gains.last == 1000000L) // all positives captured by decile 10
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val pos = rows.map(_.getAs[Long]("n_pos_dec")).sum
+    assert(rows.last.getAs[Long]("cum_pos") == pos)
+    // deciles are near-equal population (exact integer-rank splits)
+    assert(rows.map(_.getAs[Long]("n_rows")).max
+      - rows.map(_.getAs[Long]("n_rows")).min <= 1)
+    assert(total > 0)
+  }
+
   test("pr curve: thresholds bracket the score range and counts partition") {
     val rows = EvalQueries.qPrCurve(spark, dir).collect()
     assert(rows.length == 11)

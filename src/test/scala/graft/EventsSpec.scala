@@ -321,6 +321,29 @@ class EventsSpec extends SparkSpec {
     assert(out(3L) == -1.0)
   }
 
+  test("ks test: identical cohorts give D = 0, disjoint cohorts give D = 1") {
+    def purchases(rows: (Long, Long, Double)*) =
+      rows.zipWithIndex.map { case ((uid, us, v), i) => (i.toLong, us, uid, v) }
+        .toDF("event_id", "us", "user_id", "value")
+        .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+          col("user_id"), lit("purchase").as("event_type"), col("value"),
+          lit("{}").as("props"))
+    // even/odd users with IDENTICAL spend multisets {1.00, 2.00}
+    val same = purchases((0L, 0L, 1.0), (2L, 0L, 2.0), (1L, 0L, 1.0), (3L, 0L, 2.0))
+    val r1 = Events.qKsTest(same).collect().head
+    assert(r1.getAs[Long]("d_scaled") == 0 && !r1.getAs[Boolean]("reject_95"))
+    // disjoint supports: evens spend 1.00, odds spend 100.00 → D = 1
+    val apart = purchases(
+      (0L, 0L, 1.0), (2L, 0L, 1.0), (4L, 0L, 1.0), (6L, 0L, 1.0),
+      (8L, 0L, 1.0), (10L, 0L, 1.0), (12L, 0L, 1.0), (14L, 0L, 1.0),
+      (1L, 0L, 100.0), (3L, 0L, 100.0), (5L, 0L, 100.0), (7L, 0L, 100.0),
+      (9L, 0L, 100.0), (11L, 0L, 100.0), (13L, 0L, 100.0), (15L, 0L, 100.0))
+    val r2 = Events.qKsTest(apart).collect().head
+    assert(r2.getAs[Long]("d_ppm") == 1000000L)
+    assert(r2.getAs[Long]("d_at_cents") == 100L) // first cents value where the gap peaks
+    assert(r2.getAs[Boolean]("reject_95")) // n=8 vs 8, D=1 ≫ 1.358·√(1/4)
+  }
+
   test("survival: hand-built KM curve with one honestly-censored session") {
     val s = 1000000L
     // u1, u2: 10 s sessions; u3: 20 s; u99 ends AT the horizon → its
