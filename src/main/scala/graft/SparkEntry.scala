@@ -1467,6 +1467,7 @@ object SparkEntry {
     "q_concurrency" -> ((s, dir) => Ev.qConcurrency(events(s, dir))),
     "q_survival" -> ((s, dir) => Ev.qSurvival(events(s, dir))),
     "q_ks_test" -> ((s, dir) => Ev.qKsTest(events(s, dir))),
+    "q_anova" -> ((s, dir) => Ev.qAnova(events(s, dir))),
     "q_reservoir" -> (PipelineQueries.qReservoir _),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_ab_test" -> ((s, dir) => Ev.qAbTest(events(s, dir))),
@@ -1722,6 +1723,7 @@ object SparkEntry {
     "q_concurrency" -> Ev.qConcurrencySql,
     "q_survival" -> Ev.qSurvivalSql,
     "q_ks_test" -> Ev.qKsTestSql,
+    "q_anova" -> Ev.qAnovaSql,
     "q_reservoir" -> PipelineQueries.qReservoirSql,
     "q_transitions" -> Ev.qTransitionsSql,
     "q_ab_test" -> Ev.qAbTestSql,

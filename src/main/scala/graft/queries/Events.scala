@@ -1514,6 +1514,70 @@ object Events {
       |GROUP BY n0, n1, d_scaled
       |""".stripMargin
 
+  /** One-way ANOVA of event value across event types: does ANY type
+    * have a different mean spend, the k-group generalization of the
+    * two-cohort tests. Per-group exact moments on the cents lattice
+    * (n, Σx, Σx² as DECIMAL(38,0) — order-free), then F and the eta²
+    * effect share finish as ONE double expression each from the exact
+    * sums (the corr-matrix contract), NULL-guarded for k ≤ 1, N ≤ k
+    * and zero within-variance. One map-side-combined aggregation over
+    * events + a k-row finish — no joins, no windows.
+    */
+  def qAnova(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = expr("CAST(round(value * 100) AS BIGINT)")
+    val g = events.select(col("event_type").as("grp"), cents.as("c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("ng"), sum(col("c").cast(dec)).cast(dec).as("sg"),
+        sum((col("c") * col("c")).cast(dec)).cast(dec).as("qg"))
+    // each group's Sg²/ng rounds to the integer cents² lattice BEFORE
+    // the sum (a float sum over groups would be accumulation-order
+    // dependent); the sums are then exact and order-free
+    g.agg(count(lit(1)).as("k"), sum(col("ng")).cast("long").as("n"),
+        sum(col("sg")).cast(dec).as("s"), sum(col("qg")).cast(dec).as("q"),
+        sum(expr("CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)" +
+          " / CAST(ng AS DOUBLE)) AS DECIMAL(38,0))")).cast(dec).as("sb_sum"))
+      .selectExpr("k", "n",
+        // SSB = Σ Sg²/ng − S²/N, SSW = Q − Σ Sg²/ng (cents² units)
+        "CAST(sb_sum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb",
+        "CAST(q AS DOUBLE) - CAST(sb_sum AS DOUBLE) AS ssw")
+      .selectExpr("k", "n",
+        "CASE WHEN k <= 1 OR n <= k OR ssw <= 0.0 THEN NULL " +
+          "ELSE round(ssb / (k - 1) / (ssw / (n - k)), 6) END AS f_stat",
+        "CASE WHEN ssb + ssw <= 0.0 THEN NULL " +
+          "ELSE CAST(round(ssb / (ssb + ssw) * 1000000.0) AS BIGINT) END AS eta2_ppm")
+  }
+
+  val qAnovaSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS ng,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sg,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)
+      |                  * CAST(round(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS qg
+      |  FROM events GROUP BY event_type
+      |),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+      |         CAST(sum(sg) AS DECIMAL(38,0)) AS s, CAST(sum(qg) AS DECIMAL(38,0)) AS q,
+      |         CAST(sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |                            / CAST(ng AS DOUBLE)) AS DECIMAL(38,0)))
+      |              AS DECIMAL(38,0)) AS sb_sum
+      |  FROM g
+      |),
+      |p AS (
+      |  SELECT k, n,
+      |         CAST(sb_sum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+      |         CAST(q AS DOUBLE) - CAST(sb_sum AS DOUBLE) AS ssw
+      |  FROM t
+      |)
+      |SELECT k, n,
+      |       CASE WHEN k <= 1 OR n <= k OR ssw <= 0.0 THEN NULL
+      |            ELSE round(ssb / (k - 1) / (ssw / (n - k)), 6) END AS f_stat,
+      |       CASE WHEN ssb + ssw <= 0.0 THEN NULL
+      |            ELSE CAST(round(ssb / (ssb + ssw) * 1000000.0) AS BIGINT)
+      |       END AS eta2_ppm
+      |FROM p""".stripMargin
+
   val qAbTestSql: String =
     """WITH u AS (
       |  SELECT user_id,

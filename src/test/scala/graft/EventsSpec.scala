@@ -344,6 +344,27 @@ class EventsSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("reject_95")) // n=8 vs 8, D=1 ≫ 1.358·√(1/4)
   }
 
+  test("anova: hand-computed F and eta², degenerate cases NULL-guarded") {
+    def evv(rows: (Long, String, Double)*) =
+      rows.zipWithIndex.map { case ((uid, t, v), i) => (i.toLong, uid, t, v) }
+        .toDF("event_id", "user_id", "event_type", "value")
+        .select(col("event_id"), expr("timestamp_micros(0)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+    // a: {1, 3}, b: {2, 4} → SSB = 1, SSW = 4 (value²) → F = 0.5, eta² = 0.2
+    val r = Events.qAnova(evv((1L, "a", 1.0), (2L, "a", 3.0),
+      (3L, "b", 2.0), (4L, "b", 4.0))).collect().head
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("f_stat") == 0.5)
+    assert(r.getAs[Long]("eta2_ppm") == 200000L)
+    // zero within-variance → F undefined (NULL), eta² = 1
+    val sep = Events.qAnova(evv((1L, "a", 1.0), (2L, "a", 1.0),
+      (3L, "b", 2.0), (4L, "b", 2.0))).collect().head
+    assert(sep.isNullAt(2) && sep.getAs[Long]("eta2_ppm") == 1000000L)
+    // all values identical → both NULL
+    val flat = Events.qAnova(evv((1L, "a", 1.0), (2L, "b", 1.0))).collect().head
+    assert(flat.isNullAt(2) && flat.isNullAt(3))
+  }
+
   test("survival: hand-built KM curve with one honestly-censored session") {
     val s = 1000000L
     // u1, u2: 10 s sessions; u3: 20 s; u99 ends AT the horizon → its

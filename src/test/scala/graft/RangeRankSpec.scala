@@ -111,4 +111,34 @@ class RangeRankSpec extends SparkSpec {
     assert(n == sess.length.toLong)
     assertNoGlobalWindow(Ev.qConcurrency(events), "qConcurrency")
   }
+
+  test("groupedRankSelect shuffles only the target buckets' rows, linearly in N") {
+    // AQE off so raw exchanges and their metrics are visible
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+
+    def shuffled(n: Int): Long = {
+      graft.operators.CachePool.clear()
+      // uniform keys → ~n/32 rows per bucket; 2 median targets hit ≤ 2 buckets
+      val df = (0 until n).map(i => ((i % 5).toString, (i * 2654435761L) % 1000000L))
+        .toDF("grp", "c").repartition(8)
+      val out = graft.operators.RangeRank.groupedRankSelect(
+        df, Seq("grp"), col("c"), Seq("(n - 1) div 2 + 1", "n div 2 + 1"))
+      out.collect()
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val top = out.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeLike => e.metrics("shuffleRecordsWritten").value }
+      top.max // the window-input exchange dominates every other (tiny) one
+    }
+    val n1 = 20000
+    val v1 = shuffled(n1)
+    val v10 = shuffled(n1 * 10)
+    // far below the full corpus (a full grouped rank would shuffle ~N)
+    assert(v1 < n1 / 4, s"window input $v1 not a bucket-sized fraction of $n1")
+    assert(v10 < n1 * 10 / 4, s"window input $v10 not a bucket-sized fraction of ${n1 * 10}")
+    // and linear: 10× data → ≤ ~12× shuffled rows (bucket-count noise allowed)
+    assert(v10 <= v1 * 12, s"not linear: $v1 -> $v10")
+  }
 }
