@@ -1468,6 +1468,7 @@ object SparkEntry {
     "q_survival" -> ((s, dir) => Ev.qSurvival(events(s, dir))),
     "q_ks_test" -> ((s, dir) => Ev.qKsTest(events(s, dir))),
     "q_anova" -> ((s, dir) => Ev.qAnova(events(s, dir))),
+    "q_kruskal" -> ((s, dir) => Ev.qKruskal(events(s, dir))),
     "q_reservoir" -> (PipelineQueries.qReservoir _),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_ab_test" -> ((s, dir) => Ev.qAbTest(events(s, dir))),
@@ -1724,6 +1725,7 @@ object SparkEntry {
     "q_survival" -> Ev.qSurvivalSql,
     "q_ks_test" -> Ev.qKsTestSql,
     "q_anova" -> Ev.qAnovaSql,
+    "q_kruskal" -> Ev.qKruskalSql,
     "q_reservoir" -> PipelineQueries.qReservoirSql,
     "q_transitions" -> Ev.qTransitionsSql,
     "q_ab_test" -> Ev.qAbTestSql,

@@ -1548,6 +1548,85 @@ object Events {
           "ELSE CAST(round(ssb / (ssb + ssw) * 1000000.0) AS BIGINT) END AS eta2_ppm")
   }
 
+  /** Kruskal–Wallis rank test of spend across event types — the
+    * nonparametric companion of [[qAnova]] (rank sums instead of
+    * means, robust to the heavy spend tail). Doubled midranks
+    * 2·before + t + 1 come exactly from a range-bucketed running sum
+    * over the distinct-cents table; per-group rank sums are exact
+    * BIGINTs; each group's R²g/(4·ng) rounds to the integer lattice
+    * before the order-free DECIMAL sum (the [[qAnova]] playbook); the
+    * tie-corrected H finishes as one double expression, NULL-guarded
+    * (k ≤ 1, n ≤ k, or all values tied → correction 0).
+    */
+  def qKruskal(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val v = graft.operators.CachePool.track(
+      events.select(col("event_type").as("grp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c")))
+    val perC = graft.operators.CachePool.track(
+      v.groupBy(col("c")).agg(count(lit(1)).as("cnt")))
+    val mid = graft.operators.RangeRank.withRunningSum(
+        perC, col("cnt"), col("c"), Nil, out = "run")
+      .select(col("c"),
+        (lit(2L) * (col("run") - col("cnt")) + col("cnt") + lit(1L)).as("mr2"))
+    val rg = v.groupBy(col("grp"), col("c")).agg(count(lit(1)).as("cg"))
+      .join(mid, "c")
+      .groupBy(col("grp"))
+      .agg(sum(col("cg")).cast("long").as("ng"),
+        sum(col("cg") * col("mr2")).cast("long").as("rg2"))
+    val tie = perC.agg(
+      sum((col("cnt") * col("cnt") * col("cnt") - col("cnt")).cast(dec))
+        .cast(dec).as("tsum"))
+    rg.agg(count(lit(1)).as("k"), sum(col("ng")).cast("long").as("n"),
+        // ×4 lattice: rg2² = (2Rg)², so rg2²/ng = 4·Rg²/ng — integer
+        // whenever ng | rg2² and within ¼ unit otherwise; the ÷4 folds
+        // into the finish (12/4 = 3)
+        sum(expr("CAST(round(CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE)" +
+          " / CAST(ng AS DOUBLE)) AS DECIMAL(38,0))")).cast(dec).as("rsum"))
+      .crossJoin(broadcast(tie))
+      .selectExpr("k", "n",
+        "CASE WHEN k <= 1 OR n <= k OR " +
+          "(1.0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)) <= 0.0 " +
+          "THEN NULL ELSE round(" +
+          "(3.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(rsum AS DOUBLE) - 3.0 * (n + 1))" +
+          " / (1.0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6) " +
+          "END AS h_stat")
+  }
+
+  val qKruskalSql: String =
+    """WITH v AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c FROM events
+      |),
+      |perc AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY c),
+      |mid AS (
+      |  SELECT c, 2 * (CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) - cnt) + cnt + 1 AS mr2
+      |  FROM perc
+      |),
+      |pergc AS (SELECT grp, c, CAST(count(*) AS BIGINT) AS cg FROM v GROUP BY grp, c),
+      |rg AS (
+      |  SELECT grp, CAST(sum(cg) AS BIGINT) AS ng, CAST(sum(cg * mr2) AS BIGINT) AS rg2
+      |  FROM pergc JOIN mid USING (c) GROUP BY grp
+      |),
+      |tie AS (SELECT CAST(sum(cnt*cnt*cnt - cnt) AS DECIMAL(38,0)) AS tsum FROM perc),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+      |         CAST(sum(CAST(round(CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE)
+      |                            / CAST(ng AS DOUBLE)) AS DECIMAL(38,0)))
+      |              AS DECIMAL(38,0)) AS rsum
+      |  FROM rg
+      |)
+      |SELECT k, n,
+      |       CASE WHEN k <= 1 OR n <= k OR
+      |                 (1.0 - CAST(tsum AS DOUBLE)
+      |                        / (CAST(n AS DOUBLE) * n * n - n)) <= 0.0
+      |            THEN NULL
+      |            ELSE round((3.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(rsum AS DOUBLE)
+      |                        - 3.0 * (n + 1))
+      |                       / (1.0 - CAST(tsum AS DOUBLE)
+      |                                / (CAST(n AS DOUBLE) * n * n - n)), 6)
+      |       END AS h_stat
+      |FROM t CROSS JOIN tie""".stripMargin
+
   val qAnovaSql: String =
     """WITH g AS (
       |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS ng,

@@ -365,6 +365,24 @@ class EventsSpec extends SparkSpec {
     assert(flat.isNullAt(2) && flat.isNullAt(3))
   }
 
+  test("kruskal: hand-computed H without ties, all-tied NULL-guarded") {
+    def evv(rows: (Long, String, Double)*) =
+      rows.zipWithIndex.map { case ((uid, t, v), i) => (i.toLong, uid, t, v) }
+        .toDF("event_id", "user_id", "event_type", "value")
+        .select(col("event_id"), expr("timestamp_micros(0)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+    // a: {1, 2}, b: {3, 4} → ranks {1,2} vs {3,4}, R=3/7 →
+    // H = 12/20 · (9/2 + 49/2) − 15 = 2.4 (no ties → correction 1)
+    val r = Events.qKruskal(evv((1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 3.0), (4L, "b", 4.0))).collect().head
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("h_stat") == 2.4)
+    // every value tied → tie correction 0 → NULL
+    val flat = Events.qKruskal(evv((1L, "a", 1.0), (2L, "b", 1.0),
+      (3L, "b", 1.0))).collect().head
+    assert(flat.isNullAt(2))
+  }
+
   test("survival: hand-built KM curve with one honestly-censored session") {
     val s = 1000000L
     // u1, u2: 10 s sessions; u3: 20 s; u99 ends AT the horizon → its
