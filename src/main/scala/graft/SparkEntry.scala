@@ -1469,6 +1469,7 @@ object SparkEntry {
     "q_ks_test" -> ((s, dir) => Ev.qKsTest(events(s, dir))),
     "q_anova" -> ((s, dir) => Ev.qAnova(events(s, dir))),
     "q_kruskal" -> ((s, dir) => Ev.qKruskal(events(s, dir))),
+    "q_mannwhitney" -> ((s, dir) => Ev.qMannWhitney(events(s, dir))),
     "q_reservoir" -> (PipelineQueries.qReservoir _),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_ab_test" -> ((s, dir) => Ev.qAbTest(events(s, dir))),
@@ -1726,6 +1727,7 @@ object SparkEntry {
     "q_ks_test" -> Ev.qKsTestSql,
     "q_anova" -> Ev.qAnovaSql,
     "q_kruskal" -> Ev.qKruskalSql,
+    "q_mannwhitney" -> Ev.qMannWhitneySql,
     "q_reservoir" -> PipelineQueries.qReservoirSql,
     "q_transitions" -> Ev.qTransitionsSql,
     "q_ab_test" -> Ev.qAbTestSql,

@@ -1514,6 +1514,110 @@ object Events {
       |GROUP BY n0, n1, d_scaled
       |""".stripMargin
 
+  /** Mann–Whitney U between the id-parity cohorts' per-user spend —
+    * the rank-sum two-sample test beside [[qKsTest]]'s CDF-distance
+    * one (U detects stochastic dominance, KS any shape difference).
+    * U = #{x₀ > x₁} + ½#{ties} via the same exact pair-count
+    * construction as q_auc (per-distinct-cents cohort counts,
+    * opposite-cohort-below from a range-bucketed running sum, doubled
+    * U so the half-tie is integer). The normal-approximation z uses
+    * the tie-corrected variance from exact DECIMAL sums; z and the
+    * verdict are the only doubles, NULL-guarded on empty cohorts.
+    */
+  def qMannWhitney(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val spend = graft.operators.CachePool.track(events.groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0d)).cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
+      .withColumn("variant", col("user_id") % 2))
+    val per = graft.operators.CachePool.track(spend.groupBy(col("cents"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1")))
+    val tot = per.agg(sum(col("c0")).cast("long").as("n0"),
+      sum(col("c1")).cast("long").as("n1"),
+      sum(((col("c0") + col("c1")) * (col("c0") + col("c1")) * (col("c0") + col("c1"))
+        - (col("c0") + col("c1"))).cast(dec)).cast(dec).as("tsum"))
+    graft.operators.RangeRank.withRunningSum(
+        per, col("c1"), col("cents"), Nil, out = "f1")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        max(col("tsum")).as("tsum"),
+        // doubled U: 2·(pairs where cohort0 strictly above) + ties
+        sum(col("c0") * (col("f1") - col("c1")) * 2 + col("c0") * col("c1"))
+          .cast("long").as("u_x2"))
+      .selectExpr("n0", "n1", "u_x2",
+        "u_x2 * 500000 DIV nullif(n0 * n1, 0) AS u_share_ppm",
+        // z = (U − n0·n1/2) / σ, σ² = n0·n1/12·((n+1) − T/(n(n−1)))
+        "CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 < 2 OR " +
+          "(CAST(n0 AS DOUBLE) + n1 + 1) - CAST(tsum AS DOUBLE) / " +
+          "((CAST(n0 AS DOUBLE) + n1) * (CAST(n0 AS DOUBLE) + n1 - 1)) <= 0.0 " +
+          "THEN NULL ELSE round(" +
+          "(CAST(u_x2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
+          "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * " +
+          "((CAST(n0 AS DOUBLE) + n1 + 1) - CAST(tsum AS DOUBLE) / " +
+          "((CAST(n0 AS DOUBLE) + n1) * (CAST(n0 AS DOUBLE) + n1 - 1)))), 6) END AS z",
+        "CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 < 2 OR " +
+          "(CAST(n0 AS DOUBLE) + n1 + 1) - CAST(tsum AS DOUBLE) / " +
+          "((CAST(n0 AS DOUBLE) + n1) * (CAST(n0 AS DOUBLE) + n1 - 1)) <= 0.0 " +
+          "THEN NULL ELSE abs(" +
+          "(CAST(u_x2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
+          "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * " +
+          "((CAST(n0 AS DOUBLE) + n1 + 1) - CAST(tsum AS DOUBLE) / " +
+          "((CAST(n0 AS DOUBLE) + n1) * (CAST(n0 AS DOUBLE) + n1 - 1))))) > 1.959964 " +
+          "END AS reject_95")
+  }
+
+  val qMannWhitneySql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+      |           AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+      |         user_id % 2 AS variant
+      |  FROM events GROUP BY user_id
+      |),
+      |per AS (
+      |  SELECT cents,
+      |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM u GROUP BY cents
+      |),
+      |t AS (
+      |  SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+      |         CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1))
+      |              AS DECIMAL(38,0)) AS tsum
+      |  FROM per
+      |),
+      |f AS (
+      |  SELECT cents, c0, c1, CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS f1
+      |  FROM per
+      |),
+      |agg AS (
+      |  SELECT max(n0) AS n0, max(n1) AS n1, max(tsum) AS tsum,
+      |         CAST(sum(c0 * (f1 - c1) * 2 + c0 * c1) AS BIGINT) AS u_x2
+      |  FROM f CROSS JOIN t
+      |)
+      |SELECT n0, n1, u_x2,
+      |       u_x2 * 500000 // nullif(n0 * n1, 0) AS u_share_ppm,
+      |       CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 < 2 OR
+      |                 (CAST(n0 AS DOUBLE) + n1 + 1) - CAST(tsum AS DOUBLE) /
+      |                 ((CAST(n0 AS DOUBLE) + n1) * (CAST(n0 AS DOUBLE) + n1 - 1)) <= 0.0
+      |            THEN NULL ELSE round(
+      |         (CAST(u_x2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) /
+      |         sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 *
+      |              ((CAST(n0 AS DOUBLE) + n1 + 1) - CAST(tsum AS DOUBLE) /
+      |               ((CAST(n0 AS DOUBLE) + n1) * (CAST(n0 AS DOUBLE) + n1 - 1)))), 6)
+      |       END AS z,
+      |       CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 < 2 OR
+      |                 (CAST(n0 AS DOUBLE) + n1 + 1) - CAST(tsum AS DOUBLE) /
+      |                 ((CAST(n0 AS DOUBLE) + n1) * (CAST(n0 AS DOUBLE) + n1 - 1)) <= 0.0
+      |            THEN NULL ELSE abs(
+      |         (CAST(u_x2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) /
+      |         sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 *
+      |              ((CAST(n0 AS DOUBLE) + n1 + 1) - CAST(tsum AS DOUBLE) /
+      |               ((CAST(n0 AS DOUBLE) + n1) * (CAST(n0 AS DOUBLE) + n1 - 1))))) > 1.959964
+      |       END AS reject_95
+      |FROM agg""".stripMargin
+
   /** One-way ANOVA of event value across event types: does ANY type
     * have a different mean spend, the k-group generalization of the
     * two-cohort tests. Per-group exact moments on the cents lattice

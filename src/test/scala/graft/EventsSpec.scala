@@ -365,6 +365,23 @@ class EventsSpec extends SparkSpec {
     assert(flat.isNullAt(2) && flat.isNullAt(3))
   }
 
+  test("mann-whitney: dominance gives U share 1, ties 1/2, zero variance NULL") {
+    def purchases(rows: (Long, Double)*) =
+      rows.zipWithIndex.map { case ((uid, v), i) => (i.toLong, uid, v) }
+        .toDF("event_id", "user_id", "value")
+        .select(col("event_id"), expr("timestamp_micros(0)").as("ts"),
+          col("user_id"), lit("purchase").as("event_type"), col("value"),
+          lit("{}").as("props"))
+    // evens spend 2.00, odds 1.00 → every cohort-0 value above cohort-1
+    val dom = Events.qMannWhitney(purchases(
+      (0L, 2.0), (2L, 2.0), (1L, 1.0), (3L, 1.0))).collect().head
+    assert(dom.getAs[Long]("u_x2") == 8 && dom.getAs[Long]("u_share_ppm") == 1000000L)
+    // all spend equal → U share 1/2, tie-corrected variance 0 → z NULL
+    val tied = Events.qMannWhitney(purchases(
+      (0L, 1.0), (2L, 1.0), (1L, 1.0), (3L, 1.0))).collect().head
+    assert(tied.getAs[Long]("u_share_ppm") == 500000L && tied.isNullAt(4))
+  }
+
   test("kruskal: hand-computed H without ties, all-tied NULL-guarded") {
     def evv(rows: (Long, String, Double)*) =
       rows.zipWithIndex.map { case ((uid, t, v), i) => (i.toLong, uid, t, v) }
