@@ -1471,6 +1471,7 @@ object SparkEntry {
     "q_kruskal" -> ((s, dir) => Ev.qKruskal(events(s, dir))),
     "q_mannwhitney" -> ((s, dir) => Ev.qMannWhitney(events(s, dir))),
     "q_reservoir" -> (PipelineQueries.qReservoir _),
+    "q_keyness" -> (PipelineQueries.qKeyness _),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
     "q_ab_test" -> ((s, dir) => Ev.qAbTest(events(s, dir))),
     "q_pattern_funnel" -> ((s, dir) => Ev.qPatternFunnel(events(s, dir))),
@@ -1729,6 +1730,7 @@ object SparkEntry {
     "q_kruskal" -> Ev.qKruskalSql,
     "q_mannwhitney" -> Ev.qMannWhitneySql,
     "q_reservoir" -> PipelineQueries.qReservoirSql,
+    "q_keyness" -> PipelineQueries.qKeynessSql,
     "q_transitions" -> Ev.qTransitionsSql,
     "q_ab_test" -> Ev.qAbTestSql,
     "q_pattern_funnel" -> Ev.qPatternFunnelSql,

@@ -637,4 +637,67 @@ object CorpusStats {
         col("p50_est"), col("p90_est"), col("p50_exact"), col("p90_exact"))
       .orderBy("group")
   }
+
+  /** Dunning log-likelihood (G²) of the 2×2 (term-in-source vs rest)
+    * table — ONE string, evaluated by Spark and embedded in the DuckDB
+    * oracle, over columns n (term count in source), ns (source token
+    * total), nt (corpus term total), nn (corpus token total). Every
+    * input is an exact BIGINT, the whole G² is one scalar double
+    * expression per row (no cross-row float accumulation), rounded to
+    * 6 dp; empty observed cells contribute 0 by the standard 0·ln 0
+    * convention.
+    */
+  val g2ExprSql: String = {
+    def t(o: String, e: String) =
+      s"(CASE WHEN $o <= 0 THEN 0.0 ELSE ($o) * ln(($o) / ($e)) END)"
+    val o11 = "CAST(n AS DOUBLE)"
+    val o12 = "(CAST(nt AS DOUBLE) - n)"
+    val o21 = "(CAST(ns AS DOUBLE) - n)"
+    val o22 = "(CAST(nn AS DOUBLE) - ns - nt + n)"
+    val e11 = "(CAST(ns AS DOUBLE) * nt / nn)"
+    val e12 = "((CAST(nn AS DOUBLE) - ns) * nt / nn)"
+    val e21 = "(CAST(ns AS DOUBLE) * (CAST(nn AS DOUBLE) - nt) / nn)"
+    val e22 = "((CAST(nn AS DOUBLE) - ns) * (CAST(nn AS DOUBLE) - nt) / nn)"
+    s"round(2.0 * (${t(o11, e11)} + ${t(o12, e12)} + ${t(o21, e21)} + ${t(o22, e22)}), 6)"
+  }
+
+  /** Per-source distinctive vocabulary by Dunning G² keyness — the
+    * corpus-comparison view ("what makes this source read differently")
+    * beside tf-idf's per-document weighting: for each (source, term)
+    * with ≥ minCount occurrences, G² of the 2×2 independence table,
+    * signed by whether the term is over- (+1) or under-represented
+    * (−1, 0 at exact independence; cross-multiplied in doubles from
+    * exact counts), top-k per source by (G² desc, term).
+    *
+    * Scale shape: one map-side-combined (source, term) count feeds the
+    * source marginals (broadcast), the term marginals (vocab-keyed
+    * join, AQE-broadcast while it fits) and the scored rows; minCount
+    * prunes the Zipf tail BEFORE the join; the per-source top-k
+    * compiles to WindowGroupLimit. Output (ORDERED): source, rank,
+    * term, n, nt, g2, direction.
+    */
+  def keyness(docs: DataFrame, minCount: Int = 5, k: Int = 10,
+              textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val tf = CachePool.track(
+      docs.select(col(srcCol).as("src"), explode(split(col(textCol), " ")).as("term"))
+        .groupBy(col("src"), col("term")).agg(count(lit(1)).as("n")))
+    val bySrc = tf.groupBy(col("src")).agg(sum(col("n")).cast("long").as("ns"))
+    val byTerm = tf.groupBy(col("term")).agg(sum(col("n")).cast("long").as("nt"))
+    val tot = tf.agg(sum(col("n")).cast("long").as("nn"))
+    val scored = tf.filter(col("n") >= minCount)
+      .join(broadcast(bySrc), "src")
+      .join(byTerm, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("g2", expr(g2ExprSql))
+      .withColumn("direction", expr(
+        "CASE WHEN CAST(n AS DOUBLE) * nn > CAST(ns AS DOUBLE) * nt THEN CAST(1 AS BIGINT) " +
+          "WHEN CAST(n AS DOUBLE) * nn < CAST(ns AS DOUBLE) * nt THEN CAST(-1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+    val w = Window.partitionBy(col("src")).orderBy(col("g2").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src").as("source"), col("rank"), col("term"), col("n"),
+        col("nt"), col("g2"), col("direction"))
+      .orderBy("source", "rank")
+  }
 }

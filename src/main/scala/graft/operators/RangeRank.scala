@@ -203,14 +203,36 @@ object RangeRank {
   def withRunningSum(df: DataFrame, sumExpr: Column, key: Column,
                      tieBreak: Seq[Column], desc: Boolean = false,
                      rowsFrame: Boolean = false, nBuckets: Int = 32,
-                     out: String = "running"): DataFrame = {
+                     out: String = "running"): DataFrame =
+    withRunningSums(df, Seq(sumExpr -> out), key, tieBreak, desc, rowsFrame, nBuckets)
+
+  /** Several exact running sums under ONE shared bucketing, window and
+    * offset join — a query needing k prefix sums over the same total
+    * order (e.g. both cohort CDFs of a KS test) pays one bucketed pass
+    * instead of k re-bucketings.
+    */
+  def withRunningSums(df: DataFrame, sums: Seq[(Column, String)], key: Column,
+                      tieBreak: Seq[Column], desc: Boolean = false,
+                      rowsFrame: Boolean = false, nBuckets: Int = 32): DataFrame = {
     val b = bucketed(df, key, desc, nBuckets)
     // same persist rationale as withGlobalRank's per
-    val per = CachePool.track(b.groupBy(col("_bucket")).agg(sum(sumExpr).as("_v")))
+    val aggs = sums.map { case (e, n) => sum(e).as(s"_v_$n") }
+    val per = CachePool.track(b.groupBy(col("_bucket")).agg(aggs.head, aggs.tail: _*))
+    val lower = per.select(col("_bucket").as("_pb") +:
+      sums.map { case (_, n) => col(s"_v_$n").as(s"_pv_$n") }: _*)
+    val offAggs = sums.map { case (_, n) =>
+      coalesce(sum(col(s"_pv_$n")), lit(0L)).as(s"_off_$n") }
+    val offsets = per.join(lower, col("_pb") < col("_bucket"), "left")
+      .groupBy(col("_bucket"))
+      .agg(offAggs.head, offAggs.tail: _*)
     val w0 = Window.partitionBy(col("_bucket")).orderBy(ordering(key, tieBreak, desc): _*)
     val w = if (rowsFrame) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow) else w0
-    b.join(broadcast(cumOffsets(per)), "_bucket")
-      .withColumn(out, sum(sumExpr).over(w) + col("_off"))
-      .drop("_bucket", "_off")
+    val joined = b.join(broadcast(
+      offsets.select(col("_bucket") +: sums.map { case (_, n) => col(s"_off_$n") }: _*)),
+      "_bucket")
+    sums.foldLeft(joined) { case (acc, (e, n)) =>
+        acc.withColumn(n, sum(e).over(w) + col(s"_off_$n"))
+      }
+      .drop("_bucket" +: sums.map { case (_, n) => s"_off_$n" }: _*)
   }
 }

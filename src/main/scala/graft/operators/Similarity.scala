@@ -1678,60 +1678,86 @@ object Similarity {
     * via the guard). Uniform w₀; `iters` is part of the operator
     * contract, not a convergence knob.
     *
-    * Scale shape: the centered long form persists once; each round is
-    * two key-co-partitioned aggregations (per-vector dot, bounded
-    * per-dim combine) — the PageRank loop shape, nothing driver-side.
+    * Scale shape: the perceptron-distillation loop shape — the
+    * centered ARRAY form persists once, each round is ONE
+    * map-side-combined per-dim aggregation over it (the per-vector dot
+    * rides as a codegen'd projection with the 64 weights folded in as
+    * literals, exactly like the perceptron's weight literals), and the
+    * 64-row normalize runs on the driver with arithmetic that
+    * REPLICATES Spark SQL bit for bit: BigInteger division (truncating,
+    * ≡ `div`/`//`), BigInteger→double (IEEE nearest, ≡ CAST), and
+    * java.math.BigDecimal.valueOf(x).setScale(0, HALF_UP) (what Spark's
+    * `round(double)` does internally). The first DataFrame version of
+    * this operator spent 9 s at sf0.1 on broadcast/join job chains for
+    * 64-row frames; this shape is 6 bounded jobs total.
     * Output (ORDERED): dim, loading_ppm, ev_ppm.
     */
   def pcaTopComponent(embs: DataFrame, dims: Int, iters: Int = 4,
                       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val f = embs.select(col(idCol).cast("long").as("vec_id"),
-      posexplode(transform(col(embCol),
-        e => round(e.cast("double") * lit(1000000.0)).cast("long"))).as(Seq("dim", "v")))
-    val m = f.groupBy(col("dim"))
-      .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("m_micro"))
-    val c = CachePool.track(
-      f.join(broadcast(m), "dim")
-        .select(col("vec_id"), col("dim").cast("long").as("dim"),
-          (col("v") - col("m_micro")).as("cv")))
-    var w = embs.sparkSession.range(dims)
-      .select(col("id").as("dim"), lit(1000000L).as("w"))
+    def sqlRound(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+    // pass 1: per-dim exact moments as ONE wide keyless aggregation
+    // (64 sum + 64 sum-of-squares columns; an explode→groupBy(dim)
+    // shape spent ~3 stages of scheduling per pass on a table this
+    // narrow) → means AND the exact Σcv² via Σ(v−m)² = Q − 2mS + n·m²,
+    // pure BigInt algebra — no second pass.
+    val vArr = transform(col(embCol),
+      e => round(e.cast("double") * lit(1000000.0)).cast("long"))
+    val moAggs = (0 until dims).flatMap(d => Seq(
+      sum(col("varr").getItem(d)).as(s"s$d"),
+      sum((col("varr").getItem(d) * col("varr").getItem(d)).cast(dec))
+        .cast(dec).as(s"q$d"))) :+ count(lit(1)).as("nv")
+    val mo = embs.select(vArr.as("varr")).agg(moAggs.head, moAggs.tail: _*)
+      .collect().head
+    val nVec = mo.getAs[Long]("nv")
+    val mArr = Array.tabulate(dims)(d =>
+      sqlRound(mo.getAs[Long](s"s$d").toDouble / nVec))
+    val cv2 = (0 until dims).map { d =>
+      BigInt(mo.getAs[java.math.BigDecimal](s"q$d").toBigInteger) -
+        2 * BigInt(mArr(d)) * BigInt(mo.getAs[Long](s"s$d")) +
+        BigInt(nVec) * BigInt(mArr(d)) * BigInt(mArr(d))
+    }.sum
+
+    val mLit = array(mArr.map(lit(_)): _*)
+    val base = CachePool.track(
+      embs.select(zip_with(
+        transform(col(embCol), e => round(e.cast("double") * lit(1000000.0)).cast("long")),
+        mLit, (v, mm) => v - mm).as("cv")))
+
+    def sCol(w: Array[Long]): Column =
+      (0 until dims).map(i => col("cv").getItem(i) * lit(w(i))).reduce(_ + _)
+
+    val uAggs = (0 until dims).map(d =>
+      sum((col("cv").getItem(d) * col("stv")).cast(dec)).cast(dec).as(s"u$d"))
+    var w = Array.fill(dims)(1000000L)
     for (_ <- 1 to iters) {
-      val s = c.join(broadcast(w), "dim")
-        .groupBy(col("vec_id")).agg(sum(col("cv") * col("w")).as("s"))
-        .select(col("vec_id"), expr("s div 134217728").as("stv"))
-      // u is dims rows but a corpus pass; it feeds both the norm and
-      // the renormalized w (RangeRank lesson: persist the tiny frame).
-      // The norm must NOT be a float sum of u² (accumulation order
-      // differs across engines/partitionings): floor-rescale u by 2²⁰
-      // first, square-sum EXACTLY in DECIMAL, one IEEE sqrt — every
-      // input to the rounding is bit-identical everywhere.
-      val u = CachePool.track(
-        c.join(s, "vec_id")
-          .groupBy(col("dim"))
-          .agg(sum((col("cv") * col("stv")).cast(dec)).cast(dec).as("u"))
-          .select(col("dim"), expr("u div 1048576").as("un")))
-      val nrm = u.agg(
-        sqrt(sum(col("un").cast(dec) * col("un").cast(dec)).cast("double")).as("nrm"))
-      w = u.crossJoin(broadcast(nrm))
-        .select(col("dim"),
-          when(col("nrm") === 0.0, lit(0L))
-            .otherwise(round(col("un").cast("double") / col("nrm") * lit(1000000.0))
-              .cast("long")).as("w"))
+      // one wide keyless aggregation per round — same plan shape every
+      // round (only the folded weight literals change)
+      val row = base
+        .withColumn("s", sCol(w) cast "long")
+        .withColumn("stv", expr("s div 134217728"))
+        .agg(uAggs.head, uAggs.tail: _*).collect().head
+      val u = Array.tabulate(dims)(d =>
+        BigInt(row.getAs[java.math.BigDecimal](s"u$d").toBigInteger))
+      val un = u.map(_ / 1048576) // BigInteger division truncates ≡ div
+      val nrm = math.sqrt(un.map(x => x * x).sum.toDouble)
+      w = un.map(x => if (nrm == 0.0) 0L else sqlRound(x.toDouble / nrm * 1000000.0))
     }
-    val wf = CachePool.track(w)
-    val proj = c.join(broadcast(wf), "dim")
-      .groupBy(col("vec_id")).agg(sum(col("cv") * col("w")).as("s"))
-    val ev = proj.agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("ss2"))
-      .crossJoin(c.agg(sum((col("cv") * col("cv")).cast(dec)).as("cv2")))
-      .crossJoin(wf.agg(sum(col("w") * col("w")).cast("double").as("w2")))
-      .select(expr(
-        "CASE WHEN CAST(cv2 AS DOUBLE) * w2 = 0.0 THEN NULL " +
-          "ELSE CAST(round(CAST(ss2 AS DOUBLE) / (CAST(cv2 AS DOUBLE) * w2) " +
-          "* 1000000.0) AS BIGINT) END").as("ev_ppm"))
-    wf.crossJoin(broadcast(ev))
-      .select(col("dim"), col("w").as("loading_ppm"), col("ev_ppm"))
+
+    val ss2 = BigInt(base.select((sCol(w) cast "long").as("s"))
+      .agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("ss2"))
+      .collect().head.getDecimal(0).toBigInteger)
+    val w2 = w.map(x => BigInt(x) * BigInt(x)).sum
+    val evPpm: Option[Long] =
+      if (cv2.toDouble * w2.toDouble == 0.0) None
+      else Some(sqlRound(ss2.toDouble / (cv2.toDouble * w2.toDouble) * 1000000.0))
+    (0 until dims).map(d => (d.toLong, w(d), evPpm))
+      .toDF("dim", "loading_ppm", "ev_ppm")
       .orderBy("dim")
   }
 }

@@ -1459,10 +1459,8 @@ object Events {
     val tot = spend.agg(
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
-    val f0 = graft.operators.RangeRank.withRunningSum(
-      per, col("c0"), col("cents"), Nil, out = "f0")
-    val d = graft.operators.RangeRank.withRunningSum(
-        f0, col("c1"), col("cents"), Nil, out = "f1")
+    val d = graft.operators.RangeRank.withRunningSums(
+        per, Seq(col("c0") -> "f0", col("c1") -> "f1"), col("cents"), Nil)
       .crossJoin(broadcast(tot))
       .withColumn("stat", abs(col("f0") * col("n1") - col("f1") * col("n0")))
     d.agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),

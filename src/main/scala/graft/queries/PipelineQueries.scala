@@ -2483,6 +2483,41 @@ object PipelineQueries {
       |FROM f JOIN stats s ON f.dim = s.dim
       |ORDER BY f.vec_id, f.dim""".stripMargin
 
+  /** Per-source distinctive vocabulary by Dunning G² keyness (see
+    * [[graft.operators.CorpusStats.keyness]]): top-10 terms whose
+    * frequency in a source deviates most from corpus expectation —
+    * the "what makes this source read differently" audit.
+    */
+  def qKeyness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.keyness(docs(s, dir), minCount = 5, k = 10)
+
+  val qKeynessSql: String =
+    s"""WITH tok AS (
+       |  SELECT source AS src, unnest(string_split(text, ' ')) AS term FROM documents
+       |),
+       |tf AS (SELECT src, term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY src, term),
+       |bysrc AS (SELECT src, CAST(sum(n) AS BIGINT) AS ns FROM tf GROUP BY src),
+       |byterm AS (SELECT term, CAST(sum(n) AS BIGINT) AS nt FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM tf),
+       |scored AS (
+       |  SELECT src, term, n, ns, nt, nn,
+       |         ${graft.operators.CorpusStats.g2ExprSql} AS g2,
+       |         CASE WHEN CAST(n AS DOUBLE) * nn > CAST(ns AS DOUBLE) * nt
+       |                THEN CAST(1 AS BIGINT)
+       |              WHEN CAST(n AS DOUBLE) * nn < CAST(ns AS DOUBLE) * nt
+       |                THEN CAST(-1 AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS direction
+       |  FROM tf JOIN bysrc USING (src) JOIN byterm USING (term) CROSS JOIN tot
+       |  WHERE n >= 5
+       |)
+       |SELECT src AS source, CAST(rank AS BIGINT) AS rank, term, n, nt, g2, direction
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY g2 DESC, term) AS rank
+       |  FROM scored
+       |)
+       |WHERE rank <= 10
+       |ORDER BY source, rank""".stripMargin
+
   /** Exact-25-per-source deterministic sample (see
     * [[graft.operators.TrainingPrep.topKSample]]): the fixed-budget
     * review/eval draw — reproducible under reruns and appends of

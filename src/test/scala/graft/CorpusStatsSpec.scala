@@ -225,4 +225,21 @@ class CorpusStatsSpec extends SparkSpec {
     // single-token docs produce no bigrams and must not error
     assert(CorpusStats.collocations(Seq("solo").toDF("text"), 1, 10).count() == 0)
   }
+
+  test("keyness: source-exclusive terms top their source's list; shared filler scores low") {
+    val docs = (
+      (0 until 10).map(i => (i.toLong, "A", "the apple apple apple")) ++
+        (10 until 20).map(i => (i.toLong, "B", "the banana banana banana"))
+    ).toDF("doc_id", "source", "text")
+    val rows = CorpusStats.keyness(docs, minCount = 5, k = 3).collect()
+    val topA = rows.filter(_.getAs[String]("source") == "A").minBy(_.getAs[Long]("rank"))
+    val topB = rows.filter(_.getAs[String]("source") == "B").minBy(_.getAs[Long]("rank"))
+    assert(topA.getAs[String]("term") == "apple" && topA.getAs[Long]("direction") == 1)
+    assert(topB.getAs[String]("term") == "banana" && topB.getAs[Long]("direction") == 1)
+    // 'the' is distributed exactly as the source marginals → G² = 0, direction 0
+    val theA = rows.find(r => r.getAs[String]("source") == "A" &&
+      r.getAs[String]("term") == "the").get
+    assert(theA.getAs[Double]("g2") == 0.0 && theA.getAs[Long]("direction") == 0)
+    assert(theA.getAs[Double]("g2") < topA.getAs[Double]("g2"))
+  }
 }
