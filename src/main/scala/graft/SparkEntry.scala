@@ -1470,6 +1470,8 @@ object SparkEntry {
     "q_anova" -> ((s, dir) => Ev.qAnova(events(s, dir))),
     "q_kruskal" -> ((s, dir) => Ev.qKruskal(events(s, dir))),
     "q_mannwhitney" -> ((s, dir) => Ev.qMannWhitney(events(s, dir))),
+    "q_winsorize" -> ((s, dir) => Ev.qWinsorize(events(s, dir))),
+    "q_bootstrap" -> ((s, dir) => Ev.qBootstrap(events(s, dir))),
     "q_reservoir" -> (PipelineQueries.qReservoir _),
     "q_keyness" -> (PipelineQueries.qKeyness _),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
@@ -1729,6 +1731,8 @@ object SparkEntry {
     "q_anova" -> Ev.qAnovaSql,
     "q_kruskal" -> Ev.qKruskalSql,
     "q_mannwhitney" -> Ev.qMannWhitneySql,
+    "q_winsorize" -> Ev.qWinsorizeSql,
+    "q_bootstrap" -> Ev.qBootstrapSql,
     "q_reservoir" -> PipelineQueries.qReservoirSql,
     "q_keyness" -> PipelineQueries.qKeynessSql,
     "q_transitions" -> Ev.qTransitionsSql,

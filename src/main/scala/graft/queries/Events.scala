@@ -1512,6 +1512,134 @@ object Events {
       |GROUP BY n0, n1, d_scaled
       |""".stripMargin
 
+  /** Winsorized mean spend per event type — the outlier-robust center
+    * beside [[qMadOutliers]]' fence: values clamp to the exact
+    * ⌈0.05·n⌉ and ⌈0.95·n⌉ ORDER STATISTICS (rank selection via
+    * [[graft.operators.RangeRank.groupedRankSelect]] — only the
+    * buckets holding the two cut ranks are window-ranked), then one
+    * exact-cents conditional aggregation. Integer rank arithmetic
+    * ⌈q·n⌉ = (q·n + 99) div 100 both engines; means as micro floor
+    * divisions.
+    */
+  def qWinsorize(events: DataFrame): DataFrame = {
+    val v = graft.operators.CachePool.track(
+      events.select(col("event_type").as("grp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c")))
+    val cutRanks = Seq("(5 * n + 99) div 100", "(95 * n + 99) div 100")
+    val cuts = graft.operators.RangeRank
+      .groupedRankSelect(v, Seq("grp"), col("c"), cutRanks)
+      .groupBy(col("grp"))
+      .agg(min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+    v.join(broadcast(cuts), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), max(col("lo_c")).as("lo_c"),
+        max(col("hi_c")).as("hi_c"),
+        sum(greatest(col("lo_c"), least(col("hi_c"), col("c")))).as("wsum"),
+        sum(when(col("c") < col("lo_c"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("c") > col("hi_c"), 1L).otherwise(0L)).as("n_high"))
+      .selectExpr("grp", "n", "lo_c", "hi_c", "n_low", "n_high",
+        "wsum * 10000 DIV n AS wmean_micro")
+      .orderBy("grp")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH v AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c FROM events
+      |),
+      |r AS (
+      |  SELECT grp, c,
+      |         CAST(row_number() OVER (PARTITION BY grp ORDER BY c) AS BIGINT) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      |  FROM v
+      |),
+      |cuts AS (
+      |  SELECT grp,
+      |         min(CASE WHEN rn = (5 * n + 99) // 100 THEN c END) AS lo_c,
+      |         max(CASE WHEN rn = (95 * n + 99) // 100 THEN c END) AS hi_c
+      |  FROM r GROUP BY grp
+      |)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n, lo_c, hi_c,
+      |       CAST(count(*) FILTER (WHERE c < lo_c) AS BIGINT) AS n_low,
+      |       CAST(count(*) FILTER (WHERE c > hi_c) AS BIGINT) AS n_high,
+      |       CAST(sum(greatest(lo_c, least(hi_c, c))) AS BIGINT) * 10000
+      |         // CAST(count(*) AS BIGINT) AS wmean_micro
+      |FROM v JOIN cuts USING (grp)
+      |GROUP BY grp, lo_c, hi_c
+      |ORDER BY grp""".stripMargin
+
+  /** Hash-bootstrap confidence interval for mean user spend: 24
+    * deterministic resampling replicates in ONE aggregation pass.
+    * Replicate r's weight for a user is Binomial(2, ½) — two bits of
+    * one salted md5 per user (60 bits → 24 replicates × 2, plus
+    * headroom) — so every replicate mean is an exact integer ratio, the
+    * whole thing is 48 conditional sums map-side combined, and reruns /
+    * repartitions / engines agree bit for bit. The percentile CI reads
+    * the 2nd and 23rd sorted replicate means (≈5%/95% of 24).
+    * Documented approximation: Binomial(2,½) has variance ½ of the
+    * Poisson(1) bootstrap weight, so the raw interval understates
+    * sampling noise by ≈√2 — the contract trades exactness of the
+    * ESTIMATOR for a conservative-free deterministic artifact.
+    */
+  def qBootstrap(events: DataFrame): DataFrame = {
+    val B = 24
+    val spend = events.groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0d)).cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('boot:', CAST(user_id AS STRING))), 1, 15)," +
+          " 16, 10) AS BIGINT)"))
+    def wExpr(r: Int) = s"(((h >> ${2 * r}) & 1) + ((h >> ${2 * r + 1}) & 1))"
+    val aggs = (0 until B).flatMap(r => Seq(
+      sum(expr(s"${wExpr(r)} * cents")).as(s"ws$r"),
+      sum(expr(wExpr(r))).as(s"w$r"))) ++
+      Seq(count(lit(1)).as("n_users"), sum(col("cents")).as("sc"))
+    val means = (0 until B).map(r =>
+      expr(s"CASE WHEN w$r = 0 THEN CAST(0 AS BIGINT) ELSE ws$r * 10000 div w$r END"))
+    spend.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_users"), expr("sc * 10000 div n_users").as("est_micro"),
+        sort_array(array(means: _*)).as("ms"))
+      .select(col("n_users"), col("est_micro"),
+        element_at(col("ms"), 2).as("boot_lo_micro"),
+        element_at(col("ms"), 23).as("boot_hi_micro"),
+        lit(B.toLong).as("n_replicates"))
+  }
+
+  val qBootstrapSql: String = {
+    val B = 24
+    def w(r: Int) = s"(((h >> ${2 * r}) & 1) + ((h >> ${2 * r + 1}) & 1))"
+    val aggCols = (0 until B).map(r =>
+      s"CAST(sum(${w(r)} * cents) AS BIGINT) AS ws$r, CAST(sum(${w(r)}) AS BIGINT) AS w$r")
+      .mkString(",\n       ")
+    val meanList = (0 until B).map(r =>
+      s"CASE WHEN w$r = 0 THEN CAST(0 AS BIGINT) ELSE ws$r * 10000 // w$r END")
+      .mkString("[", ",\n       ", "]")
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+       |           AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY user_id
+       |),
+       |h0 AS (
+       |  SELECT cents,
+       |         CAST('0x' || substring(md5('boot:' || CAST(user_id AS VARCHAR)), 1, 15)
+       |              AS BIGINT) AS h
+       |  FROM u
+       |),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(cents) AS BIGINT) AS sc,
+       |       $aggCols
+       |  FROM h0
+       |),
+       |fin AS (
+       |  SELECT n_users, sc * 10000 // n_users AS est_micro,
+       |         list_sort($meanList) AS ms
+       |  FROM agg
+       |)
+       |SELECT n_users, est_micro, ms[2] AS boot_lo_micro, ms[23] AS boot_hi_micro,
+       |       CAST($B AS BIGINT) AS n_replicates
+       |FROM fin""".stripMargin
+  }
+
   /** Mann–Whitney U between the id-parity cohorts' per-user spend —
     * the rank-sum two-sample test beside [[qKsTest]]'s CDF-distance
     * one (U detects stochastic dominance, KS any shape difference).

@@ -365,6 +365,35 @@ class EventsSpec extends SparkSpec {
     assert(flat.isNullAt(2) && flat.isNullAt(3))
   }
 
+  test("winsorize: hand-computed clamp at the 5th/95th order statistics") {
+    def evv(rows: (Long, Double)*) =
+      rows.zipWithIndex.map { case ((uid, v), i) => (i.toLong, uid, v) }
+        .toDF("event_id", "user_id", "value")
+        .select(col("event_id"), expr("timestamp_micros(0)").as("ts"),
+          col("user_id"), lit("x").as("event_type"), col("value"), lit("{}").as("props"))
+    // values 0.01 .. 1.00 → cents 1..100; cuts at ranks 5 and 95
+    val r = Events.qWinsorize(evv((1 to 100).map(i => (i.toLong, i / 100.0)): _*))
+      .collect().head
+    assert(r.getAs[Long]("lo_c") == 5 && r.getAs[Long]("hi_c") == 95)
+    assert(r.getAs[Long]("n_low") == 4 && r.getAs[Long]("n_high") == 5)
+    // wsum = 4·5 + Σ(5..95) + 5·95 = 5045 → mean 50.45 cents
+    assert(r.getAs[Long]("wmean_micro") == 504500L)
+  }
+
+  test("bootstrap: constant spend collapses every replicate to the point estimate") {
+    def purch(uids: Long*) =
+      uids.zipWithIndex.map { case (u, i) => (i.toLong, u, 2.0) }
+        .toDF("event_id", "user_id", "value")
+        .select(col("event_id"), expr("timestamp_micros(0)").as("ts"),
+          col("user_id"), lit("purchase").as("event_type"), col("value"),
+          lit("{}").as("props"))
+    val r = Events.qBootstrap(purch(1L to 50L: _*)).collect().head
+    assert(r.getAs[Long]("est_micro") == 2000000L)
+    assert(r.getAs[Long]("boot_lo_micro") == 2000000L)
+    assert(r.getAs[Long]("boot_hi_micro") == 2000000L)
+    assert(r.getAs[Long]("n_replicates") == 24)
+  }
+
   test("mann-whitney: dominance gives U share 1, ties 1/2, zero variance NULL") {
     def purchases(rows: (Long, Double)*) =
       rows.zipWithIndex.map { case ((uid, v), i) => (i.toLong, uid, v) }
