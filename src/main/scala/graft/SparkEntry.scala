@@ -1471,6 +1471,7 @@ object SparkEntry {
     "q_kruskal" -> ((s, dir) => Ev.qKruskal(events(s, dir))),
     "q_mannwhitney" -> ((s, dir) => Ev.qMannWhitney(events(s, dir))),
     "q_winsorize" -> ((s, dir) => Ev.qWinsorize(events(s, dir))),
+    "q_spearman" -> ((s, dir) => Ev.qSpearman(events(s, dir))),
     "q_bootstrap" -> ((s, dir) => Ev.qBootstrap(events(s, dir))),
     "q_reservoir" -> (PipelineQueries.qReservoir _),
     "q_keyness" -> (PipelineQueries.qKeyness _),
@@ -1732,6 +1733,7 @@ object SparkEntry {
     "q_kruskal" -> Ev.qKruskalSql,
     "q_mannwhitney" -> Ev.qMannWhitneySql,
     "q_winsorize" -> Ev.qWinsorizeSql,
+    "q_spearman" -> Ev.qSpearmanSql,
     "q_bootstrap" -> Ev.qBootstrapSql,
     "q_reservoir" -> PipelineQueries.qReservoirSql,
     "q_keyness" -> PipelineQueries.qKeynessSql,

@@ -1512,6 +1512,95 @@ object Events {
       |GROUP BY n0, n1, d_scaled
       |""".stripMargin
 
+  /** Spearman rank correlation between per-user spend and per-user
+    * activity — the tail-robust companion of q_corr_matrix's Pearson:
+    * is "more active" monotonically "spends more"? Doubled midranks for
+    * BOTH variables come from range-bucketed running sums over their
+    * distinct-value tables (ties get exact midranks; the ×2 scale
+    * cancels in ρ), the five moment sums accumulate as exact
+    * DECIMAL(38,0), and ρ finishes as one NULL-guarded double
+    * expression rounded to 6 dp.
+    */
+  def qSpearman(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val u = graft.operators.CachePool.track(events.groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0d)).cast(DecimalType(18, 2))) * 100).cast("long").as("cents"),
+        count(lit(1)).as("n_ev")))
+    def midranks(valCol: String): DataFrame = {
+      val per = u.groupBy(col(valCol)).agg(count(lit(1)).as("cnt"))
+      graft.operators.RangeRank.withRunningSum(
+          per, col("cnt"), col(valCol), Nil, out = "run")
+        .select(col(valCol),
+          (lit(2L) * (col("run") - col("cnt")) + col("cnt") + lit(1L)).as(s"mr_$valCol"))
+    }
+    val j = u.join(midranks("cents"), "cents").join(midranks("n_ev"), "n_ev")
+      .select(col("mr_cents").as("a"), col("mr_n_ev").as("b"))
+    j.agg(count(lit(1)).as("n"),
+        sum(col("a").cast(dec)).cast(dec).as("sa"),
+        sum(col("b").cast(dec)).cast(dec).as("sb"),
+        sum((col("a") * col("b")).cast(dec)).cast(dec).as("sab"),
+        sum((col("a") * col("a")).cast(dec)).cast(dec).as("saa"),
+        sum((col("b") * col("b")).cast(dec)).cast(dec).as("sbb"))
+      .selectExpr("n",
+        "CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)" +
+          " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *" +
+          " (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)" +
+          " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <= 0.0 THEN NULL " +
+          "ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)" +
+          " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))" +
+          " / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)" +
+          " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *" +
+          " (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)" +
+          " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) END AS rho")
+  }
+
+  val qSpearmanSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+      |           AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+      |         CAST(count(*) AS BIGINT) AS n_ev
+      |  FROM events GROUP BY user_id
+      |),
+      |pc AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY cents),
+      |mc AS (
+      |  SELECT cents, 2 * (CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) - cnt)
+      |                + cnt + 1 AS mr_cents
+      |  FROM pc
+      |),
+      |pe AS (SELECT n_ev, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY n_ev),
+      |me AS (
+      |  SELECT n_ev, 2 * (CAST(sum(cnt) OVER (ORDER BY n_ev) AS BIGINT) - cnt)
+      |               + cnt + 1 AS mr_n_ev
+      |  FROM pe
+      |),
+      |j AS (
+      |  SELECT mr_cents AS a, mr_n_ev AS b
+      |  FROM u JOIN mc USING (cents) JOIN me USING (n_ev)
+      |),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(a) AS DECIMAL(38,0)) AS sa, CAST(sum(b) AS DECIMAL(38,0)) AS sb,
+      |         CAST(sum(a * b) AS DECIMAL(38,0)) AS sab,
+      |         CAST(sum(a * a) AS DECIMAL(38,0)) AS saa,
+      |         CAST(sum(b * b) AS DECIMAL(38,0)) AS sbb
+      |  FROM j
+      |)
+      |SELECT n,
+      |       CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      |                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+      |                 (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <= 0.0 THEN NULL
+      |            ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+      |                        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+      |                       / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      |                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+      |                              (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |                               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+      |       END AS rho
+      |FROM agg""".stripMargin
+
   /** Winsorized mean spend per event type — the outlier-robust center
     * beside [[qMadOutliers]]' fence: values clamp to the exact
     * ⌈0.05·n⌉ and ⌈0.95·n⌉ ORDER STATISTICS (rank selection via

@@ -365,6 +365,27 @@ class EventsSpec extends SparkSpec {
     assert(flat.isNullAt(2) && flat.isNullAt(3))
   }
 
+  test("spearman: monotone spend-activity is rho 1, inverted -1, constant NULL") {
+    def mk(rows: (Long, Int, Double)*) = // (user, n events, per-event purchase value)
+      rows.flatMap { case (u, k, v) => (1 to k).map(i => (u * 100 + i, u, v)) }
+        .zipWithIndex.map { case ((eid, u, v), i) => (i.toLong, u, v) }
+        .toDF("event_id", "user_id", "value")
+        .select(col("event_id"), expr("timestamp_micros(0)").as("ts"),
+          col("user_id"), lit("purchase").as("event_type"), col("value"),
+          lit("{}").as("props"))
+    // user u makes u events of 1.00 each → spend rank ≡ activity rank
+    val mono = Events.qSpearman(mk((1L, 1, 1.0), (2L, 2, 1.0), (3L, 3, 1.0),
+      (4L, 4, 1.0))).collect().head
+    assert(mono.getAs[Double]("rho") == 1.0)
+    // more active users spend LESS per event so total spend inverts
+    val inv = Events.qSpearman(mk((1L, 1, 8.0), (2L, 2, 2.0), (3L, 4, 0.5)))
+      .collect().head
+    assert(inv.getAs[Double]("rho") == -1.0)
+    // identical users → zero rank variance → NULL-guarded
+    val flat = Events.qSpearman(mk((1L, 2, 1.0), (2L, 2, 1.0))).collect().head
+    assert(flat.isNullAt(1))
+  }
+
   test("winsorize: hand-computed clamp at the 5th/95th order statistics") {
     def evv(rows: (Long, Double)*) =
       rows.zipWithIndex.map { case ((uid, v), i) => (i.toLong, uid, v) }
