@@ -112,6 +112,32 @@ class RangeRankSpec extends SparkSpec {
     assertNoGlobalWindow(Ev.qConcurrency(events), "qConcurrency")
   }
 
+  test("groupedRankSelect matches a serial order-statistic recompute on random draws") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (draw <- 1 to 5) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (0 until 500 + rnd.nextInt(1500)).map { _ =>
+        // heavy-tail-ish values WITH duplicates (small value domain)
+        (rnd.nextInt(nGroups).toString, rnd.nextInt(40).toLong)
+      }
+      val ranks = Seq("(n - 1) div 2 + 1", "n div 2 + 1", "1", "n")
+      val got = graft.operators.RangeRank.groupedRankSelect(
+          rows.toDF("grp", "c"), Seq("grp"), col("c"), ranks)
+        .collect()
+        .map(r => (r.getAs[String]("grp"), r.getAs[Long]("target_rank"),
+          r.getAs[Long]("c")))
+        .sorted.toSeq
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, vs) =>
+        val sortedVs = vs.map(_._2).sorted
+        val n = sortedVs.length.toLong
+        Seq((n - 1) / 2 + 1, n / 2 + 1, 1L, n) // duplicates preserved
+          .map(tr => (g, tr, sortedVs((tr - 1).toInt)))
+      }.sorted
+      assert(got == want, s"draw $draw: ${got.take(5)} vs ${want.take(5)}")
+    }
+  }
+
   test("groupedRankSelect shuffles only the target buckets' rows, linearly in N") {
     // AQE off so raw exchanges and their metrics are visible
     val s = spark.newSession()
