@@ -1473,6 +1473,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) => Ev.qWinsorize(events(s, dir))),
     "q_spearman" -> ((s, dir) => Ev.qSpearman(events(s, dir))),
     "q_bootstrap" -> ((s, dir) => Ev.qBootstrap(events(s, dir))),
+    "q_permutation" -> ((s, dir) => Ev.qPermutation(events(s, dir))),
     "q_reservoir" -> (PipelineQueries.qReservoir _),
     "q_keyness" -> (PipelineQueries.qKeyness _),
     "q_transitions" -> ((s, dir) => Ev.qTransitions(events(s, dir))),
@@ -1735,6 +1736,7 @@ object SparkEntry {
     "q_winsorize" -> Ev.qWinsorizeSql,
     "q_spearman" -> Ev.qSpearmanSql,
     "q_bootstrap" -> Ev.qBootstrapSql,
+    "q_permutation" -> Ev.qPermutationSql,
     "q_reservoir" -> PipelineQueries.qReservoirSql,
     "q_keyness" -> PipelineQueries.qKeynessSql,
     "q_transitions" -> Ev.qTransitionsSql,

@@ -1512,6 +1512,96 @@ object Events {
       |GROUP BY n0, n1, d_scaled
       |""".stripMargin
 
+  /** Deterministic permutation test for the cohort spend difference —
+    * the p-value companion of [[qBootstrap]]'s CI, same one-pass
+    * machinery: 24 null replicates each reassign every user to a
+    * pseudo-cohort by ONE bit of the salted md5, the observed and all
+    * null mean-differences are exact micro integer ratios from 2 + 48
+    * conditional sums in a single map-side-combined aggregation, and
+    * the add-one two-sided p-value (1 + #{|null| ≥ |obs|}) / (B + 1)
+    * lands on the exact ppm lattice. The id-parity "treatment" is
+    * itself hash-like, so the expected p is uniform — the artifact's
+    * value is the SHAPE: a population-scale permutation test with no
+    * RNG state, no shuffling pass, and bit-identical reruns.
+    */
+  def qPermutation(events: DataFrame): DataFrame = {
+    val B = 24
+    val spend = events.groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0d)).cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
+      .withColumn("variant", col("user_id") % 2)
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('perm:', CAST(user_id AS STRING))), 1, 15)," +
+          " 16, 10) AS BIGINT)"))
+    def bit(r: Int) = s"((h >> $r) & 1)"
+    val aggs = Seq(
+      sum(when(col("variant") === 0, col("cents")).otherwise(lit(0L))).as("s0"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, col("cents")).otherwise(lit(0L))).as("s1"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1")) ++
+      (0 until B).flatMap(r => Seq(
+        sum(expr(s"CASE WHEN ${bit(r)} = 0 THEN cents ELSE CAST(0 AS BIGINT) END"))
+          .as(s"ps$r"),
+        sum(expr(s"CASE WHEN ${bit(r)} = 0 THEN CAST(1 AS BIGINT)" +
+          s" ELSE CAST(0 AS BIGINT) END")).as(s"pn$r")))
+    def diff(sa: String, na: String, sb: String, nb: String) =
+      s"CASE WHEN $na = 0 OR $nb = 0 THEN NULL" +
+        s" ELSE ($sa * 10000 div $na) - ($sb * 10000 div $nb) END"
+    val nullDiffs = (0 until B).map(r =>
+      expr(diff(s"ps$r", s"pn$r", s"(s0 + s1 - ps$r)", s"(n0 + n1 - pn$r)")))
+    spend.agg(aggs.head, aggs.tail: _*)
+      .withColumn("obs_diff_micro", expr(diff("s0", "n0", "s1", "n1")))
+      .withColumn("n_extreme",
+        nullDiffs.map(d => when(abs(d) >= abs(col("obs_diff_micro")), 1L)
+          .otherwise(0L)).reduce(_ + _))
+      .selectExpr("n0 + n1 AS n_users", "obs_diff_micro", "n_extreme",
+        s"(1 + n_extreme) * 1000000 div ${B + 1} AS p_ppm")
+  }
+
+  val qPermutationSql: String = {
+    val B = 24
+    def bit(r: Int) = s"((h >> $r) & 1)"
+    val aggCols = (0 until B).map(r =>
+      s"CAST(sum(CASE WHEN ${bit(r)} = 0 THEN cents ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ps$r, " +
+        s"CAST(sum(CASE WHEN ${bit(r)} = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS pn$r")
+      .mkString(",\n       ")
+    def diff(sa: String, na: String, sb: String, nb: String) =
+      s"CASE WHEN $na = 0 OR $nb = 0 THEN NULL" +
+        s" ELSE ($sa * 10000 // $na) - ($sb * 10000 // $nb) END"
+    val extremes = (0 until B).map(r =>
+      s"CASE WHEN abs(${diff(s"ps$r", s"pn$r", s"(s0 + s1 - ps$r)", s"(n0 + n1 - pn$r)")})" +
+        s" >= abs(obs_diff_micro) THEN 1 ELSE 0 END")
+      .mkString(" +\n         ")
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+       |           AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+       |         user_id % 2 AS variant,
+       |         CAST('0x' || substring(md5('perm:' || CAST(user_id AS VARCHAR)), 1, 15)
+       |              AS BIGINT) AS h
+       |  FROM events GROUP BY user_id
+       |),
+       |agg AS (
+       |  SELECT CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+       |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |         CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+       |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |       $aggCols
+       |  FROM u
+       |),
+       |ob AS (
+       |  SELECT *, ${diff("s0", "n0", "s1", "n1")} AS obs_diff_micro FROM agg
+       |),
+       |ex AS (
+       |  SELECT n0 + n1 AS n_users, obs_diff_micro,
+       |         CAST($extremes AS BIGINT) AS n_extreme
+       |  FROM ob
+       |)
+       |SELECT n_users, obs_diff_micro, n_extreme,
+       |       (1 + n_extreme) * 1000000 // ${B + 1} AS p_ppm
+       |FROM ex""".stripMargin
+  }
+
   /** Spearman rank correlation between per-user spend and per-user
     * activity — the tail-robust companion of q_corr_matrix's Pearson:
     * is "more active" monotonically "spends more"? Doubled midranks for

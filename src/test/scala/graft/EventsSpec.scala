@@ -365,6 +365,28 @@ class EventsSpec extends SparkSpec {
     assert(flat.isNullAt(2) && flat.isNullAt(3))
   }
 
+  test("permutation test: identical cohorts give p = 1, extreme separation small p") {
+    def purch(rows: (Long, Double)*) =
+      rows.zipWithIndex.map { case ((u, v), i) => (i.toLong, u, v) }
+        .toDF("event_id", "user_id", "value")
+        .select(col("event_id"), expr("timestamp_micros(0)").as("ts"),
+          col("user_id"), lit("purchase").as("event_type"), col("value"),
+          lit("{}").as("props"))
+    // all users identical → obs diff 0, every null diff ≥ 0 → p = 1
+    val same = Events.qPermutation(purch((1L to 40L).map(u => (u, 3.0)): _*))
+      .collect().head
+    assert(same.getAs[Long]("obs_diff_micro") == 0)
+    assert(same.getAs[Long]("p_ppm") == 1000000L)
+    // evens spend 100, odds 1 → |obs| huge; random bit-splits mix the
+    // two populations so few null diffs reach it → small p (never 0
+    // by the add-one convention)
+    val apart = Events.qPermutation(
+      purch((1L to 40L).map(u => (u, if (u % 2 == 0) 100.0 else 1.0)): _*))
+      .collect().head
+    val p = apart.getAs[Long]("p_ppm")
+    assert(p >= 40000L && p <= 200000L, s"p_ppm $p") // 1/25 floor ≤ p ≤ a few/25
+  }
+
   test("spearman: monotone spend-activity is rho 1, inverted -1, constant NULL") {
     def mk(rows: (Long, Int, Double)*) = // (user, n events, per-event purchase value)
       rows.flatMap { case (u, k, v) => (1 to k).map(i => (u * 100 + i, u, v)) }
