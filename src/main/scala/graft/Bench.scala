@@ -294,6 +294,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // every execution-start event carries explainString(plan); deep
+      // cached lineages late in a 260-query run can make that TEXT
+      // multi-GB (the default cap is ~2^31, paid in build time AND
+      // heap before truncation kicks in). Bound the print, not the plan.
+      .config("spark.sql.maxPlanStringLength", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
