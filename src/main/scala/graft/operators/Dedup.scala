@@ -361,10 +361,19 @@ object Dedup {
       // bounded below by the component minimum, and stable exactly when
       // plain propagation is.
       val parents = labels.select(col("doc_id").as("group_id"), col("group_id").as("gp"))
+      // localCheckpoint (lazy; materialized by the labelSum action)
+      // rather than persist: persist caches DATA but the logical plan
+      // still chains every previous round, so the per-execution
+      // formatted-explain walk grows ~3^rounds — q_dhash_groups'
+      // 15-round component graph made that walk the whole query (heap
+      // OOM in one full-suite run, a multi-minute stall in another).
+      // Checkpointing truncates the plan to the round's materialized
+      // RDD — also the standard lineage-control move for iterative
+      // algorithms on a real cluster.
       val next = stepped.join(parents, Seq("group_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("gp"), col("group_id"))).as("group_id"))
-        .persist(lvl)
+        .localCheckpoint(false)
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
