@@ -1458,7 +1458,7 @@ object SparkEntry {
     "q_cube" -> (Relational.qCube _),
     "q_data_profile" -> (Relational.qDataProfile _),
     "q_corr_matrix" -> (Relational.qCorrMatrix _),
-    "q_ntile" -> (Relational.qNtile _),
+    "q_ntile" -> (Relational.qNtileDist _),
     "q_resample" -> ((s, dir) => Ev.qResample(events(s, dir))),
     "q_anomaly" -> ((s, dir) => Ev.qAnomaly(events(s, dir))),
     "q_ewma" -> ((s, dir) => Ev.qEwma(events(s, dir))),
@@ -1485,10 +1485,9 @@ object SparkEntry {
     "q_cusum" -> ((s, dir) => Ev.qCusum(events(s, dir))),
     "q_seasonal_anomaly" -> ((s, dir) => Ev.qSeasonalAnomaly(events(s, dir))),
     "q_funnel_windowed" -> ((s, dir) => Ev.qFunnelWindowed(events(s, dir))),
-    "q_abc_analysis" -> (Relational.qAbcAnalysis _),
+    "q_abc_analysis" -> (Relational.qAbcDist _),
     "q_mode_argmax" -> (Relational.qModeArgmax _),
-    "q_knn_classify" -> (PipelineQueries.qKnnClassify _),
-    "q_knn_classify_ann" -> (PipelineQueries.qKnnClassifyAnn _),
+    "q_knn_classify" -> (PipelineQueries.qKnnClassifyAnn _),
     "q_knn_ann_recall" -> (PipelineQueries.qKnnAnnRecall _),
     "q_rank_metrics" -> (PipelineQueries.qRankMetrics _),
     "q_label_noise" -> (PipelineQueries.qLabelNoise _),
@@ -1521,9 +1520,7 @@ object SparkEntry {
     "q_histogram" -> (Relational.qHistogram _),
     "q_basket_rules" -> (Relational.qBasketRules _),
     "q_regression" -> (Relational.qRegression _),
-    "q_gini" -> (Relational.qGini _),
-    "q_gini_dist" -> (Relational.qGiniDist _),
-    "q_abc_dist" -> (Relational.qAbcDist _),
+    "q_gini" -> (Relational.qGiniDist _),
     "q_rank_family" -> (Relational.qRankFamily _),
     "q_rag_pack" -> (PipelineQueries.qRagPack _),
     "q_range_window" -> ((s, dir) => Ev.qRangeWindow(events(s, dir))),
@@ -1626,8 +1623,8 @@ object SparkEntry {
     "q_url_dedup" -> (QualityQueries.qUrlDedup _),
     "q_perceptron" -> (QualityQueries.qPerceptron _),
     "q_perceptron_score" -> (QualityQueries.qPerceptronScore _),
-    "q_bitext_mine" -> (PipelineQueries.qBitextMine _),
-    "q_bitext_lsh" -> (PipelineQueries.qBitextLsh _),
+    "q_bitext_mine" -> (PipelineQueries.qBitextLsh _),
+    "q_bitext_recall" -> (PipelineQueries.qBitextRecall _),
     "q_cms_top" -> (QualityQueries.qCmsTop _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
     "q_simhash_wide" -> (QualityQueries.qSimhashWide _),
@@ -1750,8 +1747,7 @@ object SparkEntry {
     "q_funnel_windowed" -> Ev.qFunnelWindowedSql,
     "q_abc_analysis" -> Relational.qAbcAnalysisSql,
     "q_mode_argmax" -> Relational.qModeArgmaxSql,
-    "q_knn_classify" -> PipelineQueries.qKnnClassifySql,
-    "q_knn_classify_ann" -> PipelineQueries.qKnnClassifyAnnSql,
+    "q_knn_classify" -> PipelineQueries.qKnnClassifyAnnSql,
     "q_knn_ann_recall" -> PipelineQueries.qKnnAnnRecallSql,
     "q_rank_metrics" -> PipelineQueries.qRankMetricsSql,
     "q_label_noise" -> PipelineQueries.qLabelNoiseSql,
@@ -1787,8 +1783,6 @@ object SparkEntry {
     "q_gini" -> Relational.qGiniSql,
     // the distributed-rank twins are DEFINED result-identical to their
     // single-partition specs — shared oracles prove it hash-exactly
-    "q_gini_dist" -> Relational.qGiniSql,
-    "q_abc_dist" -> Relational.qAbcAnalysisSql,
     "q_rank_family" -> Relational.qRankFamilySql,
     "q_rag_pack" -> PipelineQueries.qRagPackSql,
     "q_range_window" -> Ev.qRangeWindowSql,
@@ -1894,8 +1888,8 @@ object SparkEntry {
     "q_url_dedup" -> QualityQueries.qUrlDedupSql,
     "q_perceptron" -> QualityQueries.qPerceptronSql,
     "q_perceptron_score" -> QualityQueries.qPerceptronScoreSql,
-    "q_bitext_mine" -> PipelineQueries.qBitextMineSql,
-    "q_bitext_lsh" -> PipelineQueries.qBitextLshSql,
+    "q_bitext_mine" -> PipelineQueries.qBitextLshSql,
+    "q_bitext_recall" -> PipelineQueries.qBitextRecallSql,
     "q_cms_top" -> QualityQueries.qCmsTopSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
     "q_simhash_wide" -> QualityQueries.qSimhashWideSql,

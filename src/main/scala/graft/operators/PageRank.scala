@@ -314,12 +314,12 @@ object PageRank {
       .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
       .agg(count(lit(1)).as("n_edges"),
         sum((col("da") * col("db")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s1"),
+          .cast(org.apache.spark.sql.types.LongType).as("s1"),
         sum((col("da") + col("db")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s2"),
+          .cast(org.apache.spark.sql.types.LongType).as("s2"),
         sum((col("da") * col("da") + col("db") * col("db"))
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s3"))
+          .cast(org.apache.spark.sql.types.LongType).as("s3"))
       .crossJoin(broadcast(nNodes))
       .select(col("n_nodes"), col("n_edges"), col("s1"), col("s2"), col("s3"))
       .withColumn("assort_ppm", expr(

@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard ceiling on |A|·|B| for the DENSE ground-truth baselines
+    * ([[knnNeighbors]], [[bitextMine]]). These exist to produce exact
+    * recall/precision references for their bucketed scale twins; at
+    * 100× data a silent cartesian is the worst failure mode a cluster
+    * job can have, so past this ceiling they fail LOUDLY at plan-build
+    * time instead of launching. Raise `maxPairs` explicitly for a
+    * deliberate large ground-truth run.
+    */
+  val DenseMaxPairs: Long = 50000000L
+
+  private def guardDense(op: String, left: DataFrame, right: DataFrame,
+                         maxPairs: Long, scalePath: String): Unit = {
+    val nl = left.count()
+    val nr = right.count()
+    require(nl * nr <= maxPairs,
+      s"$op is the dense ground-truth baseline: $nl x $nr = ${nl * nr} " +
+        s"candidate pairs exceeds maxPairs=$maxPairs. Use $scalePath for " +
+        "the scale path, or pass maxPairs= explicitly for a deliberate " +
+        "ground-truth run.")
+  }
+
   /** Left-to-right dot product of two array columns via the fused
     * codegen expression [[graft.plans.ArrayDotProduct]] — bit-identical
     * to the unrolled left-associated chain the DuckDB oracles use, but a
@@ -1114,7 +1135,10 @@ object Similarity {
     */
   def knnNeighbors(train: DataFrame, test: DataFrame, k: Int, dims: Int,
                    idCol: String = "vec_id", embCol: String = "embedding",
-                   labelCol: String = "label"): DataFrame = {
+                   labelCol: String = "label",
+                   maxPairs: Long = DenseMaxPairs): DataFrame = {
+    guardDense("knnNeighbors", test, train, maxPairs,
+      "annJoin / knnClassifyAnn (LSH buckets) or ivfSearch")
     val ts = test.select(col(idCol).as("query_id"), col(embCol).as("qe"),
       norm(col(embCol), dims).as("qn"), col(labelCol).cast("long").as("true_label"))
     val tr = train.select(col(idCol).as("nn_id"), col(embCol).as("ce"),
@@ -1586,7 +1610,9 @@ object Similarity {
     */
   def bitextMine(a: DataFrame, b: DataFrame, kNeigh: Int = 4,
                  marginPpmMin: Long = 1010000L, dims: Int = 64,
-                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", embCol: String = "embedding",
+                 maxPairs: Long = DenseMaxPairs): DataFrame = {
+    guardDense("bitextMine", a, b, maxPairs, "bitextMineLsh (banded candidates)")
     val an = a.select(col(idCol).as("a_id"), col(embCol).as("ea"),
       norm(col(embCol), dims).as("nrm_a"))
     val bn = b.select(col(idCol).as("b_id"), col(embCol).as("eb"),

@@ -679,9 +679,9 @@ object DedupQueries {
        |agg AS (
        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        |         CAST(count(*) AS BIGINT) AS n_edges,
-       |         CAST(sum(dda * ddb) AS DECIMAL(38,0)) AS s1,
-       |         CAST(sum(dda + ddb) AS DECIMAL(38,0)) AS s2,
-       |         CAST(sum(dda * dda + ddb * ddb) AS DECIMAL(38,0)) AS s3
+       |         CAST(sum(dda * ddb) AS BIGINT) AS s1,
+       |         CAST(sum(dda + ddb) AS BIGINT) AS s2,
+       |         CAST(sum(dda * dda + ddb * ddb) AS BIGINT) AS s3
        |  FROM j
        |)
        |SELECT n_nodes, n_edges, s1, s2, s3,
@@ -804,29 +804,48 @@ object DedupQueries {
         maxHops = HopsMax)
       .orderBy("src_id", "doc_id")
 
+  // Level-unrolled Bellman–Ford DP (HopsMax = 3) instead of a recursive
+  // walk-enumeration CTE: min cost is additive, so per-level min-cost
+  // tables bound the oracle's memory to O(node-pairs) per level where
+  // the walk enumeration held every distinct (src, id, cost, d) state —
+  // the r10 oracle-gate OOM hog. Semantics identical: every level
+  // excludes returning to src, and min(cost*10+d) over levels is the
+  // same tie lattice the iterative plan maintains per-round minima on.
   val qShortestPathSql: String =
-    s"""WITH RECURSIVE $minhashVerifiedCte,
+    s"""WITH $minhashVerifiedCte,
        |npairs AS (
        |  SELECT id_a, id_b,
        |         1000000 - CAST(round(inter * 1000000.0 / union_n) AS BIGINT) AS w
        |  FROM verified WHERE inter * 1.0 / union_n >= 0.5
        |),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS u, id_b AS v, w FROM npairs
        |  UNION ALL
        |  SELECT id_b, id_a, w FROM npairs
        |),
-       |walk(src, id, cost, d) AS (
-       |  SELECT u, v, w, 1 FROM edges
-       |  UNION
-       |  SELECT wk.src, e.v, wk.cost + e.w, wk.d + 1
-       |  FROM walk wk JOIN edges e ON e.u = wk.id
-       |  WHERE wk.d < $HopsMax AND e.v <> wk.src
+       |l1 AS MATERIALIZED (
+       |  SELECT u AS src, v AS id, CAST(min(w) AS BIGINT) AS c
+       |  FROM edges GROUP BY u, v
+       |),
+       |l2 AS MATERIALIZED (
+       |  SELECT l1.src, e.v AS id, min(l1.c + e.w) AS c
+       |  FROM l1 JOIN edges e ON e.u = l1.id
+       |  WHERE e.v <> l1.src GROUP BY l1.src, e.v
+       |),
+       |l3 AS MATERIALIZED (
+       |  SELECT l2.src, e.v AS id, min(l2.c + e.w) AS c
+       |  FROM l2 JOIN edges e ON e.u = l2.id
+       |  WHERE e.v <> l2.src GROUP BY l2.src, e.v
+       |),
+       |lat AS (
+       |  SELECT src, id, c * 10 + 1 AS lat FROM l1
+       |  UNION ALL SELECT src, id, c * 10 + 2 FROM l2
+       |  UNION ALL SELECT src, id, c * 10 + 3 FROM l3
        |)
        |SELECT src AS src_id, id AS doc_id,
-       |       CAST(min(cost * 10 + d) // 10 AS BIGINT) AS cost_ppm,
-       |       CAST(min(cost * 10 + d) % 10 AS BIGINT) AS hops
-       |FROM walk GROUP BY src, id
+       |       CAST(min(lat) // 10 AS BIGINT) AS cost_ppm,
+       |       CAST(min(lat) % 10 AS BIGINT) AS hops
+       |FROM lat GROUP BY src, id
        |ORDER BY src_id, doc_id""".stripMargin
 
   /** Quality-aware duplicate-group representative: for every near-dup

@@ -1754,10 +1754,20 @@ object Events {
     * whole thing is 48 conditional sums map-side combined, and reruns /
     * repartitions / engines agree bit for bit. The percentile CI reads
     * the 2nd and 23rd sorted replicate means (≈5%/95% of 24).
-    * Documented approximation: Binomial(2,½) has variance ½ of the
-    * Poisson(1) bootstrap weight, so the raw interval understates
-    * sampling noise by ≈√2 — the contract trades exactness of the
-    * ESTIMATOR for a conservative-free deterministic artifact.
+    * DOCUMENTED APPROXIMATION (contract, not surprise): true
+    * multinomial resampling Poissonizes — each user's replicate weight
+    * tends to Poisson(1) (mean 1, variance 1) as n grows. This
+    * operator substitutes Binomial(2, ½) (mean 1, variance ½) so the
+    * weight fits in two hash bits and the whole CI stays a
+    * deterministic integer-lattice artifact. Variance ½ means every
+    * replicate mean deviates from the point estimate by ≈1/√2 of a
+    * true bootstrap replicate's deviation, so the raw percentile
+    * interval UNDERSTATES sampling noise by ≈√2 (EventsSpec pins the
+    * measured half-width ratio vs a true multinomial bootstrap at
+    * small n). Callers needing calibrated coverage should scale the
+    * half-widths by √2 (or re-derive with 3-bit Binomial(4,¼)·…
+    * weights); callers comparing pipelines care about the
+    * deterministic ORDERING, which is exact.
     */
   def qBootstrap(events: DataFrame): DataFrame = {
     val B = 24

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{CachePool, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2311,14 +2311,28 @@ object PipelineQueries {
     * (term-filtered before its first shuffle) and one embedding pass.
     */
   def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bm = graft.operators.CorpusStats
-      .bm25TopDocs(docs(s, dir), Bm25Terms, topK = 50, k1 = Bm25K1, b = Bm25B)
-      .select(col("doc_id"), row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long").as("r_text"))
-    val cr = Similarity.bruteForceTopK(embs(s, dir), queryVecId = 0L, k = 50, dims = Dims)
-      .select(col("vec_id").as("doc_id"), row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long").as("r_vec"))
+    // rank within each ≤50-row top-k list WITHOUT a single-partition
+    // window (the suite-wide EntrySpec plan assertion bans them even on
+    // bounded inputs): rank = 1 + |rows strictly ahead in the total
+    // order| via a broadcast self-join — ids are unique so the count
+    // rank equals row_number exactly. The lists are cached so the
+    // self-join's two sides don't re-run the corpus scan.
+    def countRank(top: DataFrame, score: String, id: String,
+                  out: String): DataFrame = {
+      val t = CachePool.track(top)
+      t.join(broadcast(t.select(col(score).as("_s2"), col(id).as("_i2"))),
+          col("_s2") > col(score) ||
+            (col("_s2") === col(score) && col("_i2") < col(id)), "left")
+        .groupBy(col(id))
+        .agg((count(col("_i2")) + lit(1L)).as(out))
+        .select(col(id).as("doc_id"), col(out))
+    }
+    val bm = countRank(graft.operators.CorpusStats
+        .bm25TopDocs(docs(s, dir), Bm25Terms, topK = 50, k1 = Bm25K1, b = Bm25B),
+      "score_micro", "doc_id", "r_text")
+    val cr = countRank(
+      Similarity.bruteForceTopK(embs(s, dir), queryVecId = 0L, k = 50, dims = Dims),
+      "cos_sim", "vec_id", "r_vec")
     bm.join(cr, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("r_text"), col("r_vec"),
         round((coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
@@ -3657,4 +3671,36 @@ object PipelineQueries {
        |),
        |$bitextMarginSql""".stripMargin
   }
+
+  /** Pair-level recall/precision of the LSH-candidate miner vs the
+    * dense ground-truth miner — the accept/reject eval for serving
+    * `q_bitext_mine` off the banded candidate path (since r11 the
+    * dense [[graft.operators.Similarity.bitextMine]] runs ONLY here,
+    * behind its maxPairs guard; the headline mining entry is the LSH
+    * shape). Integer floor-ppm output.
+    */
+  def qBitextRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = qBitextMine(s, dir).select(col("a_id"), col("b_id"))
+    val lsh = qBitextLsh(s, dir).select(col("a_id"), col("b_id"))
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+    lsh.join(exact, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(broadcast(nE)).crossJoin(broadcast(nL))
+      .select(col("n_overlap"), col("n_exact"), col("n_lsh"),
+        expr("n_overlap * 1000000 div n_exact").as("recall_ppm"),
+        expr("n_overlap * 1000000 div n_lsh").as("precision_ppm"))
+  }
+
+  val qBitextRecallSql: String =
+    s"""WITH ex AS ($qBitextMineSql),
+       |ls AS ($qBitextLshSql),
+       |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+       |       FROM ex JOIN ls USING (a_id, b_id)),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM ls)
+       |SELECT n_overlap, n_exact, n_lsh,
+       |       CAST(n_overlap * 1000000 // n_exact AS BIGINT) AS recall_ppm,
+       |       CAST(n_overlap * 1000000 // n_lsh AS BIGINT) AS precision_ppm
+       |FROM ov, ne, nl""".stripMargin
 }

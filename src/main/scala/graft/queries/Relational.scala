@@ -476,6 +476,40 @@ object Relational {
       .orderBy(col("quartile"))
   }
 
+  /** The 100 TB EXACT twin of [[qNtile]] (headline entry since r11):
+    * the global rank comes from
+    * [[graft.operators.RangeRank.withGlobalRank]] (range-bucketed
+    * two-pass rank, per-bucket parallel windows only) and the ntile
+    * bucket is recovered from (rank, n) with SQL ntile's exact
+    * fill rule — n%k leading buckets of size n/k+1, the rest n/k —
+    * so the result is bit-identical to the single-partition spec
+    * shape and shares [[qNtileSql]] verbatim as its oracle.
+    * [[spendQuartilesApprox]] remains the sketch-boundary variant for
+    * when approximate quartiles are acceptable at lower cost.
+    */
+  def qNtileDist(s: SparkSession, dir: String): DataFrame = {
+    val spend = s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("spend"))
+    val total = spend.agg(count(lit(1)).as("_n"))
+    graft.operators.RangeRank
+      .withGlobalRank(spend, col("spend"), Seq(col("o_custkey")),
+        desc = true, out = "_rn")
+      .crossJoin(broadcast(total))
+      // SQL ntile(k): r = n%k buckets of size q+1 first, then size q
+      .withColumn("quartile", expr(
+        "CASE WHEN _rn <= (_n % 4) * (_n div 4 + 1) " +
+          "THEN (_rn - 1) div (_n div 4 + 1) + 1 " +
+          "ELSE (_n % 4) + (_rn - 1 - (_n % 4) * (_n div 4 + 1)) div (_n div 4) + 1 END")
+        .cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("spend")).as("spend_min"),
+        max(col("spend")).as("spend_max"),
+        sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType).as("spend_sum"))
+      .orderBy(col("quartile"))
+  }
+
   /** The 100 TB rewrite of [[qNtile]]: quartile boundaries from a
     * one-pass mergeable `approx_percentile` sketch, broadcast to a
     * map-only bucket assignment — no single-partition global window

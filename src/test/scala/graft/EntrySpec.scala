@@ -1,7 +1,16 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
 /** Driver-contract smoke: entry yields rows; every oracle has a query;
-  * queries run at sf0.001.
+  * queries run at sf0.001 — and, suite-wide, NO query's executed plan
+  * contains a single-partition global window (the 100 TB kill-switch:
+  * an empty partitionSpec serializes the whole input through one
+  * task). The RangeRank family exists precisely so every global
+  * rank/prefix-sum has a bucketed shape; this pins that no headline
+  * entry regressed to the spec shape.
   */
 class EntrySpec extends SparkSpec {
 
@@ -14,11 +23,34 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("all queries execute at sf0.001") {
+  test("all queries execute at sf0.001 with zero single-partition windows") {
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries) {
-      val n = fn(spark, dir).count()
+      val df = fn(spark, dir)
+      val n = df.count()
       assert(n >= 0, name)
+      // count() above ran the child plans, but the assertion must walk
+      // the FINALIZED adaptive plan of the query itself — collect()
+      // materializes it (cheap: sf0.001 results are tiny).
+      df.collect()
+      def windows(p: SparkPlan): Seq[SparkPlan] = {
+        val here = p.collect {
+          case w: WindowExec => w: SparkPlan
+          case w: WindowGroupLimitExec => w: SparkPlan
+        }
+        val nested = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(windows)
+        here ++ nested
+      }
+      windows(df.queryExecution.executedPlan).foreach {
+        case w: WindowExec =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name has a single-partition global Window:\n${w.nodeName}")
+        case w: WindowGroupLimitExec =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name has a single-partition WindowGroupLimit:\n${w.nodeName}")
+        case _ =>
+      }
     }
   }
 }

@@ -437,6 +437,40 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_replicates") == 24)
   }
 
+  test("bootstrap: Binomial(2,1/2) half-width tracks 1/sqrt2 of a true multinomial bootstrap") {
+    // the documented Poissonization contract: weight variance 1/2 vs the
+    // multinomial bootstrap's ~1 understates CI half-width by ~sqrt(2).
+    // Measure it at small n against a seeded true multinomial resample.
+    val n = 400
+    val cents = (0 until n).map(i => ((i.toLong * 37L) % 1000L) + 1L)
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, i.toLong, c.toDouble / 100.0)
+    }.toDF("event_id", "user_id", "value")
+      .select(col("event_id"), expr("timestamp_micros(0)").as("ts"),
+        col("user_id"), lit("purchase").as("event_type"), col("value"),
+        lit("{}").as("props"))
+    val r = Events.qBootstrap(rows).collect().head
+    val est = r.getAs[Long]("est_micro")
+    val hashHw = (r.getAs[Long]("boot_hi_micro") - r.getAs[Long]("boot_lo_micro")) / 2.0
+    // true multinomial bootstrap, driver-side, fixed seed: B replicate
+    // means of n draws with replacement, then the same 5%/95% cut
+    val rnd = new scala.util.Random(42)
+    val reps = Seq.fill(2000) {
+      var s = 0L
+      var k = 0
+      while (k < n) { s += cents(rnd.nextInt(n)); k += 1 }
+      s * 10000L / n
+    }.sorted
+    val multiHw = (reps(1899) - reps(100)) / 2.0
+    val ratio = hashHw / multiHw
+    // expected ~0.71; generous-but-binding band (deterministic: hash
+    // weights and the seed are both fixed)
+    assert(ratio > 0.45 && ratio < 1.0,
+      s"half-width ratio $ratio outside the Poissonization contract band " +
+        s"(hash=$hashHw multinomial=$multiHw)")
+    assert(r.getAs[Long]("boot_lo_micro") <= est && est <= r.getAs[Long]("boot_hi_micro"))
+  }
+
   test("mann-whitney: dominance gives U share 1, ties 1/2, zero variance NULL") {
     def purchases(rows: (Long, Double)*) =
       rows.zipWithIndex.map { case ((uid, v), i) => (i.toLong, uid, v) }

@@ -45,6 +45,13 @@ class RangeRankSpec extends SparkSpec {
     assertNoGlobalWindow(Relational.qAbcDist(spark, dir), "qAbcDist")
   }
 
+  test("qNtileDist is bit-identical to qNtile and has no global window") {
+    val a = Relational.qNtile(spark, dir).collect()
+    val b = Relational.qNtileDist(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, s"ntile twin drifted:\n${a.toSeq}\nvs\n${b.toSeq}")
+    assertNoGlobalWindow(Relational.qNtileDist(spark, dir), "qNtileDist")
+  }
+
   test("balancedShards keeps the snake deal exact with no global window") {
     import spark.implicits._
     // adversarial sizes: heavy ties + a skewed head

@@ -712,4 +712,20 @@ class SimilaritySpec extends SparkSpec {
     val ev = rows.head.getAs[Long]("ev_ppm")
     assert(ev > 900000 && ev <= 1000000)
   }
+
+  test("dense baselines fail loudly past the maxPairs ceiling") {
+    val lab = embs.withColumn("label",
+      org.apache.spark.sql.functions.lit(1L))
+    val eA = intercept[IllegalArgumentException] {
+      Similarity.knnNeighbors(lab, lab, k = 2, dims = dims, maxPairs = 3L)
+    }
+    assert(eA.getMessage.contains("maxPairs"))
+    val eB = intercept[IllegalArgumentException] {
+      Similarity.bitextMine(embs, embs, dims = dims, maxPairs = 3L)
+    }
+    assert(eB.getMessage.contains("maxPairs"))
+    // at-or-under the ceiling still plans (4x4 = 16 pairs)
+    assert(Similarity.knnNeighbors(lab, lab, k = 2, dims = dims,
+      maxPairs = 16L).count() > 0)
+  }
 }
