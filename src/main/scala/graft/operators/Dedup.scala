@@ -181,19 +181,22 @@ object Dedup {
     val sh = CachePool.track(docShingles(docs, textCol, idCol))
     val ds = postings(sh, idCol)
     // global rarity order = (doc frequency, shingle) — no global rank
-    // column needed, the tuple itself is the sort key. Doc frequency
-    // comes from a count-over-shingle window (one shuffle) rather than a
-    // separate agg + join back (two); the per-doc rank is a second
-    // window. The earlier collect_list/sort_array/slice/explode form did
-    // this ranking through four interpreted array HOFs and was the
-    // slowest stage of the round-1 bench's slowest query.
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    // column needed, the tuple itself is the sort key. Doc frequency is
+    // a groupBy-count joined back co-partitioned on shingle (r11): the
+    // count shuffle map-side combines to |distinct shingles| rows, and —
+    // the 100 TB point — a hot template shingle never serializes its
+    // whole posting list through one window task (the
+    // count-over-shingle window this replaces buffered every posting of
+    // a shingle in one partition; AQE skew-split can't cut a window
+    // group, but it CAN cut a join side). Per-doc rarity rank stays a
+    // (bounded: ≤|doc shingles|) per-id window.
+    val freq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("c"), col("shingle"))
     // both sides of the candidate self-join read this — persist (pool-
     // bounded lifecycle), or the rarity ranking runs twice
     val prefixes = CachePool.track(ds
-      .withColumn("c", count(lit(1)).over(byShingle))
+      .join(freq, "shingle")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= greatest(lit(1),
         (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int")))
