@@ -190,6 +190,49 @@ object DedupQueries {
        |       CAST(sum(chars - rep_chars) AS BIGINT) AS chars_saved
        |FROM per GROUP BY size ORDER BY size""".stripMargin
 
+  /** Duplication-aware training weights: every doc in a near-dup group
+    * of size g samples with weight 1/g (exact floor-ppm), so a template
+    * family contributes ~one document's worth of gradient regardless of
+    * how many times it was crawled — the standard soft-dedup
+    * alternative to dropping non-canonical members outright. Output is
+    * the bounded per-group-size rollup (size, docs, weight, effective
+    * micro-docs), not the per-doc table — at most maxGroupSize rows at
+    * any corpus size; the per-doc weight is `1000000 div group_size`
+    * joined from the same labels when a pipeline materializes it.
+    * Scale shape: the group labels + one broadcast-size join against
+    * the corpus ids + two bounded aggs.
+    */
+  def qDupWeights(s: SparkSession, dir: String): DataFrame = {
+    val sizes = nearDupGroupsShared(s, dir)
+      .groupBy(col("group_id")).agg(count(lit(1)).as("gsz"))
+    docs(s, dir).select(col("doc_id"))
+      .join(nearDupGroupsShared(s, dir), Seq("doc_id"), "left")
+      .join(sizes, Seq("group_id"), "left")
+      .select(org.apache.spark.sql.functions.coalesce(col("gsz"), lit(1L)).as("gsz"))
+      .groupBy(col("gsz"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("gsz").as("group_size"), col("n_docs"),
+        org.apache.spark.sql.functions.expr("1000000 div gsz").as("weight_ppm"),
+        org.apache.spark.sql.functions.expr("n_docs * (1000000 div gsz)")
+          .as("effective_micro_docs"))
+      .orderBy(col("group_size"))
+  }
+
+  val qDupWeightsSql: String =
+    s"""WITH RECURSIVE $groupsCte,
+       |sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS gsz
+       |          FROM grp GROUP BY group_id),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(s.gsz, 1) AS gsz
+       |  FROM documents d
+       |  LEFT JOIN grp g ON g.doc_id = d.doc_id
+       |  LEFT JOIN sizes s ON s.group_id = g.group_id
+       |)
+       |SELECT gsz AS group_size, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(1000000 // gsz AS BIGINT) AS weight_ppm,
+       |       CAST(count(*) * (1000000 // gsz) AS BIGINT) AS effective_micro_docs
+       |FROM lab GROUP BY gsz ORDER BY group_size""".stripMargin
+
   private val SpanLen = 8
 
   /** Duplicated 8-token spans per doc (see
