@@ -1488,6 +1488,9 @@ object SparkEntry {
     "q_abc_analysis" -> (Relational.qAbcDist _),
     "q_mode_argmax" -> (Relational.qModeArgmax _),
     "q_knn_classify" -> (PipelineQueries.qKnnClassifyAnn _),
+    // eval-only dense baseline (maxPairs-guarded): the accuracy twin the
+    // ANN headline is judged against, like q_knn_ann_recall's neighbor set
+    "q_knn_classify_exact" -> (PipelineQueries.qKnnClassify _),
     "q_knn_ann_recall" -> (PipelineQueries.qKnnAnnRecall _),
     "q_rank_metrics" -> (PipelineQueries.qRankMetrics _),
     "q_label_noise" -> (PipelineQueries.qLabelNoise _),
@@ -1564,6 +1567,7 @@ object SparkEntry {
     "q_leak_split" -> (DedupQueries.qLeakSplit _),
     "q_line_dedup" -> (DedupQueries.qLineDedup _),
     "q_dup_matrix" -> (DedupQueries.qDupMatrix _),
+    "q_dup_weights" -> (DedupQueries.qDupWeights _),
     "q_snapshot_diff" -> (DedupQueries.qSnapshotDiff _),
     "q_bloom_gate" -> (DedupQueries.qBloomGate _),
     "q_ivf_cellstats" -> (PipelineQueries.qIvfCellStats _),
@@ -1748,6 +1752,7 @@ object SparkEntry {
     "q_abc_analysis" -> Relational.qAbcAnalysisSql,
     "q_mode_argmax" -> Relational.qModeArgmaxSql,
     "q_knn_classify" -> PipelineQueries.qKnnClassifyAnnSql,
+    "q_knn_classify_exact" -> PipelineQueries.qKnnClassifySql,
     "q_knn_ann_recall" -> PipelineQueries.qKnnAnnRecallSql,
     "q_rank_metrics" -> PipelineQueries.qRankMetricsSql,
     "q_label_noise" -> PipelineQueries.qLabelNoiseSql,
@@ -1826,6 +1831,7 @@ object SparkEntry {
     "q_leak_split" -> DedupQueries.qLeakSplitSql,
     "q_line_dedup" -> DedupQueries.qLineDedupSql,
     "q_dup_matrix" -> DedupQueries.qDupMatrixSql,
+    "q_dup_weights" -> DedupQueries.qDupWeightsSql,
     "q_snapshot_diff" -> DedupQueries.qSnapshotDiffSql,
     "q_bloom_gate" -> DedupQueries.qBloomGateSql,
     "q_ivf_cellstats" -> PipelineQueries.qIvfCellStatsSql,

@@ -23,6 +23,37 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("no orphaned oracle SQL in the query objects") {
+    // Round-11 regression class: qDupWeights/qDupWeightsSql were authored
+    // in DedupQueries but never registered in SparkEntry, so they had no
+    // correctness row. Reflectively collect every public zero-arg `q*Sql`
+    // String member of the query objects and require its VALUE to appear
+    // in a registered oracle (exact, or embedded — the recall/curve
+    // oracles compose their base search SQL as a subquery, and derived
+    // oracles like q_ivfpq_filtered rewrite anchored fragments of it).
+    val objects: Seq[(String, AnyRef)] = Seq(
+      "DedupQueries" -> graft.queries.DedupQueries,
+      "EvalQueries" -> graft.queries.EvalQueries,
+      "Events" -> graft.queries.Events,
+      "PipelineQueries" -> graft.queries.PipelineQueries,
+      "QualityQueries" -> graft.queries.QualityQueries,
+      "Relational" -> graft.queries.Relational)
+    val registered = SparkEntry.oracleSql.values.toSeq
+    val orphans = for {
+      (oname, obj) <- objects
+      m <- obj.getClass.getMethods.toSeq
+      if m.getName.matches("q.*Sql") && m.getParameterCount == 0 &&
+        m.getReturnType == classOf[String]
+      sql = m.invoke(obj).asInstanceOf[String]
+      // registered directly, embedded in a composing oracle, or the
+      // base text a derived oracle rewrites (share a 200-char prefix)
+      if !registered.exists(r =>
+        r.contains(sql) || r.take(200) == sql.take(200))
+    } yield s"$oname.${m.getName}"
+    assert(orphans.isEmpty,
+      s"oracle SQL with no SparkEntry.oracleSql registration: $orphans")
+  }
+
   test("all queries execute at sf0.001 with zero single-partition windows") {
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries) {
