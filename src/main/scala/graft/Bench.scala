@@ -77,12 +77,16 @@ object Bench {
     // Adaptive re-measure: samples disagreeing >3× are the noise-storm
     // signature of this box (round-2 and round-4 driver benches were
     // poisoned that way) — one extra sample decides which side was
-    // real. Bounded: worst 8 suspects, non-trivial queries only.
+    // real. Bounded: worst 12 suspects. Non-trivial queries only below
+    // 10× spread; past 10× the query re-measures regardless of its
+    // magnitude (r11: a 133× spread on a sub-second query survived the
+    // old mn>0.5 gate and cost the verdict a phantom-regression chase —
+    // and re-measuring a fast query is nearly free).
     if (reps >= 2) {
       val suspects = samples.toSeq
         .map { case (n, ss) => (n, ss.min, ss.max / math.max(ss.min, 1e-9)) }
-        .filter { case (_, mn, spread) => mn > 0.5 && spread > 3.0 }
-        .sortBy(-_._3).take(8).map(_._1)
+        .filter { case (_, mn, spread) => (mn > 0.5 && spread > 3.0) || spread > 10.0 }
+        .sortBy(-_._3).take(12).map(_._1)
       suspects.foreach { name =>
         val fn = selected(name)
         val t0 = System.nanoTime()
@@ -252,8 +256,16 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs$spreadJson$stormJson$stormNote$extras,"sf":"$sfDir"}"""
     if (only.isEmpty) {
       try {
+        // detail file additionally carries EVERY raw sample per query
+        // (including the adaptive re-measures), so a storm is
+        // self-identifying per query from the committed artifact alone —
+        // no quiet-box re-run needed to tell a regression from noise.
+        val allSamples = samples.toSeq.sortBy(_._1).map { case (k, ss) =>
+          "\"" + k + "\":[" + ss.map(s => f"$s%.3f").mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        val detailLine = fullLine.dropRight(1) + s""","samples":$allSamples}"""
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-          (fullLine + "\n").getBytes("UTF-8"))
+          (detailLine + "\n").getBytes("UTF-8"))
         println("full per-query detail -> BENCH_DETAIL.json")
       } catch { case _: Throwable => () } // detail is best-effort; the line below is the contract
       println(fullLine)

@@ -200,17 +200,30 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= greatest(lit(1),
         (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int")))
-      .select(col("id"), col("shingle"), col("len")))
+      .select(col("id"), col("shingle"), col("len"), col("rn")))
     // duplicate pairs (several shared prefix shingles) are fine —
     // verifyJaccard counts DISTINCT shingles, so no dedup exchange here.
     // ppjoin's length filter rides the join: jaccard ≥ t ⟹
     // inter ≤ min(|a|,|b|) and union ≥ max(|a|,|b|), so
     // min ≥ t·max — a free necessary-condition predicate that prunes
     // length-mismatched candidates before the (distinct-count) verify.
+    // ppjoin's POSITIONAL filter rides it too (r12 — the verify join is
+    // this query's dominant cost, and this cuts its input 2.5× at
+    // sf0.1): a match at rarity positions (rn_a, rn_b) bounds the
+    // overlap by 1 + min(len_a−rn_a, len_b−rn_b) (everything before rn
+    // on each side is disjoint — both prefixes are sorted by the same
+    // global order, and the FIRST common element maximizes this bound,
+    // so per-pair survival equals ppjoin's). jaccard ≥ t needs overlap
+    // ≥ t/(1+t)·(len_a+len_b); the 1e-9 slack keeps the float compare
+    // conservative (may admit a doomed candidate, never drops a true
+    // one — verification stays lossless).
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
           col("a.len") >= lit(threshold) * col("b.len") &&
-          col("b.len") >= lit(threshold) * col("a.len"))
+          col("b.len") >= lit(threshold) * col("a.len") &&
+          (lit(1) + least(col("a.len") - col("a.rn"), col("b.len") - col("b.rn"))) *
+            lit(1.0 + threshold) >=
+            lit(threshold) * (col("a.len") + col("b.len")) - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     verifyJaccard(cand, sh, idCol, threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"),
