@@ -4,6 +4,29 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** DuckDB inlines WITH-CTEs by default, so an oracle whose CTE chain
+    * is iterative (power-iteration `w1..w4`, Lloyd rounds `c1/c2`,
+    * BPE merge rounds, pagerank steps) re-expands the whole upstream
+    * subtree at EVERY reference — branching ~3× per level, the deepest
+    * chains inflate a 32k-row computation into a multi-GB allocation
+    * storm (q_embed_pca needed 2 GB / 3.9 s; every r10/r11 driver
+    * correctness loss was this family OOM-starving the checker).
+    * `AS MATERIALIZED` pins each CTE to compute once: measured on the
+    * full suite, the 2 GB worst case drops to 64 MB / 0.09 s with
+    * hash-identical results. Applied at every CTE site when writing
+    * oracle_sql.json — EXCEPT queries using a `WINDOW name AS (...)`
+    * clause, whose window definitions share the `name AS (` shape and
+    * would be corrupted (all nine such oracles already run at the
+    * 64 MB floor). Idempotent: `AS MATERIALIZED (` no longer matches.
+    */
+  private val CteSite = """\b([a-zA-Z_][a-zA-Z0-9_]*\s+AS\s+)\(""".r
+  private val WindowClause = """(?i)\bWINDOW\s+\w+\s+AS\s*\(""".r
+  def materializeCtes(sql: String): String =
+    if (WindowClause.findFirstIn(sql).isDefined) sql
+    else CteSite.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(m.group(1) + "MATERIALIZED ("))
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,7 +66,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(materializeCtes(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

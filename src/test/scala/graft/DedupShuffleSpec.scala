@@ -78,6 +78,29 @@ class DedupShuffleSpec extends SparkSpec {
     info(s"gate-build shuffle: @1x=$vol1 @10x=$vol10 (keys=$distinctDocs, parts=$parts)")
   }
 
+  test("connected-components rounds grow logarithmically with diameter (r11 #7)") {
+    import noAqe.implicits._
+    // worst case for label propagation: a single path graph, whose
+    // diameter IS the node count. Pointer jumping must keep the round
+    // count ~log2(diameter): a 10× longer chain may cost only additive
+    // extra rounds (log2(10) ≈ 3.3, allow 4 + slack 1), never 10× the
+    // rounds. q_dhash_groups' real components are far shallower; this
+    // pins the mechanism that keeps them cheap at 10×/100× data.
+    def rounds(n: Int): Int = {
+      val pairs = (0L until n.toLong - 1)
+        .map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = graft.operators.Dedup.nearDupGroups(pairs, maxIter = 30)
+      // fixpoint reached and correct: every node labeled with the chain min
+      assert(labels.agg(max("group_id")).head.getLong(0) == 0L)
+      graft.operators.Dedup.lastRounds.get()
+    }
+    val r1 = rounds(100)
+    val r10 = rounds(1000)
+    assert(r10 <= r1 + 5, s"rounds grew super-logarithmically: $r1 -> $r10 at 10x diameter")
+    assert(r10 <= 12, s"1000-node chain took $r10 rounds — pointer jumping regressed")
+    info(s"CC rounds: diameter 100 -> $r1, diameter 1000 -> $r10")
+  }
+
   test("basket pair join shuffles baskets linearly, pair counts partial-aggregated") {
     import noAqe.implicits._
     val brands = 12
