@@ -123,41 +123,41 @@ object Dedup {
     sh.select(col(idCol).as("id"), size(col("s")).as("len"),
       explode(col("s")).as("shingle"))
 
-  /** Exact Jaccard verification of candidate pairs, computed from
-    * posting lists instead of carried shingle arrays: the intersection
-    * size of two *distinct* shingle sets is the row count of their
-    * exploded postings joined on (doc, shingle), so
-    * `groupBy(id_a, id_b).count` over that join replaces the interpreted
-    * `array_intersect` on arrays dragged through two joins (the round-1
-    * bench's single largest cost). Both posting sides are first
-    * semi-filtered to candidate ids (broadcast — the candidate set is
-    * tiny after prefix/LSH filtering), so only candidate docs' shingles
-    * ever shuffle. Output: id_a, id_b, inter, union_n (still the exact
-    * all-pairs semantics — verification is lossless).
+  /** Exact Jaccard verification of candidate pairs: the deduped pair
+    * set picks up each side's shingle array by joining the cached
+    * shingle table, and a compiled hash-set probe
+    * ([[graft.plans.IntersectCount]]) computes the distinct
+    * intersection per pair. Output: id_a, id_b, inter, union_n (the
+    * exact all-pairs semantics — verification is lossless).
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String,
                             threshold: Double): DataFrame = {
-    val ds = postings(sh, idCol)
-    // Candidates are a tiny fraction after prefix/LSH filtering, so both
-    // verify joins keep the accumulating candidate side broadcast-small
-    // (AQE falls back to a shuffle join if a pathological candidate set
-    // grows): the full posting list is never shuffled — it streams twice
-    // out of the persisted shingle cache. Each posting row carries its
-    // doc's set size, so one pair aggregation yields inter AND both
-    // sizes — no joins back to a size table.
-    // `cand` may contain duplicate pairs (one per shared prefix shingle
-    // / per agreeing band) — callers skip the dedup exchange and the
-    // distinct-count here absorbs the multiplicity. The lens ride as
-    // group keys (constant per id), keeping this a pure distinct-agg.
-    cand
-      .join(ds.select(col("id").as("id_a"), col("shingle"), col("len").as("len_a")), "id_a")
-      .join(ds.select(col("id").as("id_b"), col("shingle"), col("len").as("len_b")),
-        Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
-      .agg(countDistinct(col("shingle")).as("inter"))
-      .withColumn("sz_a", col("len_a").cast("long"))
-      .withColumn("sz_b", col("len_b").cast("long"))
-      .withColumn("union_n", col("sz_a") + col("sz_b") - col("inter"))
+    graft.plans.TextExpressions.ensureRegistered()
+    // Pair-carried-array shape (r12). The previous verify exploded the
+    // candidate docs' postings through the pair join — Σ|a| shuffled
+    // rows per candidate pair plus a distinct-aggregate (6.5M
+    // intermediate rows for 125k candidates at sf0.1; the whole query's
+    // dominant cost). Here the pair set chain-joins the cached shingle
+    // table twice to pick up each side's array — one row per candidate
+    // pair at every step, never a per-shingle fanout — and the
+    // intersection is one compiled hash-set probe per pair
+    // ([[graft.plans.IntersectCount]]). The shingle side broadcasts
+    // while it fits (it is already cached for the candidate stage); at
+    // cluster scale AQE falls back to a shuffle join, where a broadcast
+    // semi-prune of `sh` to candidate ids would bound the shuffled
+    // corpus side to candidate docs — candidates after prefix/LSH
+    // filtering are a tiny fraction, so both joins stay
+    // candidate-proportional.
+    // `cand` may arrive with duplicate pairs (one per shared prefix
+    // shingle / per agreeing band); the old distinct-count absorbed the
+    // multiplicity, the per-row intersect would double-emit — dedup the
+    // pair set first (candidate-proportional exchange).
+    cand.distinct()
+      .join(sh.select(col(idCol).as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("inter", call_function("graft_isect", col("s_a"), col("s_b")).cast("long"))
+      .withColumn("union_n",
+        size(col("s_a")).cast("long") + size(col("s_b")).cast("long") - col("inter"))
       .filter(col("inter") * lit(1.0) / col("union_n") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"))
   }
@@ -200,6 +200,14 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= greatest(lit(1),
         (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int")))
+      // singleton prune (r12): a df=1 shingle exists in exactly one doc,
+      // so it can never match the other side of the candidate self-join —
+      // dropping those rows AFTER rn is assigned (positions unchanged)
+      // shrinks both join inputs with zero effect on the candidate set.
+      // Rarest-first ordering makes singletons the BULK of prefixes
+      // (most shingles in a real corpus are unique), so this is the
+      // single biggest candidate-join input cut available losslessly.
+      .filter(col("c") > 1)
       .select(col("id"), col("shingle"), col("len"), col("rn")))
     // duplicate pairs (several shared prefix shingles) are fine —
     // verifyJaccard counts DISTINCT shingles, so no dedup exchange here.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,7 +59,8 @@ object TextExpressions {
     "graft_winnow" -> (es => WinnowFps(es(0), intLit(es(1)))),
     "graft_bpe_apply" -> (es => BpeApply(es(0), strArrLit(es(1)), strArrLit(es(2)))),
     "graft_simhash" -> (es => SimhashLong(es(0), intLit(es(1)))),
-    "graft_feat_buckets" -> (es => BigramBuckets(es(0), intLit(es(1)))))
+    "graft_feat_buckets" -> (es => BigramBuckets(es(0), intLit(es(1)))),
+    "graft_isect" -> (es => IntersectCount(es(0), es(1))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -423,4 +424,43 @@ case class TopGramStats(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct-intersection COUNT of two string arrays — the verification
+  * primitive of the dedup family's pair-carried-array shape
+  * (Dedup.verifyJaccard). Hash-set probe of the smaller side against
+  * the larger (O(|a|+|b|), no sort requirement); `remove` on match
+  * makes the count a DISTINCT intersection even if an input carries
+  * duplicates, matching `countDistinct` over the joined postings that
+  * this replaces. One compiled call per row vs the exploded-posting
+  * join's Σ|a| shuffled rows per pair.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_isect"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, ARRAY<STRING>), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    val set = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
+    var c = 0
+    i = 0
+    val m = big.numElements()
+    while (i < m) { if (set.remove(big.getUTF8String(i))) c += 1; i += 1 }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
