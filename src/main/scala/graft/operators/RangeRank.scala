@@ -206,6 +206,45 @@ object RangeRank {
                      out: String = "running"): DataFrame =
     withRunningSums(df, Seq(sumExpr -> out), key, tieBreak, desc, rowsFrame, nBuckets)
 
+  /** Two DEPENDENT exact running sums under one shared bucketing: the
+    * second summand is derived (via `interlude`) from the first's
+    * running value, so it cannot ride [[withRunningSums]]' single
+    * window — but it CAN reuse the first pass's bucket assignment,
+    * partitioning and sort. After the first windowed sum the rows are
+    * hash-partitioned by `_bucket` and sorted, so the second pass's
+    * per-bucket totals aggregate map-side, its offsets stay a
+    * ≤nBuckets triangular join, and its window adds NO new exchange —
+    * the whole second prefix sum costs one broadcast join on an
+    * already-partitioned stream. vs two [[withRunningSum]] calls this
+    * drops a bucket assignment, a min/max broadcast, an input persist
+    * and the second full exchange.
+    *
+    * `interlude` receives the first-pass result (input columns +
+    * `out1`; `_bucket` still attached) and must only ADD derived
+    * columns — projections and broadcast joins, nothing that changes
+    * the partitioning — returning a frame still carrying one row per
+    * input row. `sum2` is evaluated on the interlude's output.
+    */
+  def withRunningSumThen(df: DataFrame, sum1: Column, out1: String,
+                         interlude: DataFrame => DataFrame,
+                         sum2: Column, out2: String,
+                         key: Column, tieBreak: Seq[Column],
+                         desc: Boolean = false, nBuckets: Int = 32): DataFrame = {
+    val b = bucketed(df, key, desc, nBuckets)
+    val per1 = CachePool.track(b.groupBy(col("_bucket")).agg(sum(sum1).as("_v")))
+    val w = Window.partitionBy(col("_bucket")).orderBy(ordering(key, tieBreak, desc): _*)
+    val s1 = b.join(broadcast(cumOffsets(per1)), "_bucket")
+      .withColumn(out1, sum(sum1).over(w) + col("_off"))
+      .drop("_off")
+    // the derived rows feed both the second totals and the final
+    // window — persist, or the first pass runs twice
+    val d = CachePool.track(interlude(s1).withColumn("_t2", sum2))
+    val per2 = CachePool.track(d.groupBy(col("_bucket")).agg(sum(col("_t2")).as("_v")))
+    d.join(broadcast(cumOffsets(per2)), "_bucket")
+      .withColumn(out2, sum(col("_t2")).over(w) + col("_off"))
+      .drop("_bucket", "_off", "_t2")
+  }
+
   /** Several exact running sums under ONE shared bucketing, window and
     * offset join — a query needing k prefix sums over the same total
     * order (e.g. both cohort CDFs of a KS test) pays one bucketed pass

@@ -250,16 +250,18 @@ object Events {
     val tbl = per.groupBy(col("dur_s"))
       .agg(sum(lit(1L) - col("cens")).as("n_events"), sum(col("cens")).as("n_censored"))
     val tot = per.agg(count(lit(1)).as("n_total"))
-    val r1 = graft.operators.RangeRank.withRunningSum(
-        tbl, col("n_events") + col("n_censored"), col("dur_s"), Nil, out = "cum_incl")
-      .crossJoin(broadcast(tot))
-      .withColumn("n_risk",
-        col("n_total") - (col("cum_incl") - col("n_events") - col("n_censored")))
-      .withColumn("term_nano", expr(
-        "CASE WHEN n_events < n_risk THEN CAST(round(ln((CAST(n_risk AS DOUBLE)" +
-          " - n_events) / n_risk) * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-    graft.operators.RangeRank.withRunningSum(
-        r1, col("term_nano"), col("dur_s"), Nil, out = "km_lnlat")
+    // the two prefix sums are DEPENDENT (the ln-term needs the risk set
+    // from the first), so they share one bucketed pass — the second
+    // window rides the first's partitioning with no new exchange
+    graft.operators.RangeRank.withRunningSumThen(
+        tbl, col("n_events") + col("n_censored"), "cum_incl",
+        s1 => s1.crossJoin(broadcast(tot))
+          .withColumn("n_risk",
+            col("n_total") - (col("cum_incl") - col("n_events") - col("n_censored")))
+          .withColumn("term_nano", expr(
+            "CASE WHEN n_events < n_risk THEN CAST(round(ln((CAST(n_risk AS DOUBLE)" +
+              " - n_events) / n_risk) * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END")),
+        col("term_nano"), "km_lnlat", col("dur_s"), Nil)
       .filter(col("n_events") > 0)
       .select(col("dur_s"), col("n_risk"), col("n_events"), col("n_censored"),
         col("km_lnlat"),

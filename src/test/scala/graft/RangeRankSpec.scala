@@ -31,6 +31,28 @@ class RangeRankSpec extends SparkSpec {
     }
   }
 
+  test("withRunningSumThen equals two independent passes and keeps bucketed windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // heavy key ties so the peer-inclusive RANGE frame is exercised
+    val df = (1L to 4000L).map(i => (i % 97, i % 5 + 1)).toDF("k", "v")
+    // reference: two separate bucketed passes, second term derived from
+    // the first's running value (the q_survival dependency shape)
+    val a1 = graft.operators.RangeRank.withRunningSum(
+      df, col("v"), col("k"), Nil, out = "r1")
+    val a2 = graft.operators.RangeRank.withRunningSum(
+      a1, col("r1") % 7 + col("v"), col("k"), Nil, out = "r2")
+    val fused = graft.operators.RangeRank.withRunningSumThen(
+      df, col("v"), "r1",
+      s1 => s1, col("r1") % 7 + col("v"), "r2", col("k"), Nil)
+    val want = a2.select("k", "v", "r1", "r2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val got = fused.select("k", "v", "r1", "r2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got == want, "fused dependent running sums drifted from the two-pass reference")
+    assertNoGlobalWindow(fused.select("k", "v", "r1", "r2"), "withRunningSumThen")
+  }
+
   test("qGiniDist is bit-identical to qGini and has no global window") {
     val a = Relational.qGini(spark, dir).collect()
     val b = Relational.qGiniDist(spark, dir).collect()
