@@ -1755,8 +1755,18 @@ object Similarity {
         transform(col(embCol), e => round(e.cast("double") * lit(1000000.0)).cast("long")),
         mLit, (v, mm) => v - mm).as("cv")))
 
-    def sCol(w: Array[Long]): Column =
-      (0 until dims).map(i => col("cv").getItem(i) * lit(w(i))).reduce(_ + _)
+    // weights live in the expression instance, NOT folded literals —
+    // each round re-plans with new w, and a literal-folded 64-term Add
+    // chain changes the codegen source every round (one recompile per
+    // round) and re-runs the optimizer over a 64-node tree;
+    // graft_doti's source is round-invariant so the codegen cache hits
+    // from round 2 on. Measured round cost is dominated by the 64
+    // exact DECIMAL sums (execution, not compile), so this is plan
+    // hygiene, not a headline win — rounds are ~0.6 s either way.
+    def sCol(w: Array[Long]): Column = {
+      graft.plans.TextExpressions.ensureRegistered()
+      call_function("graft_doti", col("cv"), array(w.map(lit(_)): _*))
+    }
 
     val uAggs = (0 until dims).map(d =>
       sum((col("cv").getItem(d) * col("stv")).cast(dec)).cast(dec).as(s"u$d"))

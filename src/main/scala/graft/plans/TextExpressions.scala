@@ -60,12 +60,18 @@ object TextExpressions {
     "graft_bpe_apply" -> (es => BpeApply(es(0), strArrLit(es(1)), strArrLit(es(2)))),
     "graft_simhash" -> (es => SimhashLong(es(0), intLit(es(1)))),
     "graft_feat_buckets" -> (es => BigramBuckets(es(0), intLit(es(1)))),
-    "graft_isect" -> (es => IntersectCount(es(0), es(1))))
+    "graft_isect" -> (es => IntersectCount(es(0), es(1))),
+    "graft_doti" -> (es => LongArrayDot(es(0), longArrLit(es(1)))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
     case l: Long => l.toInt
     case o => throw new IllegalArgumentException(s"expected integer literal, got $o")
+  }
+
+  private def longArrLit(e: Expression): Array[Long] = e.eval(null) match {
+    case a: ArrayData => a.toLongArray()
+    case o => throw new IllegalArgumentException(s"expected long-array literal, got $o")
   }
 
   private def strArrLit(e: Expression): Array[String] = e.eval(null) match {
@@ -463,4 +469,38 @@ case class IntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product of an ARRAY<BIGINT> column with a fixed
+  * weight vector: Σ a[i]·w[i] in wrapping long arithmetic — the
+  * compiled twin of `Σ getItem(i)·lit(w_i)` with the weights held in
+  * the EXPRESSION INSTANCE instead of folded into the generated
+  * source. Iterative drivers (power iteration, perceptron-style
+  * updates) re-plan each round with new weights; literal-folded dots
+  * change the codegen source every round (one recompile per round,
+  * and a 64-node Add tree through the optimizer), while this form's
+  * source is round-invariant so the codegen cache hits. Missing dims
+  * beyond the array length contribute 0.
+  */
+case class LongArrayDot(child: Expression, weights: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_doti"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), weights.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * weights(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
