@@ -472,15 +472,18 @@ case class IntersectCount(left: Expression, right: Expression)
 }
 
 /** Exact integer dot product of an ARRAY<BIGINT> column with a fixed
-  * weight vector: Σ a[i]·w[i] in wrapping long arithmetic — the
-  * compiled twin of `Σ getItem(i)·lit(w_i)` with the weights held in
-  * the EXPRESSION INSTANCE instead of folded into the generated
-  * source. Iterative drivers (power iteration, perceptron-style
-  * updates) re-plan each round with new weights; literal-folded dots
-  * change the codegen source every round (one recompile per round,
-  * and a 64-node Add tree through the optimizer), while this form's
-  * source is round-invariant so the codegen cache hits. Missing dims
-  * beyond the array length contribute 0.
+  * weight vector: Σ a[i]·w[i] in overflow-CHECKED long arithmetic
+  * (throws like ANSI multiplication — the literal-folded
+  * `Σ getItem(i)·lit(w_i)` twin errors on long overflow under Spark's
+  * default ANSI mode, and silently wrapping here would diverge from it
+  * on out-of-contract inputs). Weights are held in the EXPRESSION
+  * INSTANCE instead of folded into the generated source: iterative
+  * drivers (power iteration, perceptron-style updates) re-plan each
+  * round with new weights, and literal-folded dots change the codegen
+  * source every round (one recompile per round, and a 64-node Add tree
+  * through the optimizer), while this form's source is round-invariant
+  * so the codegen cache hits. Missing dims beyond the array length
+  * contribute 0.
   */
 case class LongArrayDot(child: Expression, weights: Array[Long])
     extends UnaryExpression with CodegenFallback {
@@ -498,7 +501,10 @@ case class LongArrayDot(child: Expression, weights: Array[Long])
     val n = math.min(a.numElements(), weights.length)
     var acc = 0L
     var i = 0
-    while (i < n) { acc += a.getLong(i) * weights(i); i += 1 }
+    while (i < n) {
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), weights(i)))
+      i += 1
+    }
     acc
   }
 

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => ScTest}
+import org.apache.spark.sql.functions._
+
+/** Property pins for the r12 fused expressions against their builtin
+  * formulations: [[graft.plans.IntersectCount]] (`graft_isect`) vs
+  * `array_intersect`-of-distincts, and [[graft.plans.LongArrayDot]]
+  * (`graft_doti`) vs the literal-folded getItem·lit sum — in-range
+  * values match exactly, and BOTH forms reject long overflow (the
+  * folded twin errors under Spark's default ANSI mode; a silently
+  * wrapping fused form would diverge from it on out-of-contract
+  * inputs).
+  */
+class FusedExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.plans.TextExpressions.register(spark)
+
+  test("property: graft_isect equals distinct array_intersect size") {
+    val word = Gen.oneOf("a", "b", "cc", "ddd", "e f", "", "yy", "zzz", "qq x")
+    val arr = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val cases = Gen.listOfN(60, Gen.zip(arr, arr)).sample.get
+    val df = cases.toDF("xs", "ys")
+      .withColumn("fused", call_function("graft_isect", col("xs"), col("ys")))
+      .withColumn("builtin",
+        size(array_intersect(array_distinct(col("xs")), array_distinct(col("ys")))))
+    val bad = df.filter(col("fused") =!= col("builtin")).collect()
+    assert(bad.isEmpty, s"graft_isect drifted from array_intersect on:\n${bad.mkString("\n")}")
+  }
+
+  test("property: graft_doti equals the literal-folded dot in range") {
+    val dims = 8
+    // |cv·w| ≤ 2^20·2^20 = 2^40 per term, ×8 terms < 2^43 — far from
+    // overflow, so both forms are defined and must agree exactly
+    val inRange = Gen.chooseNum(-(1L << 20), 1L << 20)
+    val gen = for {
+      cv <- Gen.listOfN(dims, inRange)
+      w <- Gen.listOfN(dims, inRange)
+    } yield (cv, w)
+    val prop = forAll(gen) { case (cv, w) =>
+      val df = Seq(Tuple1(cv)).toDF("cv")
+      val fused = df.select(
+        call_function("graft_doti", col("cv"), array(w.map(lit(_)): _*)).as("d"))
+        .head.getLong(0)
+      val folded = df.select(
+        (0 until dims).map(i => col("cv").getItem(i) * lit(w(i))).reduce(_ + _).as("d"))
+        .head.getLong(0)
+      fused == folded
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("graft_doti rejects long overflow like the ANSI folded form") {
+    val df = Seq(Tuple1(Seq(Long.MaxValue / 2, Long.MaxValue / 2))).toDF("cv")
+    val ex = intercept[Exception] {
+      df.select(call_function("graft_doti", col("cv"),
+        array(lit(4L), lit(4L))).as("d")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException cause, got $ex")
+  }
+
+  test("graft_doti: short array contributes zero beyond its length") {
+    val df = Seq(Tuple1(Seq(3L, 4L))).toDF("cv")
+    val got = df.select(call_function("graft_doti", col("cv"),
+      array(lit(10L), lit(100L), lit(1000L))).as("d")).head.getLong(0)
+    assert(got == 3L * 10 + 4L * 100, s"short-array dot drifted: $got")
+  }
+}
