@@ -101,6 +101,42 @@ class DedupShuffleSpec extends SparkSpec {
     info(s"CC rounds: diameter 100 -> $r1, diameter 1000 -> $r10")
   }
 
+  test("ngram verify: shingle arrays never shuffle, volume linear in corpus (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.ArrayType
+    // the pair-carried-array verify claims: the corpus-sized shingle
+    // table streams map-side (broadcast) — ARRAYS never cross an
+    // exchange — and every shuffle carries scalar rows proportional to
+    // corpus (freq/prefix stages) or candidates (pair distinct), never
+    // a per-pair-per-shingle fanout. Construction: all-unique filler
+    // docs (every shingle df=1 → singleton-pruned, zero candidates)
+    // plus a CONSTANT planted near-dup set across both scales.
+    def shuffles(nFiller: Int): (Long, Boolean) = {
+      val filler = (0 until nFiller).map(i =>
+        (i.toLong + 1000L, s"u$i v$i w$i x$i y$i z$i q$i"))
+      val dups = (0 until 30).flatMap(i => Seq(
+        (2L * i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"),
+        (2L * i + 1, s"alpha$i beta$i gamma$i delta$i epsilon$i eta$i")))
+      val docs = (filler ++ dups).toDF("doc_id", "text").repartition(8)
+      val out = graft.operators.Dedup.ngramJaccard(docs, threshold = 0.5)
+      assert(out.count() == 30, "planted near-dup pairs drifted")
+      def strip(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeLike] =
+        p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }.flatMap(strip) ++
+          p.collect { case e: ShuffleExchangeLike => e }
+      val ex = strip(out.queryExecution.executedPlan)
+      assert(ex.nonEmpty, "no exchanges found in the ngram plan")
+      val arrayShuffled = ex.exists(_.child.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      (ex.map(written).sum, arrayShuffled)
+    }
+    val (vol1, arr1) = shuffles(2000)
+    val (vol10, arr10) = shuffles(20000)
+    assert(!arr1 && !arr10, "a shuffle exchange carried shingle arrays — corpus payload crossed the wire")
+    // linear + fixed candidate term; 12x allows partial-agg jitter
+    assert(vol10 <= vol1 * 12, s"ngram shuffle volume superlinear: $vol1 -> $vol10 at 10x corpus")
+    info(s"ngram shuffles: @1x=$vol1 rows @10x=$vol10 rows, arrays never shuffled")
+  }
+
   test("basket pair join shuffles baskets linearly, pair counts partial-aggregated") {
     import noAqe.implicits._
     val brands = 12
