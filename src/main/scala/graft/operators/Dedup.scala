@@ -452,12 +452,15 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, spanLen: Int = 8,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(spanLen >= 2, s"bad span length $spanLen")
-    val toks = tokens(col(textCol))
-    // sequence() is DESCENDING for start>stop — gate short docs out first
-    val sp = CachePool.track(docs.filter(size(toks) >= spanLen)
-      .select(col(idCol).as("doc"), explode(transform(
-        sequence(lit(1), size(toks) - (spanLen - 1)),
-        i => md5(concat_ws(" ", slice(toks, i, lit(spanLen)))))).as("h")))
+    graft.plans.TextExpressions.ensureRegistered()
+    // fused positional span digests ([[graft.plans.SpanHashes]]) — the
+    // transform(sequence…md5(concat_ws(slice))) form re-sliced and
+    // re-hashed every window in the expression interpreter (the
+    // query's dominant cost); short docs come back as empty arrays and
+    // explode() drops them, so no pre-filter needed
+    val sp = CachePool.track(docs
+      .select(col(idCol).as("doc"),
+        explode(call_function("graft_spanhash", col(textCol), lit(spanLen))).as("h")))
     val mult = sp.groupBy(col("h")).agg(count(lit(1)).as("mult"))
     sp.join(mult, "h")
       .groupBy(col("doc").as(idCol))

@@ -61,7 +61,8 @@ object TextExpressions {
     "graft_simhash" -> (es => SimhashLong(es(0), intLit(es(1)))),
     "graft_feat_buckets" -> (es => BigramBuckets(es(0), intLit(es(1)))),
     "graft_isect" -> (es => IntersectCount(es(0), es(1))),
-    "graft_doti" -> (es => LongArrayDot(es(0), longArrLit(es(1)))))
+    "graft_doti" -> (es => LongArrayDot(es(0), longArrLit(es(1)))),
+    "graft_spanhash" -> (es => SpanHashes(es(0), intLit(es(1)))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -506,6 +507,46 @@ case class LongArrayDot(child: Expression, weights: Array[Long])
       i += 1
     }
     acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Positional n-token span digests: md5 hex of every length-`n` token
+  * window of a single-space-tokenized text, duplicates kept, in
+  * position order — bit-identical to
+  * `transform(sequence(1, T−n+1), i → md5(concat_ws(" ", slice(toks, i, n))))`
+  * but one compiled call per row with a reused MessageDigest (the HOF
+  * chain re-sliced and re-joined every window in the expression
+  * interpreter and built a fresh digest per span — the dominant cost of
+  * q_dup_spans). Fewer than n tokens → empty array.
+  */
+case class SpanHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_spanhash"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val md = TextExpressions.md5()
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      md.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = UTF8String.fromString(TextExpressions.hex(md.digest()))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

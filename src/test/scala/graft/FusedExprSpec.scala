@@ -65,6 +65,22 @@ class FusedExprSpec extends SparkSpec {
       s"expected an ArithmeticException cause, got $ex")
   }
 
+  test("property: graft_spanhash equals the HOF slice+md5 form") {
+    val word = Gen.oneOf("a", "bb", "ccc", "", "dd d")
+    val text = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val cases = Gen.listOfN(50, text).sample.get
+    val n = 3
+    val toks = split(col("t"), " ")
+    val df = cases.toDF("t")
+      .withColumn("fused", call_function("graft_spanhash", col("t"), lit(n)))
+      .withColumn("builtin", when(size(toks) >= n, transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array()))
+    val bad = df.filter(not(col("fused") <=> col("builtin"))).collect()
+    assert(bad.isEmpty, s"graft_spanhash drifted from the HOF form on:\n${bad.mkString("\n")}")
+  }
+
   test("graft_doti: short array contributes zero beyond its length") {
     val df = Seq(Tuple1(Seq(3L, 4L))).toDF("cv")
     val got = df.select(call_function("graft_doti", col("cv"),
