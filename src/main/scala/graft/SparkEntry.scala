@@ -1636,6 +1636,8 @@ object SparkEntry {
     "q_bpe_encode" -> (QualityQueries.qBpeEncode _),
     "q_bpe_fertility" -> (QualityQueries.qBpeFertility _),
     "q_json_props" -> (QualityQueries.qJsonProps _),
+    "q_jsonl_ingest" -> (PipelineQueries.qJsonlIngest _),
+    "q_csv_ingest" -> (PipelineQueries.qCsvIngest _),
     "q_phrase_search" -> (QualityQueries.qPhraseSearch _),
     "q_prep_capstone" -> (QualityQueries.qPrepCapstone _),
     "q_curriculum" -> (QualityQueries.qCurriculum _),
@@ -1903,6 +1905,8 @@ object SparkEntry {
     "q_bpe_encode" -> QualityQueries.qBpeEncodeSql,
     "q_bpe_fertility" -> QualityQueries.qBpeFertilitySql,
     "q_json_props" -> QualityQueries.qJsonPropsSql,
+    "q_jsonl_ingest" -> PipelineQueries.corpusIngestSql,
+    "q_csv_ingest" -> PipelineQueries.corpusIngestSql,
     "q_phrase_search" -> QualityQueries.qPhraseSearchSql,
     "q_prep_capstone" -> QualityQueries.qPrepCapstoneSql,
     "q_curriculum" -> QualityQueries.qCurriculumSql,

@@ -3703,4 +3703,55 @@ object PipelineQueries {
        |       CAST(n_overlap * 1000000 // n_exact AS BIGINT) AS recall_ppm,
        |       CAST(n_overlap * 1000000 // n_lsh AS BIGINT) AS precision_ppm
        |FROM ov, ne, nl""".stripMargin
+
+  // ------------------------------------------------- corpus interchange I/O
+
+  private val DocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  private val corpusCopyPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def corpusCopy(s: SparkSession, dir: String, fmt: String): String =
+    corpusCopyPaths.getOrElseUpdate(dir + "#" + fmt, {
+      val base = "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_corpus_" + fmt
+      val cols = DocSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+      val d = docs(s, dir).select(cols.toSeq: _*)
+      if (fmt == "jsonl") graft.sources.CorpusIO.writeJsonl(d, base)
+      else graft.sources.CorpusIO.writeCsv(d, base)
+      base
+    })
+
+  /** JSONL(.gz) ingest round trip ([[graft.sources.CorpusIO]]): the
+    * documents table is written as gzip JSONL once per scale dir, read
+    * back under the ENFORCED schema, and audited per source — counts,
+    * exact id/char sums, a distinct all-column md5 digest count, and
+    * the quarantine count. The oracle computes the same aggregates from
+    * the parquet original (n_corrupt pinned 0), so any row the
+    * interchange copy drops, duplicates, or garbles is a hash mismatch.
+    */
+  def qJsonlIngest(s: SparkSession, dir: String): DataFrame =
+    graft.sources.CorpusIO.roundTripAudit(
+      graft.sources.CorpusIO.readJsonl(s, corpusCopy(s, dir, "jsonl"), DocSchema))
+
+  /** CSV(.gz) ingest round trip — same audit as [[qJsonlIngest]] over
+    * the RFC-4180-quoted copy (embedded separators/quotes round-trip).
+    */
+  def qCsvIngest(s: SparkSession, dir: String): DataFrame =
+    graft.sources.CorpusIO.roundTripAudit(
+      graft.sources.CorpusIO.readCsv(s, corpusCopy(s, dir, "csv"), DocSchema))
+
+  val corpusIngestSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(count(DISTINCT md5(concat_ws('|', CAST(doc_id AS VARCHAR), text,
+      |                                lang, source, CAST(n_chars AS VARCHAR))))
+      |            AS BIGINT) AS n_distinct_rows,
+      |       CAST(0 AS BIGINT) AS n_corrupt
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

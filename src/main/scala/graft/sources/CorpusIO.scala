@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Corpus interchange I/O — JSONL and CSV, the two formats LLM corpora
+  * actually ship in (every public web corpus distributes
+  * `*.jsonl.zst`; annotation/label drops arrive as CSV). Parquet is
+  * the engine's native storage ([[Catalog]]); this module is the edge
+  * where external data enters and leaves.
+  *
+  * Design rules for the 100 TB ingest path:
+  *  - **Schema is ALWAYS enforced, never inferred.** Spark's JSON/CSV
+  *    schema inference is a full extra pass over the input and yields
+  *    type drift between drops (a batch whose `id`s all fit INT32
+  *    silently narrows the column). Callers pass the expected
+  *    [[StructType]]; rows that don't parse land in a quarantine
+  *    column instead of failing the job or being dropped.
+  *  - **Corrupt rows are data, not errors.** PERMISSIVE mode with a
+  *    `columnNameOfCorruptRecord` keeps the malformed source line
+  *    verbatim so a pipeline can count, sample, and re-ingest it after
+  *    a fix — the operational loop every real crawl drop needs. A
+  *    multi-TB ingest that aborts on line 10⁹ (FAILFAST) or silently
+  *    loses rows (DROPMALFORMED) is not restartable.
+  *  - **Compressed by default** on the write side (gzip — available
+  *    through the bundled codecs everywhere; swap to zstd where the
+  *    Hadoop native zstd codec is installed, as it is on real
+  *    clusters: text-source zstd needs libhadoop, unlike parquet's
+  *    bundled zstd-jni).
+  */
+object CorpusIO {
+
+  val CorruptCol = "_corrupt"
+
+  /** Read line-delimited JSON with an enforced schema; malformed lines
+    * arrive with every data column null and the raw line in
+    * [[CorruptCol]]. Compressed inputs (`.zst`, `.gz`, …) decode by
+    * file extension through the Hadoop codec chain. Spark restriction:
+    * a query projecting ONLY [[CorruptCol]] from the raw scan is
+    * disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or persist
+    * the parsed frame before a corrupt-only audit.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Write as compressed JSONL. One file per partition — callers
+    * control file count with the frame's partitioning, as with any
+    * Spark sink.
+    */
+  def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** Read CSV with an enforced schema (header consumed and ignored for
+    * naming — the schema names win); malformed rows quarantine into
+    * [[CorruptCol]] like [[readJsonl]].
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, sep: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .option("multiLine", "false")
+      .csv(path)
+
+  /** Write as compressed CSV with a header. Quoting is Spark's
+    * RFC-4180 default, so embedded separators/quotes/newlines in text
+    * columns round-trip.
+    */
+  def writeCsv(df: DataFrame, path: String, compression: String = "gzip",
+               sep: String = ","): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression)
+      .option("header", "true")
+      .option("sep", sep)
+      .csv(path)
+
+  /** Per-source round-trip audit of an interchange copy of `docs`
+    * against the original: row counts, exact BIGINT sums, a
+    * distinct-row digest count (md5 over all columns — any dropped,
+    * duplicated, or garbled row changes it), and the quarantine count.
+    * Both frames must carry doc_id/text/lang/source/n_chars.
+    */
+  def roundTripAudit(roundTripped: DataFrame): DataFrame = {
+    val digest = md5(concat_ws("|",
+      col("doc_id").cast("string"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("string")))
+    val corrupt = if (roundTripped.columns.contains(CorruptCol))
+      col(CorruptCol) else lit(null).cast("string")
+    roundTripped
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(digest).as("n_distinct_rows"),
+        count(corrupt).as("n_corrupt"))
+      .orderBy("source")
+  }
+}

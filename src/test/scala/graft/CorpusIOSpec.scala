@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.CorpusIO
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Interchange-edge semantics: enforced schema, corrupt-line
+  * quarantine (rows are data, not errors), and RFC-4180 quoting round
+  * trips for adversarial text. The parquet-vs-interchange equivalence
+  * itself is oracle-checked (q_jsonl_ingest / q_csv_ingest).
+  */
+class CorpusIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  test("jsonl: malformed lines quarantine with the raw line, clean lines parse") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusio").toString
+    val f = new java.io.PrintWriter(s"$dir/part-000.jsonl")
+    f.println("""{"doc_id": 1, "text": "a b", "lang": "en", "source": "web", "n_chars": 3}""")
+    f.println("""{"doc_id": broken""")
+    f.println("""not json at all""")
+    f.println("""{"doc_id": 2, "text": "c", "lang": "de", "source": "web", "n_chars": 1}""")
+    f.close()
+    // corrupt-only projections on a raw scan are disallowed
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the parsed result, as
+    // a real quarantine audit would before splitting clean/corrupt
+    val df = CorpusIO.readJsonl(spark, dir, schema).cache()
+    assert(df.count() == 4, "a malformed line was dropped instead of quarantined")
+    val corrupt = df.filter(col(CorpusIO.CorruptCol).isNotNull)
+      .select(CorpusIO.CorruptCol).as[String].collect().sorted
+    assert(corrupt.length == 2, s"expected 2 quarantined lines, got ${corrupt.toSeq}")
+    assert(corrupt.exists(_.contains("broken")) && corrupt.exists(_.startsWith("not json")),
+      s"raw malformed lines not preserved: ${corrupt.toSeq}")
+    val clean = df.filter(col(CorpusIO.CorruptCol).isNull)
+    assert(clean.count() == 2)
+    assert(clean.agg(sum("doc_id")).head.getLong(0) == 3L)
+  }
+
+  test("csv: embedded separators, quotes and newlines round-trip under quoting") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusio").toString + "/csv"
+    val nasty = Seq(
+      (1L, "comma, inside", "en", "web", 13L),
+      (2L, "a \"quoted\" word", "en", "web", 15L),
+      (3L, "line\nbreak", "de", "books", 10L),
+      (4L, "plain", "fr", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusIO.writeCsv(nasty, dir, compression = "none")
+    // multiLine on for the embedded-newline row — the writer quotes it
+    val back = spark.read
+      .schema(schema.add(CorpusIO.CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorpusIO.CorruptCol)
+      .option("header", "true").option("multiLine", "true")
+      .csv(dir)
+      .cache()
+    assert(back.filter(col(CorpusIO.CorruptCol).isNotNull).count() == 0)
+    val got = back.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "comma, inside", 2L -> "a \"quoted\" word",
+      3L -> "line\nbreak", 4L -> "plain"), s"quoting round trip drifted: $got")
+  }
+
+  test("csv: malformed rows quarantine, schema names win over header") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusio").toString
+    val f = new java.io.PrintWriter(s"$dir/d.csv")
+    f.println("id,body,language,src,len") // header names deliberately different
+    f.println("1,hello,en,web,5")
+    f.println("not_a_long,x,en,web,1")
+    f.println("2,world,de,books,5")
+    f.close()
+    val df = CorpusIO.readCsv(spark, dir, schema).cache()
+    assert(df.columns.take(5).toSeq == schema.fieldNames.toSeq, "schema names must win")
+    assert(df.filter(col(CorpusIO.CorruptCol).isNotNull).count() == 1)
+    assert(df.filter(col(CorpusIO.CorruptCol).isNull).agg(sum("doc_id")).head.getLong(0) == 3L)
+  }
+
+  test("jsonl: gzip write round-trips through the extension codec chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpusio").toString + "/jz"
+    val d = Seq((1L, "a b", "en", "web", 3L), (2L, "c", "de", "books", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusIO.writeJsonl(d, dir) // gzip default
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), s"no gzip part files in ${files.toSeq}")
+    val back = CorpusIO.readJsonl(spark, dir, schema).cache()
+    assert(back.filter(col(CorpusIO.CorruptCol).isNotNull).count() == 0)
+    assert(back.count() == 2 && back.agg(sum("n_chars")).head.getLong(0) == 4L)
+  }
+}
