@@ -31,6 +31,24 @@ object DocStream {
       .parquet(dir)
       .withColumn("ingest_ts", timestamp_seconds(lit(1704067200L) + col("doc_id") % 3600))
 
+  /** Streaming JSONL ingest over a drop directory — the streaming twin
+    * of [[graft.sources.CorpusIO.readJsonl]] and the shape corpus
+    * drops actually arrive in (files landing in a bucket, autoloaded
+    * as they appear). Schema ENFORCED (inference is illegal on a
+    * stream anyway), malformed lines quarantined into `_corrupt`
+    * verbatim rather than failing the query — a poison file must not
+    * kill a long-running ingest. Event time synthesized like
+    * [[readDocs]].
+    */
+  def readJsonlDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .withColumn("ingest_ts", timestamp_seconds(lit(1704067200L) + col("doc_id") % 3600))
+
   /** Signature key: banded-minhash signature for shingleable docs, md5
     * fallback for short ones (an all-empty shingle set must not collapse
     * every short doc into one key).

@@ -9,6 +9,50 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 class StreamingSpec extends SparkSpec {
 
+  test("streaming JSONL drop-directory ingest: quarantine + batch equivalence") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-jsonl-drop")
+    // drop 1: clean file; drop 2: one poison line in the middle
+    val f1 = new java.io.PrintWriter(dir.resolve("drop-001.jsonl").toFile)
+    f1.println("""{"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "web", "n_chars": 16}""")
+    f1.println("""{"doc_id": 2, "text": "delta epsilon", "lang": "de", "source": "books", "n_chars": 13}""")
+    f1.close()
+    val f2 = new java.io.PrintWriter(dir.resolve("drop-002.jsonl").toFile)
+    f2.println("""{"doc_id": 3, "text": "zeta", "lang": "fr", "source": "web", "n_chars": 4}""")
+    f2.println("""{"oops: not json""")
+    f2.println("""{"doc_id": 4, "text": "eta theta", "lang": "en", "source": "web", "n_chars": 9}""")
+    f2.close()
+
+    val q = graft.streaming.DocStream.readJsonlDocs(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory").queryName("jsonl_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("jsonl_out").cache()
+      // a poison line must neither kill the query nor vanish
+      assert(q.exception.isEmpty, s"stream died on the poison line: ${q.exception}")
+      assert(out.count() == 5, "poison line dropped instead of quarantined")
+      val bad = out.filter(col("_corrupt").isNotNull)
+      assert(bad.count() == 1 &&
+        bad.select("_corrupt").head.getString(0).contains("oops"),
+        "quarantined line not preserved verbatim")
+      // clean rows ≡ the batch reader over the same directory
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      val batch = graft.sources.CorpusIO.readJsonl(spark, dir.toString, schema).cache()
+      val a = out.filter(col("_corrupt").isNull)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      val b = batch.filter(col("_corrupt").isNull)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(a.toSeq == b.toSeq, "streamed clean rows drifted from the batch reader")
+    } finally q.stop()
+  }
+
   test("streaming windowed agg matches batch on finite input") {
     val dir = Files.createTempDirectory("graft-stream")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
