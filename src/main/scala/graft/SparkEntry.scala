@@ -1638,6 +1638,7 @@ object SparkEntry {
     "q_json_props" -> (QualityQueries.qJsonProps _),
     "q_jsonl_ingest" -> (PipelineQueries.qJsonlIngest _),
     "q_csv_ingest" -> (PipelineQueries.qCsvIngest _),
+    "q_orc_ingest" -> (PipelineQueries.qOrcIngest _),
     "q_phrase_search" -> (QualityQueries.qPhraseSearch _),
     "q_prep_capstone" -> (QualityQueries.qPrepCapstone _),
     "q_curriculum" -> (QualityQueries.qCurriculum _),
@@ -1907,6 +1908,7 @@ object SparkEntry {
     "q_json_props" -> QualityQueries.qJsonPropsSql,
     "q_jsonl_ingest" -> PipelineQueries.corpusIngestSql,
     "q_csv_ingest" -> PipelineQueries.corpusIngestSql,
+    "q_orc_ingest" -> PipelineQueries.corpusIngestSql,
     "q_phrase_search" -> QualityQueries.qPhraseSearchSql,
     "q_prep_capstone" -> QualityQueries.qPrepCapstoneSql,
     "q_curriculum" -> QualityQueries.qCurriculumSql,

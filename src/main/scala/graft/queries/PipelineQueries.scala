@@ -3719,8 +3719,11 @@ object PipelineQueries {
       val base = "target/graft-wh/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/_corpus_" + fmt
       val cols = DocSchema.fieldNames.map(org.apache.spark.sql.functions.col)
       val d = docs(s, dir).select(cols.toSeq: _*)
-      if (fmt == "jsonl") graft.sources.CorpusIO.writeJsonl(d, base)
-      else graft.sources.CorpusIO.writeCsv(d, base)
+      fmt match {
+        case "jsonl" => graft.sources.CorpusIO.writeJsonl(d, base)
+        case "orc" => graft.sources.CorpusIO.writeOrc(d, base)
+        case _ => graft.sources.CorpusIO.writeCsv(d, base)
+      }
       base
     })
 
@@ -3742,6 +3745,11 @@ object PipelineQueries {
   def qCsvIngest(s: SparkSession, dir: String): DataFrame =
     graft.sources.CorpusIO.roundTripAudit(
       graft.sources.CorpusIO.readCsv(s, corpusCopy(s, dir, "csv"), DocSchema))
+
+  /** ORC(zstd) ingest round trip — the columnar interchange sibling. */
+  def qOrcIngest(s: SparkSession, dir: String): DataFrame =
+    graft.sources.CorpusIO.roundTripAudit(
+      graft.sources.CorpusIO.readOrc(s, corpusCopy(s, dir, "orc"), DocSchema))
 
   val corpusIngestSql: String =
     """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

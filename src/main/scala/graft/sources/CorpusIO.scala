@@ -82,6 +82,19 @@ object CorpusIO {
       .option("sep", sep)
       .csv(path)
 
+  /** Read ORC (columnar interchange with Hive-ecosystem shops;
+    * schema-on-read like parquet, so no quarantine column — file-level
+    * schema mismatches surface as analysis errors, not silent drift).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Write as zlib ORC (ORC's own codec set — zstd available here via
+    * the bundled orc-core, unlike the text sources).
+    */
+  def writeOrc(df: DataFrame, path: String, compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
   /** Per-source round-trip audit of an interchange copy of `docs`
     * against the original: row counts, exact BIGINT sums, a
     * distinct-row digest count (md5 over all columns — any dropped,
