@@ -131,30 +131,52 @@ object Dedup {
     * exact all-pairs semantics — verification is lossless).
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double): DataFrame =
+    verifyJaccardImpl(cand, sh, idCol, threshold, semiPrune = false)
+
+  /** Pair-carried-array verification (r12). The previous verify
+    * exploded the candidate docs' postings through the pair join —
+    * Σ|a| shuffled rows per candidate pair plus a distinct-aggregate
+    * (6.5M intermediate rows for 125k candidates at sf0.1; the whole
+    * query's dominant cost). Here the pair set chain-joins the cached
+    * shingle table twice to pick up each side's array — one row per
+    * candidate pair at every step, never a per-shingle fanout — and
+    * the intersection is one compiled hash-set probe per pair
+    * ([[graft.plans.IntersectCount]]).
+    *
+    * `semiPrune` picks the corpus-side strategy when the shingle table
+    * is too big to broadcast:
+    *  - `false` (default, right for single-node / broadcastable `sh`):
+    *    the chain joins take `sh` as-is; AQE broadcasts it while it
+    *    fits and falls back to a shuffle join past that.
+    *  - `true` (the 1000-executor path): each chain join's shingle
+    *    side is first LEFT SEMI pruned to the candidate ids — the
+    *    semi join's build side is the (tiny) candidate id set, so the
+    *    prune is map-only over `sh` and the subsequent joins move only
+    *    candidate docs' arrays. The cost is that the un-persisted
+    *    candidate subtree evaluates three times (two semi builds + the
+    *    chain probe) — ~2 extra candidate-stage seconds at sf0.1,
+    *    which is why it is not the local default; at corpus scales the
+    *    avoided corpus shuffle dominates that many times over.
+    * Output is identical either way (EquivalenceSpec in DedupSpec).
+    *
+    * `cand` may arrive with duplicate pairs (one per shared prefix
+    * shingle / per agreeing band); the old distinct-count absorbed the
+    * multiplicity, the per-row intersect would double-emit — dedup the
+    * pair set first (candidate-proportional exchange).
+    */
+  private[graft] def verifyJaccardImpl(cand: DataFrame, sh: DataFrame, idCol: String,
+                                       threshold: Double, semiPrune: Boolean): DataFrame = {
     graft.plans.TextExpressions.ensureRegistered()
-    // Pair-carried-array shape (r12). The previous verify exploded the
-    // candidate docs' postings through the pair join — Σ|a| shuffled
-    // rows per candidate pair plus a distinct-aggregate (6.5M
-    // intermediate rows for 125k candidates at sf0.1; the whole query's
-    // dominant cost). Here the pair set chain-joins the cached shingle
-    // table twice to pick up each side's array — one row per candidate
-    // pair at every step, never a per-shingle fanout — and the
-    // intersection is one compiled hash-set probe per pair
-    // ([[graft.plans.IntersectCount]]). The shingle side broadcasts
-    // while it fits (it is already cached for the candidate stage); at
-    // cluster scale AQE falls back to a shuffle join, where a broadcast
-    // semi-prune of `sh` to candidate ids would bound the shuffled
-    // corpus side to candidate docs — candidates after prefix/LSH
-    // filtering are a tiny fraction, so both joins stay
-    // candidate-proportional.
-    // `cand` may arrive with duplicate pairs (one per shared prefix
-    // shingle / per agreeing band); the old distinct-count absorbed the
-    // multiplicity, the per-row intersect would double-emit — dedup the
-    // pair set first (candidate-proportional exchange).
-    cand.distinct()
-      .join(sh.select(col(idCol).as("id_a"), col("s").as("s_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("s").as("s_b")), "id_b")
+    val pairs = cand.distinct()
+    def side(role: String): DataFrame = {
+      val base = sh.select(col(idCol).as(role), col("s"))
+      if (!semiPrune) base
+      else base.join(broadcast(pairs.select(col(role)).distinct()), Seq(role), "left_semi")
+    }
+    pairs
+      .join(side("id_a").withColumnRenamed("s", "s_a"), "id_a")
+      .join(side("id_b").withColumnRenamed("s", "s_b"), "id_b")
       .withColumn("inter", call_function("graft_isect", col("s_a"), col("s_b")).cast("long"))
       .withColumn("union_n",
         size(col("s_a")).cast("long") + size(col("s_b")).cast("long") - col("inter"))

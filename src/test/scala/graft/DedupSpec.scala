@@ -30,6 +30,27 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("semi-pruned verify (cluster path) equals the default chain verify") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) s"alpha beta gamma delta epsilon${i % 8}"
+          else s"w$i x$i y$i z$i v$i")).toDF("doc_id", "text")
+    val sh = Dedup.docShingles(docs, "text", "doc_id")
+    val cand = sh.select(col("doc_id").as("id_a")).crossJoin(
+        sh.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+      // duplicate pairs on purpose — both paths must dedup identically
+      .unionAll(Seq((0L, 4L), (0L, 4L)).toDF("id_a", "id_b"))
+    def run(prune: Boolean) =
+      Dedup.verifyJaccardImpl(cand, sh, "doc_id", 0.5, semiPrune = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val a = run(false)
+    val b = run(true)
+    assert(a.nonEmpty, "fixture produced no verified pairs")
+    assert(a == b, s"semi-pruned verify drifted:\n$a\nvs\n$b")
+  }
+
   test("minhash LSH catches exact dups with verified jaccard") {
     val out = Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.9).collect()
     assert(out.length == 1)
