@@ -123,6 +123,20 @@ object Dedup {
     sh.select(col(idCol).as("id"), size(col("s")).as("len"),
       explode(col("s")).as("shingle"))
 
+  /** Spark conf knob selecting the corpus-side strategy of
+    * [[verifyJaccardImpl]] for every public dedup entry point
+    * (ngramJaccard / minhashPairs / minhashLsh). Off by default — the
+    * single-node/broadcastable regime; set `true` on deployments where
+    * the shingle table exceeds broadcast range (the 1000-executor
+    * path). A session conf rather than a per-call parameter so a
+    * cluster profile can flip every dedup query at once without code
+    * changes.
+    */
+  val SemiPruneConf = "spark.graft.dedup.semiPrune"
+
+  private def semiPruneEnabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(SemiPruneConf).exists(_.toBoolean)
+
   /** Exact Jaccard verification of candidate pairs: the deduped pair
     * set picks up each side's shingle array by joining the cached
     * shingle table, and a compiled hash-set probe
@@ -132,7 +146,7 @@ object Dedup {
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String,
                             threshold: Double): DataFrame =
-    verifyJaccardImpl(cand, sh, idCol, threshold, semiPrune = false)
+    verifyJaccardImpl(cand, sh, idCol, threshold, semiPrune = semiPruneEnabled(cand))
 
   /** Pair-carried-array verification (r12). The previous verify
     * exploded the candidate docs' postings through the pair join —
@@ -145,19 +159,25 @@ object Dedup {
     * ([[graft.plans.IntersectCount]]).
     *
     * `semiPrune` picks the corpus-side strategy when the shingle table
-    * is too big to broadcast:
+    * is too big to broadcast (threaded from the public entry points
+    * via the [[SemiPruneConf]] session conf):
     *  - `false` (default, right for single-node / broadcastable `sh`):
     *    the chain joins take `sh` as-is; AQE broadcasts it while it
-    *    fits and falls back to a shuffle join past that.
+    *    fits and falls back to a shuffle join past that. The pair set
+    *    feeds exactly one consumer (the chain), so no materialization.
     *  - `true` (the 1000-executor path): each chain join's shingle
-    *    side is first LEFT SEMI pruned to the candidate ids — the
-    *    semi join's build side is the (tiny) candidate id set, so the
+    *    side is first LEFT SEMI pruned to the candidate ids, so the
     *    prune is map-only over `sh` and the subsequent joins move only
-    *    candidate docs' arrays. The cost is that the un-persisted
-    *    candidate subtree evaluates three times (two semi builds + the
-    *    chain probe) — ~2 extra candidate-stage seconds at sf0.1,
-    *    which is why it is not the local default; at corpus scales the
-    *    avoided corpus shuffle dominates that many times over.
+    *    candidate docs' arrays. The pair set here feeds THREE
+    *    consumers (two semi builds + the chain probe), so the deduped
+    *    pairs are `localCheckpoint`ed first — the expensive candidate
+    *    subtree computes exactly ONCE and the two id-set builds read
+    *    checkpointed blocks (r12 paid ~3× candidate generation here;
+    *    an earlier CachePool variant raced its own two branches —
+    *    PLANS_r12). No forced broadcast hint on the id set: it derives
+    *    from a checkpointed frame with known-small stats, so AQE
+    *    broadcasts it while it fits and can fall back if a pathological
+    *    candidate set is not tiny.
     * Output is identical either way (EquivalenceSpec in DedupSpec).
     *
     * `cand` may arrive with duplicate pairs (one per shared prefix
@@ -168,11 +188,13 @@ object Dedup {
   private[graft] def verifyJaccardImpl(cand: DataFrame, sh: DataFrame, idCol: String,
                                        threshold: Double, semiPrune: Boolean): DataFrame = {
     graft.plans.TextExpressions.ensureRegistered()
-    val pairs = cand.distinct()
+    val pairs =
+      if (semiPrune) cand.distinct().localCheckpoint(true)
+      else cand.distinct()
     def side(role: String): DataFrame = {
       val base = sh.select(col(idCol).as(role), col("s"))
       if (!semiPrune) base
-      else base.join(broadcast(pairs.select(col(role)).distinct()), Seq(role), "left_semi")
+      else base.join(pairs.select(col(role)).distinct(), Seq(role), "left_semi")
     }
     pairs
       .join(side("id_a").withColumnRenamed("s", "s_a"), "id_a")

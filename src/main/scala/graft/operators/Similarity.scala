@@ -1763,6 +1763,8 @@ object Similarity {
     // from round 2 on. Measured round cost is dominated by the 64
     // exact DECIMAL sums (execution, not compile), so this is plan
     // hygiene, not a headline win — rounds are ~0.6 s either way.
+    // cv is built above with exactly `dims` elements, so graft_doti's
+    // short-array NULL sentinel is unreachable here.
     def sCol(w: Array[Long]): Column = {
       graft.plans.TextExpressions.ensureRegistered()
       call_function("graft_doti", col("cv"), array(w.map(lit(_)): _*))

@@ -359,11 +359,26 @@ case class BigramBuckets(child: Expression, buckets: Int)
   * expression tree: a realistic 10k–32k-entry tokenizer would blow
   * analysis/codegen stack depth and Janino limits as a nested replace
   * chain, while here tree depth is constant in the merge count.
+  *
+  * As with [[LongArrayDot]], the `Array` fields get content-based
+  * equals/hashCode so two instances with the same merge table compare
+  * semantically equal (CSE / exchange-reuse eligibility).
   */
 case class BpeApply(child: Expression, patterns: Array[String], repls: Array[String])
     extends UnaryExpression with CodegenFallback {
   require(patterns.length == repls.length,
     s"merge table arity mismatch: ${patterns.length} patterns, ${repls.length} replacements")
+
+  override def equals(other: Any): Boolean = other match {
+    case BpeApply(c, p, r) => c == child &&
+      java.util.Arrays.equals(p.asInstanceOf[Array[AnyRef]], patterns.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.equals(r.asInstanceOf[Array[AnyRef]], repls.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() +
+      java.util.Arrays.hashCode(patterns.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.hashCode(repls.asInstanceOf[Array[AnyRef]])
   override def prettyName: String = "graft_bpe_apply"
   override def dataType: DataType = StringType
 
@@ -483,13 +498,21 @@ case class IntersectCount(left: Expression, right: Expression)
   * round with new weights, and literal-folded dots change the codegen
   * source every round (one recompile per round, and a 64-node Add tree
   * through the optimizer), while this form's source is round-invariant
-  * so the codegen cache hits. Missing dims beyond the array length
-  * contribute 0.
+  * so the codegen cache hits. An array SHORTER than the weight vector
+  * is out of contract and returns NULL — a sentinel, never a silent
+  * partial sum (the folded twin also never yields a partial sum
+  * there). Extra array elements beyond the weights are ignored.
+  *
+  * Weights live in a JVM array for eval speed; equality/hashCode are
+  * overridden to compare CONTENTS (a bare `Array` field compares by
+  * identity, which would defeat semanticEquals-based reuse — CSE,
+  * exchange/cache reuse — for two plans carrying the same weights).
   */
 case class LongArrayDot(child: Expression, weights: Array[Long])
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "graft_doti"
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -499,15 +522,22 @@ case class LongArrayDot(child: Expression, weights: Array[Long])
 
   override protected def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), weights.length)
+    if (a.numElements() < weights.length) return null
     var acc = 0L
     var i = 0
-    while (i < n) {
+    while (i < weights.length) {
       acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), weights(i)))
       i += 1
     }
     acc
   }
+
+  override def equals(other: Any): Boolean = other match {
+    case LongArrayDot(c, w) => c == child && java.util.Arrays.equals(w, weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

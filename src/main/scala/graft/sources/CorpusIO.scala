@@ -58,21 +58,43 @@ object CorpusIO {
   /** Read CSV with an enforced schema (header consumed and ignored for
     * naming — the schema names win); malformed rows quarantine into
     * [[CorruptCol]] like [[readJsonl]].
+    *
+    * `multiLine` chooses between scale and fidelity for text columns
+    * with embedded newlines (which [[writeCsv]]'s RFC-4180 quoting
+    * emits):
+    *  - `false` (default): files split by line — a 100 TB drop scans in
+    *    parallel per block, but a quoted embedded newline is torn into
+    *    two rows (typically one data row + one quarantined fragment).
+    *    Right for newline-free corpora (the engine's normalized text).
+    *  - `true`: the full RFC-4180 parser — embedded newlines
+    *    round-trip, but each FILE becomes one parse unit (parallelism =
+    *    file count), so shard the write side accordingly.
+    * NULL is carried as the `\N` sentinel (the Hive/MySQL dump
+    * convention) so `""` stays distinct from NULL on round-trip —
+    * under Spark's CSV defaults the read-side `nullValue` is the empty
+    * string, which swallows BOTH a quoted `""` and an empty field into
+    * NULL and silently corrupts the distinction.
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-              header: Boolean = true, sep: String = ","): DataFrame =
+              header: Boolean = true, sep: String = ",",
+              multiLine: Boolean = false): DataFrame =
     spark.read
       .schema(schema.add(CorruptCol, StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .option("header", header.toString)
       .option("sep", sep)
-      .option("multiLine", "false")
+      .option("multiLine", multiLine.toString)
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
       .csv(path)
 
   /** Write as compressed CSV with a header. Quoting is Spark's
     * RFC-4180 default, so embedded separators/quotes/newlines in text
-    * columns round-trip.
+    * columns are emitted losslessly — but reading embedded newlines
+    * back requires [[readCsv]]`(multiLine = true)` (per-file parsing);
+    * the default line-split read path tears them. Newline-free text
+    * round-trips under the defaults on both sides.
     */
   def writeCsv(df: DataFrame, path: String, compression: String = "gzip",
                sep: String = ","): Unit =
@@ -80,6 +102,7 @@ object CorpusIO {
       .option("compression", compression)
       .option("header", "true")
       .option("sep", sep)
+      .option("nullValue", "\\N")
       .csv(path)
 
   /** Read ORC (columnar interchange with Hive-ecosystem shops;
@@ -89,7 +112,7 @@ object CorpusIO {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
-  /** Write as zlib ORC (ORC's own codec set — zstd available here via
+  /** Write as zstd ORC (ORC's own codec set — zstd available here via
     * the bundled orc-core, unlike the text sources).
     */
   def writeOrc(df: DataFrame, path: String, compression: String = "zstd"): Unit =

@@ -51,18 +51,40 @@ class CorpusIOSpec extends SparkSpec {
       (4L, "plain", "fr", "web", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     CorpusIO.writeCsv(nasty, dir, compression = "none")
-    // multiLine on for the embedded-newline row — the writer quotes it
-    val back = spark.read
-      .schema(schema.add(CorpusIO.CorruptCol, StringType))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorpusIO.CorruptCol)
-      .option("header", "true").option("multiLine", "true")
-      .csv(dir)
-      .cache()
+    // the module's OWN reader with multiLine on — the embedded-newline
+    // row needs the full RFC-4180 parser (per-file parse units)
+    val back = CorpusIO.readCsv(spark, dir, schema, multiLine = true).cache()
     assert(back.filter(col(CorpusIO.CorruptCol).isNotNull).count() == 0)
     val got = back.select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "comma, inside", 2L -> "a \"quoted\" word",
       3L -> "line\nbreak", 4L -> "plain"), s"quoting round trip drifted: $got")
+  }
+
+  test("csv: empty string survives the round trip distinct from NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusio").toString + "/empty"
+    val d = Seq((1L, "", "en", "web", 0L), (2L, null.asInstanceOf[String], "de", "books", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusIO.writeCsv(d, dir, compression = "none")
+    val back = CorpusIO.readCsv(spark, dir, schema).cache()
+    assert(back.filter(col(CorpusIO.CorruptCol).isNotNull).count() == 0)
+    val byId = back.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId(1L) == "", s"empty string came back as ${byId(1L)}")
+    assert(byId(2L) == null, s"NULL came back as ${byId(2L)}")
+  }
+
+  test("csv: default line-split read tears embedded newlines into quarantine, not silence") {
+    // the documented multiLine=false contract: a quoted embedded
+    // newline cannot round-trip, but the damage must be VISIBLE —
+    // fragments land as quarantined/corrupt rows, never silently vanish
+    val dir = java.nio.file.Files.createTempDirectory("corpusio").toString + "/tear"
+    val d = Seq((1L, "line\nbreak", "de", "books", 10L), (2L, "plain", "fr", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusIO.writeCsv(d, dir, compression = "none")
+    val back = CorpusIO.readCsv(spark, dir, schema).cache()
+    assert(back.count() >= 3, "torn row fragments must surface as rows")
+    assert(back.filter(col(CorpusIO.CorruptCol).isNotNull).count() >= 1,
+      "a torn fragment must be quarantined")
+    assert(back.filter(col("text") === "plain").count() == 1)
   }
 
   test("csv: malformed rows quarantine, schema names win over header") {

@@ -51,6 +51,42 @@ class DedupSpec extends SparkSpec {
     assert(a == b, s"semi-pruned verify drifted:\n$a\nvs\n$b")
   }
 
+  test("semiPrune conf threads through the public entry points unchanged") {
+    // the cluster profile flips spark.graft.dedup.semiPrune=true and
+    // every dedup query must keep its exact output
+    def both(f: => Seq[String]): (Seq[String], Seq[String]) = {
+      spark.conf.unset(Dedup.SemiPruneConf)
+      val off = f
+      spark.conf.set(Dedup.SemiPruneConf, "true")
+      val on = try f finally spark.conf.unset(Dedup.SemiPruneConf)
+      (off, on)
+    }
+    val (nj0, nj1) = both(Dedup.ngramJaccard(docs, threshold = 0.1)
+      .collect().map(_.toString).toSeq)
+    assert(nj0.nonEmpty && nj0 == nj1, s"ngramJaccard drifted under semiPrune:\n$nj0\nvs\n$nj1")
+    val (mh0, mh1) = both(Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.9)
+      .collect().map(_.toString).toSeq)
+    assert(mh0.nonEmpty && mh0 == mh1, s"minhashLsh drifted under semiPrune:\n$mh0\nvs\n$mh1")
+  }
+
+  test("semiPrune verify computes its candidate subtree exactly once") {
+    // r12 paid ~3x candidate generation under semiPrune (two semi-join
+    // builds + the chain probe each re-derived the un-persisted pair
+    // subtree); the localCheckpoint pins it to ONE computation
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sh = Dedup.docShingles(docs, "text", "doc_id")
+    val acc = spark.sparkContext.longAccumulator("candPartitionComputes")
+    val rdd = spark.sparkContext
+      .parallelize(Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(1L, 2L)), 2)
+      .mapPartitions { it => acc.add(1); it }
+    val cand = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val out = Dedup.verifyJaccardImpl(cand, sh, "doc_id", 0.1, semiPrune = true).collect()
+    assert(out.nonEmpty)
+    assert(acc.value == 2, s"candidate plan computed ${acc.value} partition(s); expected 2 (once each)")
+  }
+
   test("minhash LSH catches exact dups with verified jaccard") {
     val out = Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.9).collect()
     assert(out.length == 1)

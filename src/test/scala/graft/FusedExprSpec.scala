@@ -81,10 +81,33 @@ class FusedExprSpec extends SparkSpec {
     assert(bad.isEmpty, s"graft_spanhash drifted from the HOF form on:\n${bad.mkString("\n")}")
   }
 
-  test("graft_doti: short array contributes zero beyond its length") {
+  test("graft_doti: array shorter than the weights is NULL, never a partial sum") {
     val df = Seq(Tuple1(Seq(3L, 4L))).toDF("cv")
-    val got = df.select(call_function("graft_doti", col("cv"),
-      array(lit(10L), lit(100L), lit(1000L))).as("d")).head.getLong(0)
-    assert(got == 3L * 10 + 4L * 100, s"short-array dot drifted: $got")
+    val row = df.select(call_function("graft_doti", col("cv"),
+      array(lit(10L), lit(100L), lit(1000L))).as("d")).head
+    assert(row.isNullAt(0), s"short-array dot must be the NULL sentinel, got ${row.get(0)}")
+    // extra array elements beyond the weights are ignored (not an error)
+    val long = df.select(call_function("graft_doti", col("cv"),
+      array(lit(10L)).cast("array<bigint>")).as("d")).head.getLong(0)
+    assert(long == 30L)
+  }
+
+  test("graft_doti / graft_bpe_apply: same parameters compare semantically equal") {
+    // Array-typed expression fields default to identity equality, which
+    // silently defeats semanticEquals-driven reuse (CSE, exchange/cache
+    // reuse) — pinned here via the overridden content equality.
+    import graft.plans.{BpeApply, LongArrayDot}
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    val child = BoundReference(0, ArrayType(LongType), nullable = true)
+    val d1 = LongArrayDot(child, Array(1L, 2L, 3L))
+    val d2 = LongArrayDot(child, Array(1L, 2L, 3L))
+    assert(d1 == d2 && d1.hashCode == d2.hashCode && d1.semanticEquals(d2))
+    assert(d1 != LongArrayDot(child, Array(1L, 2L, 4L)))
+    val s = Literal.create("ab", StringType)
+    val b1 = BpeApply(s, Array("a b"), Array("ab"))
+    val b2 = BpeApply(s, Array("a b"), Array("ab"))
+    assert(b1 == b2 && b1.hashCode == b2.hashCode && b1.semanticEquals(b2))
+    assert(b1 != BpeApply(s, Array("a b"), Array("a_b")))
   }
 }
