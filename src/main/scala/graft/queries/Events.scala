@@ -2116,40 +2116,62 @@ object Events {
     * heavy-tail-safe sibling of [[qAnomaly]]'s mean/sigma gate (a few
     * extreme values can't move the fence). Entirely on integer
     * lattices: medians use the parity-free `x[(n-1) div 2] + x[n div 2]`
-    * doubled form over exact cents (the [[Relational.qPercentileCont]]
-    * row-number machinery), deviations ride a x2 lattice, the MAD a
-    * x4 lattice, and the 3·1.4826·MAD fence is one exact integer
-    * cross-multiplication (20000·d > 44478·mad_x4). Windows are
-    * per-event-type only.
+    * doubled form over exact cents, deviations ride a x2 lattice, the
+    * MAD a x4 lattice, and the 3·1.4826·MAD fence is one exact integer
+    * cross-multiplication (20000·d > 44478·mad_x4).
+    *
+    * Plan shape (r13): ONE corpus pass total. `value` is a 2-dp money
+    * column, so the per-type cent HISTOGRAM is bounded by the value
+    * lattice (≤ ~56k rows per type at ANY corpus size — the same
+    * bounded-domain argument as the frequency rollups). The corpus
+    * map-side-combines into that histogram once; both medians, the
+    * deviation histogram and the fence count are then order statistics
+    * / predicates over the tiny histogram — the previous shape ran two
+    * full groupedRankSelect passes (≈7 corpus scans + 2 cache writes)
+    * for the same answer. Windows are per-(type) over histogram rows:
+    * lattice-bounded, never corpus-bounded.
     */
   def qMadOutliers(events: DataFrame): DataFrame = {
-    val v = graft.operators.CachePool.track(
-      events.select(col("event_type").as("grp"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("c")))
-    // medians by EXACT rank SELECTION (a bare
-    // Window.partitionBy(event_type) would serialize a fifth of the
-    // corpus per task at 5 types; even the grouped full rank does 32×
-    // more window work than needed): groupedRankSelect window-ranks
-    // only the buckets holding the two target ranks, and its
-    // duplicate-target convention makes `sum` the parity-free doubled
-    // median directly
-    val medianRanks = Seq("(n - 1) div 2 + 1", "n div 2 + 1")
-    val med = graft.operators.RangeRank
-      .groupedRankSelect(v, Seq("grp"), col("c"), medianRanks)
-      .groupBy(col("grp"))
-      .agg(sum(col("c")).cast("long").as("med_x2"))
-    val d = v.join(broadcast(med), "grp")
+    // localCheckpoint, not CachePool: FOUR consumers hang off the
+    // histogram under one action — the two-branch cache race (r12)
+    // would re-run the corpus aggregate per branch
+    val hist = events
+      .groupBy(col("event_type").as("grp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    val n = hist.groupBy("grp").agg(sum(col("f")).as("n"))
+
+    // doubled order-statistic over a (grp, value, frequency) histogram:
+    // rank r's value is the row where cum−f < r ≤ cum; summing
+    // value·hits over both median ranks is the parity-free doubled
+    // median (both ranks in one row → hits = 2)
+    def doubledMedian(h: DataFrame, valueCol: String, out: String): DataFrame = {
+      val wcum = Window.partitionBy(col("grp")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("f")).over(wcum))
+        .join(broadcast(n), "grp")
+        .withColumn("r1", expr("(n - 1) div 2 + 1"))
+        .withColumn("r2", expr("n div 2 + 1"))
+        .withColumn("hits",
+          when(col("r1") > col("cum") - col("f") && col("r1") <= col("cum"), 1L).otherwise(0L) +
+            when(col("r2") > col("cum") - col("f") && col("r2") <= col("cum"), 1L).otherwise(0L))
+        .groupBy(col("grp"))
+        .agg(sum(col(valueCol) * col("hits")).cast("long").as(out))
+    }
+
+    val med = doubledMedian(hist, "c", "med_x2")
+    val dHist = hist.join(broadcast(med), "grp")
+      .groupBy(col("grp"), abs(col("c") * 2 - col("med_x2")).as("d"))
+      .agg(sum(col("f")).as("f"))
+    val mad = doubledMedian(dHist, "d", "mad_x4")
+    hist.join(broadcast(med), "grp")
       .withColumn("d", abs(col("c") * 2 - col("med_x2")))
-    val dc = graft.operators.CachePool.track(d)
-    val mad = graft.operators.RangeRank
-      .groupedRankSelect(dc, Seq("grp"), col("d"), medianRanks)
+      .join(broadcast(mad), "grp")
       .groupBy(col("grp"))
-      .agg(sum(col("d")).cast("long").as("mad_x4"))
-    dc.join(broadcast(mad), "grp")
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("f")).as("n"),
         max(col("med_x2")).as("med_x2"), max(col("mad_x4")).as("mad_x4"),
-        sum(when(col("d") * 20000 > col("mad_x4") * 44478, 1L).otherwise(0L))
+        sum(when(col("d") * 20000 > col("mad_x4") * 44478, col("f")).otherwise(0L))
           .as("n_outliers"))
       .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
       .orderBy("grp")

@@ -61,6 +61,15 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
                        text: Option[(org.apache.spark.sql.SparkSession, String)] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // without an executor the JDK HttpServer runs every handler on the
+  // single dispatcher thread — one slow viewport query would serialize
+  // the whole serving edge. A bounded pool lets concurrent requests
+  // overlap; thread-safety below it is the engine's contract
+  // (Catalog.load is synchronized, Spark actions are thread-safe, and
+  // ServingSoakSpec drives 32 mixed concurrent requests to pin it).
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.min(32, Runtime.getRuntime.availableProcessors * 2))
+  server.setExecutor(pool)
   // most-RECENT dataset is the initial default (main.go:70-72) — by
   // createdAtMs, not list order (Catalog.list sorts lexicographically
   // by id, where "cluster-800p-…" sorts after "cluster-1000p-…")
@@ -593,5 +602,5 @@ final class RestServer(engine: ClusterEngine, port: Int = 0,
   })
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

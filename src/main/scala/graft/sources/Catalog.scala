@@ -18,7 +18,16 @@ import scala.collection.mutable
   *    cluster/helpers.go:54-97);
   *  - load = cached DataFrame behind an LRU of `maxCached` datasets with
   *    unpersist-on-evict (reference: runner/runner.go:113-140,157-203,
-  *    maxClusters=5).
+  *    maxClusters=5). Eviction DRAINS rather than unpersisting inline:
+  *    an immediate `unpersist()` of a frame another thread's request is
+  *    mid-action on yields task-level BlockNotFoundException (found by
+  *    ServingSoakSpec's 32-thread storm — fatal under local mode's
+  *    task.maxFailures=1; a recompute-retry hiccup on a real cluster).
+  *    Evicted frames sit in a draining list and unpersist only once
+  *    they've been OUT of the LRU for `drainGraceMs` — longer than any
+  *    sane request latency, so no in-flight consumer loses its blocks.
+  *    Memory stays bounded: at most the evictions of one grace window
+  *    linger, and Spark's own storage eviction is the backstop.
   *
   * Scale notes: MEMORY_AND_DISK (not MEMORY_ONLY) so a 100 TB dataset
   * degrades to disk-backed partitions instead of OOM; tile partitioning
@@ -46,13 +55,37 @@ object Catalog {
 }
 
 final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 5,
-                    idleEvictMs: Long = 30L * 60 * 1000) {
+                    idleEvictMs: Long = 30L * 60 * 1000,
+                    drainGraceMs: Long = 2L * 60 * 1000) {
 
   final case class SavedInfo(id: String, numPoints: Long, createdAtMs: Long, path: String,
                              fileSizeBytes: Long = 0L)
 
   private val lru = mutable.LinkedHashMap.empty[String, DataFrame]
   private val lastAccessMs = mutable.HashMap.empty[String, Long]
+  // evicted-but-possibly-still-serving frames awaiting their deferred
+  // unpersist (see the class doc's eviction-drain contract)
+  private val draining = mutable.ArrayBuffer.empty[(DataFrame, Long)]
+
+  /** Move an evicted frame to the draining list and unpersist anything
+    * whose grace window has lapsed. Callers hold the monitor.
+    */
+  private def retire(df: DataFrame, now: Long): Unit = {
+    draining += ((df, now))
+    draining.filterInPlace { case (d, at) =>
+      val keep = now - at <= drainGraceMs
+      if (!keep) d.unpersist()
+      keep
+    }
+  }
+
+  /** Test hook: force-unpersist every draining frame NOW (callers must
+    * know no request is in flight).
+    */
+  private[graft] def drainNow(): Unit = synchronized {
+    draining.foreach(_._1.unpersist())
+    draining.clear()
+  }
 
   private def dsPath(id: String) = s"$warehouseDir/$id"
 
@@ -91,7 +124,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     val tomb = new java.io.File(s"$path/_tombstones")
     if (tomb.exists) StagedSwap.rmRf(tomb)
     synchronized {
-      lru.remove(id).foreach(_.unpersist())
+      lru.remove(id).foreach(retire(_, System.currentTimeMillis()))
       lastAccessMs.remove(id)
     }
     val obs = org.apache.spark.sql.Observation(s"graft_save_$id")
@@ -130,7 +163,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
       .parquet(path)
     val added = obs.get("n").asInstanceOf[Long]
     synchronized {
-      lru.remove(id).foreach(_.unpersist())
+      lru.remove(id).foreach(retire(_, System.currentTimeMillis()))
       lastAccessMs.remove(id)
     }
     val info = SavedInfo(id, prev.numPoints + added, prev.createdAtMs, path, dirSize(path))
@@ -236,7 +269,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     val now = System.currentTimeMillis()
     lastAccessMs.filterInPlace { (cachedId, at) =>
       val keep = cachedId == id || now - at <= idleEvictMs
-      if (!keep) lru.remove(cachedId).foreach(_.unpersist())
+      if (!keep) lru.remove(cachedId).foreach(retire(_, now))
       keep
     }
     lastAccessMs.put(id, now)
@@ -260,7 +293,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
           val (evictId, evictDf) = lru.head
           lru.remove(evictId)
           lastAccessMs.remove(evictId)
-          evictDf.unpersist()
+          retire(evictDf, now)
         }
         df
     }
@@ -310,7 +343,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     toRemove.write.mode("append").parquet(s"$path/_tombstones")
     toRemove.unpersist()
     synchronized {
-      lru.remove(id).foreach(_.unpersist())
+      lru.remove(id).foreach(retire(_, System.currentTimeMillis()))
       lastAccessMs.remove(id)
     }
     val info = SavedInfo(id, prev.numPoints - removed, prev.createdAtMs, path, dirSize(path))
@@ -380,7 +413,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
         }
       }
       synchronized {
-        lru.remove(id).foreach(_.unpersist())
+        lru.remove(id).foreach(retire(_, System.currentTimeMillis()))
         lastAccessMs.remove(id)
       }
     }
