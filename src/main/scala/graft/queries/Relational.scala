@@ -1084,15 +1084,19 @@ object Relational {
     rev.withColumn("cum_cents", sum(col("cents")).over(w))
       .crossJoin(broadcast(total))
       .withColumn("abc_class",
-        when(expr("cum_cents * 1000000 div total_cents") <= 800000, "A")
-          .when(expr("cum_cents * 1000000 div total_cents") <= 950000, "B")
+        // DECIMAL(38,0) lattice for the share: cum·10⁶ leaves int64 once
+        // total revenue passes ~9·10¹² cents (hit at sf1 — ~3.8·10¹³), the
+        // same exact-arithmetic widening qGini uses
+        when(expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div total_cents") <= 800000, "A")
+          .when(expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div total_cents") <= 950000, "B")
           .otherwise("C"))
       .groupBy(col("abc_class"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("class_revenue_cents"),
         max(col("total_cents")).as("total_cents"))
       .select(col("abc_class"), col("n_customers"), col("class_revenue_cents"),
-        expr("class_revenue_cents * 1000000 div total_cents").as("revenue_share_ppm"))
+        expr("CAST(CAST(class_revenue_cents AS DECIMAL(38,0)) * 1000000 div total_cents AS BIGINT)")
+          .as("revenue_share_ppm"))
       .orderBy(col("abc_class"))
   }
 
@@ -1116,15 +1120,19 @@ object Relational {
         desc = true, rowsFrame = true, out = "cum_cents")
       .crossJoin(broadcast(total))
       .withColumn("abc_class",
-        when(expr("cum_cents * 1000000 div total_cents") <= 800000, "A")
-          .when(expr("cum_cents * 1000000 div total_cents") <= 950000, "B")
+        // DECIMAL(38,0) lattice for the share: cum·10⁶ leaves int64 once
+        // total revenue passes ~9·10¹² cents (hit at sf1 — ~3.8·10¹³), the
+        // same exact-arithmetic widening qGini uses
+        when(expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div total_cents") <= 800000, "A")
+          .when(expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div total_cents") <= 950000, "B")
           .otherwise("C"))
       .groupBy(col("abc_class"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("class_revenue_cents"),
         max(col("total_cents")).as("total_cents"))
       .select(col("abc_class"), col("n_customers"), col("class_revenue_cents"),
-        expr("class_revenue_cents * 1000000 div total_cents").as("revenue_share_ppm"))
+        expr("CAST(CAST(class_revenue_cents AS DECIMAL(38,0)) * 1000000 div total_cents AS BIGINT)")
+          .as("revenue_share_ppm"))
       .orderBy(col("abc_class"))
   }
 
@@ -1142,15 +1150,15 @@ object Relational {
       |  FROM rev),
       |classed AS (
       |  SELECT cents,
-      |         CASE WHEN cum_cents * 1000000 // total_cents <= 800000 THEN 'A'
-      |              WHEN cum_cents * 1000000 // total_cents <= 950000 THEN 'B'
+      |         CASE WHEN CAST(cum_cents AS HUGEINT) * 1000000 // total_cents <= 800000 THEN 'A'
+      |              WHEN CAST(cum_cents AS HUGEINT) * 1000000 // total_cents <= 950000 THEN 'B'
       |              ELSE 'C' END AS abc_class,
       |         total_cents
       |  FROM ranked, tot)
       |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
       |       CAST(sum(cents) AS BIGINT) AS class_revenue_cents,
-      |       CAST(sum(cents) AS BIGINT) * 1000000 // any_value(total_cents)
-      |         AS revenue_share_ppm
+      |       CAST(CAST(sum(cents) AS HUGEINT) * 1000000 // any_value(total_cents)
+      |            AS BIGINT) AS revenue_share_ppm
       |FROM classed GROUP BY 1
       |ORDER BY abc_class""".stripMargin
 
