@@ -223,11 +223,52 @@ object Bench {
           }
         } catch { case e: Throwable => errs("ingest_1m") = errStr(e); None }
 
+    // Corpus-interchange ingest throughput (r13): the bench documents
+    // table replicated to a multi-GB gzip JSONL drop (written ONCE per
+    // box into /tmp, reused across runs), then the full quarantining
+    // ingest — readJsonl with the enforced schema + the per-source
+    // round-trip audit — timed end to end. Reported as decoded GB/s
+    // (the bytes the codec chain hands the JSON parser), the number
+    // that projects to a 100 TB drop. Quarantine semantics at this
+    // volume are exactly the toy-scale contract: the audit plan is
+    // scan → one map-side-combined aggregate (CorpusIOSpec pins the
+    // shape), so a poison line costs one quarantine row, never a fanout.
+    val jsonlIngest: Option[(Double, Double)] =
+      if (only.isDefined) None
+      else
+        try {
+          import org.apache.spark.sql.functions._
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val perCopy = docs
+            .agg(sum(octet_length(to_json(struct(docs.columns.map(col): _*))) + lit(1)))
+            .head.getLong(0)
+          val targetBytes = 2.5e9
+          val reps = math.max(1L, math.ceil(targetBytes / perCopy).toLong)
+          val decodedGb = perCopy.toDouble * reps / 1e9
+          val dir = s"/tmp/graft_jsonl_${new java.io.File(sfDir).getName}_x$reps"
+          if (!new java.io.File(s"$dir/_SUCCESS").exists) {
+            val big = docs
+              .crossJoin(spark.range(reps).select(col("id").as("_rep")))
+              .select((col("doc_id") * reps + col("_rep")).as("doc_id"),
+                col("text"), col("lang"), col("source"), col("n_chars"))
+              .repartition(64)
+            graft.sources.CorpusIO.writeJsonl(big, dir) // gzip
+          }
+          val t0 = System.nanoTime()
+          graft.sources.CorpusIO
+            .roundTripAudit(graft.sources.CorpusIO.readJsonl(spark, dir, docs.schema))
+            .collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Some((sec, decodedGb))
+        } catch { case e: Throwable => errs("jsonl_ingest") = errStr(e); None }
+
     val warmJson =
       warmDefs.map(_._1).flatMap(l => warmOf(l).map(w => f""","${l}_sec":$w%.3f"""))
         .mkString +
         ingest.map { case (s, mb) =>
-          f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("")
+          f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("") +
+        jsonlIngest.map { case (s, gb) =>
+          f""","jsonl_ingest_sec":$s%.3f,"jsonl_ingest_gb":$gb%.2f,"jsonl_ingest_gb_sec":${gb / s}%.3f""" }.getOrElse("")
     def errsJson(entries: Iterable[(String, String)]): String =
       if (entries.isEmpty) ""
       else entries.map { case (k, m) => s""""${jesc(k)}":"${jesc(m)}"""" }

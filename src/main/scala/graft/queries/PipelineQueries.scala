@@ -3730,10 +3730,12 @@ object PipelineQueries {
   /** JSONL(.gz) ingest round trip ([[graft.sources.CorpusIO]]): the
     * documents table is written as gzip JSONL once per scale dir, read
     * back under the ENFORCED schema, and audited per source — counts,
-    * exact id/char sums, a distinct all-column md5 digest count, and
-    * the quarantine count. The oracle computes the same aggregates from
-    * the parquet original (n_corrupt pinned 0), so any row the
-    * interchange copy drops, duplicates, or garbles is a hash mismatch.
+    * exact id/char sums, the order-independent all-column md5 digest
+    * SUM (mergeable, so the audit stays one bounded shuffle at any
+    * corpus size), and the quarantine count. The oracle computes the
+    * same aggregates from the parquet original (n_corrupt pinned 0),
+    * so any row the interchange copy drops, duplicates, or garbles is
+    * a hash mismatch.
     */
   def qJsonlIngest(s: SparkSession, dir: String): DataFrame =
     graft.sources.CorpusIO.roundTripAudit(
@@ -3755,9 +3757,10 @@ object PipelineQueries {
     """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-      |       CAST(count(DISTINCT md5(concat_ws('|', CAST(doc_id AS VARCHAR), text,
-      |                                lang, source, CAST(n_chars AS VARCHAR))))
-      |            AS BIGINT) AS n_distinct_rows,
+      |       CAST(sum(CAST(concat('0x',
+      |                substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), text,
+      |                           lang, source, CAST(n_chars AS VARCHAR))), 1, 15))
+      |              AS BIGINT)) AS DECIMAL(38,0)) AS row_digest,
       |       CAST(0 AS BIGINT) AS n_corrupt
       |FROM documents
       |GROUP BY source

@@ -119,10 +119,21 @@ object CorpusIO {
     df.write.mode("overwrite").option("compression", compression).orc(path)
 
   /** Per-source round-trip audit of an interchange copy of `docs`
-    * against the original: row counts, exact BIGINT sums, a
-    * distinct-row digest count (md5 over all columns — any dropped,
-    * duplicated, or garbled row changes it), and the quarantine count.
-    * Both frames must carry doc_id/text/lang/source/n_chars.
+    * against the original: row counts, exact BIGINT sums, an
+    * order-independent all-column row-digest SUM (md5 over all
+    * columns, top 60 bits summed on a DECIMAL(38,0) lattice — any
+    * dropped, duplicated, or garbled row changes it), and the
+    * quarantine count. Both frames must carry
+    * doc_id/text/lang/source/n_chars.
+    *
+    * The digest is a SUM, not a distinct COUNT, deliberately: a
+    * `countDistinct` over per-row digests plans as a two-phase
+    * distinct aggregate whose first exchange carries one row per
+    * distinct digest — corpus-proportional shuffle for what should be
+    * a bounded audit. The sum is fully mergeable, so the whole audit
+    * map-side-combines into ≤ |sources| rows per map partition and
+    * shuffles once (CorpusIOSpec pins the plan). Exact at any scale:
+    * 2⁶⁰ per row × 10¹² rows ≈ 10³⁰ ≪ 10³⁸.
     */
   def roundTripAudit(roundTripped: DataFrame): DataFrame = {
     val digest = md5(concat_ws("|",
@@ -135,7 +146,8 @@ object CorpusIO {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("sum_ids"),
         sum(col("n_chars")).as("sum_chars"),
-        countDistinct(digest).as("n_distinct_rows"),
+        sum(conv(substring(digest, 1, 15), 16, 10).cast("decimal(38,0)"))
+          .as("row_digest"),
         count(corrupt).as("n_corrupt"))
       .orderBy("source")
   }

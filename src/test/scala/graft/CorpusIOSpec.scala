@@ -101,6 +101,47 @@ class CorpusIOSpec extends SparkSpec {
     assert(df.filter(col(CorpusIO.CorruptCol).isNull).agg(sum("doc_id")).head.getLong(0) == 3L)
   }
 
+  test("ingest-audit plan: one map-side-combined exchange, no row fanout") {
+    // the 100 TB shuffle pin behind the multi-GB bench smoke
+    // (jsonl_ingest_gb_sec): the quarantining ingest + per-source audit
+    // must stay scan → partial agg → ONE exchange → final agg. A plan
+    // that fans quarantine rows out (Generate) or joins back to the
+    // corpus would turn a poison drop into a shuffle storm; the partial
+    // aggregate bounds the exchange to |sources|·|map partitions| rows
+    // regardless of corpus size.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("corpusio").toString + "/plan"
+    val d = Seq((1L, "a", "en", "web", 1L), (2L, "b", "de", "books", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusIO.writeJsonl(d, dir, compression = "none")
+    val audit = CorpusIO.roundTripAudit(CorpusIO.readJsonl(spark, dir, schema))
+    audit.collect() // executedPlan is final only after execution (AQE)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: nodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: nodes(s.plan)
+      case _ => p +: (p.children ++ p.subqueries).flatMap(nodes)
+    }
+    val all = nodes(audit.queryExecution.executedPlan)
+    // the orderBy("source") on ≤|sources| rows may add a range-exchange
+    // tail; the CORPUS-side pin is on hash exchanges
+    val hashExchanges = all.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size == 1,
+      s"audit must shuffle exactly once, got ${hashExchanges.size}:\n${audit.queryExecution.executedPlan}")
+    val aggs = all.collect { case a: BaseAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode ==
+      org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      s"audit aggregate must map-side combine:\n${audit.queryExecution.executedPlan}")
+    assert(!all.exists(p => p.nodeName.contains("Generate") || p.nodeName.contains("Join")),
+      s"audit plan must not fan out or join:\n${audit.queryExecution.executedPlan}")
+  }
+
   test("jsonl: gzip write round-trips through the extension codec chain") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("corpusio").toString + "/jz"
