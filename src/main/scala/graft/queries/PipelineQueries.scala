@@ -3592,6 +3592,24 @@ object PipelineQueries {
     """a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label < 5),
       |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label >= 5)""".stripMargin
 
+  /** Eval-universe cap for [[qBitextRecall]] (r13): dense ground truth
+    * is O(|a|*|b|) BY DEFINITION, so at growing corpus sizes the
+    * recall eval runs on the first `BitextEvalCap` vectors - the
+    * standard sampled-ground-truth contract. The cap never binds at
+    * the oracle fixture scales (<= 2000 vectors through sf0.1), so
+    * every pinned result is unchanged; at sf1+ it bounds the dense
+    * side to <= ~2.5e7 pairs, inside the plan-time maxPairs guard.
+    * The LSH side under eval is capped IDENTICALLY so precision is
+    * measured against the same universe.
+    */
+  private val BitextEvalCap = 10000L
+
+  private val bitextEvalSidesSql: String =
+    s"""a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings
+       |      WHERE label < 5 AND vec_id < $BitextEvalCap),
+       |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings
+       |      WHERE label >= 5 AND vec_id < $BitextEvalCap)""".stripMargin
+
   /** The ratio-margin tail over a `pairs`(a_id, b_id, cos_u) CTE —
     * mirrors [[graft.operators.Similarity]]'s marginMine exactly
     * (k = 4, 1.01 margin threshold).
@@ -3623,8 +3641,8 @@ object PipelineQueries {
       |) WHERE rn = 1 AND margin_ppm >= 1010000
       |ORDER BY a_id""".stripMargin
 
-  val qBitextMineSql: String =
-    s"""WITH $bitextSidesSql,
+  private def bitextMineSqlFrom(sides: String): String =
+    s"""WITH $sides,
        |pairs AS (
        |  SELECT * FROM (
        |    SELECT a_id, b_id,
@@ -3633,6 +3651,8 @@ object PipelineQueries {
        |  ) WHERE cos_u > 0
        |),
        |$bitextMarginSql""".stripMargin
+
+  val qBitextMineSql: String = bitextMineSqlFrom(bitextSidesSql)
 
   private val BitextBands = 4
   private val BitextBandBits = 4
@@ -3649,13 +3669,13 @@ object PipelineQueries {
       kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
   }
 
-  val qBitextLshSql: String = {
+  private def bitextLshSqlFrom(sides: String): String = {
     val bits = BitextBands * BitextBandBits
     val bandEq = (0 until BitextBands).map { bnd =>
       val start = bnd * BitextBandBits + 1
       s"substring(sa.sig, $start, $BitextBandBits) = substring(sb.sig, $start, $BitextBandBits)"
     }.mkString("\n         OR ")
-    s"""WITH $bitextSidesSql,
+    s"""WITH $sides,
        |sa AS (SELECT a_id, ea, ${sigSqlBits("ea", bits)} AS sig FROM a),
        |sb AS (SELECT b_id, eb, ${sigSqlBits("eb", bits)} AS sig FROM b),
        |cand AS (
@@ -3672,6 +3692,8 @@ object PipelineQueries {
        |$bitextMarginSql""".stripMargin
   }
 
+  val qBitextLshSql: String = bitextLshSqlFrom(bitextSidesSql)
+
   /** Pair-level recall/precision of the LSH-candidate miner vs the
     * dense ground-truth miner — the accept/reject eval for serving
     * `q_bitext_mine` off the banded candidate path (since r11 the
@@ -3680,8 +3702,18 @@ object PipelineQueries {
     * shape). Integer floor-ppm output.
     */
   def qBitextRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = qBitextMine(s, dir).select(col("a_id"), col("b_id"))
-    val lsh = qBitextLsh(s, dir).select(col("a_id"), col("b_id"))
+    // eval universe capped at BitextEvalCap (no-op through sf0.1):
+    // dense ground truth cannot leave the sampled-eval contract
+    val e = embs(s, dir).filter(col("vec_id") < BitextEvalCap)
+    val exact = Similarity.bitextMine(
+        e.filter(col("label") < 5), e.filter(col("label") >= 5),
+        kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
+      .select(col("a_id"), col("b_id"))
+    val lsh = Similarity.bitextMineLsh(
+        e.filter(col("label") < 5), e.filter(col("label") >= 5),
+        bands = BitextBands, bitsPerBand = BitextBandBits,
+        kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
+      .select(col("a_id"), col("b_id"))
     val nE = exact.agg(count(lit(1)).as("n_exact"))
     val nL = lsh.agg(count(lit(1)).as("n_lsh"))
     lsh.join(exact, Seq("a_id", "b_id"))
@@ -3693,8 +3725,8 @@ object PipelineQueries {
   }
 
   val qBitextRecallSql: String =
-    s"""WITH ex AS ($qBitextMineSql),
-       |ls AS ($qBitextLshSql),
+    s"""WITH ex AS (${bitextMineSqlFrom(bitextEvalSidesSql)}),
+       |ls AS (${bitextLshSqlFrom(bitextEvalSidesSql)}),
        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
        |       FROM ex JOIN ls USING (a_id, b_id)),
        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
