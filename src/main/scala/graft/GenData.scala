@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * wall clock — so any row of any table is reproducible in isolation
   * and generation parallelizes embarrassingly (the 100 TB version of
   * this is the same code with a bigger `spark.range`). Each table is
-  * written as ONE parquet file (the driver fixture layout, and what
-  * the DuckDB oracle gate reads) with 16 MB row groups so a
-  * single-file table still scans in parallel.
+  * written as a `<name>.parquet/` DIRECTORY of several part files —
+  * the layout any real multi-TB corpus has, and the one that matters
+  * for honest scale measurement: a single file under
+  * `maxPartitionBytes` (even sf1's 121 MB lineitem) yields ONE input
+  * split, silently serializing every scan-heavy stage onto one core
+  * (found in the first r13 sf1 drive: 12+ min single-task stages).
+  * `tools/oracle_check.py` globs directory tables.
   *
   * Row counts at sf=1 (10× the sf0.1 bench fixtures): customer 150k,
   * supplier 10k, part 200k, orders 1.5M, lineitem 6M, events 1M,
@@ -44,23 +48,15 @@ object GenData {
   private def money(salt: String, k: Column, lo: Double, hi: Double): Column =
     round(lit(lo) + u01(salt, k) * lit(hi - lo), 2)
 
-  private def writeOne(df: DataFrame, outDir: String, name: String): Unit = {
-    val spark = df.sparkSession
-    val tmp = s"$outDir/_tmp_$name"
-    df.repartition(1)
+  private def writeOne(df: DataFrame, outDir: String, name: String,
+                       files: Int = 1, sortCol: Option[String] = None): Unit = {
+    val parts = df.repartition(files)
+    val arranged = sortCol.fold(parts)(c => parts.sortWithinPartitions(c))
+    arranged
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", (16 * 1024 * 1024).toString)
-      .parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-      .map(_.getPath).find(_.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file written for $name"))
-    val dest = new org.apache.hadoop.fs.Path(s"$outDir/$name.parquet")
-    fs.delete(dest, false)
-    fs.rename(part, dest)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    println(s"[gendata] $name.parquet: ${df.columns.mkString(",")}")
+      .parquet(s"$outDir/$name.parquet")
+    println(s"[gendata] $name.parquet ($files files): ${df.columns.mkString(",")}")
   }
 
   // ------------------------------------------------------------ tables
@@ -94,14 +90,14 @@ object GenData {
       money("c_bal", col("id"), -1000.0, 10000.0).as("c_acctbal"),
       pick("c_seg", col("id"),
         Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")).as("c_mktsegment")),
-      outDir, "customer")
+      outDir, "customer", files = 8)
 
     writeOne(spark.range(nSupplier).select(
       col("id").as("s_suppkey"),
       format_string("Supplier#%09d", col("id")).as("s_name"),
       uInt("s_nat", col("id"), 25).cast("int").as("s_nationkey"),
       money("s_bal", col("id"), -1000.0, 10000.0).as("s_acctbal")),
-      outDir, "supplier")
+      outDir, "supplier", files = 2)
 
     writeOne(spark.range(nPart).select(
       col("id").as("p_partkey"),
@@ -116,7 +112,7 @@ object GenData {
       (uInt("p_size", col("id"), 50) + 1).cast("int").as("p_size"),
       // the driver's exact lattice: 900.0 + (key mod 1000)/10
       ((lit(9000) + col("id") % 1000).cast("double") / 10.0).as("p_retailprice")),
-      outDir, "part")
+      outDir, "part", files = 8)
 
     val epoch95 = to_date(lit("1995-01-01"))
     writeOne(spark.range(nOrders).select(
@@ -128,7 +124,7 @@ object GenData {
         .cast("timestamp").as("o_orderdate"),
       pick("o_prio", col("id"),
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority")),
-      outDir, "orders")
+      outDir, "orders", files = 16)
 
     // lineitem: orderkey uniform over orders gives Binomial(n, 1/|orders|)
     // ≈ Poisson(4) lines per order — the driver fixture's measured shape
@@ -145,9 +141,8 @@ object GenData {
       pick("l_rf", col("id"), Seq("A", "N", "R")).as("l_returnflag"),
       pick("l_ls", col("id"), Seq("F", "O")).as("l_linestatus"),
       date_add(epoch95, (uInt("l_ship", col("id"), 2499) + 1).cast("int"))
-        .cast("timestamp").as("l_shipdate"))
-      .sortWithinPartitions("l_orderkey"),
-      outDir, "lineitem")
+        .cast("timestamp").as("l_shipdate")),
+      outDir, "lineitem", files = 32, sortCol = Some("l_orderkey"))
 
     // events: 30 uniform days of 2024-01 at µs resolution; value is
     // Exponential(mean 50) rounded to 2 dp (measured: median 34.7 ≈
@@ -161,9 +156,8 @@ object GenData {
       pick("e_type", col("id"),
         Seq("click", "error", "purchase", "signup", "view")).as("event_type"),
       round(lit(-50.0) * log(lit(1.0) - u01("e_val", col("id"))), 2).as("value"),
-      format_string("{\"k\": %d}", uInt("e_k", col("id"), 100)).as("props"))
-      .sortWithinPartitions("ts"),
-      outDir, "events")
+      format_string("{\"k\": %d}", uInt("e_k", col("id"), 100)).as("props")),
+      outDir, "events", files = 16, sortCol = Some("ts"))
 
     // documents: word salad over the driver's 31-word vocabulary,
     // 10..100 words/doc, with the measured duplicate structure — ~4.5%
@@ -199,7 +193,7 @@ object GenData {
           .otherwise("es").as("lang"),
         concat(lit("src"), col("doc_id") % 20).as("source"),
         length(col("text")).cast("long").as("n_chars")),
-      outDir, "documents")
+      outDir, "documents", files = 8)
 
     // embeddings: 64-dim iid standard normals (Box–Muller over two
     // deterministic uniforms), normalized to unit length, FLOAT — the
@@ -217,7 +211,7 @@ object GenData {
         col("id").as("vec_id"),
         transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
         uInt("v_lab", col("id"), 10).cast("int").as("label")),
-      outDir, "embeddings")
+      outDir, "embeddings", files = 8)
   }
 
   def main(args: Array[String]): Unit = {

@@ -68,7 +68,11 @@ def fresh_con(sf_dir: str):
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     con.execute("SET max_temp_directory_size='50GB'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; GenData scale fixtures are
+        # <name>.parquet/ directories of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
