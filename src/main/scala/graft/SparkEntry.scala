@@ -1417,8 +1417,16 @@ object SparkEntry {
       .agg(
         GridCluster.exactSum(col("l_quantity")).as("sum_qty"),
         GridCluster.exactSum(col("l_extendedprice")).as("sum_base_price"),
-        sum(ep * (one - disc)).cast(DoubleType).as("sum_disc_price"),
-        sum(ep * (one - disc) * (one + tax)).cast(DoubleType).as("sum_charge"),
+        // per-line round to the CENTS lattice before summing (both
+        // engines, identically): the unrounded scale-6 charge sum
+        // crossed 2^53 scaled units at sf1, where DuckDB's
+        // int128→double two-step decimal cast can differ from Spark's
+        // correctly-rounded cast by one ulp (r13 sf1 drive: 3.8e-6 on
+        // sum_charge). A scale-2 sum stays exactly convertible far
+        // beyond any fixture scale — and cents are the natural money
+        // semantics for a billed charge anyway.
+        sum(round(ep * (one - disc), 2)).cast(DoubleType).as("sum_disc_price"),
+        sum(round(ep * (one - disc) * (one + tax), 2)).cast(DoubleType).as("sum_charge"),
         (GridCluster.exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (GridCluster.exactSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         (GridCluster.exactSum(col("l_discount")) / count(lit(1))).as("avg_disc"),
@@ -1430,8 +1438,8 @@ object SparkEntry {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))), 2)) AS DOUBLE) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
