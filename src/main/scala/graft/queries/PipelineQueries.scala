@@ -3576,16 +3576,11 @@ object PipelineQueries {
 
   // ------------------------------------------------------- bitext mining
 
-  /** Margin-based bitext mining across the label-split halves of the
-    * embedding table (labels 0–4 = side A, 5–9 = side B — the two
-    * "languages").
-    */
-  def qBitextMine(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-    Similarity.bitextMine(
-      e.filter(col("label") < 5), e.filter(col("label") >= 5),
-      kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
-  }
+  // Margin-based bitext mining across the label-split halves of the
+  // embedding table (labels 0-4 = side A, 5-9 = side B — the two
+  // "languages"). The headline entry is the LSH candidate path
+  // (q_bitext_mine); the dense miner runs only inside qBitextRecall's
+  // capped eval universe.
 
   /** The side CTEs shared by both mining oracles. */
   private val bitextSidesSql: String =
@@ -3652,7 +3647,6 @@ object PipelineQueries {
        |),
        |$bitextMarginSql""".stripMargin
 
-  val qBitextMineSql: String = bitextMineSqlFrom(bitextSidesSql)
 
   private val BitextBands = 4
   private val BitextBandBits = 4

@@ -18,16 +18,23 @@ import scala.collection.mutable
   *    cluster/helpers.go:54-97);
   *  - load = cached DataFrame behind an LRU of `maxCached` datasets with
   *    unpersist-on-evict (reference: runner/runner.go:113-140,157-203,
-  *    maxClusters=5). Eviction DRAINS rather than unpersisting inline:
-  *    an immediate `unpersist()` of a frame another thread's request is
-  *    mid-action on yields task-level BlockNotFoundException (found by
-  *    ServingSoakSpec's 32-thread storm — fatal under local mode's
-  *    task.maxFailures=1; a recompute-retry hiccup on a real cluster).
-  *    Evicted frames sit in a draining list and unpersist only once
-  *    they've been OUT of the LRU for `drainGraceMs` — longer than any
-  *    sane request latency, so no in-flight consumer loses its blocks.
-  *    Memory stays bounded: at most the evictions of one grace window
-  *    linger, and Spark's own storage eviction is the backstop.
+  *    maxClusters=5). Two invalidation disciplines, deliberately split:
+  *    - **Pure eviction (LRU overflow / idle) DRAINS**: an immediate
+  *      `unpersist()` of a frame another thread's request is mid-action
+  *      on fails that request with BlockNotFoundException (found by
+  *      ServingSoakSpec's 32-thread storm — fatal under local mode's
+  *      task.maxFailures=1; a recompute-retry hiccup on a real
+  *      cluster). Evicted frames unpersist only after `drainGraceMs`
+  *      out of the LRU. The data did NOT change, so the entry lingering
+  *      in Spark's CacheManager is harmless — a re-load reusing it is
+  *      correct. Memory stays bounded: one grace window of evictions.
+  *    - **Data mutation (save / append / delete / compact) unpersists
+  *      IMMEDIATELY**: a drained entry would linger in the CacheManager
+  *      and a fresh identical-plan read would silently reuse STALE
+  *      pre-mutation blocks (caught by CompactionPolicySpec /
+  *      PyramidDeleteSpec when r13 first drained these sites too).
+  *      Consistency beats availability at mutation points; a request
+  *      racing a delete may fail and retry, by design.
   *
   * Scale notes: MEMORY_AND_DISK (not MEMORY_ONLY) so a 100 TB dataset
   * degrades to disk-backed partitions instead of OOM; tile partitioning
@@ -124,7 +131,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     val tomb = new java.io.File(s"$path/_tombstones")
     if (tomb.exists) StagedSwap.rmRf(tomb)
     synchronized {
-      lru.remove(id).foreach(retire(_, System.currentTimeMillis()))
+      lru.remove(id).foreach(_.unpersist())
       lastAccessMs.remove(id)
     }
     val obs = org.apache.spark.sql.Observation(s"graft_save_$id")
@@ -163,7 +170,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
       .parquet(path)
     val added = obs.get("n").asInstanceOf[Long]
     synchronized {
-      lru.remove(id).foreach(retire(_, System.currentTimeMillis()))
+      lru.remove(id).foreach(_.unpersist())
       lastAccessMs.remove(id)
     }
     val info = SavedInfo(id, prev.numPoints + added, prev.createdAtMs, path, dirSize(path))
@@ -343,7 +350,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     toRemove.write.mode("append").parquet(s"$path/_tombstones")
     toRemove.unpersist()
     synchronized {
-      lru.remove(id).foreach(retire(_, System.currentTimeMillis()))
+      lru.remove(id).foreach(_.unpersist())
       lastAccessMs.remove(id)
     }
     val info = SavedInfo(id, prev.numPoints - removed, prev.createdAtMs, path, dirSize(path))
@@ -413,7 +420,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
         }
       }
       synchronized {
-        lru.remove(id).foreach(retire(_, System.currentTimeMillis()))
+        lru.remove(id).foreach(_.unpersist())
         lastAccessMs.remove(id)
       }
     }
