@@ -2080,6 +2080,18 @@ object PipelineQueries {
     graft.operators.FuzzyJoin.editJoin(dirty, canon, maxDist = 1)
   }
 
+  // Oracle note (r13): the naive `dirty CROSS JOIN canon` spec is
+  // 4·10¹⁰ levenshtein calls at sf1 — DuckDB would run for hours. The
+  // oracle now pre-blocks with the distance-1 PIGEONHOLE: split each
+  // canon string into h1 = all-but-last-6 chars and h2 = last 6; a
+  // single edit falls in exactly one piece, so any string within
+  // distance 1 still carries h1 as its PREFIX or h2 as its SUFFIX
+  // (the other piece's position shifts by at most the edit, never its
+  // prefix/suffix role). Candidates = the union of both equi-joins,
+  // verified by the same exact levenshtein predicate — the RESULT SET
+  // is provably identical to the cross join for any input, only the
+  // enumeration is blocked (mirroring, with a different scheme, what
+  // the Spark side's PassJoin does).
   val qFuzzyJoinSql: String =
     """WITH base AS (
       |  SELECT p_partkey, p_name || '#' || CAST(p_partkey AS VARCHAR) AS ent FROM part
@@ -2091,9 +2103,36 @@ object PipelineQueries {
       |              ELSE 'q' || substring(ent, 2) END AS l_str
       |  FROM base
       |),
-      |canon AS (SELECT p_partkey AS r_id, ent AS r_str FROM base)
+      |canon AS (
+      |  SELECT p_partkey AS r_id, ent AS r_str,
+      |         greatest(length(ent) - 6, 1) AS k1,
+      |         substring(ent, 1, greatest(length(ent) - 6, 1)) AS h1,
+      |         length(ent) - greatest(length(ent) - 6, 1) AS k2,
+      |         substring(ent, greatest(length(ent) - 6, 1) + 1) AS h2
+      |  FROM base
+      |),
+      |dpre AS (
+      |  SELECT l_id, l_str, gs.k, substring(l_str, 1, gs.k) AS pre
+      |  FROM dirty, (SELECT unnest(generate_series(1, 32)) AS k) gs
+      |  WHERE gs.k <= length(l_str)
+      |),
+      |dsuf AS (
+      |  SELECT l_id, l_str, gs.k,
+      |         substring(l_str, length(l_str) - gs.k + 1) AS suf
+      |  FROM dirty, (SELECT unnest(generate_series(0, 6)) AS k) gs
+      |  WHERE gs.k <= length(l_str)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT l_id, l_str, r_id, r_str FROM (
+      |    SELECT d.l_id, d.l_str, c.r_id, c.r_str
+      |    FROM dpre d JOIN canon c ON d.k = c.k1 AND d.pre = c.h1
+      |    UNION ALL
+      |    SELECT d.l_id, d.l_str, c.r_id, c.r_str
+      |    FROM dsuf d JOIN canon c ON d.k = c.k2 AND d.suf = c.h2
+      |  )
+      |)
       |SELECT l_id, r_id, CAST(levenshtein(l_str, r_str) AS BIGINT) AS dist
-      |FROM dirty CROSS JOIN canon
+      |FROM cand
       |WHERE levenshtein(l_str, r_str) <= 1
       |ORDER BY l_id, r_id""".stripMargin
 
