@@ -2083,7 +2083,7 @@ object PipelineQueries {
   // Oracle note (r13): the naive `dirty CROSS JOIN canon` spec is
   // 4·10¹⁰ levenshtein calls at sf1 — DuckDB would run for hours. The
   // oracle now pre-blocks with the distance-1 PIGEONHOLE: split each
-  // canon string into h1 = all-but-last-6 chars and h2 = last 6; a
+  // canon string into h1 = all-but-last-4 chars and h2 = last 4; a
   // single edit falls in exactly one piece, so any string within
   // distance 1 still carries h1 as its PREFIX or h2 as its SUFFIX
   // (the other piece's position shifts by at most the edit, never its
@@ -2091,7 +2091,11 @@ object PipelineQueries {
   // verified by the same exact levenshtein predicate — the RESULT SET
   // is provably identical to the cross join for any input, only the
   // enumeration is blocked (mirroring, with a different scheme, what
-  // the Spark side's PassJoin does).
+  // the Spark side's PassJoin does). The split point is tuned to the
+  // entity shape `name#id`: a 6-char tail chopped exactly the 6-digit
+  // ids, collapsing h1 to the 64 part names (1.5·10⁸ candidate rows —
+  // OOM'd DuckDB); the 4-char tail keeps ≥2 id digits in h1, so both
+  // block families stay small at every id length.
   val qFuzzyJoinSql: String =
     """WITH base AS (
       |  SELECT p_partkey, p_name || '#' || CAST(p_partkey AS VARCHAR) AS ent FROM part
@@ -2105,10 +2109,10 @@ object PipelineQueries {
       |),
       |canon AS (
       |  SELECT p_partkey AS r_id, ent AS r_str,
-      |         greatest(length(ent) - 6, 1) AS k1,
-      |         substring(ent, 1, greatest(length(ent) - 6, 1)) AS h1,
-      |         length(ent) - greatest(length(ent) - 6, 1) AS k2,
-      |         substring(ent, greatest(length(ent) - 6, 1) + 1) AS h2
+      |         greatest(length(ent) - 4, 1) AS k1,
+      |         substring(ent, 1, greatest(length(ent) - 4, 1)) AS h1,
+      |         length(ent) - greatest(length(ent) - 4, 1) AS k2,
+      |         substring(ent, greatest(length(ent) - 4, 1) + 1) AS h2
       |  FROM base
       |),
       |dpre AS (
@@ -2119,7 +2123,7 @@ object PipelineQueries {
       |dsuf AS (
       |  SELECT l_id, l_str, gs.k,
       |         substring(l_str, length(l_str) - gs.k + 1) AS suf
-      |  FROM dirty, (SELECT unnest(generate_series(0, 6)) AS k) gs
+      |  FROM dirty, (SELECT unnest(generate_series(0, 4)) AS k) gs
       |  WHERE gs.k <= length(l_str)
       |),
       |cand AS (
