@@ -454,7 +454,14 @@ object SparkEntry {
 
   private def qGreedySweep(s: SparkSession, dir: String): DataFrame =
     graft.operators.GreedySweep.cluster(eventPoints(s, dir), sweepZoom, flagBounds,
-      flagOpts, metricCols = Seq("value"))
+      flagOpts, metricCols = Seq("value"),
+      // the oracle replays the PURE sweep, so this query must pin the
+      // sweep path at every tested scale: sf1's densest zoom-3 tile
+      // passes the 50k default and silently engaged the grid fallback
+      // (different, guard-path semantics — 20-row divergence, caught by
+      // the r13 sf1 oracle drive). The default stays 50k for real
+      // callers; the guard path keeps its own spec.
+      maxSweepPoints = 2000000)
       .select(col("id"), col("lon"), r5(col("lat")).as("lat"),
         col("count"), col("is_cluster"), col("value"))
       .orderBy("id")
