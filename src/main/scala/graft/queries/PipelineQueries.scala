@@ -3125,12 +3125,24 @@ object PipelineQueries {
 
   private val KnnK = 5
 
+  /** Eval-universe cap for the DENSE kNN twins ([[qKnnClassify]],
+    * [[qKnnAnnRecall]]) — the same sampled-ground-truth contract as
+    * the bitext recall eval: an exact dense baseline is O(test·train)
+    * by definition, so past the oracle fixture scales it runs on the
+    * first `KnnEvalCap` vectors (never binds ≤ sf0.1, where max
+    * vec_id is 1999; at sf1 it bounds the cross to 10⁶·9 pairs). The
+    * ANN HEADLINE path (q_knn_classify) stays uncapped — it is the
+    * scale path and needs no dense baseline to run.
+    */
+  private val KnnEvalCap = 10000L
+
   /** kNN majority-vote classification (see
     * [[graft.operators.Similarity.knnClassify]]): every 10th vector is
     * held out as test, the rest train; k = 5 cosine neighbors vote.
+    * Dense baseline — capped to the [[KnnEvalCap]] eval universe.
     */
   def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
+    val e = embs(s, dir).filter(col("vec_id") < KnnEvalCap)
     Similarity.knnClassify(e.filter(col("vec_id") % 10 =!= 0),
       e.filter(col("vec_id") % 10 === 0), k = KnnK, dims = Dims)
   }
@@ -3138,10 +3150,10 @@ object PipelineQueries {
   val qKnnClassifySql: String =
     s"""WITH ts AS (
        |  SELECT vec_id AS query_id, embedding AS qe, CAST(label AS BIGINT) AS true_label
-       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < $KnnEvalCap),
        |tr AS (
        |  SELECT vec_id AS nn_id, embedding AS ce, CAST(label AS BIGINT) AS nn_label
-       |  FROM embeddings WHERE vec_id % 10 <> 0),
+       |  FROM embeddings WHERE vec_id % 10 <> 0 AND vec_id < $KnnEvalCap),
        |nb AS (
        |  SELECT query_id, true_label, nn_id, nn_label,
        |         round(${cosSql("qe", "ce")}, 6) AS cos_sim
@@ -3214,7 +3226,8 @@ object PipelineQueries {
     * floor-ppm output.
     */
   def qKnnAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
+    // dense exact side => the KnnEvalCap sampled universe (no-op <= sf0.1)
+    val e = embs(s, dir).filter(col("vec_id") < KnnEvalCap)
     val train = e.filter(col("vec_id") % 10 =!= 0)
     val test = e.filter(col("vec_id") % 10 === 0)
     val ann = Similarity.annJoin(test, train, bits = AnnJoinBits, k = KnnK, dims = Dims)
@@ -3233,11 +3246,11 @@ object PipelineQueries {
     s"""WITH ts AS (
        |  SELECT vec_id AS query_id, embedding AS qe,
        |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig
-       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < $KnnEvalCap),
        |tr AS (
        |  SELECT vec_id AS nn_id, embedding AS ce,
        |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig
-       |  FROM embeddings WHERE vec_id % 10 <> 0),
+       |  FROM embeddings WHERE vec_id % 10 <> 0 AND vec_id < $KnnEvalCap),
        |ann AS (
        |  SELECT query_id, nn_id FROM (
        |    SELECT query_id, nn_id,
