@@ -295,8 +295,20 @@ object QualityQueries {
 
   // --------------------------------------------- simhash hamming near-dups
 
+  /** Universe cap for the FIXED-16-bit baseline: 4-bit bands have 16
+    * values, so its candidate join is quadratic in corpus size BY
+    * CONTRACT (this query exists as the pinned-scale oracle baseline;
+    * the scale path is [[qSimhashWide]]'s width knob). Past the
+    * fixture scales it runs on the first `SimhashNearCap` docs —
+    * no-op ≤ sf0.1 (5000 docs), bounds the band join at sf1+ (the
+    * uncapped 50k-doc oracle materialized 6·10⁸ candidate rows and
+    * OOM'd DuckDB in the r13 sf1 drive).
+    */
+  private val SimhashNearCap = 10000L
+
   def qSimhashNear(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearStats(docs(s, dir), maxHam = 2)
+    Dedup.simhashNearStats(
+      docs(s, dir).filter(col("doc_id") < SimhashNearCap), maxHam = 2)
 
   val qSimhashNearSql: String = {
     val bits = (1 to 16).map { j =>
@@ -304,7 +316,8 @@ object QualityQueries {
          |  CASE WHEN substring(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
          |THEN ${1L << (16 - j)} ELSE 0 END""".stripMargin
     }.mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |              WHERE doc_id < $SimhashNearCap),
        |ints AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM toks),
        |bk AS (
        |  SELECT doc_id, sig, band, (sig >> (4 * (3 - band))) & 15 AS bv
