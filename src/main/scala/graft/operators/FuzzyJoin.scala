@@ -30,11 +30,21 @@ object FuzzyJoin {
 
   /** Join `left` to `right` on levenshtein(left.strCol, right.strCol) ≤
     * maxDist. Output (ORDERED): l_id, r_id, dist.
+    *
+    * d = 1 (the common record-linkage case) routes to the
+    * deletion-neighborhood scheme ([[editJoinDel1]]): PassJoin's two
+    * HALVES are only as selective as the data's halves, and entity
+    * keys shaped `name#id` have a low-entropy front half — at sf1 the
+    * 64 part names made segment-0 blocks of ~1.5k rows each
+    * (≈1.5·10⁸ candidate pairs, 95 s; measured r13). The deletion key
+    * is the whole string minus one char, so shared prefixes alone can
+    * never form a block.
     */
   def editJoin(left: DataFrame, right: DataFrame, maxDist: Int,
                leftId: String = "l_id", rightId: String = "r_id",
                strCol: String = "name"): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
+    if (maxDist == 1) return editJoinDel1(left, right, leftId, rightId, strCol)
     val d = maxDist
     val k = d + 1
 
@@ -88,6 +98,44 @@ object FuzzyJoin {
     cands.join(lBase, "l_id").join(rBase, "r_id")
       .withColumn("dist", levenshtein(col("l_str"), col("r_str")).cast("long"))
       .filter(col("dist") <= d)
+      .select(col("l_id"), col("r_id"), col("dist"))
+      .orderBy("l_id", "r_id")
+  }
+
+  /** Distance-1 edit join via the deletion neighborhood (the SymSpell /
+    * FastSS family — public): each side emits the string itself plus
+    * every single-character deletion; lev(a,b) ≤ 1 ⟹ the two key sets
+    * intersect (lev 0: the string itself; one insert/delete: the longer
+    * side's deletion equals the shorter string; one substitution:
+    * deleting the edited position from both yields a common variant).
+    * The converse has false positives, which the exact levenshtein
+    * verify removes — lossless. Candidate blocks are strings sharing a
+    * FULL length-(n−1) subsequence, so candidates ≈ true neighbors
+    * regardless of key shape; per-row fanout is length+1 (bounded by
+    * string length, constant in table size) and the verify re-joins by
+    * id, so full strings cross the wire once per candidate pair.
+    */
+  private def editJoinDel1(left: DataFrame, right: DataFrame,
+                           leftId: String, rightId: String,
+                           strCol: String): DataFrame = {
+    val rBase = right.select(col(rightId).cast("long").as("r_id"),
+      col(strCol).as("r_str"))
+    val lBase = left.select(col(leftId).cast("long").as("l_id"),
+      col(strCol).as("l_str"))
+    def delKeys(df: DataFrame, id: String, s: String): DataFrame = df
+      .select(col(id), explode(sequence(lit(0), length(col(s)))).as("p"), col(s))
+      .select(col(id),
+        when(col("p") === 0, col(s)) // p = 0: the string itself
+          .otherwise(concat(
+            expr(s"substring($s, 1, p - 1)"), expr(s"substring($s, p + 1)")))
+          .as("k"))
+      .distinct() // double letters: both deletions collide
+    val cands = delKeys(lBase, "l_id", "l_str")
+      .join(delKeys(rBase, "r_id", "r_str"), "k")
+      .select(col("l_id"), col("r_id")).distinct()
+    cands.join(lBase, "l_id").join(rBase, "r_id")
+      .withColumn("dist", levenshtein(col("l_str"), col("r_str")).cast("long"))
+      .filter(col("dist") <= 1)
       .select(col("l_id"), col("r_id"), col("dist"))
       .orderBy("l_id", "r_id")
   }
