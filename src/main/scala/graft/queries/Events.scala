@@ -241,27 +241,64 @@ object Events {
   def qSurvival(events: DataFrame): DataFrame = {
     val sess = graft.operators.CachePool.track(sessionAgg(events))
     val horizon = sess.agg(max(unix_micros(col("t_end"))).as("h_us"))
-    val per = graft.operators.CachePool.track(
-      sess.crossJoin(broadcast(horizon))
-        .select(
-          expr("(unix_micros(t_end) - unix_micros(t_start)) div 1000000").as("dur_s"),
-          when(unix_micros(col("t_end")) >= col("h_us") - lit(1800000000L), lit(1L))
-            .otherwise(lit(0L)).as("cens")))
-    val tbl = per.groupBy(col("dur_s"))
+    // ONE pass over the sessions: the (dur_s → events/censored)
+    // histogram. Durations land on the whole-second lattice, so the
+    // histogram is bounded by the session-span lattice at ANY corpus
+    // size (the q_mad_outliers argument) — checkpointed once, and the
+    // total, BOTH dependent prefix sums, and the KM tail are all
+    // histogram-sized from here. The r12 shape routed the histogram
+    // through RangeRank.withRunningSumThen, paying a corpus-derived
+    // min/max pass, an input cache, and two pool materializations of
+    // `per` — ~2 s of fixed multi-stage overhead at sf0.1 for a ≤2k-row
+    // table (3.98 → ~2.3 s).
+    val hist = sess.crossJoin(broadcast(horizon))
+      .select(
+        expr("(unix_micros(t_end) - unix_micros(t_start)) div 1000000").as("dur_s"),
+        when(unix_micros(col("t_end")) >= col("h_us") - lit(1800000000L), lit(1L))
+          .otherwise(lit(0L)).as("cens"))
+      .groupBy(col("dur_s"))
       .agg(sum(lit(1L) - col("cens")).as("n_events"), sum(col("cens")).as("n_censored"))
-    val tot = per.agg(count(lit(1)).as("n_total"))
-    // the two prefix sums are DEPENDENT (the ln-term needs the risk set
-    // from the first), so they share one bucketed pass — the second
-    // window rides the first's partitioning with no new exchange
-    graft.operators.RangeRank.withRunningSumThen(
-        tbl, col("n_events") + col("n_censored"), "cum_incl",
-        s1 => s1.crossJoin(broadcast(tot))
-          .withColumn("n_risk",
-            col("n_total") - (col("cum_incl") - col("n_events") - col("n_censored")))
-          .withColumn("term_nano", expr(
-            "CASE WHEN n_events < n_risk THEN CAST(round(ln((CAST(n_risk AS DOUBLE)" +
-              " - n_events) / n_risk) * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END")),
-        col("term_nano"), "km_lnlat", col("dur_s"), Nil)
+      .localCheckpoint(true)
+    val tot = hist.agg(sum(col("n_events") + col("n_censored")).as("n_total"))
+    // bucketed prefix sums over the tiny histogram — RangeRank's shape
+    // (per-bucket parallel window + triangular offsets) with a FREE
+    // bucket key: dur_s div 64 is lattice-derived, so no min/max pass
+    // and no single-partition window. Both sums share the partitioning;
+    // the second window rides the first's exchange.
+    val w = Window.partitionBy(col("_b")).orderBy(col("dur_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def offsets(sumCol: org.apache.spark.sql.Column, out: String): DataFrame = {
+      val per = hist.withColumn("_b", expr("dur_s div 64"))
+        .groupBy(col("_b")).agg(sum(sumCol).as("_v"))
+      per.join(per.select(col("_b").as("_pb"), col("_v").as("_pv")),
+          col("_pb") < col("_b"), "left")
+        .groupBy(col("_b"))
+        .agg(coalesce(sum(col("_pv")), lit(0L)).as(out))
+    }
+    val withRisk = hist.withColumn("_b", expr("dur_s div 64"))
+      .withColumn("_loc1", sum(col("n_events") + col("n_censored")).over(w))
+      .join(broadcast(offsets(col("n_events") + col("n_censored"), "_off1")), Seq("_b"), "left")
+      .withColumn("cum_incl", col("_loc1") + coalesce(col("_off1"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - (col("cum_incl") - col("n_events") - col("n_censored")))
+      .withColumn("term_nano", expr(
+        "CASE WHEN n_events < n_risk THEN CAST(round(ln((CAST(n_risk AS DOUBLE)" +
+          " - n_events) / n_risk) * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+    // second (dependent) prefix sum: per-bucket term totals re-derive
+    // the tiny withRisk subtree — histogram-sized, cheaper than any
+    // materialization
+    val termOffsets = withRisk
+      .groupBy(col("_b")).agg(sum(col("term_nano")).as("_v"))
+    val termOff = termOffsets
+      .join(termOffsets.select(col("_b").as("_pb"), col("_v").as("_pv")),
+        col("_pb") < col("_b"), "left")
+      .groupBy(col("_b"))
+      .agg(coalesce(sum(col("_pv")), lit(0L)).as("_off2"))
+    withRisk
+      .withColumn("_loc2", sum(col("term_nano")).over(w))
+      .join(broadcast(termOff), Seq("_b"), "left")
+      .withColumn("km_lnlat", col("_loc2") + coalesce(col("_off2"), lit(0L)))
       .filter(col("n_events") > 0)
       .select(col("dur_s"), col("n_risk"), col("n_events"), col("n_censored"),
         col("km_lnlat"),
