@@ -59,6 +59,11 @@ object GenData {
     println(s"[gendata] $name.parquet ($files files): ${df.columns.mkString(",")}")
   }
 
+  // Timestamps are written as TIMESTAMP_NTZ (isAdjustedToUTC=false) —
+  // the driver fixtures' physical type since the r6 regen; the shared
+  // events loader probes the footer either way, but fixture fidelity
+  // keeps every reader on the driver-validated branch.
+
   // ------------------------------------------------------------ tables
 
   def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
@@ -121,7 +126,7 @@ object GenData {
       pick("o_stat", col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
       money("o_total", col("id"), 1000.0, 500000.0).as("o_totalprice"),
       date_add(epoch95, uInt("o_date", col("id"), 2404).cast("int"))
-        .cast("timestamp").as("o_orderdate"),
+        .cast("timestamp_ntz").as("o_orderdate"),
       pick("o_prio", col("id"),
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority")),
       outDir, "orders", files = 16)
@@ -141,7 +146,7 @@ object GenData {
       pick("l_rf", col("id"), Seq("A", "N", "R")).as("l_returnflag"),
       pick("l_ls", col("id"), Seq("F", "O")).as("l_linestatus"),
       date_add(epoch95, (uInt("l_ship", col("id"), 2499) + 1).cast("int"))
-        .cast("timestamp").as("l_shipdate")),
+        .cast("timestamp_ntz").as("l_shipdate")),
       outDir, "lineitem", files = 32, sortCol = Some("l_orderkey"))
 
     // events: 30 uniform days of 2024-01 at µs resolution; value is
@@ -151,7 +156,8 @@ object GenData {
     writeOne(spark.range(nEvents).select(
       col("id").as("event_id"),
       (epoch24 + make_dt_interval(lit(0), lit(0), lit(0),
-        (u01("e_ts", col("id")) * lit(30.0 * 86400)).cast("decimal(18,6)"))).as("ts"),
+        (u01("e_ts", col("id")) * lit(30.0 * 86400)).cast("decimal(18,6)")))
+        .cast("timestamp_ntz").as("ts"),
       uInt("e_user", col("id"), nUsers).as("user_id"),
       pick("e_type", col("id"),
         Seq("click", "error", "purchase", "signup", "view")).as("event_type"),
