@@ -658,6 +658,8 @@ object PipelineQueries {
       t
     })
 
+  private val kmeansCte: String = kmeansCteWhere("TRUE")
+
   def qIvfTrain(s: SparkSession, dir: String): DataFrame =
     trainedKmeans(s, dir)
 
@@ -665,7 +667,7 @@ object PipelineQueries {
     * iterations (shared by the training oracle and the trained-search
     * oracle).
     */
-  private val kmeansCte: String = {
+  private def kmeansCteWhere(where: String): String = {
     // one Lloyd iteration as CTEs: cIn -> dN (distances) -> aN (argmin)
     // -> uN (rounded means) -> cOut (carry empty clusters)
     def iteration(n: Int, cIn: String, cOut: String): String =
@@ -696,6 +698,7 @@ object PipelineQueries {
        |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS v
        |  FROM embeddings, (SELECT unnest(generate_series(1, $Dims)) AS i)
+       |  WHERE $where
        |),
        |c0 AS (SELECT vec_id AS cent_id, pos, v AS c FROM pe WHERE vec_id < 8),
        |${iteration(1, "c0", "c1")},
@@ -3061,12 +3064,24 @@ object PipelineQueries {
     * [[graft.operators.Similarity.semanticDedup]]): the oracle replays
     * the identical Lloyd lattice iterations ([[kmeansCte]]), the same
     * (cos desc, cent_id) assignment, and the same keep-min-id rule.
+    *
+    * Universe-capped at the first `SemDedupCap` vectors (no-op through
+    * sf1's 20k): the oracle pins k = 8 FIXED (the Lloyd CTE is
+    * unrolled per centroid), so cells — and the within-cell pair join —
+    * grow linearly in corpus size (quadratic pairs; the sf2 probe
+    * kneed 4.8 → 39 s). The production contract is the operator
+    * docstring's scaled-k path (k grows with n, like scaledBits);
+    * this fixed-k query is its pinned-scale oracle baseline, same
+    * convention as q_simhash_near.
     */
+  private val SemDedupCap = 20000L
+
   def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(embs(s, dir), k = 8, iters = 2, threshold = 0.2, dims = Dims)
+    Similarity.semanticDedup(embs(s, dir).filter(col("vec_id") < SemDedupCap),
+      k = 8, iters = 2, threshold = 0.2, dims = Dims)
 
   val qSemanticDedupSql: String =
-    s"""WITH $kmeansCte,
+    s"""WITH ${kmeansCteWhere(s"vec_id < $SemDedupCap")},
        |cents AS (
        |  SELECT cent_id, list(CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cent_emb
        |  FROM c2 GROUP BY cent_id
@@ -3077,7 +3092,8 @@ object PipelineQueries {
        |           row_number() OVER (PARTITION BY e.vec_id
        |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
        |                                       c.cent_id) AS rn
-       |    FROM embeddings e CROSS JOIN cents c
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $SemDedupCap) e
+       |    CROSS JOIN cents c
        |  ) WHERE rn = 1
        |),
        |s AS (SELECT e.vec_id AS id, e.embedding AS e, a.cell
