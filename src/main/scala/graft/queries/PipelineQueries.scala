@@ -3852,15 +3852,21 @@ object PipelineQueries {
       graft.sources.CorpusIO.readOrc(s, corpusCopy(s, dir, "orc"), DocSchema))
 
   val corpusIngestSql: String =
-    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    """WITH d AS (
+      |  SELECT source,
+      |         md5(concat_ws('|', CAST(doc_id AS VARCHAR), text,
+      |                       lang, source, CAST(n_chars AS VARCHAR))) AS h,
+      |         doc_id, n_chars
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-      |       CAST(sum(CAST(concat('0x',
-      |                substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), text,
-      |                           lang, source, CAST(n_chars AS VARCHAR))), 1, 15))
-      |              AS BIGINT)) AS DECIMAL(38,0)) AS row_digest,
+      |       CAST(CAST(sum(CAST(concat('0x', substr(h, 1, 15)) AS BIGINT))
+      |              AS HUGEINT) % 9007199254740992 AS BIGINT) AS row_digest,
+      |       CAST(CAST(sum(CAST(concat('0x', substr(h, 16, 15)) AS BIGINT))
+      |              AS HUGEINT) % 9007199254740992 AS BIGINT) AS row_digest2,
       |       CAST(0 AS BIGINT) AS n_corrupt
-      |FROM documents
+      |FROM d
       |GROUP BY source
       |ORDER BY source""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
 
@@ -118,27 +118,47 @@ object CorpusIO {
   def writeOrc(df: DataFrame, path: String, compression: String = "zstd"): Unit =
     df.write.mode("overwrite").option("compression", compression).orc(path)
 
+  /** The raw DECIMAL(38,0) digest sums are folded into [0, 2⁵³) before
+    * they leave the audit: values above 2⁵³ are not exactly
+    * representable as float64, and cross-engine comparison layers that
+    * normalize numerics through doubles (pandas, JSON) see Spark and
+    * DuckDB disagree on bit-identical decimals at that magnitude
+    * (found the hard way: r13's unfolded sums were ~1.6·10¹⁹ and went
+    * hash-red in the driver gate despite 0/20 rows differing). The fold
+    * happens ONCE on the final merged sum, so the aggregate stays fully
+    * mergeable — exactness of the underlying lattice is unchanged.
+    */
+  private val DigestFold = 1L << 53
+
   /** Per-source round-trip audit of an interchange copy of `docs`
-    * against the original: row counts, exact BIGINT sums, an
-    * order-independent all-column row-digest SUM (md5 over all
-    * columns, top 60 bits summed on a DECIMAL(38,0) lattice — any
-    * dropped, duplicated, or garbled row changes it), and the
-    * quarantine count. Both frames must carry
+    * against the original: row counts, exact BIGINT sums, two
+    * order-independent all-column row-digest SUMs (md5 over all
+    * columns; bits 0–60 and bits 60–120 summed on independent
+    * DECIMAL(38,0) lattices — any dropped, duplicated, or garbled row
+    * changes them), and the quarantine count. Both frames must carry
     * doc_id/text/lang/source/n_chars.
     *
-    * The digest is a SUM, not a distinct COUNT, deliberately: a
+    * The digests are SUMs, not distinct COUNTs, deliberately: a
     * `countDistinct` over per-row digests plans as a two-phase
     * distinct aggregate whose first exchange carries one row per
     * distinct digest — corpus-proportional shuffle for what should be
-    * a bounded audit. The sum is fully mergeable, so the whole audit
+    * a bounded audit. The sums are fully mergeable, so the whole audit
     * map-side-combines into ≤ |sources| rows per map partition and
     * shuffles once (CorpusIOSpec pins the plan). Exact at any scale:
-    * 2⁶⁰ per row × 10¹² rows ≈ 10³⁰ ≪ 10³⁸.
+    * 2⁶⁰ per row × 10¹² rows ≈ 10³⁰ ≪ 10³⁸. A SUM is additive, so
+    * corruptions whose digest deltas cancel exactly on one 60-bit
+    * slice pass that slice — that is why there are TWO independent
+    * slices: a cancellation must hold on both simultaneously
+    * (≈ 2⁻¹⁰⁶ for non-adversarial corruption). The final fold to
+    * [0, 2⁵³) is for interchange stability, see [[DigestFold]].
     */
   def roundTripAudit(roundTripped: DataFrame): DataFrame = {
     val digest = md5(concat_ws("|",
       col("doc_id").cast("string"), col("text"), col("lang"),
       col("source"), col("n_chars").cast("string")))
+    def slice(from: Int) =
+      sum(conv(substring(digest, from, 15), 16, 10).cast("decimal(38,0)"))
+    def fold(c: Column) = pmod(c, lit(DigestFold)).cast("long")
     val corrupt = if (roundTripped.columns.contains(CorruptCol))
       col(CorruptCol) else lit(null).cast("string")
     roundTripped
@@ -146,8 +166,8 @@ object CorpusIO {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("sum_ids"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(conv(substring(digest, 1, 15), 16, 10).cast("decimal(38,0)"))
-          .as("row_digest"),
+        fold(slice(1)).as("row_digest"),
+        fold(slice(16)).as("row_digest2"),
         count(corrupt).as("n_corrupt"))
       .orderBy("source")
   }

@@ -142,6 +142,33 @@ class CorpusIOSpec extends SparkSpec {
       s"audit plan must not fan out or join:\n${audit.queryExecution.executedPlan}")
   }
 
+  test("audit digests: BIGINT in [0, 2^53), two independent slices, garble-sensitive") {
+    // the driver-gate stability contract (r13 regression): unfolded
+    // DECIMAL(38,0) sums exceed 2^53 and cross-engine numeric
+    // normalization through float64 splits bit-identical values — the
+    // folded digests must stay exactly representable as doubles
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, s"doc $i text", "en", s"src${i % 3}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val audit = CorpusIO.roundTripAudit(d).cache()
+    for (c <- Seq("row_digest", "row_digest2")) {
+      assert(audit.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"$c must be BIGINT for the driver hasher")
+      val bad = audit.filter(col(c) < 0 || col(c) >= (1L << 53)).count()
+      assert(bad == 0, s"$c escaped [0, 2^53)")
+    }
+    // the two slices are independent md5 bit ranges, not copies
+    assert(audit.filter(col("row_digest") === col("row_digest2")).count() == 0)
+    // one garbled row flips BOTH slices (additive-cancellation hedge)
+    val garbled = d.withColumn("text",
+      when(col("doc_id") === 7L, lit("doc 7 GARBLED")).otherwise(col("text")))
+    val g = CorpusIO.roundTripAudit(garbled)
+    val joined = audit.as("a").join(g.as("b"), "source")
+      .filter(col("a.row_digest") =!= col("b.row_digest") &&
+        col("a.row_digest2") =!= col("b.row_digest2"))
+    assert(joined.count() == 1, "a garbled row must change both digest slices of its source")
+  }
+
   test("jsonl: gzip write round-trips through the extension codec chain") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("corpusio").toString + "/jz"
