@@ -27,12 +27,17 @@ import scala.collection.mutable
   *      cluster). Evicted frames unpersist only after `drainGraceMs`
   *      out of the LRU. The data did NOT change, so the entry lingering
   *      in Spark's CacheManager is harmless — a re-load reusing it is
-  *      correct. Memory stays bounded: one grace window of evictions.
+  *      correct. Memory stays bounded: one grace window of evictions,
+  *      reaped on every [[load]] (not just on the next eviction), so
+  *      the bound holds even when eviction traffic stops.
   *    - **Data mutation (save / append / delete / compact) unpersists
-  *      IMMEDIATELY**: a drained entry would linger in the CacheManager
-  *      and a fresh identical-plan read would silently reuse STALE
-  *      pre-mutation blocks (caught by CompactionPolicySpec /
-  *      PyramidDeleteSpec when r13 first drained these sites too).
+  *      IMMEDIATELY — the live LRU entry AND any same-id draining
+  *      frame** ([[invalidate]]): a drained entry would linger in the
+  *      CacheManager and a fresh identical-plan read would silently
+  *      reuse STALE pre-mutation blocks (caught by
+  *      CompactionPolicySpec / PyramidDeleteSpec when r13 first
+  *      drained these sites too; the draining-side purge closes the
+  *      same hole for frames evicted shortly before the mutation).
   *      Consistency beats availability at mutation points; a request
   *      racing a delete may fail and retry, by design.
   *
@@ -71,16 +76,47 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
   private val lru = mutable.LinkedHashMap.empty[String, DataFrame]
   private val lastAccessMs = mutable.HashMap.empty[String, Long]
   // evicted-but-possibly-still-serving frames awaiting their deferred
-  // unpersist (see the class doc's eviction-drain contract)
-  private val draining = mutable.ArrayBuffer.empty[(DataFrame, Long)]
+  // unpersist, keyed by dataset id so mutations can purge them (see the
+  // class doc's eviction-drain contract)
+  private val draining = mutable.ArrayBuffer.empty[(String, DataFrame, Long)]
 
   /** Move an evicted frame to the draining list and unpersist anything
     * whose grace window has lapsed. Callers hold the monitor.
     */
-  private def retire(df: DataFrame, now: Long): Unit = {
-    draining += ((df, now))
-    draining.filterInPlace { case (d, at) =>
+  private def retire(id: String, df: DataFrame, now: Long): Unit = {
+    draining += ((id, df, now))
+    sweepDraining(now)
+  }
+
+  /** Unpersist draining frames whose grace window has lapsed. Called
+    * from [[retire]] AND from every [[load]] — so a drained frame is
+    * reaped within one grace window of any subsequent access, not only
+    * when a LATER eviction happens to fire (without the load-side
+    * sweep, the last grace-window of evictions outlived its deadline
+    * indefinitely once eviction traffic stopped). Callers hold the
+    * monitor.
+    */
+  private def sweepDraining(now: Long): Unit =
+    draining.filterInPlace { case (_, d, at) =>
       val keep = now - at <= drainGraceMs
+      if (!keep) d.unpersist()
+      keep
+    }
+
+  /** Mutation-site invalidation: unpersist the live LRU entry AND any
+    * same-id frame still draining, immediately. A drained frame stays
+    * registered in Spark's CacheManager, and cached-plan matching is
+    * path-based — so after a save/append/delete/compact, a lingering
+    * pre-mutation frame would be silently REUSED by the next
+    * identical-plan read (stale data / missed appended files). The
+    * eviction-drain grace applies only to frames whose data did not
+    * change; mutations must purge without grace.
+    */
+  private def invalidate(id: String): Unit = synchronized {
+    lru.remove(id).foreach(_.unpersist())
+    lastAccessMs.remove(id)
+    draining.filterInPlace { case (dId, d, _) =>
+      val keep = dId != id
       if (!keep) d.unpersist()
       keep
     }
@@ -90,7 +126,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     * know no request is in flight).
     */
   private[graft] def drainNow(): Unit = synchronized {
-    draining.foreach(_._1.unpersist())
+    draining.foreach(_._2.unpersist())
     draining.clear()
   }
 
@@ -130,10 +166,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     // pins the old file listing
     val tomb = new java.io.File(s"$path/_tombstones")
     if (tomb.exists) StagedSwap.rmRf(tomb)
-    synchronized {
-      lru.remove(id).foreach(_.unpersist())
-      lastAccessMs.remove(id)
-    }
+    invalidate(id)
     val obs = org.apache.spark.sql.Observation(s"graft_save_$id")
     points
       .observe(obs, count(lit(1)).as("n"))
@@ -169,10 +202,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
       .partitionBy("tile_z5")
       .parquet(path)
     val added = obs.get("n").asInstanceOf[Long]
-    synchronized {
-      lru.remove(id).foreach(_.unpersist())
-      lastAccessMs.remove(id)
-    }
+    invalidate(id)
     val info = SavedInfo(id, prev.numPoints + added, prev.createdAtMs, path, dirSize(path))
     Files.writeString(Paths.get(path, "_graft_meta.json"),
       s"""{"id":"$id","numPoints":${info.numPoints},"createdAtMs":${info.createdAtMs},"fileSizeBytes":${info.fileSizeBytes}}""")
@@ -274,9 +304,10 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     */
   def load(id: String): DataFrame = synchronized {
     val now = System.currentTimeMillis()
+    sweepDraining(now)
     lastAccessMs.filterInPlace { (cachedId, at) =>
       val keep = cachedId == id || now - at <= idleEvictMs
-      if (!keep) lru.remove(cachedId).foreach(retire(_, now))
+      if (!keep) lru.remove(cachedId).foreach(retire(cachedId, _, now))
       keep
     }
     lastAccessMs.put(id, now)
@@ -300,7 +331,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
           val (evictId, evictDf) = lru.head
           lru.remove(evictId)
           lastAccessMs.remove(evictId)
-          retire(evictDf, now)
+          retire(evictId, evictDf, now)
         }
         df
     }
@@ -349,10 +380,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
     val removed = toRemove.count()
     toRemove.write.mode("append").parquet(s"$path/_tombstones")
     toRemove.unpersist()
-    synchronized {
-      lru.remove(id).foreach(_.unpersist())
-      lastAccessMs.remove(id)
-    }
+    invalidate(id)
     val info = SavedInfo(id, prev.numPoints - removed, prev.createdAtMs, path, dirSize(path))
     Files.writeString(Paths.get(path, "_graft_meta.json"),
       s"""{"id":"$id","numPoints":${info.numPoints},"createdAtMs":${info.createdAtMs},"fileSizeBytes":${info.fileSizeBytes}}""")
@@ -419,10 +447,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String, maxCached: Int = 
               s"could not carry sidecar $aux from $bak into $tmp")
         }
       }
-      synchronized {
-        lru.remove(id).foreach(_.unpersist())
-        lastAccessMs.remove(id)
-      }
+      invalidate(id)
     }
     val info = SavedInfo(id, prev.numPoints, prev.createdAtMs, path, dirSize(path))
     Files.writeString(Paths.get(path, "_graft_meta.json"),

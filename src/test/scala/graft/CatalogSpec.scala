@@ -83,4 +83,38 @@ class CatalogSpec extends SparkSpec {
     assert(lazyCat.cachedIds.toSet ==
       Set("cluster-10p-t2-lru1", "cluster-10p-t2-lru2"))
   }
+
+  test("drained frames unpersist within grace via the load-side sweep, no further evictions") {
+    import org.apache.spark.storage.StorageLevel
+    // r13 hole: draining was only reaped inside retire(), so once
+    // eviction traffic stopped the last grace-window of frames stayed
+    // persisted forever — the sweep now also runs on every load
+    val cat = new Catalog(spark, warehouse, maxCached = 1, drainGraceMs = 50L)
+    val a = cat.load("cluster-10p-t2-lru1")
+    cat.load("cluster-10p-t2-lru2") // evicts lru1 into draining
+    assert(a.storageLevel != StorageLevel.NONE,
+      "drained frame must stay persisted inside its grace window")
+    Thread.sleep(80)
+    cat.load("cluster-10p-t2-lru2") // cache hit, NOT an eviction
+    assert(a.storageLevel == StorageLevel.NONE,
+      "lapsed draining frame must unpersist on the next load, not the next eviction")
+  }
+
+  test("mutation purges same-id draining frames immediately (no stale cached-plan reuse)") {
+    import org.apache.spark.storage.StorageLevel
+    // a frame evicted just before a mutation lingers in Spark's
+    // CacheManager; cached-plan matching is path-based, so a
+    // post-mutation load would silently reuse pre-mutation blocks
+    // unless mutations purge draining entries too
+    val cat = new Catalog(spark, warehouse, maxCached = 1, drainGraceMs = Long.MaxValue)
+    val before = cat.load("cluster-10p-t2-lru1").count()
+    val a = cat.load("cluster-10p-t2-lru1")
+    cat.load("cluster-10p-t2-lru2") // evicts lru1 into draining (infinite grace)
+    assert(a.storageLevel != StorageLevel.NONE)
+    cat.append(PointGen.uniformPoints(spark, 5, Bounds.World, 99L), "cluster-10p-t2-lru1")
+    assert(a.storageLevel == StorageLevel.NONE,
+      "pre-mutation frame must leave the CacheManager at the mutation, grace or not")
+    assert(cat.load("cluster-10p-t2-lru1").count() == before + 5,
+      "post-mutation load must see the appended rows")
+  }
 }
