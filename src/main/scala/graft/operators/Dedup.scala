@@ -178,6 +178,20 @@ object Dedup {
     *    from a checkpointed frame with known-small stats, so AQE
     *    broadcasts it while it fits and can fall back if a pathological
     *    candidate set is not tiny.
+    *
+    *    Two deliberate costs of the EAGER local checkpoint, accepted
+    *    because this path is opt-in (`SemiPruneConf`, default off):
+    *    (a) building the query runs the candidate stage immediately —
+    *    construction is an action, not a free plan; (b) localCheckpoint
+    *    blocks are single-replica with TRUNCATED lineage, so losing an
+    *    executor that holds them (node failure, dynamic-allocation
+    *    decommission) fails the query irrecoverably instead of
+    *    recomputing. Deployments running semiPrune under dynamic
+    *    allocation should either disable executor decommission for the
+    *    job or set `spark.checkpoint.dir` and swap this to a reliable
+    *    `checkpoint` — a lazy persist is NOT a safe substitute (the
+    *    r12 race: two concurrent branches each computed the candidate
+    *    subtree before either finished populating the cache).
     * Output is identical either way (EquivalenceSpec in DedupSpec).
     *
     * `cand` may arrive with duplicate pairs (one per shared prefix

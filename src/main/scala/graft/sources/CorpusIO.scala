@@ -73,12 +73,22 @@ object CorpusIO {
     * convention) so `""` stays distinct from NULL on round-trip —
     * under Spark's CSV defaults the read-side `nullValue` is the empty
     * string, which swallows BOTH a quoted `""` and an empty field into
-    * NULL and silently corrupts the distinction.
+    * NULL and silently corrupts the distinction. Two sentinel edges:
+    *  - a string DATA value of `\N` (or `\\N`, …) is backslash-escaped
+    *    on write and unescaped here ([[sentinelEscape]]) — quoting
+    *    cannot protect it because the parser compares `nullValue`
+    *    AFTER unquoting, so without the escape a literal `\N` document
+    *    silently became NULL;
+    *  - foreign CSVs that mark NULL with EMPTY fields (the Spark/pandas
+    *    default) parse those fields as `""` for strings and quarantine
+    *    non-string columns under this reader — pass their convention
+    *    explicitly when ingesting third-party drops (this reader's
+    *    defaults are tuned for [[writeCsv]] round-trips).
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               header: Boolean = true, sep: String = ",",
-              multiLine: Boolean = false): DataFrame =
-    spark.read
+              multiLine: Boolean = false): DataFrame = {
+    val raw = spark.read
       .schema(schema.add(CorruptCol, StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
@@ -88,17 +98,42 @@ object CorpusIO {
       .option("nullValue", "\\N")
       .option("emptyValue", "")
       .csv(path)
+    sentinelEscape(raw, schema, unescape = true)
+  }
+
+  /** Lossless escape for string values colliding with the `\N` NULL
+    * sentinel (write: `\N` → `\\N`, `\\N` → `\\\N`, …; read: the
+    * inverse). Anchored single-char-class regex — fails on the first
+    * byte for the 99.99…% of values that don't start with a
+    * backslash, so the ingest hot path stays codegen'd and cheap.
+    * Only the caller-declared STRING columns are touched (never
+    * [[CorruptCol]]: quarantined raw lines must stay verbatim).
+    */
+  private def sentinelEscape(df: DataFrame, schema: StructType,
+                             unescape: Boolean): DataFrame = {
+    val pat = if (unescape) "^\\\\(\\\\+N)$" else "^(\\\\+N)$"
+    val rep = if (unescape) "$1" else "\\\\$1"
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == StringType && f.name != CorruptCol)
+        d.withColumn(f.name, regexp_replace(col(f.name), pat, rep))
+      else d
+    }
+  }
 
   /** Write as compressed CSV with a header. Quoting is Spark's
     * RFC-4180 default, so embedded separators/quotes/newlines in text
     * columns are emitted losslessly — but reading embedded newlines
     * back requires [[readCsv]]`(multiLine = true)` (per-file parsing);
     * the default line-split read path tears them. Newline-free text
-    * round-trips under the defaults on both sides.
+    * round-trips under the defaults on both sides. String values that
+    * ARE the `\N` NULL sentinel (or its escapes) gain one leading
+    * backslash ([[sentinelEscape]]) so data can never masquerade as
+    * NULL; [[readCsv]] reverses it.
     */
   def writeCsv(df: DataFrame, path: String, compression: String = "gzip",
                sep: String = ","): Unit =
-    df.write.mode("overwrite")
+    sentinelEscape(df, df.schema, unescape = false)
+      .write.mode("overwrite")
       .option("compression", compression)
       .option("header", "true")
       .option("sep", sep)

@@ -72,6 +72,24 @@ class CorpusIOSpec extends SparkSpec {
     assert(byId(2L) == null, s"NULL came back as ${byId(2L)}")
   }
 
+  test("csv: a literal \\N string value round-trips as data, distinct from NULL") {
+    // the sentinel collision: nullValue is compared AFTER unquoting, so
+    // without the write-side escape a document whose text IS the two
+    // chars \N came back as NULL — silent corruption
+    val dir = java.nio.file.Files.createTempDirectory("corpusio").toString + "/sentinel"
+    val d = Seq((1L, "\\N", "en", "web", 2L), (2L, "\\\\N", "de", "books", 3L),
+      (3L, null.asInstanceOf[String], "fr", "web", 0L), (4L, "\\Not a sentinel", "en", "web", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusIO.writeCsv(d, dir, compression = "none")
+    val back = CorpusIO.readCsv(spark, dir, schema).cache()
+    assert(back.filter(col(CorpusIO.CorruptCol).isNotNull).count() == 0)
+    val byId = back.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId(1L) == "\\N", s"literal \\N came back as ${byId(1L)}")
+    assert(byId(2L) == "\\\\N", s"literal \\\\N came back as ${byId(2L)}")
+    assert(byId(3L) == null, "NULL must still ride the sentinel")
+    assert(byId(4L) == "\\Not a sentinel", "non-sentinel backslash strings must pass untouched")
+  }
+
   test("csv: default line-split read tears embedded newlines into quarantine, not silence") {
     // the documented multiLine=false contract: a quoted embedded
     // newline cannot round-trip, but the damage must be VISIBLE —
