@@ -74,52 +74,73 @@ object Bench {
       if (good.isEmpty) timings.head._3.foreach(errByName(name) = _)
       else samples(name) = good
     }
+    // RESOLVED spread: once a query has been re-measured (≥3 samples),
+    // drop its single worst sample before computing the spread — the
+    // re-measure exists precisely to outvote one storm-poisoned sample,
+    // so "do the non-worst samples agree" is the signal a reader needs.
+    // With 2 samples there is nothing to outvote and the raw spread
+    // stands. Raw samples (including the dropped one) always land in
+    // BENCH_DETAIL's "samples", so nothing is hidden.
+    def resolvedSpread(ss: Seq[Double]): Double = {
+      val core = if (ss.size >= 3) ss.sorted.dropRight(1) else ss
+      core.max / math.max(core.min, 1e-9)
+    }
     // Adaptive re-measure: samples disagreeing >3× are the noise-storm
     // signature of this box (round-2 and round-4 driver benches were
-    // poisoned that way) — one extra sample decides which side was
-    // real. Bounded: worst 12 suspects. Non-trivial queries only below
-    // 10× spread; past 10× the query re-measures regardless of its
+    // poisoned that way) — an extra sample decides which side was
+    // real. Bounded: worst 12 suspects per pass, TWO passes (r13: a
+    // single re-measure landing inside the same storm window left the
+    // artifact storm-flagged two rounds running; the second pass only
+    // re-runs queries whose resolved spread is still ambiguous, so a
+    // clean run pays nothing). Non-trivial queries only below 10×
+    // spread; past 10× the query re-measures regardless of its
     // magnitude (r11: a 133× spread on a sub-second query survived the
     // old mn>0.5 gate and cost the verdict a phantom-regression chase —
     // and re-measuring a fast query is nearly free).
     if (reps >= 2) {
-      val suspects = samples.toSeq
-        .map { case (n, ss) => (n, ss.min, ss.max / math.max(ss.min, 1e-9)) }
-        .filter { case (_, mn, spread) => (mn > 0.5 && spread > 3.0) || spread > 10.0 }
-        .sortBy(-_._3).take(12).map(_._1)
-      suspects.foreach { name =>
-        val fn = selected(name)
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-                  catch { case e: Throwable => Some(errStr(e)) }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        graft.operators.CachePool.clear()
-        if (err.isEmpty) samples(name) = samples(name) :+ elapsed
+      (1 to 2).foreach { _ =>
+        val suspects = samples.toSeq
+          .map { case (n, ss) => (n, ss.min, resolvedSpread(ss)) }
+          .filter { case (_, mn, spread) => (mn > 0.5 && spread > 3.0) || spread > 10.0 }
+          .sortBy(-_._3).take(12).map(_._1)
+        suspects.foreach { name =>
+          val fn = selected(name)
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None }
+                    catch { case e: Throwable => Some(errStr(e)) }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          graft.operators.CachePool.clear()
+          if (err.isEmpty) samples(name) = samples(name) :+ elapsed
+        }
       }
     }
     val ok = samples.toSeq.map { case (n, ss) => (n, ss.min) }
     val errs = errByName
     val total = ok.map(_._2).sum
-    // surviving >2× spreads (post re-measure) — the honesty signal that a
-    // reported min may still sit inside a storm window. Bounded to the 8
-    // widest so the summary line stays parseable.
+    // surviving >2× RESOLVED spreads (post re-measure) — the honesty
+    // signal that a reported min may still sit inside a storm window.
+    // Bounded to the 8 widest so the summary line stays parseable.
     val spreads = samples.toSeq
-      .map { case (n, ss) => (n, ss.max / math.max(ss.min, 1e-9)) }
+      .map { case (n, ss) => (n, resolvedSpread(ss)) }
       .filter { case (_, sp) => sp > 2.0 }
       .sortBy(-_._2).take(8)
     val spreadJson =
       if (spreads.isEmpty) ""
       else spreads.map { case (n, sp) => "\"" + n + f"\":$sp%.1f" }
         .mkString(""","spread":{""", ",", "}")
-    // explicit storm marker: any surviving >10× spread means a box noise
-    // storm overlapped this run — a standalone reader of the committed
-    // snapshot must not mistake the inflated samples for regression; the
-    // per-query minima are the trustworthy values
-    val stormy = samples.values.exists(ss => ss.max / math.max(ss.min, 1e-9) > 10.0)
+    // explicit storm marker: a >10× RESOLVED spread means even the
+    // non-worst samples of some query disagree wildly — the storm
+    // spanned the re-measures too, and a standalone reader of the
+    // committed snapshot must not mistake inflated samples for
+    // regression. A storm that the re-measure passes outvoted (one bad
+    // sample, the rest agreeing) is RESOLVED and no longer flags the
+    // whole artifact; the per-query minima are the trustworthy values
+    // either way.
+    val stormy = samples.values.exists(ss => resolvedSpread(ss) > 10.0)
     val stormJson = if (stormy) ""","storm":true""" else ""
     val stormNote =
       if (stormy)
-        ""","storm_note":"spread >10x on some queries: box noise storm during this run; minima are trustworthy""""
+        ""","storm_note":"resolved spread >10x on some queries even after re-measures: box noise storm spanned this run; minima are trustworthy""""
       else ""
 
     // Warm latencies are only meaningful on a full, healthy run.
