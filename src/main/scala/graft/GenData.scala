@@ -48,8 +48,15 @@ object GenData {
   private def money(salt: String, k: Column, lo: Double, hi: Double): Column =
     round(lit(lo) + u01(salt, k) * lit(hi - lo), 2)
 
+  /** CLI table filter (`only=documents,events`): generation is
+    * per-table independent, so a probe that needs one regenerated
+    * table (the open-vocab documents corpus) skips the other nine.
+    */
+  private var onlyTables: Set[String] = Set.empty
+
   private def writeOne(df: DataFrame, outDir: String, name: String,
                        files: Int = 1, sortCol: Option[String] = None): Unit = {
+    if (onlyTables.nonEmpty && !onlyTables.contains(name)) return
     val parts = df.repartition(files)
     val arranged = sortCol.fold(parts)(c => parts.sortWithinPartitions(c))
     arranged
@@ -66,7 +73,21 @@ object GenData {
 
   // ------------------------------------------------------------ tables
 
-  def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  /** `openVocab=false` (default) reproduces the driver fixtures'
+    * CLOSED 31-word vocabulary — deliberately adversarial for exact
+    * n-gram methods (trigram document frequency grows linearly with
+    * the corpus, so prefix-join candidates grow quadratically; a
+    * falsifiable mechanism SCALING.md names for q_dedup_ngram's >3×
+    * decade step). `openVocab=true` swaps ONLY the documents word
+    * distribution for a Zipf(s≈1) draw over 50k types (`rank =
+    * ⌊V^u⌋` inverse-CDF, the standard power-law approximation:
+    * P(rank=r) ≈ 1/(r·lnV)) — the shape real corpora have, where
+    * rare-shingle prefixes stay near-singleton. Same hash keys, same
+    * duplicate structure (exact/near kinds and copy arithmetic are
+    * untouched), so the two corpora differ in vocabulary alone.
+    */
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+               openVocab: Boolean = false): Unit = {
     import spark.implicits._
 
     val nCustomer = (150000 * sf).toLong
@@ -186,7 +207,12 @@ object GenData {
         when(col("kind") === "near", ceil(col("n") * 0.9).cast("int")).otherwise(col("n")))
     val words = transform(sequence(lit(0), col("n") - 1), p => {
       val streamId = when(p < col("n_copy"), col("src_id")).otherwise(col("doc_id"))
-      element_at(vocabArr, (pmod(xxhash64(lit("d_w"), streamId * 128 + p), lit(31)) + 1).cast("int"))
+      val key = xxhash64(lit("d_w"), streamId * 128 + p)
+      if (openVocab) {
+        val u = pmod(key, lit(U)).cast("double") / lit(U.toDouble)
+        concat(lit("w"), floor(pow(lit(50000.0), u)).cast("long"))
+      } else
+        element_at(vocabArr, (pmod(key, lit(31)) + 1).cast("int"))
     })
     writeOne(docBase
       .withColumn("text", array_join(words, " "))
@@ -221,7 +247,13 @@ object GenData {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenData <outDir> <sf>")
+    require(args.length >= 2,
+      "usage: GenData <outDir> <sf> [openvocab] [only=documents,events]")
+    val opts = args.drop(2)
+    val openVocab = opts.contains("openvocab")
+    onlyTables = opts.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("graft-gendata")
@@ -230,7 +262,7 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, args(0), args(1).toDouble)
+    try generate(spark, args(0), args(1).toDouble, openVocab)
     finally spark.stop()
   }
 }

@@ -67,4 +67,32 @@ class GenDataSpec extends SparkSpec {
         s"$n is not deterministic across generations")
     }
   }
+
+  test("openvocab: power-law vocabulary, same schema and duplicate structure") {
+    val d3 = java.nio.file.Files.createTempDirectory("graft-gendata-ov").toString
+    GenData.generate(spark, d3, 0.04, openVocab = true) // 2000 docs
+    val docs = spark.read.parquet(s"$d3/documents.parquet")
+    assert(docs.count() == 2000)
+    assert(docs.schema.map(f => (f.name, f.dataType)) ==
+      t("documents").schema.map(f => (f.name, f.dataType)), "openvocab schema drifted")
+    val words = docs.select(explode(split(col("text"), " ")).as("w")).cache()
+    val vocab = words.select(countDistinct(col("w"))).head.getLong(0)
+    // ~110k tokens drawn Zipf over 50k types land ~15-25k distinct —
+    // three orders past the closed fixture's 31
+    assert(vocab > 5000, s"openvocab produced only $vocab types")
+    // Zipf head: the most frequent type carries >1% of tokens where a
+    // uniform 50k draw would give ~0.002%
+    val total = words.count()
+    val top = words.groupBy("w").count().orderBy(col("count").desc).head.getLong(1)
+    assert(top.toDouble / total > 0.01, s"no power-law head: top=$top/$total")
+    // duplicate structure is vocabulary-independent: near-dups still
+    // copy their base's prefix, exact dups are byte-identical
+    val near = docs.filter(col("doc_id").isin(10L, 11L))
+      .orderBy("doc_id").collect().map(_.getAs[String]("text"))
+    assert(near(0).take(30) == near(1).take(30), "openvocab near-dup lost its copied prefix")
+    val exact = docs.filter(col("doc_id").isin(599L, 600L))
+      .orderBy("doc_id").collect().map(_.getAs[String]("text"))
+    assert(exact(0) == exact(1), "openvocab exact dup drifted")
+    assert(docs.filter(col("n_chars") =!= length(col("text"))).count() == 0)
+  }
 }
