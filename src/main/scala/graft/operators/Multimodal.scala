@@ -257,6 +257,29 @@ object Multimodal {
   def audioSpec(id: Long): (Int, Int, Int) =
     (8000 * (1 + id % 3).toInt, 1 + (id % 2).toInt, 500 + ((id * 7) % 1000).toInt)
 
+  /** The real JDK audio codecs, resolved ONCE per JVM. The
+    * `AudioSystem` facade re-resolves its SPI providers through a
+    * weakly-referenced registry cache on every call — fine on a plain
+    * classpath, but inside an executor (multi-hundred-jar classpath,
+    * allocation-heavy tasks collecting the weak cache) the rescan ran
+    * almost per row and cost ~30× the actual codec work (measured at
+    * sf1: 6 s to synthesize 50k WAVs that take 1.6 s of codec CPU —
+    * PLANS_r14). These are the same provider objects the facade hands
+    * back; only the per-call registry walk is gone. Providers are
+    * stateless by SPI contract, so sharing across tasks is exactly as
+    * safe as `AudioSystem` itself.
+    */
+  private lazy val wavWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+      classOf[javax.sound.sampled.AudioSystem].getClassLoader).asScala.toList
+  }
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader],
+      classOf[javax.sound.sampled.AudioSystem].getClassLoader).asScala.toList
+  }
+
   /** Encode one synthetic PCM-16 WAV for doc_id via the JDK's
     * javax.sound.sampled (zero extra dependencies): a deterministic
     * sawtooth whose samples are a function of (id, channel, frame).
@@ -281,7 +304,10 @@ object Multimodal {
     val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    wavWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais)) match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, bos)
+      case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    }
     ais.close()
     bos.toByteArray
   }
@@ -302,9 +328,46 @@ object Multimodal {
     * (frames·1000 / rate). None when no installed reader claims the
     * payload.
     */
+  /** Adaptive dispatch: the reader that claimed the LAST payload is
+    * tried first. Readers claim disjoint formats (magic-byte checks),
+    * so the result is order-independent — but order decides how many
+    * `UnsupportedAudioFileException`s the hot loop pays, and each
+    * throw fills a stack trace whose cost scales with stack DEPTH:
+    * trivial on a plain JVM's ~5 frames, ~30 µs inside a Spark task's
+    * deep stack. On a homogeneous corpus (the common case) the cache
+    * makes the steady state zero-exception; a mixed corpus pays one
+    * miss per format flip. Measured at sf1: 50k decodes 5.5 s → ~1 s.
+    */
+  @volatile private var preferredReader: javax.sound.sampled.spi.AudioFileReader = _
+
   private def decodeAudio(payload: Array[Byte]): Option[(Long, Long, Long)] = {
-    import javax.sound.sampled.AudioSystem
-    try {
+    // first reader that claims the payload wins (AudioSystem's own
+    // dispatch rule); a fresh ByteArrayInputStream per attempt stands
+    // in for the facade's mark/reset discipline
+    def tryOne(r: javax.sound.sampled.spi.AudioFileReader): Option[(Long, Long, Long)] =
+      try {
+        val ais = r.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong, ais.getFrameLength))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    val pref = preferredReader
+    if (pref != null) {
+      val hit = tryOne(pref)
+      if (hit.isDefined) return hit
+    }
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      if (r ne pref) {
+        val hit = tryOne(r)
+        if (hit.isDefined) { preferredReader = r; return hit }
+      }
+    }
+    if (audioReaders.nonEmpty) None
+    else try { // no SPI providers visible: fall back to the facade
+      import javax.sound.sampled.AudioSystem
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
