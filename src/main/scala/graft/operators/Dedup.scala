@@ -179,19 +179,23 @@ object Dedup {
     *    broadcasts it while it fits and can fall back if a pathological
     *    candidate set is not tiny.
     *
-    *    Two deliberate costs of the EAGER local checkpoint, accepted
-    *    because this path is opt-in (`SemiPruneConf`, default off):
-    *    (a) building the query runs the candidate stage immediately —
-    *    construction is an action, not a free plan; (b) localCheckpoint
-    *    blocks are single-replica with TRUNCATED lineage, so losing an
-    *    executor that holds them (node failure, dynamic-allocation
-    *    decommission) fails the query irrecoverably instead of
-    *    recomputing. Deployments running semiPrune under dynamic
-    *    allocation should either disable executor decommission for the
-    *    job or set `spark.checkpoint.dir` and swap this to a reliable
-    *    `checkpoint` — a lazy persist is NOT a safe substitute (the
-    *    r12 race: two concurrent branches each computed the candidate
-    *    subtree before either finished populating the cache).
+    *    The pair set checkpoints EAGERLY (construction is an action,
+    *    not a free plan — a deliberate cost of the opt-in path;
+    *    `SemiPruneConf` defaults off). The checkpoint KIND follows the
+    *    session: when `SparkContext.setCheckpointDir` is configured
+    *    (the cluster deployment posture — an HDFS/object-store path),
+    *    the pairs take a RELIABLE `checkpoint`, so blocks survive
+    *    executor loss and dynamic-allocation decommission (a transient
+    *    persist spans the eager checkpoint because the checkpoint
+    *    write job would otherwise recompute the candidate subtree —
+    *    the exactly-once pin holds on both kinds); without a
+    *    checkpoint dir they fall back to `localCheckpoint`, whose
+    *    single-replica truncated-lineage blocks make executor loss
+    *    fail the query irrecoverably — fine on local[*], the reason
+    *    cluster deployments should set the dir. A lazy persist is NOT
+    *    a safe substitute for either (the r12 race: two concurrent
+    *    branches each computed the candidate subtree before either
+    *    finished populating the cache).
     * Output is identical either way (EquivalenceSpec in DedupSpec).
     *
     * `cand` may arrive with duplicate pairs (one per shared prefix
@@ -203,8 +207,18 @@ object Dedup {
                                        threshold: Double, semiPrune: Boolean): DataFrame = {
     graft.plans.TextExpressions.ensureRegistered()
     val pairs =
-      if (semiPrune) cand.distinct().localCheckpoint(true)
-      else cand.distinct()
+      if (semiPrune) {
+        val deduped = cand.distinct()
+        if (deduped.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+          // Reliable checkpoint: blocks survive executor loss, but the
+          // checkpoint WRITE job recomputes the RDD unless it is cached —
+          // persist through the eager checkpoint so the candidate subtree
+          // still computes exactly once, then drop the transient cache.
+          deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try deduped.checkpoint(true)
+          finally deduped.unpersist(false)
+        } else deduped.localCheckpoint(true)
+      } else cand.distinct()
     def side(role: String): DataFrame = {
       val base = sh.select(col(idCol).as(role), col("s"))
       if (!semiPrune) base

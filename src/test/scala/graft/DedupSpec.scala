@@ -250,4 +250,47 @@ class DedupSpec extends SparkSpec {
     assert(cb < 1000000L)  // but not vice versa
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("semiPrune takes a RELIABLE checkpoint when a checkpoint dir is set, " +
+       "still computing candidates exactly once") {
+    // Cluster posture: with SparkContext.setCheckpointDir configured the
+    // pair set must checkpoint to the reliable dir (blocks survive
+    // executor loss) instead of localCheckpoint, and the transient
+    // persist must keep the exactly-once pin (the checkpoint WRITE job
+    // recomputes uncached inputs). This test leaks the checkpoint dir
+    // into the shared context deliberately, so it is declared LAST —
+    // every earlier case exercises the localCheckpoint branch.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val sh = Dedup.docShingles(docs, "text", "doc_id")
+    val acc = spark.sparkContext.longAccumulator("candPartitionComputesReliable")
+    val rdd = spark.sparkContext
+      .parallelize(Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(1L, 2L)), 2)
+      .mapPartitions { it => acc.add(1); it }
+    val cand = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.verifyJaccardImpl(cand, sh, "doc_id", 0.1, semiPrune = true)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // same verified pairs as the localCheckpoint path on this fixture
+    val base = Dedup.verifyJaccardImpl(
+        spark.createDataFrame(spark.sparkContext.parallelize(
+          Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L), Row(1L, 2L)), 2),
+          StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))),
+        sh, "doc_id", 0.1, semiPrune = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows.nonEmpty && rows == base, s"reliable-checkpoint path drifted: $rows vs $base")
+    assert(acc.value == 2,
+      s"candidate plan computed ${acc.value} partition(s); expected 2 (once each, cached through the checkpoint write)")
+    // the checkpoint actually landed in the reliable dir
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint written under $dir")
+    // and the transient persist was dropped (no NEW persistent entries)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"transient checkpoint persist leaked RDD ids: $leaked")
+    out.select(col("id_a")).count() // checkpointed frame stays readable post-unpersist
+  }
 }
