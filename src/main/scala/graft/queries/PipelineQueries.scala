@@ -3395,16 +3395,30 @@ object PipelineQueries {
     * [[graft.operators.Similarity.labelNoise]]): sig-bucket neighbors
     * with the self-pair excluded in the join condition, majority vote,
     * per-label flag rates. ANN scale shape end to end, own oracle.
+    *
+    * Universe cap (r14): this query pins the FIXED `AnnJoinBits`-bit
+    * signature for oracle reproducibility, so its self-join is
+    * quadratic in corpus size BY CONTRACT (the operator itself takes
+    * `bits` — production callers pass [[Similarity.scaledBits]], which
+    * holds the bucket join linear). Past the fixture scales it runs on
+    * the first `LabelNoiseCap` vectors — no-op ≤ sf0.1 (2k vectors),
+    * bounds the 64-bucket join at sf1+ (uncapped sf1: 6.3M in-bucket
+    * pairs, 7.3 s — the only fixed-width ANN eval that missed the r13
+    * sampled-universe treatment).
     */
+  private val LabelNoiseCap = 10000L
+
   def qLabelNoise(s: SparkSession, dir: String): DataFrame =
-    Similarity.labelNoise(embs(s, dir), bits = AnnJoinBits, k = KnnK, dims = Dims)
+    Similarity.labelNoise(embs(s, dir).filter(col("vec_id") < LabelNoiseCap),
+      bits = AnnJoinBits, k = KnnK, dims = Dims)
 
   val qLabelNoiseSql: String =
-    s"""WITH side AS (
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE vec_id < $LabelNoiseCap),
+       |side AS (
        |  SELECT vec_id AS id, embedding AS e,
        |         ${sigSqlBits("embedding", AnnJoinBits)} AS sig,
        |         CAST(label AS BIGINT) AS lab
-       |  FROM embeddings),
+       |  FROM emb),
        |nb AS (
        |  SELECT query_id, true_label, nn_label FROM (
        |    SELECT a.id AS query_id, a.lab AS true_label, b.id AS nn_id, b.lab AS nn_label,
@@ -3427,7 +3441,7 @@ object PipelineQueries {
        |         CAST(sum(1 - correct) AS BIGINT) AS n_flagged
        |  FROM pred GROUP BY 1),
        |tot AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
-       |        FROM embeddings GROUP BY 1)
+       |        FROM emb GROUP BY 1)
        |SELECT label, n, n_voted, n_flagged,
        |       n_flagged * 1000000 // nullif(n_voted, 0) AS noise_ppm
        |FROM agg JOIN tot USING (label)
