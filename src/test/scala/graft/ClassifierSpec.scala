@@ -47,6 +47,55 @@ class ClassifierSpec extends SparkSpec {
     assert(got(1L) == "a" && got(2L) == "a")
   }
 
+  test("vectorized scoring matches a brute-force dense reference on a random corpus") {
+    // Guards the r14 class-vectorized decomposition: the reference
+    // replicates the lattice definition directly - per (doc, cls),
+    // sum n * round(-ln((tf+1)/(t_c+v)) * 1e5) over the doc's distinct
+    // terms plus the prior, argmin with (total asc, cls asc) ties -
+    // with the same IEEE double ops and HALF_UP rounding Spark's
+    // round() uses, so any algebraic slip in the base/delta split or
+    // the argmin projection shows up as a value diff, not a flake.
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("ant", "bee", "cat", "dog", "eel", "fox", "gnu",
+      "hen", "ibis", "jay", "kit", "lark")
+    val classes = Vector("alpha", "beta", "gamma")
+    val docsSeq = (1L to 30L).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, classes(rnd.nextInt(classes.size)), text)
+    }
+    def sqlRound(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val toks = docsSeq.map { case (id, cls, text) => (id, cls, text.split(" ", -1).toSeq) }
+    val tfc = toks.flatMap { case (_, cls, ts) => ts.map(cls -> _) }
+      .groupBy(identity).map { case ((cls, t), xs) => (cls, t) -> xs.size.toLong }
+    val tC = tfc.groupBy(_._1._1).map { case (cls, m) => cls -> m.values.sum }
+    val v = tfc.keys.map(_._2).toSet.size.toLong
+    val nDocs = docsSeq.size.toLong
+    val nC = docsSeq.groupBy(_._2).map { case (cls, xs) => cls -> xs.size.toLong }
+    val expected = toks.map { case (id, actual, ts) =>
+      val dt = ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val totals = nC.keys.toSeq.sorted.map { cls =>
+        val prior = sqlRound(-math.log(nC(cls).toDouble / nDocs.toDouble) * 100000.0)
+        val like = dt.map { case (t, n) =>
+          val tf = tfc.getOrElse((cls, t), 0L)
+          n * sqlRound(-math.log((tf + 1L).toDouble / (tC(cls) + v).toDouble) * 100000.0)
+        }.sum
+        cls -> (prior + like)
+      }
+      val (predCls, best) = totals.minBy { case (cls, tot) => (tot, cls) }
+      (id, actual, predCls, best, if (actual == predCls) 1L else 0L)
+    }.sortBy(_._1)
+    val got = Classifier.nbTrainScore(docsSeq.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("actual"),
+        r.getAs[String]("predicted"), r.getAs[Long]("nll_units"),
+        r.getAs[Long]("correct"))).toSeq
+    assert(got == expected, s"vectorized NB drifted from the dense reference:\n" +
+      got.zip(expected).filter(p => p._1 != p._2).take(5).mkString("\n"))
+  }
+
   test("perceptron distillation learns the gate and stays integer-exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val total = docs.count()
