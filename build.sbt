@@ -28,6 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 16g default: the span/posting shuffles at local[32] spill under 8g,
   // and a spilling bench query collapses when anything else touches the
-  // disk — measured 3 s -> 443 s for q_dup_spans under concurrent load
+  // disk — measured 3 s -> 443 s for q_dup_spans under concurrent load.
+  // Full-suite runs at sf1+ need SPARK_DRIVER_MEM=48g: suite JVM residue
+  // pushes the big shingle joins into GC/spill at 16g (q_dedup_ngram
+  // 38 s in-suite vs 13 s isolated; 48g restores it — SCALING.md r14)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
