@@ -59,10 +59,12 @@ object Bench {
         val elapsed = (System.nanoTime() - t0) / 1e9
         // bench queries are independent: drop pool-tracked persists so
         // an earlier query's cached frames (dedup postings, signature
-        // tables) can't squeeze later queries' execution memory. Runs
-        // OUTSIDE the timed region — unpersist(blocking) is teardown,
-        // not query work, and was skewing cache-heavy queries' minima.
-        graft.operators.CachePool.clear()
+        // tables) can't squeeze later queries' execution memory, and
+        // (r15) sweep accumulated broadcast-block residue once storage
+        // occupancy crosses the Residue threshold — the unbounded
+        // accumulation that forced 48 GB heaps for sf1 suites. Runs
+        // OUTSIDE the timed region — teardown, not query work.
+        graft.operators.Residue.sweep(spark)
         (name, elapsed, err)
       }
     }
@@ -109,7 +111,7 @@ object Bench {
           val err = try { fn(spark, sfDir).count(); None }
                     catch { case e: Throwable => Some(errStr(e)) }
           val elapsed = (System.nanoTime() - t0) / 1e9
-          graft.operators.CachePool.clear()
+          graft.operators.Residue.sweep(spark)
           if (err.isEmpty) samples(name) = samples(name) :+ elapsed
         }
       }
@@ -259,7 +261,7 @@ object Bench {
     // volume are exactly the toy-scale contract: the audit plan is
     // scan → one map-side-combined aggregate (CorpusIOSpec pins the
     // shape), so a poison line costs one quarantine row, never a fanout.
-    val jsonlIngest: Option[(Double, Double)] =
+    val jsonlIngest: Option[(Seq[Double], Double)] =
       if (only.isDefined) None
       else
         try {
@@ -280,17 +282,21 @@ object Bench {
               .repartition(64)
             graft.sources.CorpusIO.writeJsonl(big, dir) // gzip
           }
-          // min of 2 timed audits — the drop file is cached in /tmp, so
-          // the re-read only costs the decode it measures; one storm
-          // sample cannot poison the headline GB/s (same rule as queries)
-          val sec = (1 to 2).map { _ =>
+          // min of 2 timed audits — one storm sample cannot poison the
+          // headline GB/s (same rule as queries). METHODOLOGY (r15,
+          // from the r14 ADVICE): the drop file lives in /tmp and is
+          // page-cache-warm for BOTH samples (written once per box,
+          // reused across runs), so the headline is a warm-cache DECODE
+          // rate — gunzip + JSON parse + audit, not disk — and both raw
+          // samples are reported alongside it as jsonl_ingest_samples.
+          val secs = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
             graft.sources.CorpusIO
               .roundTripAudit(graft.sources.CorpusIO.readJsonl(spark, dir, docs.schema))
               .collect()
             (System.nanoTime() - t0) / 1e9
-          }.min
-          Some((sec, decodedGb))
+          }
+          Some((secs, decodedGb))
         } catch { case e: Throwable => errs("jsonl_ingest") = errStr(e); None }
 
     val warmJson =
@@ -298,8 +304,10 @@ object Bench {
         .mkString +
         ingest.map { case (s, mb) =>
           f""","ingest_1m_sec":$s%.3f,"storage_mb_per_1m":$mb%.1f""" }.getOrElse("") +
-        jsonlIngest.map { case (s, gb) =>
-          f""","jsonl_ingest_sec":$s%.3f,"jsonl_ingest_gb":$gb%.2f,"jsonl_ingest_gb_sec":${gb / s}%.3f""" }.getOrElse("")
+        jsonlIngest.map { case (ss, gb) =>
+          val s = ss.min
+          val raw = ss.map(v => f"$v%.3f").mkString("[", ",", "]")
+          f""","jsonl_ingest_sec":$s%.3f,"jsonl_ingest_samples":$raw,"jsonl_ingest_gb":$gb%.2f,"jsonl_ingest_gb_sec":${gb / s}%.3f""" }.getOrElse("")
     def errsJson(entries: Iterable[(String, String)]): String =
       if (entries.isEmpty) ""
       else entries.map { case (k, m) => s""""${jesc(k)}":"${jesc(m)}"""" }
@@ -383,6 +391,14 @@ object Bench {
       // multi-GB (the default cap is ~2^31, paid in build time AND
       // heap before truncation kicks in). Bound the print, not the plan.
       .config("spark.sql.maxPlanStringLength", "100000")
+      // residue bounds (r15): the status store retains plan text for
+      // 1000 executions by default (~100 KB each at the cap above) —
+      // 50 keeps post-mortem value at 1/20 the heap; the periodic-GC
+      // backstop drops from 30 min (longer than a suite) to 5, so the
+      // ContextCleaner reclaims dead broadcast blocks even between
+      // Residue sweeps.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -35,8 +35,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // see Bench: bound plan-STRING building for execution events
+      // see Bench: bound plan-STRING building for execution events,
+      // retained-execution heap, and broadcast-block residue
       .config("spark.sql.maxPlanStringLength", "100000")
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -52,6 +55,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // bound suite residue (broadcast blocks, straggler cached plans)
+      // so decade-fixture drives hold at the default heap — see Residue
+      graft.operators.Residue.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -45,6 +45,15 @@ object Classifier {
   /** Train on (textCol, classCol) and score every row; output
     * (ORDERED by idCol): doc_id, actual, predicted, nll_units
     * (winner's total lattice NLL incl. prior), correct (0/1).
+    *
+    * Contract (r15, from the r14 ADVICE): `classCol` is CAST TO STRING
+    * — `actual`/`predicted` are string columns and the argmin tie-break
+    * is lexicographic on the cast value (a numeric label column orders
+    * "10" < "2"); callers with non-string labels that need native
+    * ordering must pre-format the column. Construction is EAGER: the
+    * k-row class-stats collect runs Spark jobs when this method is
+    * CALLED, not at the first action on the result. An empty corpus
+    * returns an empty frame with the output schema.
     */
   def nbTrainScore(docs: DataFrame, textCol: String = "text",
                    classCol: String = "source", idCol: String = "doc_id"): DataFrame = {
@@ -84,7 +93,14 @@ object Classifier {
       .select(col("cls"), col("base_nll"), col("prior_nll")).collect()
     val classes = stats.map(_.getString(0))
     val k = classes.length
-    require(k >= 1 && k <= 1000, s"class-vectorized NB supports 1..1000 classes, got $k")
+    // empty corpus ⇒ zero classes: return the empty output frame (the
+    // lazy pre-r14 behavior) instead of tripping the class-count guard
+    if (k == 0)
+      return docs.select(col(idCol),
+        col(classCol).cast("string").as("actual"),
+        col(classCol).cast("string").as("predicted"),
+        lit(0L).as("nll_units"), lit(0L).as("correct")).limit(0)
+    require(k <= 1000, s"class-vectorized NB supports 1..1000 classes, got $k")
     val baseArr = stats.map(_.getLong(1))
     val priorArr = stats.map(_.getLong(2))
 

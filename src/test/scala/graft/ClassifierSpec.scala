@@ -17,6 +17,14 @@ class ClassifierSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("correct") == 1L))
   }
 
+  test("empty corpus returns an empty frame with the output schema, not a throw") {
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val out = Classifier.nbTrainScore(docs)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "actual", "predicted", "nll_units", "correct"))
+    assert(out.count() == 0L)
+  }
+
   test("mixed-token doc goes to the class owning the majority of its tokens") {
     val docs = Seq(
       (1L, "web", "spam casino pills"),
@@ -92,6 +100,9 @@ class ClassifierSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("actual"),
         r.getAs[String]("predicted"), r.getAs[Long]("nll_units"),
         r.getAs[Long]("correct"))).toSeq
+      // the plan ends in orderBy(doc_id), but sort defensively anyway:
+      // the assert must test VALUES, not ride on collect() row order
+      .sortBy(_._1)
     assert(got == expected, s"vectorized NB drifted from the dense reference:\n" +
       got.zip(expected).filter(p => p._1 != p._2).take(5).mkString("\n"))
   }
