@@ -134,6 +134,13 @@ object Dedup {
     */
   val SemiPruneConf = "spark.graft.dedup.semiPrune"
 
+  /** Session conf: bidirectional-edge-row ceiling for
+    * [[nearDupGroups]]' driver-local union-find fast path (default
+    * 2,000,000 rows = 1M pairs, a few tens of MB collected). Set to 0
+    * to force the distributed loop (tests; paranoia).
+    */
+  val LocalCcEdgesConf = "spark.graft.dedup.localCcEdges"
+
   private def semiPruneEnabled(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(SemiPruneConf).exists(_.toBoolean)
 
@@ -415,11 +422,67 @@ object Dedup {
     */
   def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (lazy), not persist: persist caches DATA but the
+    // per-round plans still CHAIN the full candidate-join lineage, and
+    // re-ANALYZING that tree every round is pure driver time — measured
+    // 0.35-0.55 s/round on q_dhash_groups' graph (vs 0.08 s of actual
+    // execution) before r15. Checkpointing truncates edges to a
+    // LogicalRDD, so each round analyzes two tiny scans instead. The
+    // checkpointed blocks are reclaimed by the ContextCleaner when the
+    // loop's frames go unreachable (Residue sweeps / periodic GC).
+    // the repartition before the checkpoint lets AQE SIZE the edge
+    // partitions (a 4k-edge image graph coalesces to one partition, so
+    // every round's map stages are single-task; a billion-edge graph
+    // spreads) — without it the checkpoint freezes the upstream
+    // candidate join's partition count into every round
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("u"), col("id_b").as("v")),
         struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist(lvl)
+      .repartition(col("u"))
+      .localCheckpoint(false)
+
+    // Small-graph fast path (r15): the distributed loop's wall time at
+    // small edge counts is ~6 stages × fixed local-stage latency × ~7
+    // rounds (~2 s for a 4k-edge graph doing <10 ms of real work) — so
+    // once the checkpoint materializes and the EXACT edge count is
+    // known, a bounded graph is solved on the driver with min-label
+    // union-find: one collect (≤ threshold rows, a few tens of MB),
+    // identical output by construction (unique fixpoint = per-component
+    // min). The same adaptive move Spark itself makes when it collects
+    // a bounded top-k instead of sorting the cluster; the distributed
+    // loop remains the path for every graph past the threshold.
+    val spark = pairs.sparkSession
+    val localMax = spark.conf.getOption(LocalCcEdgesConf).map(_.toLong)
+      .getOrElse(2000000L)
+    if (edges.count() <= localMax) {
+      val es = edges.select(col("u"), col("v")).collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      // union-to-min: the larger root always points at the smaller, so
+      // the component's minimum id never acquires a parent — the final
+      // root IS the min-label the distributed fixpoint computes
+      es.foreach { r =>
+        val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      }
+      val nodes = new java.util.HashSet[Long]()
+      es.foreach { r => nodes.add(r.getLong(0)) } // bidirectional: u covers all
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      nodes.forEach { n => out += ((n, find(n))) }
+      lastRounds.set(0) // telemetry: 0 = solved locally, no loop rounds
+      import spark.implicits._
+      return out.toSeq.toDF("doc_id", "group_id")
+    }
+
     var labels = edges.groupBy(col("u"))
       .agg(min(col("v")).as("nbr_min"))
       .select(col("u").as("doc_id"), least(col("u"), col("nbr_min")).as("group_id"))
@@ -435,10 +498,19 @@ object Dedup {
           sum(col("group_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
           lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head.getDecimal(0)
+    val tPrep = System.nanoTime()
     var prevSum = labelSum(labels)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"[cc] prep(edges+labels)=${(System.nanoTime() - tPrep) / 1e9}%.3f s")
+    // NOTE (r15): broadcast-hinting the per-round label tables was
+    // tried and MEASURED SLOWER at small graph sizes — four serialized
+    // broadcast-exchange jobs per round (collect + relation build each)
+    // cost ~0.45 s vs ~0.22 s for the tiny AQE-coalesced shuffle joins
+    // they replaced. The shuffle shape stays, at every scale.
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val tRound = System.nanoTime()
       val byV = labels.select(col("doc_id").as("v"), col("group_id").as("v_label"))
       val prop = edges.join(byV, "v")
         .groupBy(col("u").as("doc_id"))
@@ -457,6 +529,10 @@ object Dedup {
       // bounded below by the component minimum, and stable exactly when
       // plain propagation is.
       val parents = labels.select(col("doc_id").as("group_id"), col("group_id").as("gp"))
+      def shortcut(df: DataFrame): DataFrame =
+        df.join(parents, Seq("group_id"), "left")
+          .select(col("doc_id"),
+            least(col("group_id"), coalesce(col("gp"), col("group_id"))).as("group_id"))
       // localCheckpoint (lazy; materialized by the labelSum action)
       // rather than persist: persist caches DATA but the logical plan
       // still chains every previous round, so the per-execution
@@ -466,18 +542,30 @@ object Dedup {
       // Checkpointing truncates the plan to the round's materialized
       // RDD — also the standard lineage-control move for iterative
       // algorithms on a real cluster.
-      val next = stepped.join(parents, Seq("group_id"), "left")
-        .select(col("doc_id"),
-          least(col("group_id"), coalesce(col("gp"), col("group_id"))).as("group_id"))
+      //
+      // The shortcut applies TWICE per round (r15): on long-path
+      // graphs (the image-hash chains behind q_dhash_groups) each
+      // round's wall time is fixed job latency, not data, so the lever
+      // is ROUND COUNT — label→parent→grandparent shrinks the residual
+      // path ~3× per round instead of ~2× (measured 15 → 9 rounds on
+      // the sf0.1 image graph). The fixpoint is untouched: labels stay
+      // monotone non-increasing and bounded by the component minimum,
+      // so the unique stable point — every doc at its component min —
+      // is reached regardless of how many shortcuts a round chains.
+      val next = shortcut(shortcut(stepped))
         .localCheckpoint(false)
+      val tR = System.nanoTime()
       val curSum = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round=$iter plan=${(tR - tRound) / 1e9}%.3f s " +
+          f"action=${(System.nanoTime() - tR) / 1e9}%.3f s")
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    edges.unpersist() // checkpoint blocks: best-effort now, cleaner-reclaimed later
     // the FINAL labels frame backs the lazy result handed to the caller
     // — give its cache the bounded CachePool lifecycle instead of
     // leaking one persisted table per call (same class of leak as the

@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{IIOImage, ImageIO}
 import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north-star extension scope): treat
@@ -226,11 +226,17 @@ object Multimodal {
     * PNG/BMP/GIF per document id (multi-frame GIFs every third id).
     * Same binary-column shape a production media scan would have; the
     * per-partition mapPartitions is where codec init amortises.
+    *
+    * `where` filters doc_id BEFORE encoding (r15): Catalyst cannot push
+    * a predicate through the typed mapPartitions, so a caller that only
+    * wants the BMP third must say so here or pay 3× the encode work —
+    * the stand-in for partition/predicate pruning on a real media lake.
     */
-  def synthMediaTable(s: SparkSession, dir: String): DataFrame = {
+  def synthMediaTable(s: SparkSession, dir: String,
+                      where: Column = lit(true)): DataFrame = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").cast("long")).as[Long]
+      .select(col("doc_id").cast("long")).filter(where).as[Long]
       .mapPartitions { ids =>
         ImageIO.setUseCache(false) // per-partition codec init
         ids.map(id => (id, encodeSynthetic(id)))
@@ -484,40 +490,110 @@ object Multimodal {
       }
   }
 
-  /** Image near-dup pairs over a dHash table via byte-band blocking:
-    * two hashes within hamming ≤ 7 MUST share one of their 8 bytes
-    * (pigeonhole), so candidates come from an equi-join on
-    * (band, byte) — never an all-pairs hash comparison — and are
-    * verified by exact popcount. Output: id_a, id_b, hamming (≤
-    * `maxHamming`), ordered.
-    *
-    * Scale: the hash table is corpus-row-sized (4 longs per image);
-    * band buckets spread over 8 × 256 keys per band value; the verify
-    * is per-candidate O(1).
+  /** Distinct-hash table off a (doc_id, hash_hi, hash_lo) frame:
+    * one row per DISTINCT 64-bit hash with its representative (= min)
+    * doc id and its clique size. The r15 collapse: every downstream
+    * band join and CC loop runs on hash cardinality, not corpus
+    * cardinality — the fix for the closed-alphabet fixture's measured
+    * super-linearity (the synthetic pixel formula yields few distinct
+    * hashes, so doc-level banding degenerated into near-cliques; a
+    * hash-diverse real corpus collapses ~1:1 and loses nothing).
     */
-  def dHashNearDup(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      "byte-band blocking is pigeonhole-lossless only up to hamming 7")
-    val banded = CachePool.track(hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+  private def distinctHashes(docsH: DataFrame): DataFrame =
+    CachePool.track(docsH.groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
+
+  /** Near-pairs over DISTINCT hashes via byte-band blocking: two
+    * hashes within hamming ≤ 7 MUST share one of their 8 bytes
+    * (pigeonhole), so candidates come from an equi-join on (band,
+    * byte) over the distinct-hash table, verified by exact popcount.
+    * Output: (ha, la, hb, lb, rep_a, rep_b, hamming), one row per
+    * unordered hash pair ((ha,la) < (hb,lb) lexicographically).
+    */
+  private def hashPairs(distinctH: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = CachePool.track(distinctH
+      .select(col("hash_hi"), col("hash_lo"), col("rep"),
         explode(array((0 until 8).map { k =>
           struct(lit(k).as("k"),
             (if (k < 4) shiftright(col("hash_lo"), 8 * k)
              else shiftright(col("hash_hi"), 8 * (k - 4)))
               .bitwiseAND(lit(255L)).as("b"))
         }: _*)).as("band"))
-      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      .select(col("hash_hi"), col("hash_lo"), col("rep"),
         col("band.k").as("k"), col("band.b").as("b")))
     banded.as("x").join(banded.as("y"),
         col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.hash_hi").as("ha"), col("x.hash_lo").as("la"),
-        col("y.hash_hi").as("hb"), col("y.hash_lo").as("lb"))
+          (col("x.hash_hi") < col("y.hash_hi") ||
+            (col("x.hash_hi") === col("y.hash_hi") &&
+              col("x.hash_lo") < col("y.hash_lo"))))
+      .select(col("x.hash_hi").as("ha"), col("x.hash_lo").as("la"),
+        col("y.hash_hi").as("hb"), col("y.hash_lo").as("lb"),
+        col("x.rep").as("rep_a"), col("y.rep").as("rep_b"))
       .distinct()
       .withColumn("hamming",
         expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy("id_a", "id_b")
+  }
+
+  /** Image near-dup pairs over a dHash table. Semantics unchanged from
+    * the doc-level banding (the oracle pins them): all doc pairs whose
+    * hashes are within `maxHamming`, output (id_a < id_b, hamming),
+    * ordered. Since r15 the candidate join runs on DISTINCT hashes
+    * ([[hashPairs]]); doc pairs come from an output-sized expansion —
+    * cross-hash pairs via two hash-keyed joins, same-hash cliques via
+    * one equi-self-join at hamming 0.
+    *
+    * Scale: the hash table is corpus-row-sized (4 longs per image);
+    * the band join is distinct-hash-sized; the expansion is bounded by
+    * the result itself, which a dedup pipeline consumes pair by pair.
+    */
+  def dHashNearDup(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "byte-band blocking is pigeonhole-lossless only up to hamming 7")
+    val docsH = CachePool.track(
+      hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo")))
+    val hp = hashPairs(distinctHashes(docsH), maxHamming)
+    val cross = hp
+      .join(docsH.select(col("doc_id").as("ia"),
+        col("hash_hi").as("ha"), col("hash_lo").as("la")), Seq("ha", "la"))
+      .join(docsH.select(col("doc_id").as("ib"),
+        col("hash_hi").as("hb"), col("hash_lo").as("lb")), Seq("hb", "lb"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    val intra = docsH.as("x").join(docsH.as("y"),
+        col("x.hash_hi") === col("y.hash_hi") &&
+          col("x.hash_lo") === col("y.hash_lo") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra).orderBy("id_a", "id_b")
+  }
+
+  /** Image near-dup GROUPS: connected components over the
+    * [[dHashNearDup]] pair graph, WITHOUT materializing the doc-level
+    * pairs — the CC loop ([[Dedup.nearDupGroups]]) runs on the
+    * distinct-HASH graph (nodes = representative doc ids, edges =
+    * near-hash pairs plus a self-loop per ≥2-doc clique), then each
+    * doc inherits its hash's component label. Identical output to
+    * `nearDupGroups(dHashNearDup(hashes).select(id_a, id_b))`: a
+    * component's group_id is the min doc id in it, which is the min
+    * REPRESENTATIVE (reps are per-hash min doc ids), and exactly the
+    * docs appearing in ≥1 pair — a near-hash edge or a shared hash —
+    * get a row. Output (UNORDERED): doc_id, group_id.
+    */
+  def dHashGroups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val docsH = CachePool.track(
+      hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo")))
+    val distinctH = distinctHashes(docsH)
+    val hp = hashPairs(distinctH, maxHamming)
+    val edges = hp.select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+      .unionByName(distinctH.filter(col("cnt") >= 2)
+        .select(col("rep").as("id_a"), col("rep").as("id_b")))
+    val repGroups = graft.operators.Dedup.nearDupGroups(edges)
+      .select(col("doc_id").as("rep"), col("group_id"))
+    docsH.join(distinctH.select(col("hash_hi"), col("hash_lo"), col("rep")),
+        Seq("hash_hi", "hash_lo"))
+      .join(repGroups, Seq("rep"))
+      .select(col("doc_id"), col("group_id"))
   }
 }

@@ -1716,8 +1716,8 @@ object PipelineQueries {
     */
   def qDhash(s: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.dHash(
-      graft.operators.Multimodal.synthMediaTable(s, dir)
-        .filter(col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0))
+      graft.operators.Multimodal.synthMediaTable(s, dir,
+        where = col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0))
       .toDF()
       .orderBy("doc_id")
 
@@ -1769,8 +1769,8 @@ object PipelineQueries {
   def qDhashNear(s: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.dHashNearDup(
       graft.operators.Multimodal.dHash(
-        graft.operators.Multimodal.synthMediaTable(s, dir)
-          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0)).toDF())
+        graft.operators.Multimodal.synthMediaTable(s, dir,
+          where = col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0)).toDF())
 
   val qDhashNearSql: String =
     s"""WITH $dhashCtes,
@@ -1791,14 +1791,19 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Image near-dup GROUPS: min-label connected components over the
-    * dHash hamming pairs ([[graft.operators.Dedup.nearDupGroups]]'
-    * pointer-jumping propagation, re-targeted at the image graph); the
-    * oracle re-derives components with the recursive-CTE closure (the
+    * dHash hamming pairs; since r15 through
+    * [[graft.operators.Multimodal.dHashGroups]], which runs the CC
+    * loop on the distinct-HASH graph and never materializes the
+    * doc-level pair expansion (identical output — the min-label of a
+    * component is the min per-hash representative). The oracle
+    * re-derives components with the recursive-CTE closure (the
     * `q_dedup_groups` check pattern on image edges).
     */
   def qDhashGroups(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.nearDupGroups(
-        qDhashNear(s, dir).select(col("id_a"), col("id_b")))
+    graft.operators.Multimodal.dHashGroups(
+      graft.operators.Multimodal.dHash(
+        graft.operators.Multimodal.synthMediaTable(s, dir,
+          where = col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0)).toDF())
       .orderBy("doc_id")
 
   val qDhashGroupsSql: String =
@@ -3785,15 +3790,18 @@ object PipelineQueries {
     // eval universe capped at BitextEvalCap (no-op through sf0.1):
     // dense ground truth cannot leave the sampled-eval contract
     val e = embs(s, dir).filter(col("vec_id") < BitextEvalCap)
-    val exact = Similarity.bitextMine(
+    // both miner outputs are read TWICE (their count agg + the overlap
+    // join) — pool-cache them or each margin tail (two window passes +
+    // two joins over the dense pair set) executes twice (r15)
+    val exact = graft.operators.CachePool.track(Similarity.bitextMine(
         e.filter(col("label") < 5), e.filter(col("label") >= 5),
         kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
-      .select(col("a_id"), col("b_id"))
-    val lsh = Similarity.bitextMineLsh(
+      .select(col("a_id"), col("b_id")))
+    val lsh = graft.operators.CachePool.track(Similarity.bitextMineLsh(
         e.filter(col("label") < 5), e.filter(col("label") >= 5),
         bands = BitextBands, bitsPerBand = BitextBandBits,
         kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id")))
     val nE = exact.agg(count(lit(1)).as("n_exact"))
     val nL = lsh.agg(count(lit(1)).as("n_lsh"))
     lsh.join(exact, Seq("a_id", "b_id"))

@@ -86,6 +86,10 @@ class DedupShuffleSpec extends SparkSpec {
     // extra rounds (log2(10) ≈ 3.3, allow 4 + slack 1), never 10× the
     // rounds. q_dhash_groups' real components are far shallower; this
     // pins the mechanism that keeps them cheap at 10×/100× data.
+    // force the distributed loop: these chains are far below the
+    // driver-local union-find threshold (r15), and this test pins the
+    // LOOP's round growth, not the fast path
+    noAqe.conf.set(graft.operators.Dedup.LocalCcEdgesConf, "0")
     def rounds(n: Int): Int = {
       val pairs = (0L until n.toLong - 1)
         .map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -94,11 +98,33 @@ class DedupShuffleSpec extends SparkSpec {
       assert(labels.agg(max("group_id")).head.getLong(0) == 0L)
       graft.operators.Dedup.lastRounds.get()
     }
-    val r1 = rounds(100)
-    val r10 = rounds(1000)
-    assert(r10 <= r1 + 5, s"rounds grew super-logarithmically: $r1 -> $r10 at 10x diameter")
-    assert(r10 <= 12, s"1000-node chain took $r10 rounds — pointer jumping regressed")
-    info(s"CC rounds: diameter 100 -> $r1, diameter 1000 -> $r10")
+    try {
+      val r1 = rounds(100)
+      val r10 = rounds(1000)
+      assert(r10 <= r1 + 5, s"rounds grew super-logarithmically: $r1 -> $r10 at 10x diameter")
+      assert(r10 <= 12, s"1000-node chain took $r10 rounds — pointer jumping regressed")
+      info(s"CC rounds: diameter 100 -> $r1, diameter 1000 -> $r10")
+    } finally noAqe.conf.unset(graft.operators.Dedup.LocalCcEdgesConf)
+  }
+
+  test("driver-local CC fast path matches the distributed loop exactly") {
+    import noAqe.implicits._
+    // chains + a clique + self-loops + isolated pair: same labels both ways
+    val pairs = ((0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((900L, 901L), (900L, 902L), (901L, 902L), (950L, 950L), (980L, 981L)))
+      .toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      graft.operators.Dedup.nearDupGroups(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run()
+    assert(graft.operators.Dedup.lastRounds.get() == 0, "expected the local path")
+    noAqe.conf.set(graft.operators.Dedup.LocalCcEdgesConf, "0")
+    try {
+      val dist = run()
+      assert(graft.operators.Dedup.lastRounds.get() > 0, "expected the loop")
+      assert(local == dist, s"local union-find drifted from the loop: " +
+        (local.toSet diff dist.toSet).take(5).toString)
+    } finally noAqe.conf.unset(graft.operators.Dedup.LocalCcEdgesConf)
   }
 
   test("ngram verify: shingle arrays never shuffle, volume linear in corpus (r12)") {
