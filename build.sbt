@@ -29,8 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the span/posting shuffles at local[32] spill under 8g,
   // and a spilling bench query collapses when anything else touches the
   // disk — measured 3 s -> 443 s for q_dup_spans under concurrent load.
-  // Full-suite runs at sf1+ need SPARK_DRIVER_MEM=48g: suite JVM residue
-  // pushes the big shingle joins into GC/spill at 16g (q_dedup_ngram
-  // 38 s in-suite vs 13 s isolated; 48g restores it — SCALING.md r14)
+  // The r14 "sf1 suites need SPARK_DRIVER_MEM=48g" posture is RETIRED
+  // (r15): with residue bounded (Residue sweeps, checkpoint cadence,
+  // retained-execution caps) the full 262-query sf1 suite measures
+  // IDENTICAL totals at 16g and 48g (336.40 vs 336.48 s, same session —
+  // SCALING.md r15). The env var remains for experiments only.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -69,7 +69,17 @@ object Residue {
             force: Boolean = false): Boolean = {
     CachePool.clear()
     val (used, max) = storageUsed(spark)
-    if (!force && (max <= 0 || used < max * triggerFrac)) return false
+    val debug = sys.env.contains("GRAFT_RESIDUE_DEBUG")
+    // experiment knob: override the trigger fraction (e.g. 0 = sweep on
+    // every call) without recompiling — A/B measurement plumbing
+    val frac = sys.env.get("GRAFT_RESIDUE_FRAC")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(triggerFrac)
+    if (!force && (max <= 0 || used < max * frac)) {
+      if (debug) println(f"[residue] skip used=${used / 1e6}%.0f MB of ${max / 1e6}%.0f MB")
+      return false
+    }
+    if (debug) println(f"[residue] SWEEP used=${used / 1e6}%.0f MB of ${max / 1e6}%.0f MB " +
+      f"heap=${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1e6}%.0f MB")
     spark.catalog.clearCache()
     System.gc()
     // the cleaner drains the reference queue asynchronously; poll until
