@@ -420,7 +420,7 @@ object Dedup {
     * consumers are joins; order at the query edge if you need it):
     * doc_id, group_id.
     */
-  def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def nearDupGroups(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // localCheckpoint (lazy), not persist: persist caches DATA but the
     // per-round plans still CHAIN the full candidate-join lineage, and
@@ -483,107 +483,124 @@ object Dedup {
       return out.toSeq.toDF("doc_id", "group_id")
     }
 
-    var labels = edges.groupBy(col("u"))
-      .agg(min(col("v")).as("nbr_min"))
-      .select(col("u").as("doc_id"), least(col("u"), col("nbr_min")).as("group_id"))
-      .persist(lvl)
-    // Convergence via the monotone label-sum invariant: every step takes
-    // a least() against the previous label, so labels are per-row
-    // non-increasing and the (exact, decimal) total strictly decreases
-    // iff ANY label changed. One tiny aggregation per round — no
-    // old-vs-new join; the same action also materializes the round's
-    // label cache (and, on the first call, the edge cache).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce( // empty label set (no pairs at all) sums to 0, not null
-          sum(col("group_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head.getDecimal(0)
-    val tPrep = System.nanoTime()
-    var prevSum = labelSum(labels)
-    if (sys.env.contains("GRAFT_CC_DEBUG"))
-      println(f"[cc] prep(edges+labels)=${(System.nanoTime() - tPrep) / 1e9}%.3f s")
-    // NOTE (r15): broadcast-hinting the per-round label tables was
-    // tried and MEASURED SLOWER at small graph sizes — four serialized
-    // broadcast-exchange jobs per round (collect + relation build each)
-    // cost ~0.45 s vs ~0.22 s for the tiny AQE-coalesced shuffle joins
-    // they replaced. The shuffle shape stays, at every scale.
-    var converged = false
+    // ---- distributed path: alternating large-star / small-star ----
+    // (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    // Components in MapReduce and Beyond", SoCC 2014 — public
+    // knowledge.) The r12–r15.0 label-propagation + pointer-jumping
+    // loop was geometric ONLY when the label field formed deep chains;
+    // on flood-limited graphs — the sf2 image-hash graph, where the
+    // dense buckets' local minima are label ROOTS so shortcuts have
+    // nothing to jump through (measured: 2, 4 and 8 shortcuts per
+    // round all gave the identical 33 rounds) — its round count
+    // equaled the minimum's ECCENTRICITY, which grows linearly with
+    // corpus scale: a genuine 100 TB cliff. LS/SS instead REWIRES THE
+    // EDGES toward minima every round, halving distances structurally:
+    // O(log² n) proven, ~log measured on every family here, and the
+    // edge set contracts as stars form, so later rounds get cheaper.
+    //
+    // Round hygiene, both learned this round (r15): each round's edge
+    // set is localCheckpoint'ed (truncated lineage) and then REBUILT
+    // from the checkpointed RDD — Spark 4's checkpoint otherwise
+    // propagates the pre-checkpoint plan's ESTIMATED stats into the
+    // LogicalRDD, so round-over-round the sizeInBytes estimate
+    // compounds multiplicatively until stats-reading optimizer rules
+    // (InjectRuntimeFilter, join selection) hang the driver
+    // multiplying 10⁸-digit BigInts (jstack: ToomCook3 under
+    // SizeInBytesOnlyStatsPlanVisitor). [[ccStatsDigits]] pins the
+    // post-strip bound. NOTE: broadcast-hinting the per-round tables
+    // was tried and measured SLOWER at small sizes (serialized
+    // broadcast-exchange jobs vs tiny AQE-coalesced shuffles).
+    def strip(df: DataFrame): DataFrame = {
+      ccStatsDigits.set(math.max(ccStatsDigits.get(),
+        df.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length))
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    }
+    ccStatsDigits.set(0)
+    // canonical contracted edge set: (u > v), no self-loops, distinct
+    var e = strip(edges.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(false))
+    // exact cardinality + decimal endpoint-sum fingerprint: one agg
+    // materializes the round AND screens convergence; the (costlier)
+    // exact set-difference check runs only when the fingerprint
+    // matches, which on monotone LS/SS rounds is the fixpoint or a
+    // hair before it
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum((col("u") + col("v"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var (eCount, eSum) = fingerprint(e)
+    var converged = eCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val tRound = System.nanoTime()
-      val byV = labels.select(col("doc_id").as("v"), col("group_id").as("v_label"))
-      val prop = edges.join(byV, "v")
-        .groupBy(col("u").as("doc_id"))
-        .agg(min(col("v_label")).as("nbr_min"))
-      val stepped = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
-      // pointer jumping: each group_id is itself a doc id, so shortcut
-      // every label through that doc's label — the remaining path to the
-      // component minimum roughly halves every round (O(log diameter)
-      // rounds instead of O(diameter)). The parent table is the CACHED
-      // previous-round `labels` (referencing `stepped` twice would
-      // recompute its join): slightly staler than a post-step self-join
-      // but still geometric, with no extra materialization per round.
-      // Fixpoint is unchanged — labels are monotone non-increasing,
-      // bounded below by the component minimum, and stable exactly when
-      // plain propagation is.
-      val parents = labels.select(col("doc_id").as("group_id"), col("group_id").as("gp"))
-      def shortcut(df: DataFrame): DataFrame =
-        df.join(parents, Seq("group_id"), "left")
-          .select(col("doc_id"),
-            least(col("group_id"), coalesce(col("gp"), col("group_id"))).as("group_id"))
-      // localCheckpoint (lazy; materialized by the labelSum action)
-      // rather than persist: persist caches DATA but the logical plan
-      // still chains every previous round, so the per-execution
-      // formatted-explain walk grows ~3^rounds — q_dhash_groups'
-      // 15-round component graph made that walk the whole query (heap
-      // OOM in one full-suite run, a multi-minute stall in another).
-      // Checkpointing truncates the plan to the round's materialized
-      // RDD — also the standard lineage-control move for iterative
-      // algorithms on a real cluster.
-      //
-      // The shortcut applies TWICE per round (r15): on long-path
-      // graphs (the image-hash chains behind q_dhash_groups) each
-      // round's wall time is fixed job latency, not data, so the lever
-      // is ROUND COUNT — label→parent→grandparent shrinks the residual
-      // path ~3× per round instead of ~2× (measured 15 → 9 rounds on
-      // the sf0.1 image graph). The fixpoint is untouched: labels stay
-      // monotone non-increasing and bounded by the component minimum,
-      // so the unique stable point — every doc at its component min —
-      // is reached regardless of how many shortcuts a round chains.
-      val next = shortcut(shortcut(stepped))
-        .localCheckpoint(false)
-      val tR = System.nanoTime()
-      val curSum = labelSum(next)
+      // LARGE-STAR: every node links its strictly-larger neighbors to
+      // the minimum of its closed neighborhood. Emitted edges keep the
+      // canonical orientation for free: v > u ≥ m(u) ⇒ child > parent.
+      val sym = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("d"))
+        .select(col("d.u").as("u"), col("d.v").as("v"))
+      val mLs = sym.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val ls = sym.join(mLs, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: every node links its smaller-or-equal neighbors
+      // (and itself) to the minimum among them. On the canonical (u >
+      // v) form the grouping key IS the larger endpoint; m < u always.
+      val mSs = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = ls.join(mSs, "u")
+      val ss = withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mSs.select(col("u"), col("m").as("v")))
+        .distinct()
+      val newE = strip(ss.localCheckpoint(false))
+      val tMat = System.nanoTime()
+      val (newCount, newSum) = fingerprint(newE)
+      // exact convergence: fingerprint screen, then an empty
+      // set-difference on the canonical distinct form ⇒ identical edge
+      // sets (a union of stars rooted at the component minima, per the
+      // LS/SS fixpoint) — never declared on the fingerprint alone
+      converged = newCount == eCount && newSum.compareTo(eSum) == 0 &&
+        newE.except(e).isEmpty
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] round=$iter plan=${(tR - tRound) / 1e9}%.3f s " +
-          f"action=${(System.nanoTime() - tR) / 1e9}%.3f s")
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
-      labels.unpersist()
-      labels = next
+        println(f"[cc] round=$iter edges=$eCount->$newCount " +
+          f"build=${(tMat - tRound) / 1e9}%.3f s " +
+          f"check=${(System.nanoTime() - tMat) / 1e9}%.3f s")
+      e = newE
+      eCount = newCount
+      eSum = newSum
       iter += 1
     }
-    edges.unpersist() // checkpoint blocks: best-effort now, cleaner-reclaimed later
+    // labels: children point at their star root; roots and nodes that
+    // contracted away entirely (self-loop-only ids) label themselves.
+    // groupBy-min instead of trusting one-edge-per-child keeps the
+    // output well-defined even on a maxIter-capped non-fixpoint.
+    val origNodes = edges.select(col("u")).distinct() // bidirectional: u covers all
+    val childMap = e.groupBy(col("u")).agg(min(col("v")).as("group_id"))
+      .select(col("u").as("doc_id"), col("group_id"))
+    val labels = origNodes.select(col("u").as("doc_id"))
+      .join(childMap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .persist(lvl)
     // the FINAL labels frame backs the lazy result handed to the caller
     // — give its cache the bounded CachePool lifecycle instead of
     // leaking one persisted table per call (same class of leak as the
     // round-2 viewport-projection finding)
     CachePool.track(labels)
-    // round-count telemetry (r11 verdict #7): each round is a full
-    // join+agg pass over the edge set, so rounds-to-fixpoint is THE
-    // scale knob of this operator — pointer jumping keeps it
-    // ~log2(component diameter), and DedupShuffleSpec pins that a 10×
-    // longer chain costs only additive extra rounds. If a future graph
-    // family pushes past ~8 real rounds, switch to large-star/small-star.
     lastRounds.set(iter)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"nearDupGroups converged=$converged rounds=$iter (maxIter=$maxIter)")
+      s"nearDupGroups(LS/SS) converged=$converged rounds=$iter (maxIter=$maxIter)")
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"nearDupGroups stopped at maxIter=$maxIter before reaching a fixpoint — " +
-          "component diameter exceeds 2^maxIter; labels are NOT the full transitive closure")
+        s"nearDupGroups stopped at maxIter=$maxIter before the star fixpoint — " +
+          "labels are NOT the full transitive closure")
     labels
   }
 
@@ -592,6 +609,14 @@ object Dedup {
     * calls race benignly).
     */
   private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Max digit count of any round's propagated sizeInBytes estimate in
+    * the most recent [[nearDupGroups]] loop — telemetry/test hook for
+    * the r15 stats-compounding fix (must stay bounded ~O(100) digits;
+    * pre-fix it grew ~5× per round until the driver hung multiplying
+    * them).
+    */
+  private[graft] val ccStatsDigits = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Exact duplicated-span report (public knowledge: Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", 2021 —

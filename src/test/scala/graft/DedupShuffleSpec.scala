@@ -107,6 +107,31 @@ class DedupShuffleSpec extends SparkSpec {
     } finally noAqe.conf.unset(graft.operators.Dedup.LocalCcEdgesConf)
   }
 
+  test("CC round-plan stats estimates stay bounded across rounds (r15)") {
+    import noAqe.implicits._
+    // Spark 4's localCheckpoint propagates the pre-checkpoint plan's
+    // ESTIMATED stats into the LogicalRDD; before the r15 strip each
+    // round's estimate was a product over the previous round's, so the
+    // BigInt digit count grew ~5x/round until stats-reading optimizer
+    // rules hung the driver multiplying astronomic integers (found at
+    // sf2). A 3000-node chain runs enough rounds to expose compounding:
+    // post-fix the worst propagated estimate stays ~100 digits.
+    noAqe.conf.set(graft.operators.Dedup.LocalCcEdgesConf, "0")
+    try {
+      val chain = (0L until 3000L).sliding(2).map(s => (s(0), s(1))).toSeq
+        .toDF("id_a", "id_b")
+      val labels = graft.operators.Dedup.nearDupGroups(chain, maxIter = 30)
+      assert(labels.agg(max("group_id")).head.getLong(0) == 0L)
+      val rounds = graft.operators.Dedup.lastRounds.get()
+      val digits = graft.operators.Dedup.ccStatsDigits.get()
+      assert(rounds >= 5, s"chain too shallow to exercise compounding ($rounds rounds)")
+      assert(digits <= 200,
+        s"round-plan stats estimate grew to $digits digits over $rounds rounds — " +
+          "the localCheckpoint stats strip regressed")
+      info(s"CC stats digits after $rounds rounds: $digits")
+    } finally noAqe.conf.unset(graft.operators.Dedup.LocalCcEdgesConf)
+  }
+
   test("driver-local CC fast path matches the distributed loop exactly") {
     import noAqe.implicits._
     // chains + a clique + self-loops + isolated pair: same labels both ways
