@@ -3673,10 +3673,25 @@ object PipelineQueries {
   // (q_bitext_mine); the dense miner runs only inside qBitextRecall's
   // capped eval universe.
 
+  /** Mining-universe cap for [[qBitextLsh]] (r15): the ORACLE pins the
+    * 4×4-bit signature for replay, and at the pinned width the banded
+    * candidate join densifies quadratically past the fixture scales —
+    * at sf2 the DuckDB twin faces ~10⁸ candidate cosines (35+ min,
+    * checker-infeasible; Spark answers the same query in seconds).
+    * Same sampled-universe contract as q_label_noise / q_simhash_wide /
+    * the bitext recall eval: a no-op through sf1 (20k vectors, ids <
+    * 20000 — every pinned result unchanged), a bound past it;
+    * production mining scales by [[Similarity.scaledBits]], not by the
+    * replay width.
+    */
+  private val BitextMineCap = 20000L
+
   /** The side CTEs shared by both mining oracles. */
   private val bitextSidesSql: String =
-    """a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label < 5),
-      |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label >= 5)""".stripMargin
+    s"""a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings
+       |      WHERE label < 5 AND vec_id < $BitextMineCap),
+       |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings
+       |      WHERE label >= 5 AND vec_id < $BitextMineCap)""".stripMargin
 
   /** Eval-universe cap for [[qBitextRecall]] (r13): dense ground truth
     * is O(|a|*|b|) BY DEFINITION, so at growing corpus sizes the
@@ -3747,7 +3762,8 @@ object PipelineQueries {
     * identical margin tail.
     */
   def qBitextLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
+    // replay-width universe cap — see BitextMineCap (no-op through sf1)
+    val e = embs(s, dir).filter(col("vec_id") < BitextMineCap)
     Similarity.bitextMineLsh(
       e.filter(col("label") < 5), e.filter(col("label") >= 5),
       bands = BitextBands, bitsPerBand = BitextBandBits,
@@ -3756,16 +3772,22 @@ object PipelineQueries {
 
   private def bitextLshSqlFrom(sides: String): String = {
     val bits = BitextBands * BitextBandBits
-    val bandEq = (0 until BitextBands).map { bnd =>
+    // one equi-join per band, UNION'd then deduped — identical candidate
+    // set to the OR-of-band-equalities predicate, but hash-joinable: the
+    // OR form forced DuckDB into a nested-loop cross product that ground
+    // for 35+ min at sf2 (r15); this shape checks in seconds
+    val bandJoins = (0 until BitextBands).map { bnd =>
       val start = bnd * BitextBandBits + 1
-      s"substring(sa.sig, $start, $BitextBandBits) = substring(sb.sig, $start, $BitextBandBits)"
-    }.mkString("\n         OR ")
+      s"""    SELECT sa.a_id, sb.b_id FROM sa JOIN sb
+         |    ON substring(sa.sig, $start, $BitextBandBits) = substring(sb.sig, $start, $BitextBandBits)""".stripMargin
+    }.mkString("\n    UNION ALL\n")
     s"""WITH $sides,
        |sa AS (SELECT a_id, ea, ${sigSqlBits("ea", bits)} AS sig FROM a),
        |sb AS (SELECT b_id, eb, ${sigSqlBits("eb", bits)} AS sig FROM b),
        |cand AS (
-       |  SELECT sa.a_id, sb.b_id FROM sa JOIN sb
-       |  ON $bandEq
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |$bandJoins
+       |  )
        |),
        |pairs AS (
        |  SELECT * FROM (
