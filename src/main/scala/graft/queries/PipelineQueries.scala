@@ -1725,10 +1725,22 @@ object PipelineQueries {
     * hash_hi, hash_lo) — the analytic recomputation of every hash from
     * the synthetic pixel formula.
     */
-  private val dhashCtes: String =
-    """ids AS (
+  private val dhashCtes: String = dhashCtesFrom(None)
+
+  /** Groups-eval universe cap (r15): the GROUPS oracle re-derives
+    * components with a recursive-CTE transitive closure, which
+    * materializes Σ|component|² reach rows — checker-infeasible on the
+    * closed fixture's sf2 giant component (the engine path is LS/SS
+    * and uncapped). Same sampled-universe contract as the other
+    * pinned-replay caps: a no-op through sf1 (doc ids < 50000), a
+    * bound past it.
+    */
+  private val DhashGroupsCap = 50000L
+
+  private def dhashCtesFrom(cap: Option[Long]): String =
+    s"""ids AS (
       |  SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id * 3) % 17 AS h
-      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 25 <> 0),
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 25 <> 0${cap.map(c => s" AND doc_id < $c").getOrElse("")}),
       |px AS (
       |  SELECT doc_id, w, h, s % w AS x, s // w AS y
       |  FROM (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS s FROM ids)),
@@ -1803,11 +1815,12 @@ object PipelineQueries {
     graft.operators.Multimodal.dHashGroups(
       graft.operators.Multimodal.dHash(
         graft.operators.Multimodal.synthMediaTable(s, dir,
-          where = col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0)).toDF())
+          where = col("doc_id") % 3 === 1 && col("doc_id") % 25 =!= 0 &&
+            col("doc_id") < DhashGroupsCap)).toDF())
       .orderBy("doc_id")
 
   val qDhashGroupsSql: String =
-    s"""WITH RECURSIVE $dhashCtes,
+    s"""WITH RECURSIVE ${dhashCtesFrom(Some(DhashGroupsCap))},
        |bands AS (
        |  SELECT doc_id, hash_hi, hash_lo, k,
        |         CASE WHEN k < 4 THEN (hash_lo >> (8 * k)) & 255
