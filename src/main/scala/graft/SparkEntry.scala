@@ -1643,6 +1643,7 @@ object SparkEntry {
     "q_perceptron" -> (QualityQueries.qPerceptron _),
     "q_perceptron_score" -> (QualityQueries.qPerceptronScore _),
     "q_bitext_mine" -> (PipelineQueries.qBitextLsh _),
+    "q_bitext_scaled" -> (PipelineQueries.qBitextScaled _),
     "q_bitext_recall" -> (PipelineQueries.qBitextRecall _),
     "q_cms_top" -> (QualityQueries.qCmsTop _),
     "q_simhash_near" -> (QualityQueries.qSimhashNear _),
@@ -1684,6 +1685,7 @@ object SparkEntry {
     "q_ivfbq_recall" -> (PipelineQueries.qIvfBqRecall _),
     "q_embed_dimstats" -> (PipelineQueries.qEmbedDimStats _),
     "q_semantic_dedup" -> (PipelineQueries.qSemanticDedup _),
+    "q_semantic_dedup_scaled" -> (PipelineQueries.qSemanticDedupScaled _),
     "q_ann_join" -> (PipelineQueries.qAnnJoin _),
     "q_matryoshka" -> (PipelineQueries.qMatryoshka _),
     "q_bigram_nll" -> (PipelineQueries.qBigramNll _),
@@ -1913,6 +1915,7 @@ object SparkEntry {
     "q_perceptron" -> QualityQueries.qPerceptronSql,
     "q_perceptron_score" -> QualityQueries.qPerceptronScoreSql,
     "q_bitext_mine" -> PipelineQueries.qBitextLshSql,
+    "q_bitext_scaled" -> PipelineQueries.qBitextScaledSql,
     "q_bitext_recall" -> PipelineQueries.qBitextRecallSql,
     "q_cms_top" -> QualityQueries.qCmsTopSql,
     "q_simhash_near" -> QualityQueries.qSimhashNearSql,
@@ -1956,6 +1959,7 @@ object SparkEntry {
     "q_ivfbq_recall" -> PipelineQueries.qIvfBqRecallSql,
     "q_embed_dimstats" -> PipelineQueries.qEmbedDimStatsSql,
     "q_semantic_dedup" -> PipelineQueries.qSemanticDedupSql,
+    "q_semantic_dedup_scaled" -> PipelineQueries.qSemanticDedupScaledSql,
     "q_ann_join" -> PipelineQueries.qAnnJoinSql,
     "q_matryoshka" -> PipelineQueries.qMatryoshkaSql,
     "q_bigram_nll" -> PipelineQueries.qBigramNllSql,

@@ -93,6 +93,31 @@ object Similarity {
     math.min(maxBits, math.max(minBits, raw))
   }
 
+  /** Integer-exact [[scaledBits]]: the smallest b in [minBits, maxBits]
+    * with targetBucketSize·2^b ≥ n (maxBits if none). Same value as
+    * [[scaledBits]] everywhere except exact power-of-two boundaries,
+    * where log/ceil floating rounding could disagree with an oracle
+    * that derives b independently — the oracle-checked scaled queries
+    * (q_bitext_scaled) use THIS form so engine and DuckDB twin compute
+    * b from n with the identical integer comparison.
+    */
+  def scaledBitsInt(n: Long, targetBucketSize: Int = 8, minBits: Int = 4, maxBits: Int = 30): Int = {
+    var b = minBits
+    while (b < maxBits && (targetBucketSize.toLong << b) < n) b += 1
+    b
+  }
+
+  /** Cluster count scaled to corpus size for [[semanticDedup]]:
+    * k = ⌈n / targetCellSize⌉ clamped to [minK, maxK] — holds expected
+    * cell population (and with it the within-cell pair join's per-key
+    * fan-out) constant as the corpus grows, the same contract as
+    * [[scaledBits]] for bucket joins. Integer-exact so an oracle can
+    * replay k from count(*) alone. maxK stays under [[kmeansTrain]]'s
+    * packed-argmin k ≤ 8192 bound.
+    */
+  def scaledK(n: Long, targetCellSize: Int = 256, minK: Int = 2, maxK: Int = 4096): Int =
+    math.min(maxK.toLong, math.max(minK.toLong, (n + targetCellSize - 1) / targetCellSize)).toInt
+
   /** Banded hyperplane keys: the `bands`·`bitsPerBand`-bit signature cut
     * into `bands` substrings — a candidate pair must agree on at least
     * one full band. Banding restores the recall that longer (scaled)

@@ -453,6 +453,21 @@ object PipelineQueries {
 
   private def sigSql(e: String): String = sigSqlBits(e, AnnBits)
 
+  /** [[sigSqlBits]] at widths past ~32 bits: the chained-`||` form
+    * stacks a depth-`bits` concat tree on the depth-`Dims` projection
+    * sums and trips DuckDB's 128-deep binder recursion limit (measured
+    * at the scaled twin's 64-bit width); variadic `concat(...)` is ONE
+    * node with `bits` children, so total depth stays ~the sum chain's.
+    * Bit values are identical — same per-bit [[Similarity.planeCoef]]
+    * projections, same '0'/'1' chars.
+    */
+  private def sigSqlBitsWide(e: String, bits: Int): String =
+    (0 until bits).map { b =>
+      val proj = (1 to Dims).map(i =>
+        s"${Sql.d(Similarity.planeCoef(b, i, Dims))} * CAST($e[$i] AS DOUBLE)").mkString(" + ")
+      s"CASE WHEN $proj > 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
+
   def qAnnBuckets(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBuckets(embs(s, dir), bits = AnnBits, dims = Dims)
 
@@ -667,7 +682,15 @@ object PipelineQueries {
     * iterations (shared by the training oracle and the trained-search
     * oracle).
     */
-  private def kmeansCteWhere(where: String): String = {
+  private def kmeansCteWhere(where: String): String = kmeansCteWhere(where, "8")
+
+  /** `kSql` variant: the Lloyd lattice is row-based over (cent_id, pos),
+    * so k enters ONLY as the seed predicate `vec_id < k` — a SQL scalar
+    * works as well as a literal, which is what lets the scaled-k
+    * production path (q_semantic_dedup_scaled) replay k = scaledK(n)
+    * from count(*) inside the oracle itself.
+    */
+  private def kmeansCteWhere(where: String, kSql: String): String = {
     // one Lloyd iteration as CTEs: cIn -> dN (distances) -> aN (argmin)
     // -> uN (rounded means) -> cOut (carry empty clusters)
     def iteration(n: Int, cIn: String, cOut: String): String =
@@ -700,7 +723,7 @@ object PipelineQueries {
        |  FROM embeddings, (SELECT unnest(generate_series(1, $Dims)) AS i)
        |  WHERE $where
        |),
-       |c0 AS (SELECT vec_id AS cent_id, pos, v AS c FROM pe WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id AS cent_id, pos, v AS c FROM pe WHERE vec_id < ($kSql)),
        |${iteration(1, "c0", "c1")},
        |${iteration(2, "c1", "c2")}""".stripMargin
   }
@@ -3098,8 +3121,12 @@ object PipelineQueries {
     Similarity.semanticDedup(embs(s, dir).filter(col("vec_id") < SemDedupCap),
       k = 8, iters = 2, threshold = 0.2, dims = Dims)
 
-  val qSemanticDedupSql: String =
-    s"""WITH ${kmeansCteWhere(s"vec_id < $SemDedupCap")},
+  /** Shared SemDeDup oracle body: Lloyd lattice at `kSql` clusters over
+    * the `where` universe, (cos desc, cent_id) assignment, keep-min-id.
+    * The fixed-k and scaled-k twins differ ONLY in (where, kSql).
+    */
+  private def semanticDedupSqlBody(where: String, kSql: String): String =
+    s"""${kmeansCteWhere(where, kSql)},
        |cents AS (
        |  SELECT cent_id, list(CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cent_emb
        |  FROM c2 GROUP BY cent_id
@@ -3110,7 +3137,7 @@ object PipelineQueries {
        |           row_number() OVER (PARTITION BY e.vec_id
        |                              ORDER BY round(${cosSql("e.embedding", "c.cent_emb")}, 6) DESC,
        |                                       c.cent_id) AS rn
-       |    FROM (SELECT * FROM embeddings WHERE vec_id < $SemDedupCap) e
+       |    FROM (SELECT * FROM embeddings WHERE $where) e
        |    CROSS JOIN cents c
        |  ) WHERE rn = 1
        |),
@@ -3122,6 +3149,39 @@ object PipelineQueries {
        |SELECT id AS vec_id, cell FROM s
        |WHERE id NOT IN (SELECT id FROM dup)
        |ORDER BY vec_id""".stripMargin
+
+  val qSemanticDedupSql: String =
+    s"WITH ${semanticDedupSqlBody(s"vec_id < $SemDedupCap", "8")}"
+
+  /** Replay-universe cap for the SCALED SemDeDup twin — never binds at
+    * any committed fixture (sf2 = 40k vectors; the cap is 2.5× past
+    * that); it exists so the row-based Lloyd replay (n·dims·k rows per
+    * iteration in DuckDB) stays checker-feasible if fixtures grow.
+    */
+  private val SemDedupScaledCap = 100000L
+
+  /** The production-contract scale path of q_semantic_dedup,
+    * oracle-checked AT ITS SCALED SETTING (r15 verdict item 6): k is
+    * not pinned but computed as [[Similarity.scaledK]](n) — expected
+    * cell size (and the within-cell pair join's per-key fan-out) stays
+    * constant as the corpus grows. The oracle derives the identical k
+    * from count(*) with the same integer arithmetic, so the knob
+    * itself is inside the hash check, not just documented.
+    */
+  def qSemanticDedupScaled(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).filter(col("vec_id") < SemDedupScaledCap)
+    Similarity.semanticDedup(e, k = Similarity.scaledK(e.count()),
+      iters = 2, threshold = 0.2, dims = Dims)
+  }
+
+  val qSemanticDedupScaledSql: String = {
+    val where = s"vec_id < $SemDedupScaledCap"
+    // k = ⌈n/256⌉ clamped to [2, 4096] — Similarity.scaledK verbatim
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings WHERE $where),
+       |kk AS (SELECT CAST(LEAST(4096, GREATEST(2, (n + 255) // 256)) AS BIGINT) AS k
+       |       FROM nn),
+       |${semanticDedupSqlBody(where, "SELECT k FROM kk")}""".stripMargin
+  }
 
   // ------------------------------------------- batch retrieval / curation
 
@@ -3813,6 +3873,74 @@ object PipelineQueries {
   }
 
   val qBitextLshSql: String = bitextLshSqlFrom(bitextSidesSql)
+
+  /** Replay-universe cap for the SCALED bitext twin — 5× past sf2's
+    * 40k vectors, so it never binds at any committed fixture; it
+    * bounds the oracle's full-width signature computation (n·64 bits ×
+    * 64 terms) if fixtures grow. Candidates stay LINEAR under the
+    * scaled width, so no densification cap is needed — that is the
+    * point of the knob.
+    */
+  private val BitextScaledCap = 200000L
+
+  /** Per-band signature width ceiling shared by the scaled query and
+    * its oracle: the SQL twin generates the full `bands`·this sig text
+    * statically, so it must be a compile-time bound. 16 bits/band
+    * covers n ≤ 8·2¹⁶ = 524k — unclamped through [[BitextScaledCap]];
+    * production [[Similarity.scaledBits]] runs to 30.
+    */
+  private val BitextScaledBpbMax = 16
+
+  /** The production-contract scale path of q_bitext_mine,
+    * oracle-checked AT ITS SCALED SETTING (r15 verdict item 6):
+    * bitsPerBand is not pinned but computed as
+    * [[Similarity.scaledBitsInt]](n) — expected bucket population
+    * (and with it the banded candidate join) stays linear in corpus
+    * size. The oracle derives the identical width from count(*) with
+    * the same integer comparison and cuts its band keys out of a
+    * statically-generated full-width signature (per-bit hyperplanes
+    * depend only on the bit index, so a prefix of the 64-bit sig IS
+    * the narrower sig).
+    */
+  def qBitextScaled(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).filter(col("vec_id") < BitextScaledCap)
+    val bpb = Similarity.scaledBitsInt(e.count(),
+      targetBucketSize = 8, minBits = 4, maxBits = BitextScaledBpbMax)
+    Similarity.bitextMineLsh(
+      e.filter(col("label") < 5), e.filter(col("label") >= 5),
+      bands = BitextBands, bitsPerBand = bpb,
+      kNeigh = 4, marginPpmMin = 1010000L, dims = Dims)
+  }
+
+  val qBitextScaledSql: String = {
+    val w = BitextBands * BitextScaledBpbMax
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings
+       |           WHERE label < 5 AND vec_id < $BitextScaledCap),
+       |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings
+       |      WHERE label >= 5 AND vec_id < $BitextScaledCap),
+       |nn AS (SELECT (SELECT count(*) FROM a) + (SELECT count(*) FROM b) AS n),
+       |kk AS (SELECT COALESCE(MIN(CASE WHEN 8 * (CAST(1 AS BIGINT) << b) >= n THEN b END),
+       |                       $BitextScaledBpbMax) AS bpb
+       |       FROM (SELECT unnest(generate_series(4, $BitextScaledBpbMax)) AS b), nn),
+       |sa AS (SELECT a_id, ea, ${sigSqlBitsWide("ea", w)} AS sig FROM a),
+       |sb AS (SELECT b_id, eb, ${sigSqlBitsWide("eb", w)} AS sig FROM b),
+       |bnds AS (SELECT unnest(generate_series(0, ${BitextBands - 1})) AS bnd),
+       |ka AS (SELECT a_id, bnd,
+       |              substring(sig, CAST(bnd * bpb + 1 AS INT), CAST(bpb AS INT)) AS bk
+       |       FROM sa, kk, bnds),
+       |kb AS (SELECT b_id, bnd,
+       |              substring(sig, CAST(bnd * bpb + 1 AS INT), CAST(bpb AS INT)) AS bk
+       |       FROM sb, kk, bnds),
+       |cand AS (SELECT DISTINCT a_id, b_id FROM ka JOIN kb USING (bnd, bk)),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT c.a_id, c.b_id,
+       |           CAST(round((${cosSql("a.ea", "b.eb")}) * 1000000.0) AS BIGINT) AS cos_u
+       |    FROM cand c JOIN a ON c.a_id = a.a_id JOIN b ON c.b_id = b.b_id
+       |  ) WHERE cos_u > 0
+       |),
+       |$bitextMarginSql""".stripMargin
+  }
 
   /** Pair-level recall/precision of the LSH-candidate miner vs the
     * dense ground-truth miner — the accept/reject eval for serving
