@@ -39,4 +39,19 @@ class BenchSpec extends SparkSpec {
     // and it parses as a JSON object shape
     assert(qs.startsWith("{\"") && qs.endsWith("}"), qs.take(80))
   }
+
+  // r15 verdict item 3: the driver artifact carried a 106.8 s vs 6.7 s
+  // jsonl_ingest pair yet shipped unflagged — the storm rule read only
+  // query samples. Headline min-of-2 pairs must trip the flag at >3×.
+  test("headline sample pairs spreading >3x flag the storm marker") {
+    val flagged = Bench.headlineStormLabels(Map(
+      "jsonl_ingest" -> Seq(6.7, 106.8), // the r15 driver pair
+      "ingest_1m" -> Seq(1.4, 1.6),
+      "pyramid_warm" -> Seq(0.025, 0.027),
+      "bm25_warm" -> Seq(0.010, 0.045))) // 4.5× on a warm pass pair
+    assert(flagged == Seq("bm25_warm", "jsonl_ingest"), flagged.toString)
+    // agreeing pairs and single samples never flag
+    assert(Bench.headlineStormLabels(Map(
+      "a" -> Seq(1.0, 2.9), "b" -> Seq(5.0))).isEmpty)
+  }
 }
