@@ -152,6 +152,27 @@ class DedupShuffleSpec extends SparkSpec {
     } finally noAqe.conf.unset(graft.operators.Dedup.LocalCcEdgesConf)
   }
 
+  // r15 verdict item 4 + advice: the local path's collect must be
+  // primitive (long pairs, not boxed GenericRows), accept non-long id
+  // types, and hand back the INPUT id type so local ≡ distributed
+  // schema-exactly.
+  test("local CC fast path collects primitives and preserves the id type") {
+    import noAqe.implicits._
+    val intPairs = Seq((1, 2), (2, 3), (10, 11)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.nearDupGroups(intPairs)
+    assert(graft.operators.Dedup.lastRounds.get() == 0, "expected the local path")
+    assert(out.schema("doc_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.schema("group_id").dataType == org.apache.spark.sql.types.IntegerType)
+    val labels = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(labels == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10), labels.toString)
+    // the collected representation itself: two primitive long arrays
+    val edges = Seq((7, 9), (9, 7)).toDF("id_a", "id_b")
+      .selectExpr("id_a as u", "id_b as v")
+    val (us, vs) = graft.operators.Dedup.collectEdgesPrimitive(edges)
+    assert(us.getClass == classOf[Array[Long]] && vs.getClass == classOf[Array[Long]])
+    assert(us.sorted.toSeq == Seq(7L, 9L) && vs.sorted.toSeq == Seq(7L, 9L))
+  }
+
   test("ngram verify: shingle arrays never shuffle, volume linear in corpus (r12)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
