@@ -93,8 +93,13 @@ object Classifier {
       .select(col("cls"), col("base_nll"), col("prior_nll")).collect()
     val classes = stats.map(_.getString(0))
     val k = classes.length
-    // empty corpus ⇒ zero classes: return the empty output frame (the
-    // lazy pre-r14 behavior) instead of tripping the class-count guard
+    // zero classes ⇒ the empty output frame (the lazy pre-r14
+    // behavior) instead of tripping the class-count guard. This fires
+    // for an empty corpus AND for a corpus whose textCol yields no
+    // tokens anywhere (all NULL/empty): docs contributing no tokens
+    // are excluded from the output corpus-wide — they have no dt rows,
+    // so the perDoc inner join drops them on the normal path too; this
+    // branch is just that contract's total case (r15 advice).
     if (k == 0)
       return docs.select(col(idCol),
         col(classCol).cast("string").as("actual"),
