@@ -324,14 +324,14 @@ object QualityQueries {
        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM ints)
        |),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id, a.sig AS sig,
-       |         b.doc_id AS id_b, b.sig AS sig_b
+       |  SELECT DISTINCT a.doc_id AS id, a.sig AS sig, b.doc_id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 2
        |)
        |SELECT id AS doc_id, sig, CAST(count(*) AS BIGINT) AS n_near,
        |       CAST(min(id_b) AS BIGINT) AS min_near_id
-       |FROM cand WHERE bit_count(xor(sig, sig_b)) <= 2
+       |FROM cand
        |GROUP BY id, sig
        |ORDER BY doc_id""".stripMargin
   }
@@ -347,7 +347,16 @@ object QualityQueries {
   val qSimhashWideSql: String = {
     // hex char j of the signature stream: md5(tok) carries bits 1..32,
     // md5('1|' || tok) bits 33..48 — same construction as
-    // Dedup.simhashBitsStr
+    // Dedup.simhashBitsStr.
+    //
+    // r16: the Hamming test runs INSIDE the candidate CTE, before the
+    // DISTINCT. Semantics-identical (sig is functionally dependent on
+    // doc_id, so DISTINCT (id, id_b) + the filter commutes), but the
+    // sf2 fixture's duplicate clusters skew band buckets quadratically
+    // — the biggest 12-bit bucket holds 22k docs, ~2.5e9 candidate
+    // rows across 4 bands — and DISTINCT-ing THAT before filtering
+    // exhausted the checker's 50 GB spill; filtered first, only the
+    // ~8.4M true near pairs reach the hash table (checks in ~1 min).
     def hexChar(j: Int): String =
       if (j <= 32) s"substring(md5(tok), $j, 1)"
       else s"substring(md5('1|' || tok), ${j - 32}, 1)"
@@ -363,14 +372,14 @@ object QualityQueries {
        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM ints)
        |),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id, a.sig AS sig,
-       |         b.doc_id AS id_b, b.sig AS sig_b
+       |  SELECT DISTINCT a.doc_id AS id, a.sig AS sig, b.doc_id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 2
        |)
        |SELECT id AS doc_id, sig, CAST(count(*) AS BIGINT) AS n_near,
        |       CAST(min(id_b) AS BIGINT) AS min_near_id
-       |FROM cand WHERE bit_count(xor(sig, sig_b)) <= 2
+       |FROM cand
        |GROUP BY id, sig
        |ORDER BY doc_id""".stripMargin
   }

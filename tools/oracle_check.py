@@ -42,14 +42,22 @@ BACKOFF_S = 20
 
 
 def mem_budget_gb() -> int:
-    """Half of currently-available RAM, clamped to [2, 16] GB."""
+    """Half of currently-available RAM, clamped to [2, 16] GB.
+    GRAFT_ORACLE_MEM_GB overrides (still capped at half of available):
+    a handful of oracles are state-replay CTEs whose checker memory
+    grows super-linearly with scale (q_greedy_sweep's recursive sweep
+    needs >16 GB at sf2) -- a scale drive on a big idle box raises the
+    cap explicitly instead of failing them.
+    """
+    override = os.environ.get("GRAFT_ORACLE_MEM_GB")
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemAvailable:"):
                     avail_gb = int(line.split()[1]) / (1024 * 1024)
-                    return max(2, min(16, int(avail_gb / 2)))
-    except OSError:
+                    cap = int(override) if override else 16
+                    return max(2, min(cap, int(avail_gb / 2)))
+    except (OSError, ValueError):
         pass
     return 8
 
