@@ -249,33 +249,78 @@ object Dedup {
     * blowup of the naive shingle self-join. Lossless: candidates are
     * then verified exactly, so the output is identical to the naive
     * all-pairs definition (which the DuckDB oracle still uses).
-    * Output: id_a, id_b, inter, union_n, jaccard_ppm.
+    *
+    * EXACT-DUP PRE-COLLAPSE (r17, the r15 dHash distinct-hash move):
+    * jaccard is a function of the shingle SETS alone, so docs with
+    * identical sets (≈ exact-dup families — ~half of a web-scale
+    * corpus) are indistinguishable here. The prefix/candidate/verify
+    * pipeline runs on ONE representative (= min id) per distinct set,
+    * keyed by md5 of the doc's [[graft.plans.SetDigests]] blob; doc
+    * pairs come back from an output-sized expansion — cross-family
+    * pairs via two rep-keyed joins (inter/union are set functions, so
+    * the rep pair's values ARE every member pair's values), same-set
+    * families via one fingerprint-equi self-join at jaccard = 1, which
+    * passes any threshold ≤ 1. Without the collapse, a duplicate
+    * family of m docs multiplied every candidate bucket by m and the
+    * verify by m² (VERDICT r16 #1).
+    *
+    * DIGEST-BLOB VERIFY (r17): shingles travel as 16-byte md5 digests
+    * from the first projection on — fixed-width posting keys, and the
+    * whole sorted set as ONE flat BINARY blob carried on the prefix
+    * rows, so candidate pairs exit the candidate join already holding
+    * BOTH sides' sets and verify map-side in the same stage via the
+    * exploded [[graft.plans.IntersectEmit]] generator (one sorted
+    * merge per candidate, evaluated exactly once, no residual filter
+    * for Catalyst to substitute into a join condition). This removes
+    * the r16 shape's three candidate-cardinality exchanges — the
+    * 71.5M-row pair distinct and the two array-attach joins, one of
+    * which shuffled candidate rows WITH a side's shingle arrays
+    * (measured at sf2: 71.5M candidates for 4,687 result pairs, 48 of
+    * 61 s in verify+distinct) — in favor of one distinct over the
+    * RESULT pairs (each emitted once per shared prefix shingle).
+    * Every exchange is now corpus-linear (postings, prefix rows ×
+    * ~16 B/shingle blob) or output-sized; there is no broadcast-or-die
+    * table anywhere, so the semiPrune cluster knob is moot here (it
+    * still governs the string-array verify the minhash/containment
+    * entry points use). Output: id_a, id_b, inter, union_n,
+    * jaccard_ppm.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // The shingle arrays are built by interpreted higher-order functions
-    // (transform/array_distinct are not codegen'd) and feed four plan
-    // branches — materialize once; the ContextCleaner unpersists when
-    // the query's RDDs are released.
-    val sh = CachePool.track(docShingles(docs, textCol, idCol))
-    val ds = postings(sh, idCol)
-    // global rarity order = (doc frequency, shingle) — no global rank
-    // column needed, the tuple itself is the sort key. Doc frequency is
-    // a groupBy-count joined back co-partitioned on shingle (r11): the
+    require(threshold > 0.0 && threshold <= 1.0, s"bad jaccard threshold $threshold")
+    graft.plans.TextExpressions.ensureRegistered()
+    // (id, len, d) — shingle strings live only inside this projection
+    // (shingles3 → setdig in one map stage); feeds families, postings,
+    // the prefix blob attach and the expansion — materialize once
+    // (~16 B/shingle, far lighter than the string arrays it replaces).
+    val famDocs = CachePool.track(
+      docShingles(docs, textCol, idCol)
+        .select(col(idCol).as("id"), size(col("s")).as("len"),
+          call_function("graft_setdig", col("s")).as("d")))
+    val fams = CachePool.track(famDocs.groupBy(md5(col("d")).as("fp"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("fam_n")))
+    // representatives only past this point (the pre-collapse)
+    val reps = CachePool.track(
+      famDocs.join(fams.select(col("rep").as("id")), Seq("id"), "left_semi"))
+    val ds = reps.select(col("id"), col("len"),
+      explode(call_function("graft_digsplit", col("d"))).as("g"))
+    // global rarity order = (doc frequency, digest) — no global rank
+    // column needed, the tuple itself is the sort key (any consistent
+    // total order is a valid ppjoin global order; the oracle replays
+    // all-pairs semantics, not the candidate order). Doc frequency is
+    // a groupBy-count joined back co-partitioned on digest (r11): the
     // count shuffle map-side combines to |distinct shingles| rows, and —
     // the 100 TB point — a hot template shingle never serializes its
-    // whole posting list through one window task (the
-    // count-over-shingle window this replaces buffered every posting of
-    // a shingle in one partition; AQE skew-split can't cut a window
-    // group, but it CAN cut a join side). Per-doc rarity rank stays a
-    // (bounded: ≤|doc shingles|) per-id window.
-    val freq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+    // whole posting list through one window task (AQE skew-split can't
+    // cut a window group, but it CAN cut a join side). Per-doc rarity
+    // rank stays a (bounded: ≤|doc shingles|) per-id window.
+    val freq = ds.groupBy(col("g")).agg(count(lit(1)).as("c"))
     val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("c"), col("shingle"))
+      .partitionBy(col("id")).orderBy(col("c"), col("g"))
     // both sides of the candidate self-join read this — persist (pool-
     // bounded lifecycle), or the rarity ranking runs twice
     val prefixes = CachePool.track(ds
-      .join(freq, "shingle")
+      .join(freq, "g")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= greatest(lit(1),
         (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int")))
@@ -287,35 +332,94 @@ object Dedup {
       // (most shingles in a real corpus are unique), so this is the
       // single biggest candidate-join input cut available losslessly.
       .filter(col("c") > 1)
-      .select(col("id"), col("shingle"), col("len"), col("rn")))
-    // duplicate pairs (several shared prefix shingles) are fine —
-    // verifyJaccard counts DISTINCT shingles, so no dedup exchange here.
+      // attach the doc's TRUNCATED digest blob (4-byte blocks — ¼ the
+      // exchange payload; a lossless upper-bound representation, see
+      // DigestTruncate) AFTER the prefix filters, so only surviving
+      // prefix rows (not every posting) carry it into the candidate
+      // join
+      .join(reps.select(col("id"),
+        call_function("graft_digtrunc", col("d"), lit(4)).as("dt")), "id")
+      .select(col("id"), col("g"), col("len"), col("rn"), col("dt")))
     // ppjoin's length filter rides the join: jaccard ≥ t ⟹
     // inter ≤ min(|a|,|b|) and union ≥ max(|a|,|b|), so
-    // min ≥ t·max — a free necessary-condition predicate that prunes
-    // length-mismatched candidates before the (distinct-count) verify.
-    // ppjoin's POSITIONAL filter rides it too (r12 — the verify join is
-    // this query's dominant cost, and this cuts its input 2.5× at
-    // sf0.1): a match at rarity positions (rn_a, rn_b) bounds the
-    // overlap by 1 + min(len_a−rn_a, len_b−rn_b) (everything before rn
-    // on each side is disjoint — both prefixes are sorted by the same
-    // global order, and the FIRST common element maximizes this bound,
-    // so per-pair survival equals ppjoin's). jaccard ≥ t needs overlap
-    // ≥ t/(1+t)·(len_a+len_b); the 1e-9 slack keeps the float compare
-    // conservative (may admit a doomed candidate, never drops a true
-    // one — verification stays lossless).
-    val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+    // min ≥ t·max — a free necessary-condition predicate. ppjoin's
+    // POSITIONAL filter rides it too: a match at rarity positions
+    // (rn_a, rn_b) bounds the overlap by 1 + min(len_a−rn_a,
+    // len_b−rn_b) (everything before rn on each side is disjoint —
+    // both prefixes are sorted by the same global order, and the FIRST
+    // common element maximizes this bound, so per-pair survival equals
+    // ppjoin's). jaccard ≥ t needs overlap ≥ t/(1+t)·(len_a+len_b);
+    // the 1e-9 slack keeps the float compare conservative (may admit a
+    // doomed candidate, never drops a true one — verification stays
+    // lossless). Survivors pre-verify IN PLACE: the exploded
+    // IntersectEmit merge over the carried 4-byte blobs emits only
+    // pairs whose UPPER-BOUND jaccard passes — so a pair sharing
+    // several prefix shingles emits several identical rows and the
+    // distinct below is survivor-sized, never candidate-sized (at sf2:
+    // 71.5M candidates never leave their map stage; ~127k pre-verified
+    // rows distinct to ~5k pairs).
+    val prePairs = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.len") >= lit(threshold) * col("b.len") &&
           col("b.len") >= lit(threshold) * col("a.len") &&
           (lit(1) + least(col("a.len") - col("a.rn"), col("b.len") - col("b.rn"))) *
             lit(1.0 + threshold) >=
             lit(threshold) * (col("a.len") + col("b.len")) - lit(1e-9))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    verifyJaccard(cand, sh, idCol, threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        explode(call_function("graft_isect_emit",
+          col("a.dt"), col("b.dt"), lit(threshold), lit(4))).as("iu"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact verify of the survivors on the FULL 16-byte blobs — a
+    // result-sized pair of id-keyed joins (AQE broadcasts the tiny
+    // pair side) + one exact merge per survivor; truncation false
+    // positives die here.
+    val repPairs = prePairs
+      .join(famDocs.select(col("id").as("id_a"), col("d").as("d_a")), "id_a")
+      .join(famDocs.select(col("id").as("id_b"), col("d").as("d_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        explode(call_function("graft_isect_emit",
+          col("d_a"), col("d_b"), lit(threshold), lit(16))).as("iu"))
+      .select(col("id_a"), col("id_b"),
+        col("iu.inter").as("inter"), col("iu.union_n").as("union_n"))
+    // ---- output-sized expansion back to doc pairs ----
+    // cross-family: every (member of A, member of B) inherits the rep
+    // pair's exact inter/union; ids re-oriented because families
+    // interleave (a member of B may be smaller than a member of A).
+    val famKeyed = famDocs.select(col("id"), col("len"), md5(col("d")).as("fp"))
+    val members = famKeyed.join(fams.select(col("fp"), col("rep")), "fp")
+      .select(col("id"), col("rep"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("ia")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("id").as("ib")), "id_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("inter"), col("union_n"))
+    // intra-family: identical sets ⇒ jaccard = 1 ≥ threshold, inter =
+    // union = the set size; one equi self-join on the fingerprint emits
+    // exactly the C(m,2) result pairs per family.
+    val intra = famKeyed.as("x").join(famKeyed.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.len").cast("long").as("inter"), col("x.len").cast("long").as("union_n"))
+    cross.unionByName(intra)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"),
         round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** The exact-dup families [[ngramJaccard]] collapses on: one row per
+    * distinct shingle SET — (fp, rep = min member id, fam_n). Package-
+    * visible so the spec pins the collapsed cardinality (a dup family
+    * must reach the candidate join as ONE doc).
+    */
+  private[graft] def shingleFamilies(docs: DataFrame, textCol: String = "text",
+                                     idCol: String = "doc_id"): DataFrame = {
+    graft.plans.TextExpressions.ensureRegistered()
+    docShingles(docs, textCol, idCol)
+      .select(col(idCol).as("id"),
+        md5(call_function("graft_setdig", col("s"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("fam_n"))
   }
 
   /** [[minhashPairs]] plus a total order on the pair key — the
@@ -741,26 +845,59 @@ object Dedup {
     // builtin zip_with-in-aggregate form was interpreted and dominated
     // this operator's cost at 48 bits
     graft.plans.TextExpressions.ensureRegistered()
-    val sigs = docs.select(col(idCol).as("id"),
-      call_function("graft_simhash", col(textCol), lit(sigBits)).as("sig"))
+    // feeds the family rollup, the second-min join and the per-doc
+    // output join — persist, or every token is md5'd three times
+    // (bounded lifecycle via the pool)
+    val sigs = CachePool.track(docs.select(col(idCol).as("id"),
+      call_function("graft_simhash", col(textCol), lit(sigBits)).as("sig")))
+    // DISTINCT-SIG COLLAPSE (r17, VERDICT r16 #1 — the r15 dHash
+    // distinct-hash move): Hamming distance is a function of the sig
+    // pair alone, so the band join runs on |distinct sigs|, not corpus
+    // rows — an exact-dup family of m docs (one sig) stops multiplying
+    // its band buckets by m and the verify by m². Per-family stats
+    // (fam_n, min id m1, second-min m2) reconstruct each doc's
+    // neighborhood exactly: same-sig docs are always neighbors (all
+    // bands agree, Hamming 0), and a doc's smallest same-sig neighbor
+    // is m2 when the doc IS the family minimum, m1 otherwise.
+    val fams = CachePool.track(sigs.groupBy(col("sig"))
+      .agg(count(lit(1)).as("fam_n"), min(col("id")).as("m1")))
+    val m2s = sigs.join(fams.select(col("sig"), col("m1")), "sig")
+      .filter(col("id") =!= col("m1"))
+      .groupBy(col("sig")).agg(min(col("id")).as("m2"))
     val bandArr = array((0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
         shiftright(col("sig"), width * (bands - 1 - b)).bitwiseAND(lit(mask)).as("bv"))
     }: _*)
-    // both self-join sides read this — persist, or every token is
-    // md5'd twice (bounded lifecycle via the pool)
+    // both self-join sides read this — persist (bounded via the pool)
     val banded = CachePool.track(
-      sigs.select(col("id"), col("sig"), explode(bandArr).as("bk"))
-        .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv")))
-    banded.as("a").join(banded.as("b"),
+      fams.select(col("sig"), col("fam_n"), col("m1"), explode(bandArr).as("bk"))
+        .select(col("sig"), col("fam_n"), col("m1"),
+          col("bk.band").as("band"), col("bk.bv").as("bv")))
+    // candidate sig pairs: Hamming-filter BEFORE the distinct (the
+    // qSimhashWideSql r16 lesson — commutes because the filter reads
+    // only the pair key), distinct because a pair can agree on several
+    // bands; the neighbor family's stats are sig_b-functional so they
+    // ride the distinct.
+    val sigPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id"), col("a.sig").as("sig"),
-        col("b.id").as("id_b"), col("b.sig").as("sig_b"))
-      .distinct()
+          col("a.sig") =!= col("b.sig"))
+      .select(col("a.sig").as("sig"), col("b.sig").as("sig_b"),
+        col("b.fam_n").as("nb_n"), col("b.m1").as("nb_m1"))
       .filter(bit_count(col("sig").bitwiseXOR(col("sig_b"))) <= maxHam)
-      .groupBy(col("id").as(idCol), col("sig"))
-      .agg(count(lit(1)).as("n_near"), min(col("id_b")).as("min_near_id"))
+      .distinct()
+    val cross = sigPairs.groupBy(col("sig"))
+      .agg(sum(col("nb_n")).as("cross_n"), min(col("nb_m1")).as("cross_min"))
+    sigs.join(fams, "sig")
+      .join(m2s, Seq("sig"), "left")
+      .join(cross, Seq("sig"), "left")
+      .withColumn("n_near", coalesce(col("cross_n"), lit(0L)) + col("fam_n") - 1)
+      .filter(col("n_near") >= 1)
+      // least() skips nulls: a sig with no cross neighbors has
+      // cross_min null; a 1-doc family's same-sig term is null
+      .select(col("id").as(idCol), col("sig"), col("n_near"),
+        least(col("cross_min"),
+          when(col("id") === col("m1"), col("m2")).otherwise(col("m1")))
+          .as("min_near_id"))
       .orderBy(idCol)
   }
 

@@ -61,6 +61,10 @@ object TextExpressions {
     "graft_simhash" -> (es => SimhashLong(es(0), intLit(es(1)))),
     "graft_feat_buckets" -> (es => BigramBuckets(es(0), intLit(es(1)))),
     "graft_isect" -> (es => IntersectCount(es(0), es(1))),
+    "graft_setdig" -> (es => SetDigests(es(0))),
+    "graft_digsplit" -> (es => DigestSplit(es(0))),
+    "graft_digtrunc" -> (es => DigestTruncate(es(0), intLit(es(1)))),
+    "graft_isect_emit" -> (es => IntersectEmit(es(0), es(1), doubleLit(es(2)), intLit(es(3)))),
     "graft_doti" -> (es => LongArrayDot(es(0), longArrLit(es(1)))),
     "graft_spanhash" -> (es => SpanHashes(es(0), intLit(es(1)))))
 
@@ -68,6 +72,13 @@ object TextExpressions {
     case i: Int => i
     case l: Long => l.toInt
     case o => throw new IllegalArgumentException(s"expected integer literal, got $o")
+  }
+
+  private def doubleLit(e: Expression): Double = e.eval(null) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case o => throw new IllegalArgumentException(s"expected double literal, got $o")
   }
 
   private def longArrLit(e: Expression): Array[Long] = e.eval(null) match {
@@ -481,6 +492,194 @@ case class IntersectCount(left: Expression, right: Expression)
     val m = big.numElements()
     while (i < m) { if (set.remove(big.getUTF8String(i))) c += 1; i += 1 }
     c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SORTED per-element md5 digests of a string array as ONE flat BINARY
+  * blob (16-byte blocks, unsigned-lexicographic block order). Fixed
+  * blocks need no separator, so two arrays yield the same blob iff
+  * they denote the same element SET (modulo an md5 collision — the
+  * same injectivity assumption exactDedup's md5(text) grouping already
+  * makes). The blob is the whole representation Dedup.ngramJaccard
+  * needs: md5(blob) is the family fingerprint of its exact-dup
+  * pre-collapse, DigestSplit explodes it into 16-byte posting keys,
+  * and IntersectEmit merge-counts two blobs' common blocks — shingle
+  * STRINGS never travel past this projection. ~16 bytes/shingle vs
+  * ~25 chars + per-object overhead for the string array it replaces.
+  * Callers pass distinct arrays (shingle sets); duplicates would
+  * produce duplicate blocks and alter both the fingerprint and the
+  * merge counts.
+  */
+case class SetDigests(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_setdig"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val md = TextExpressions.md5()
+    val digests = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      digests(i) = md.digest()
+      i += 1
+    }
+    java.util.Arrays.sort(digests, new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        var j = 0
+        while (j < 16) {
+          val d = (a(j) & 0xff) - (b(j) & 0xff)
+          if (d != 0) return d
+          j += 1
+        }
+        0
+      }
+    })
+    val out = new Array[Byte](m * 16)
+    i = 0
+    while (i < m) { System.arraycopy(digests(i), 0, out, i * 16, 16); i += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Splits a [[SetDigests]] blob back into its 16-byte blocks — the
+  * posting keys of ngramJaccard's prefix pipeline (fixed 16-byte
+  * BINARY keys shuffle and compare cheaper than shingle strings, and
+  * any consistent total order is a valid ppjoin global order).
+  */
+case class DigestSplit(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_digsplit"
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val blob = v.asInstanceOf[Array[Byte]]
+    require(blob.length % 16 == 0, s"digest blob length ${blob.length} not a multiple of 16")
+    val m = blob.length / 16
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = java.util.Arrays.copyOfRange(blob, i * 16, i * 16 + 16)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-block truncation of a [[SetDigests]] blob: keeps the first
+  * `width` bytes of every 16-byte block. Truncating a byte-sorted
+  * sequence by a prefix of its sort key preserves sortedness, so the
+  * result is a valid (collision-coarsened) input for [[IntersectEmit]]
+  * at block size `width`. A truncation collision can only MERGE
+  * blocks' identities, never split one — the merged min-multiplicity
+  * count is an UPPER bound on the true intersection, which makes the
+  * truncated pre-filter lossless (admits false candidates, never drops
+  * a true pair). ngramJaccard carries 4-byte blocks through its
+  * candidate join (4× less exchange payload than full digests) and
+  * re-verifies the survivors — result-sized — on the 16-byte blobs.
+  */
+case class DigestTruncate(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(width >= 1 && width <= 16, s"bad digest width $width")
+  override def prettyName: String = "graft_digtrunc"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val blob = v.asInstanceOf[Array[Byte]]
+    val m = blob.length / 16
+    val out = new Array[Byte](m * width)
+    var i = 0
+    while (i < m) {
+      System.arraycopy(blob, i * 16, out, i * width, width)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Thresholded set intersection of two sorted digest blobs, shaped for
+  * `explode()`: one merge pass over the sorted `blockBytes`-byte blocks
+  * counts the common elements (min multiplicity per block value —
+  * exact at 16 bytes, a lossless upper bound on truncated blobs), and
+  * the result row (inter, union_n) is EMITTED only when inter/union ≥
+  * threshold (double arithmetic, identical to the Column-level filter
+  * it replaces). Exploding this array makes the verify a Generate —
+  * the expression evaluates exactly ONCE per candidate row and there
+  * is no residual filter for Catalyst to substitute into a join
+  * condition (the r16 plan evaluated graft_isect three times per
+  * candidate: twice inside the pushed-down SortMergeJoin condition,
+  * once in the projection above it).
+  */
+case class IntersectEmit(left: Expression, right: Expression, threshold: Double,
+                         blockBytes: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(blockBytes >= 1 && blockBytes <= 16, s"bad block size $blockBytes")
+  override def prettyName: String = "graft_isect_emit"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("inter", LongType, nullable = false),
+    StructField("union_n", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, BINARY), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val na = a.length / blockBytes
+    val nb = b.length / blockBytes
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      var k = 0
+      var cmp = 0
+      val oa = i * blockBytes
+      val ob = j * blockBytes
+      while (k < blockBytes && cmp == 0) {
+        cmp = (a(oa + k) & 0xff) - (b(ob + k) & 0xff)
+        k += 1
+      }
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val union = na.toLong + nb.toLong - inter
+    if (union > 0 && inter * 1.0 / union >= threshold)
+      new GenericArrayData(Array[Any](InternalRow(inter, union)))
+    else new GenericArrayData(Array.empty[Any])
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -30,6 +30,41 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram jaccard exact-dup pre-collapse: brute-force-identical output, family-sized candidates") {
+    // r17 (VERDICT r16 #1): dup families must reach the candidate join
+    // as ONE representative; the output must still be the full all-pairs
+    // answer — intra-family pairs at jaccard 1 with inter = union = the
+    // set size, cross pairs inheriting the rep pair's exact inter/union.
+    import org.apache.spark.sql.functions._
+    val famA = Seq(5L, 2L, 9L).map((_, "the quick brown fox jumps over it"))
+    val famB = Seq(7L, 4L).map((_, "the quick brown fox jumps over them")) // near dup of A
+    val loners = Seq((11L, "alpha beta gamma delta epsilon"),
+      (12L, "unrelated words live here instead now"))
+    val docs = (famA ++ famB ++ loners).toDF("doc_id", "text")
+    // collapse cardinality pinned: 4 distinct shingle sets, reps = min ids
+    val fams = Dedup.shingleFamilies(docs).collect()
+      .map(r => r.getAs[Long]("rep") -> r.getAs[Long]("fam_n")).toMap
+    assert(fams == Map(2L -> 3L, 4L -> 2L, 11L -> 1L, 12L -> 1L))
+    // brute-force all-pairs jaccard over collected shingle sets
+    val sets = Dedup.docShingles(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+      if ia < ib
+      inter = (sa & sb).size.toLong
+      un = (sa | sb).size.toLong
+      if inter * 1.0 / un >= 0.5
+    } yield ((ia, ib), (inter, un, math.round(inter * 1000000.0 / un)))).toMap
+    val out = Dedup.ngramJaccard(docs, threshold = 0.5).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("inter"), r.getAs[Long]("union_n"),
+          r.getAs[Long]("jaccard_ppm")))).toMap
+    assert(out == brute, s"pre-collapse output drifted:\n$out\nvs brute\n$brute")
+    // families guarantee both expansion paths exercised
+    assert(out.contains((2L, 5L)) && out((2L, 5L))._3 == 1000000L, "intra pair missing")
+    assert(out.contains((2L, 4L)), "cross-family pair missing")
+  }
+
   test("semi-pruned verify (cluster path) equals the default chain verify") {
     import org.apache.spark.sql.functions._
     val docs = (0L until 40L).map(i =>

@@ -215,6 +215,36 @@ class QualityRulesSpec extends SparkSpec {
     }
   }
 
+  test("simhash near stats on dup families: exact n_near AND min_near_id vs brute force") {
+    // r17 distinct-sig collapse: the band join runs on |distinct sigs|,
+    // with per-family (count, min, second-min) reconstructing each
+    // doc's neighborhood. Families of size 3, 2, 1 (+ filler) pin both
+    // outputs — especially min_near_id for the family MINIMUM, whose
+    // smallest same-sig neighbor is the family's second-min (the m2
+    // path), and for non-minimum members (the m1 path).
+    import org.apache.spark.sql.functions._
+    val famA = Seq(5L, 2L, 9L).map(i => doc(i, "alpha beta gamma delta"))
+    val famB = Seq(7L, 4L).map(i => doc(i, "totally different words over here"))
+    val filler = (20 to 40).map(i =>
+      doc(i.toLong, (1 to 10).map(j => s"tok${(i * 7 + j) % 13}").mkString(" ")))
+    val docs = (famA ++ famB ++ filler).toDF("doc_id", "source", "text")
+    val sigs = docs.select(col("doc_id"),
+      conv(Dedup.simhash16(split(col("text"), " ")), 2, 10).cast("long").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia != ib && java.lang.Long.bitCount(sa ^ sb) <= 2
+    } yield (ia, ib)).groupBy(_._1)
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._2).min) }
+    val banded = Dedup.simhashNearStats(docs, maxHam = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_near"), r.getAs[Long]("min_near_id"))).toMap
+    assert(banded == brute)
+    // the families themselves must be present with their same-sig terms
+    assert(banded(2L)._1 >= 2 && banded(2L)._2 == 5L, "family-min m2 path drifted")
+    assert(banded(5L)._2 == 2L && banded(9L)._2 == 2L, "non-min m1 path drifted")
+  }
+
   test("simhashNearStats rejects band splits pigeonhole cannot cover") {
     val docs = Seq(doc(1L, "a b c")).toDF("doc_id", "source", "text")
     intercept[IllegalArgumentException] {
