@@ -40,6 +40,10 @@ object Bench {
   def run(spark: SparkSession, sfDir: String, only: Option[Set[String]]): String = {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // box-speed calibration first — before any query contends for the
+    // machine — so the artifact carries its own normalization factor
+    val boxCal = boxCalibrationSec()
+
     // Two full sweeps, per-query MIN: this box suffers intermittent
     // multi-minute noise storms (round-2 verdict measured the driver's
     // run 3× inflated; this session saw 3 s ↔ 60 s swings on untouched
@@ -306,16 +310,25 @@ object Bench {
     // 3): any min-of-2 pair spreading >3× flags the run, and the
     // offending labels ship in the line.
     val headlineStorm = headlineStormLabels(headlineSamples.toMap)
-    val stormy = samples.values.exists(ss => resolvedSpread(ss) > 10.0) ||
-      headlineStorm.nonEmpty
+    val querySpreadStorm = samples.values.exists(ss => resolvedSpread(ss) > 10.0)
+    val stormy = querySpreadStorm || headlineStorm.nonEmpty
     val stormJson = if (stormy) ""","storm":true""" else ""
-    val stormNote =
-      if (headlineStorm.nonEmpty)
-        s""","storm_note":"headline sample pair spread >3x on ${
-          headlineStorm.mkString("/")}: box noise storm spanned this run; treat headline values as upper bounds""""
-      else if (stormy)
-        ""","storm_note":"resolved spread >10x on some queries even after re-measures: box noise storm spanned this run; minima are trustworthy""""
-      else ""
+    // both conditions can fire in one run — a standalone reader needs
+    // BOTH halves of the explanation, so the notes concatenate instead
+    // of racing each other (r16 ADVICE)
+    val stormNote = {
+      val notes = Seq(
+        if (headlineStorm.nonEmpty)
+          Some(s"headline sample pair spread >3x on ${headlineStorm.mkString("/")}: " +
+            "treat headline values as upper bounds")
+        else None,
+        if (querySpreadStorm)
+          Some("resolved spread >10x on some queries even after re-measures; " +
+            "minima are trustworthy")
+        else None).flatten
+      if (notes.isEmpty) ""
+      else s""","storm_note":"box noise storm spanned this run — ${notes.mkString("; ")}""""
+    }
 
     val warmJson =
       warmDefs.map(_._1).flatMap(l => warmOf(l).map(w => f""","${l}_sec":$w%.3f"""))
@@ -336,11 +349,13 @@ object Bench {
     // CachePool.clear() plus one O(1) storage read — ruling the sweep
     // out as a suite-inflation mechanism from the artifact alone.
     val residueJson = s""","residue_sweeps":${graft.operators.Residue.sweeps}"""
-    val extras = warmJson + residueJson + errsJson(errs)
+    val boxJson =
+      f""","box_cal_sec":$boxCal%.3f,"box_factor":${boxCal / BoxCalRef}%.2f"""
+    val extras = warmJson + residueJson + boxJson + errsJson(errs)
     // summary-line errors are bounded (4 entries, 60-char messages,
     // full detail in BENCH_DETAIL.json) so a mass-failure run cannot
     // overflow the driver tail window either
-    val extrasBounded = warmJson + residueJson + errsJson(
+    val extrasBounded = warmJson + residueJson + boxJson + errsJson(
       errs.take(4).map { case (k, m) => (k, m.take(60)) }) +
       (if (errs.size > 4) s""","errors_n":${errs.size}""" else "")
 
@@ -391,13 +406,60 @@ object Bench {
     * storm-flags the artifact. The r15 driver run shipped a 106.8 s vs
     * 6.7 s jsonl pair unflagged because the old rule read only query
     * samples — this is the fix, unit-pinned by BenchSpec.
+    *
+    * Pairs whose MAX is under `minAbs` (default 0.2 s) are ignored
+    * (r16 ADVICE): warm serving pairs are ~10–30 ms min-of-5 values
+    * where tens of ms of one-off scheduler/GC jitter clears 3× on a
+    * healthy run — a sub-0.2 s wobble is not a storm, and the MIN is
+    * what the artifact reports anyway.
     */
   def headlineStormLabels(samples: Map[String, Seq[Double]],
-                          maxSpread: Double = 3.0): Seq[String] =
+                          maxSpread: Double = 3.0,
+                          minAbs: Double = 0.2): Seq[String] =
     samples.toSeq.collect {
-      case (label, ss) if ss.size >= 2 &&
+      case (label, ss) if ss.size >= 2 && ss.max >= minAbs &&
         ss.max / math.max(ss.min, 1e-9) > maxSpread => label
     }.sorted
+
+  /** Box-speed calibration (r16 verdict item 3): a fixed, seeded,
+    * data-independent single-thread CPU workload — xorshift fill +
+    * sort of a 4M-long array, ~1 s nominal — timed min-of-3 after one
+    * JIT warmup. Shipped in every bench line as `box_cal_sec` (raw
+    * seconds) and `box_factor` (= box_cal_sec / [[BoxCalRef]]), so
+    * round-over-round totals can be box-normalized from the committed
+    * artifacts alone instead of via rebuild-A/Bs (the measured 1.2–1.3×
+    * same-round drift of r14→r16).
+    */
+  def boxCalibrationSec(): Double = {
+    def once(): Long = {
+      val n = 4000000
+      val a = new Array[Long](n)
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        a(i) = x
+        i += 1
+      }
+      java.util.Arrays.sort(a)
+      a(n / 2)
+    }
+    val warm = once() // JIT warm, result consumed below against DCE
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val s = once()
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (s == warm + 1) println("calibration sentinel") // keep `s` live
+      dt
+    }.min
+  }
+
+  /** Reference calibration seconds — [[boxCalibrationSec]] measured on
+    * the r17 session box (the box whose committed BENCH_r17 numbers
+    * anchor the series). box_factor > 1 ⇒ the bench ran on a slower
+    * box than that reference; divide totals by box_factor to compare.
+    */
+  val BoxCalRef = 0.46
 
   /** Hard ceiling for the summary line, with headroom under the
     * driver's 2000-char tail window for sbt's own closing lines.

@@ -500,13 +500,19 @@ object SparkEntry {
        |  FROM q GROUP BY 1
        |),
        |sweep AS (
-       |  SELECT tile, ps, list_transform(ps, p -> false) AS processed,
+       |  -- r17 (VERDICT r16 item 5): the recursive state no longer
+       |  -- carries the per-tile point list — a recursive CTE's result
+       |  -- accumulates EVERY iteration's rows, so carrying ps cost
+       |  -- iterations x full point structs (~19 GB at sf2, needing a
+       |  -- memory knob); each iteration re-joins tl for ps instead,
+       |  -- bounding the history to the processed-flag lists + outputs.
+       |  SELECT tile, list_transform(ps, p -> false) AS processed,
        |         CAST(NULL AS BIGINT) AS out_id, CAST(NULL AS BIGINT) AS out_cnt,
        |         FALSE AS out_cluster, CAST(NULL AS BIGINT) AS sx,
        |         CAST(NULL AS BIGINT) AS sy, CAST(NULL AS BIGINT) AS sc
        |  FROM tl
        |  UNION ALL
-       |  SELECT tile, ps,
+       |  SELECT tile,
        |         list_transform(range(1, len(ps) + 1),
        |                        j -> processed[j] OR list_contains(absorbed, j)) AS processed,
        |         ps[i].id, CAST(len(absorbed) AS BIGINT), is_cl,
@@ -524,8 +530,10 @@ object SparkEntry {
        |                 AND (ps[j].qx - ps[i].qx) * (ps[j].qx - ps[i].qx)
        |                   + (ps[j].qy - ps[i].qy) * (ps[j].qy - ps[i].qy) <= $r2q) AS cand
        |      FROM (
-       |        SELECT tile, ps, processed, list_position(processed, false) AS i
-       |        FROM sweep WHERE list_contains(processed, false)
+       |        SELECT t.tile AS tile, t.ps AS ps, s.processed AS processed,
+       |               list_position(s.processed, false) AS i
+       |        FROM sweep s JOIN tl t ON s.tile = t.tile
+       |        WHERE list_contains(s.processed, false)
        |      )
        |    )
        |  )

@@ -27,7 +27,11 @@ class FaultSpec extends org.scalatest.funsuite.AnyFunSuite {
     // sf0.1, the probe's own default: ngramJaccard's baseline there is
     // long enough that the SIGKILL lands mid-query (at sf0.01 the query
     // finishes before the kill thread fires and the pass is vacuous)
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("GRAFT_FAULT_SF_DIR", "/root/testdata/sf0.1")
+    // cancel (like the SPARK_HOME gate), don't fail, on a box with a
+    // Spark dist but no fixture — the forked probe would otherwise
+    // crash reading parquet (r16 ADVICE)
+    assume(new _root_.java.io.File(sfDir).isDirectory, s"fixture dir $sfDir missing")
     val java = s"${sys.props("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",

@@ -22,7 +22,21 @@ sorted loop killed every query after it. This script now
     .jsonl as they finish, so a crash preserves the completed prefix;
   * retries memory errors up to 4 times with exponential backoff
     (20/40/80/160 s) on a FRESH connection, which covers the Spark JVM's
-    multi-minute shutdown window that the old single 20 s retry missed.
+    multi-minute shutdown window that the old single 20 s retry missed;
+  * (r17, VERDICT r16 item 2) runs a POST-SUITE healing pass: queries
+    that still failed on a memory error are re-run once after the whole
+    suite finishes — by then any co-resident Spark JVM has exited and
+    mem_budget_gb() re-reads the now-idle box, which is exactly the
+    condition three judge-adjudicated transient reds (r15 q_ivfbq_search,
+    r16 q_ivf_search / q_ivf_search_trained) needed. A healed record
+    keeps the original failure text in `first_err` for honesty; a record
+    that fails again stays red with the retry's error.
+
+Each oracle_results.jsonl record carries a `kind` telling a genuine
+comparison mismatch (oracle rows WERE computed: mismatch_schema /
+mismatch_rows / mismatch_values) apart from a checker-side exception
+(`err`) — downstream, tools/correctness_artifact.py maps mismatches to
+explicit false flags and reserves null for checker exceptions.
 """
 import gc
 import json
@@ -140,6 +154,48 @@ def compare(g: pd.DataFrame, w: pd.DataFrame):
     return bad, worst
 
 
+def check_one(get_con, recycle, out_dir: str, name: str, sql: str) -> dict:
+    """Run one query's spark-vs-oracle comparison and return its record."""
+    rec = {"name": name, "ok": False, "err": None, "rows": None,
+           "oracle_rows": None, "kind": "err"}
+    # test seam for the post-suite healing pass: fail the named query's
+    # FIRST attempt with a synthetic DuckDB-style memory error (marker
+    # file arms it exactly once) so the heal path is unit-testable
+    # without provoking a real allocator failure
+    inject = os.environ.get("GRAFT_ORACLE_TEST_OOM_ONCE")
+    if inject == name:
+        marker = os.path.join(out_dir, f".oom_injected_{name}")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            rec["err"] = "Out of Memory Error: injected by GRAFT_ORACLE_TEST_OOM_ONCE"
+            return rec
+    try:
+        got = run_with_retry(get_con, recycle, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        want = run_with_retry(get_con, recycle, sql)
+    except Exception as e:
+        rec["err"] = str(e)[:500]
+        return rec
+    g, w = norm(got), norm(want)
+    del got, want
+    rec["rows"] = len(g)
+    rec["oracle_rows"] = len(w)
+    if list(g.columns) != list(w.columns):
+        rec["err"] = f"columns {list(g.columns)} != {list(w.columns)}"
+        rec["kind"] = "mismatch_schema"
+    elif len(g) != len(w):
+        rec["err"] = f"rows {len(g)} != {len(w)}"
+        rec["kind"] = "mismatch_rows"
+    else:
+        bad, _worst = compare(g, w)
+        if bad:
+            rec["err"] = "; ".join(bad)[:500]
+            rec["kind"] = "mismatch_values"
+        else:
+            rec["ok"] = True
+            rec["kind"] = "ok"
+    return rec
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     state = {"con": None, "since_recycle": 0}
 
@@ -172,45 +228,47 @@ def main(sf_dir: str, out_dir: str) -> int:
     results_path = os.path.join(out_dir, "oracle_results.jsonl")
     # fresh run: truncate any stale partial file
     open(results_path, "w").close()
-    failures = 0
+    records = []
     for name, sql in sorted(oracle.items()):
         if state["since_recycle"] >= RECYCLE_EVERY:
             recycle()
         state["since_recycle"] += 1
-        rec = {"name": name, "ok": False, "err": None, "rows": None}
-        try:
-            got = run_with_retry(get_con, recycle, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            want = run_with_retry(get_con, recycle, sql)
-        except Exception as e:
-            rec["err"] = str(e)[:500]
-            print(f"FAIL {name}: {e}")
-            failures += 1
-            with open(results_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+        rec = check_one(get_con, recycle, out_dir, name, sql)
+        if rec["ok"]:
+            print(f"OK   {name} ({rec['rows']} rows)", flush=True)
+        else:
+            print(f"FAIL {name}: {rec['err']}", flush=True)
             recycle()  # don't let a sick allocator poison the next query
-            continue
-        g, w = norm(got), norm(want)
-        del got, want
-        rec["rows"] = len(g)
-        if list(g.columns) != list(w.columns):
-            rec["err"] = f"columns {list(g.columns)} != {list(w.columns)}"
-        elif len(g) != len(w):
-            rec["err"] = f"rows {len(g)} != {len(w)}"
-        else:
-            bad, _worst = compare(g, w)
-            if bad:
-                rec["err"] = "; ".join(bad)[:500]
-        if rec["err"]:
-            print(f"FAIL {name}: {rec['err']}")
-            failures += 1
-        else:
-            rec["ok"] = True
-            print(f"OK   {name} ({len(g)} rows)", flush=True)
+        records.append(rec)
         with open(results_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        del g, w
     recycle()
-    return failures
+
+    # post-suite healing pass (VERDICT r16 item 2): a memory error that
+    # survived the in-run backoff usually means the drive's Spark JVM
+    # was still resident — by now it has exited, so re-run ONLY the
+    # mem-failed queries once with the budget recomputed on the idle
+    # box. Healed records keep the original failure in first_err.
+    healing = [r for r in records
+               if not r["ok"] and r["err"] and is_mem_error(RuntimeError(r["err"]))]
+    if healing:
+        wait = int(os.environ.get("GRAFT_ORACLE_RETRY_WAIT_S", "30"))
+        print(f"HEAL: {len(healing)} memory-failed quer{'y' if len(healing) == 1 else 'ies'},"
+              f" retrying after {wait}s (budget now {mem_budget_gb()}GB)", flush=True)
+        time.sleep(wait)
+        for old in healing:
+            name = old["name"]
+            rec = check_one(get_con, recycle, out_dir, name, oracle[name])
+            recycle()
+            if rec["ok"] or rec["err"] != old["err"]:
+                rec["first_err"] = old["err"]
+            records[records.index(old)] = rec
+            status = "ok" if rec["ok"] else f"still failing: {rec['err']}"
+            print(f"HEAL {name}: {status}", flush=True)
+        with open(results_path, "w") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+    return sum(1 for r in records if not r["ok"])
 
 
 if __name__ == "__main__":
