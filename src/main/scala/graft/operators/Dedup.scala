@@ -124,13 +124,15 @@ object Dedup {
       explode(col("s")).as("shingle"))
 
   /** Spark conf knob selecting the corpus-side strategy of
-    * [[verifyJaccardImpl]] for every public dedup entry point
-    * (ngramJaccard / minhashPairs / minhashLsh). Off by default — the
-    * single-node/broadcastable regime; set `true` on deployments where
-    * the shingle table exceeds broadcast range (the 1000-executor
-    * path). A session conf rather than a per-call parameter so a
-    * cluster profile can flip every dedup query at once without code
-    * changes.
+    * [[verifyJaccardImpl]] for the entry points that use the
+    * string-array verify (minhashPairs / minhashLsh / containment).
+    * Off by default — the single-node/broadcastable regime; set `true`
+    * on deployments where the shingle table exceeds broadcast range
+    * (the 1000-executor path). A session conf rather than a per-call
+    * parameter so a cluster profile can flip every dedup query at once
+    * without code changes. [[ngramJaccard]] no longer consults it
+    * (r17): its digest-blob verify has no broadcast-or-die table — all
+    * its exchanges are corpus-linear or output-sized by construction.
     */
   val SemiPruneConf = "spark.graft.dedup.semiPrune"
 

@@ -1693,24 +1693,50 @@ object Similarity {
   def bitextMineLsh(a: DataFrame, b: DataFrame, bands: Int = 4, bitsPerBand: Int = 4,
                     kNeigh: Int = 4, marginPpmMin: Long = 1010000L, dims: Int = 64,
                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    def side(df: DataFrame, id: String, e: String, nrm: String) =
-      CachePool.track(df.select(col(idCol).as(id), col(embCol).as(e),
-        norm(col(embCol), dims).as(nrm),
-        hyperplaneBandKeys(col(embCol), bands, bitsPerBand, dims).as("bks")))
-    val an = side(a, "a_id", "ea", "nrm_a")
-    val bn = side(b, "b_id", "eb", "nrm_b")
-    def keys(s: DataFrame, id: String) =
-      s.select(col(id), explode(col("bks")).as("k"))
-        .select(col(id), col("k.band").as("band"), col("k.bk").as("bk"))
-    val cand = keys(an, "a_id").join(keys(bn, "b_id"), Seq("band", "bk"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val pairs = CachePool.track(cand
-      .join(an.select(col("a_id"), col("ea"), col("nrm_a")), "a_id")
-      .join(bn.select(col("b_id"), col("eb"), col("nrm_b")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(cosinePre(col("ea"), col("eb"), col("nrm_a"), col("nrm_b"), dims) * 1000000.0)
-          .cast("long").as("cos_u"))
-      .filter(col("cos_u") > 0))
+    // r17: embeddings RIDE the banded-key exchange (n·bands rows ×
+    // dims floats — corpus-linear) so every candidate's exact cosine
+    // computes INSIDE the band-join stage, and pairs are DISTINCT BY
+    // CONSTRUCTION — a pair is emitted only at its FIRST agreeing
+    // band (each banded row carries the full signature string; the
+    // join predicate requires every earlier band to differ), so no
+    // candidate-sized distinct exchange exists and the cosine runs
+    // exactly once per candidate pair. The previous shape distinct'd
+    // bare id pairs and then re-attached both 64-float embedding
+    // arrays through two candidate-sized joins — on clustered
+    // embeddings (where same-cluster vectors share FULL signatures
+    // and bucket population tracks cluster size no matter how wide
+    // scaledBits grows the bands) candidates are inherently
+    // super-linear, and pair rows carrying arrays across exchanges
+    // were the dominant cost (sf4 probe: 29M raw / 20M distinct
+    // candidates from 80k vectors). The first-band predicate is
+    // evaluated on the SortMergeJoin's joined-row VIEW, so failing
+    // multiplicity rows never materialize an output row (a
+    // same-cluster pair agrees on ALL bands — the naive in-stage
+    // form paid its cosine + row copy per band). Same candidate
+    // set, same cosines, same output bit-for-bit.
+    def keys(df: DataFrame, id: String, e: String, nrm: String, sig: String) =
+      df.select(col(idCol).as(id), col(embCol).as(e),
+          norm(col(embCol), dims).as(nrm),
+          hyperplaneSig(col(embCol), bands * bitsPerBand, dims).as(sig))
+        .select(col(id), col(e), col(nrm), col(sig),
+          explode(sequence(lit(0L), lit(bands - 1L))).as("band"))
+        .withColumn("bk", expr(s"substring($sig, band * $bitsPerBand + 1, $bitsPerBand)"))
+    def bandKeyOf(sig: String, b: Int) =
+      substring(col(sig), b * bitsPerBand + 1, bitsPerBand)
+    val ka = keys(a, "a_id", "ea", "nrm_a", "sa")
+    val kb = keys(b, "b_id", "eb", "nrm_b", "sb")
+    val firstAgreeingBand = (1 until bands).map { bIdx =>
+      ka("band") === bIdx.toLong &&
+        (0 until bIdx).map(e => bandKeyOf("sa", e) =!= bandKeyOf("sb", e))
+          .reduce(_ && _)
+    }.foldLeft(ka("band") === 0L)(_ || _)
+    val pairs = CachePool.track(
+      ka.join(kb, ka("band") === kb("band") && ka("bk") === kb("bk") &&
+          firstAgreeingBand)
+        .select(col("a_id"), col("b_id"),
+          round(cosinePre(col("ea"), col("eb"), col("nrm_a"), col("nrm_b"), dims) * 1000000.0)
+            .cast("long").as("cos_u"))
+        .filter(col("cos_u") > 0))
     marginMine(pairs, kNeigh, marginPpmMin)
   }
 
