@@ -488,16 +488,52 @@ object Dedup {
   def containmentPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
                        minCont: Double = 0.8,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = CachePool.track(docShingles(docs, textCol, idCol))
-    val ds = postings(sh, idCol)
-    bandedMinhashCands(sh, k, bands, idCol)
-      .join(ds.select(col("id").as("id_a"), col("shingle"), col("len").as("len_a")), "id_a")
-      .join(ds.select(col("id").as("id_b"), col("shingle"), col("len").as("len_b")),
-        Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
-      .agg(countDistinct(col("shingle")).as("inter"))
-      .select(col("id_a"), col("id_b"), col("inter"),
-        col("len_a").cast("long").as("sz_a"), col("len_b").cast("long").as("sz_b"))
+    require(minCont > 0.0, s"bad containment threshold $minCont")
+    graft.plans.TextExpressions.ensureRegistered()
+    // r17: two moves from the ngramJaccard/bitextMineLsh rework,
+    // shaped for THIS operator's measured profile (sf4 probe: small
+    // minhash buckets — max ~300 — and only ~760k raw band matches,
+    // so candidates are cheap and the old cost was the posting-join
+    // verify fanning every candidate out by Σ|A| shingle rows before
+    // a countDistinct aggregate — the pre-r12 shape ngram abandoned).
+    // (1) the band self-join runs on SCALAR rows (id + the doc's full
+    // band-key array, ~200 B) and admits a match only at the pair's
+    // FIRST agreeing band — pairs distinct by construction, no dedup
+    // exchange, and no fat payload through the skewed join's buffered
+    // group re-iteration (a blob-carrying variant measured 2× WORSE
+    // than the posting shape here: sorted 1 KB rows + per-group
+    // spill). (2) |A∩B| is one exact IntersectEmit merge of the two
+    // sorted-digest blobs, attached to the already-distinct pairs by
+    // two candidate-sized id joins (threshold 0 = emit always; the
+    // inter ≥ 1 filter drops share-nothing pairs exactly like the old
+    // inner posting-join did).
+    val per = CachePool.track(
+      docShingles(docs, textCol, idCol)
+        .select(col(idCol).as("id"), size(col("s")).as("len"),
+          call_function("graft_setdig", col("s")).as("d"),
+          transform(bandKeys(minhashSig(col("s"), k), bands), x => x("bk")).as("bkarr")))
+    val keys = per.select(col("id"), col("bkarr"),
+      posexplode(col("bkarr")).as(Seq("band", "bk")))
+    val firstBand = (1 until bands).map { bIdx =>
+      col("x.band") === bIdx &&
+        (0 until bIdx).map(e =>
+          element_at(col("x.bkarr"), e + 1) =!= element_at(col("y.bkarr"), e + 1))
+          .reduce(_ && _)
+    }.foldLeft(col("x.band") === 0)(_ || _)
+    keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id") && firstBand)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .join(per.select(col("id").as("id_a"),
+        col("len").cast("long").as("sz_a"), col("d").as("d_a")), "id_a")
+      .join(per.select(col("id").as("id_b"),
+        col("len").cast("long").as("sz_b"), col("d").as("d_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        explode(call_function("graft_isect_emit",
+          col("d_a"), col("d_b"), lit(0.0), lit(16))).as("iu"))
+      .select(col("id_a"), col("id_b"), col("iu.inter").as("inter"),
+        col("sz_a"), col("sz_b"))
+      .filter(col("inter") >= 1)
       .withColumn("cont_a_ppm", expr("inter * 1000000 div sz_a"))
       .withColumn("cont_b_ppm", expr("inter * 1000000 div sz_b"))
       .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
