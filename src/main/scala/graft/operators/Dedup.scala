@@ -143,6 +143,13 @@ object Dedup {
     */
   val LocalCcEdgesConf = "spark.graft.dedup.localCcEdges"
 
+  /** [[ngramJaccard]]'s collapse engages when distinct shingle sets
+    * fall below this fraction of (shingleable) docs — dup-family work
+    * then outweighs the family machinery's fixed stage cost.
+    * Package-visible for the spec's dup-family corpus pin.
+    */
+  private[graft] val CollapseGate = 0.95
+
   private def semiPruneEnabled(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(SemiPruneConf).exists(_.toBoolean)
 
@@ -291,19 +298,41 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"bad jaccard threshold $threshold")
     graft.plans.TextExpressions.ensureRegistered()
-    // (id, len, d) — shingle strings live only inside this projection
-    // (shingles3 → setdig in one map stage); feeds families, postings,
-    // the prefix blob attach and the expansion — materialize once
-    // (~16 B/shingle, far lighter than the string arrays it replaces).
-    val famDocs = CachePool.track(
-      docShingles(docs, textCol, idCol)
-        .select(col(idCol).as("id"), size(col("s")).as("len"),
-          call_function("graft_setdig", col("s")).as("d")))
-    val fams = CachePool.track(famDocs.groupBy(md5(col("d")).as("fp"))
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("fam_n")))
+    // (id, d) — the doc's blob in ONE compiled eval per row
+    // (TextDigests: a multi-column projection over shingles3 would
+    // re-evaluate the shingling per derived column — CollapseProject
+    // inlines the alias and CodegenFallback expressions get no CSE);
+    // cached UNFILTERED so the <3-token filter and the set size both
+    // derive from the cached attribute. Feeds families, postings, the
+    // prefix blob attach and the expansion.
+    val famAll = CachePool.track(docs.select(col(idCol).as("id"),
+      call_function("graft_textdig", col(textCol), lit(3)).as("d")))
+    val famDocs = famAll.filter(length(col("d")) >= 16)
+      .withColumn("len", (length(col("d")) / lit(16)).cast("int"))
+    // ADAPTIVE COLLAPSE GATE (one aggregate job over the cached blob
+    // table — the scaled-knob "how big is the corpus" precedent): the
+    // family machinery (semi join + output expansion, ~7 extra local
+    // stages) only pays off when identical shingle sets are a
+    // meaningful FRACTION of the corpus (the ~50%-dup web-crawl
+    // regime); below [[CollapseGate]] the pipeline runs on all docs —
+    // COMPLETE either way (identical-set pairs are ordinary jaccard-1
+    // candidates: they share every prefix shingle), the gate only
+    // decides whether family pairs come from the expansion or from
+    // the candidate join. At small SF the machinery was the dominant
+    // cost (sf0.1: 4.4 s with vs ~2 s without, for 8 dups in 5000).
+    val gate = famAll.agg(
+      count(when(length(col("d")) >= 16, 1)).as("n"),
+      countDistinct(when(length(col("d")) >= 16, md5(col("d")))).as("f")).head
+    val collapse = gate.getLong(1) < CollapseGate * gate.getLong(0)
+    val fams =
+      if (collapse) CachePool.track(famDocs.groupBy(md5(col("d")).as("fp"))
+        .agg(min(col("id")).as("rep"), count(lit(1)).as("fam_n")))
+      else null
     // representatives only past this point (the pre-collapse)
-    val reps = CachePool.track(
-      famDocs.join(fams.select(col("rep").as("id")), Seq("id"), "left_semi"))
+    val reps =
+      if (collapse) CachePool.track(
+        famDocs.join(fams.select(col("rep").as("id")), Seq("id"), "left_semi"))
+      else famDocs
     val ds = reps.select(col("id"), col("len"),
       explode(call_function("graft_digsplit", col("d"))).as("g"))
     // global rarity order = (doc frequency, digest) — no global rank
@@ -384,26 +413,32 @@ object Dedup {
           col("d_a"), col("d_b"), lit(threshold), lit(16))).as("iu"))
       .select(col("id_a"), col("id_b"),
         col("iu.inter").as("inter"), col("iu.union_n").as("union_n"))
-    // ---- output-sized expansion back to doc pairs ----
-    // cross-family: every (member of A, member of B) inherits the rep
-    // pair's exact inter/union; ids re-oriented because families
-    // interleave (a member of B may be smaller than a member of A).
-    val famKeyed = famDocs.select(col("id"), col("len"), md5(col("d")).as("fp"))
-    val members = famKeyed.join(fams.select(col("fp"), col("rep")), "fp")
-      .select(col("id"), col("rep"))
-    val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("id").as("ia")), "id_a")
-      .join(members.select(col("rep").as("id_b"), col("id").as("ib")), "id_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("inter"), col("union_n"))
-    // intra-family: identical sets ⇒ jaccard = 1 ≥ threshold, inter =
-    // union = the set size; one equi self-join on the fingerprint emits
-    // exactly the C(m,2) result pairs per family.
-    val intra = famKeyed.as("x").join(famKeyed.as("y"),
-        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.len").cast("long").as("inter"), col("x.len").cast("long").as("union_n"))
-    cross.unionByName(intra)
+    val docPairs =
+      if (!collapse) repPairs // no identical sets ⇒ rep pairs ARE doc pairs
+      else {
+        // ---- output-sized expansion back to doc pairs ----
+        // cross-family: every (member of A, member of B) inherits the
+        // rep pair's exact inter/union; ids re-oriented because
+        // families interleave (a member of B may be smaller than a
+        // member of A).
+        val famKeyed = famDocs.select(col("id"), col("len"), md5(col("d")).as("fp"))
+        val members = famKeyed.join(fams.select(col("fp"), col("rep")), "fp")
+          .select(col("id"), col("rep"))
+        val cross = repPairs
+          .join(members.select(col("rep").as("id_a"), col("id").as("ia")), "id_a")
+          .join(members.select(col("rep").as("id_b"), col("id").as("ib")), "id_b")
+          .select(least(col("ia"), col("ib")).as("id_a"),
+            greatest(col("ia"), col("ib")).as("id_b"), col("inter"), col("union_n"))
+        // intra-family: identical sets ⇒ jaccard = 1 ≥ threshold,
+        // inter = union = the set size; one equi self-join on the
+        // fingerprint emits exactly the C(m,2) result pairs per family.
+        val intra = famKeyed.as("x").join(famKeyed.as("y"),
+            col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+            col("x.len").cast("long").as("inter"), col("x.len").cast("long").as("union_n"))
+        cross.unionByName(intra)
+      }
+    docPairs
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"),
         round(col("inter") * lit(1000000.0) / col("union_n")).cast("long").as("jaccard_ppm"))
       .orderBy("id_a", "id_b")
@@ -417,9 +452,10 @@ object Dedup {
   private[graft] def shingleFamilies(docs: DataFrame, textCol: String = "text",
                                      idCol: String = "doc_id"): DataFrame = {
     graft.plans.TextExpressions.ensureRegistered()
-    docShingles(docs, textCol, idCol)
-      .select(col(idCol).as("id"),
-        md5(call_function("graft_setdig", col("s"))).as("fp"))
+    docs.select(col(idCol).as("id"),
+        call_function("graft_textdig", col(textCol), lit(3)).as("d"))
+      .filter(length(col("d")) >= 16)
+      .select(col("id"), md5(col("d")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("fam_n"))
   }
@@ -507,13 +543,21 @@ object Dedup {
     // two candidate-sized id joins (threshold 0 = emit always; the
     // inter ≥ 1 filter drops share-nothing pairs exactly like the old
     // inner posting-join did).
-    val per = CachePool.track(
-      docShingles(docs, textCol, idCol)
-        .select(col(idCol).as("id"), size(col("s")).as("len"),
-          call_function("graft_setdig", col("s")).as("d"),
-          transform(bandKeys(minhashSig(col("s"), k), bands), x => x("bk")).as("bkarr")))
-    val keys = per.select(col("id"), col("bkarr"),
-      posexplode(col("bkarr")).as(Seq("band", "bk")))
+    // blob via the fused text→digest eval, signature as a CACHED column
+    // (bandKeys over an inlined minhashSig re-evaluated the k·|shingles|
+    // signature md5s per band in the interpreter — the same
+    // CollapseProject/no-CSE trap as ngram's famDocs); band keys derive
+    // from the cached attribute (4 md5s/row). Unfiltered cache, <3-token
+    // docs dropped on the cached blob length.
+    val per0 = CachePool.track(docs.select(col(idCol).as("id"),
+      call_function("graft_textdig", col(textCol), lit(3)).as("d"),
+      minhashSig(shingles3(col(textCol)), k).as("g")))
+    val per = per0.filter(length(col("d")) >= 16)
+      .withColumn("len", (length(col("d")) / lit(16)).cast("int"))
+    val keys = per.select(col("id"),
+        transform(bandKeys(col("g"), bands), x => x("bk")).as("bkarr"))
+      .select(col("id"), col("bkarr"),
+        posexplode(col("bkarr")).as(Seq("band", "bk")))
     val firstBand = (1 until bands).map { bIdx =>
       col("x.band") === bIdx &&
         (0 until bIdx).map(e =>

@@ -62,6 +62,7 @@ object TextExpressions {
     "graft_feat_buckets" -> (es => BigramBuckets(es(0), intLit(es(1)))),
     "graft_isect" -> (es => IntersectCount(es(0), es(1))),
     "graft_setdig" -> (es => SetDigests(es(0))),
+    "graft_textdig" -> (es => TextDigests(es(0), intLit(es(1)))),
     "graft_digsplit" -> (es => DigestSplit(es(0))),
     "graft_digtrunc" -> (es => DigestTruncate(es(0), intLit(es(1)))),
     "graft_isect_emit" -> (es => IntersectEmit(es(0), es(1), doubleLit(es(2)), intLit(es(3)))),
@@ -92,6 +93,61 @@ object TextExpressions {
     case o => throw new IllegalArgumentException(s"expected string-array literal, got $o")
   }
 
+  /** Distinct word n-gram shingles of a single-space-tokenized text in
+    * first-occurrence order — the shared eval core of [[WordShingles]]
+    * and [[TextDigests]].
+    */
+  private[plans] def wordShingles(v: UTF8String, n: Int): GenericArrayData = {
+    // limit -1 keeps trailing empties — Spark's split() semantics
+    val toks = v.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted concatenated per-element md5 digests — the shared eval core
+    * of [[SetDigests]] and [[TextDigests]].
+    */
+  private[plans] def setDigestBlob(arr: ArrayData): Array[Byte] = {
+    val m = arr.numElements()
+    val md = md5()
+    val digests = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      digests(i) = md.digest()
+      i += 1
+    }
+    java.util.Arrays.sort(digests, new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        var j = 0
+        while (j < 16) {
+          val d = (a(j) & 0xff) - (b(j) & 0xff)
+          if (d != 0) return d
+          j += 1
+        }
+        0
+      }
+    })
+    val out = new Array[Byte](m * 16)
+    i = 0
+    while (i < m) { System.arraycopy(digests(i), 0, out, i * 16, 16); i += 1 }
+    out
+  }
+
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
@@ -115,25 +171,8 @@ case class WordShingles(child: Expression, n: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    // limit -1 keeps trailing empties — Spark's split() semantics
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
-    var i = 0
-    while (i <= toks.length - n) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      seen.add(sb.toString)
-      i += 1
-    }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.wordShingles(v.asInstanceOf[UTF8String], n)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -524,34 +563,8 @@ case class SetDigests(child: Expression)
       s"$prettyName requires ARRAY<STRING>, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val md = TextExpressions.md5()
-    val digests = new Array[Array[Byte]](m)
-    var i = 0
-    while (i < m) {
-      md.reset()
-      md.update(arr.getUTF8String(i).getBytes)
-      digests(i) = md.digest()
-      i += 1
-    }
-    java.util.Arrays.sort(digests, new java.util.Comparator[Array[Byte]] {
-      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
-        var j = 0
-        while (j < 16) {
-          val d = (a(j) & 0xff) - (b(j) & 0xff)
-          if (d != 0) return d
-          j += 1
-        }
-        0
-      }
-    })
-    val out = new Array[Byte](m * 16)
-    i = 0
-    while (i < m) { System.arraycopy(digests(i), 0, out, i * 16, 16); i += 1 }
-    out
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.setDigestBlob(v.asInstanceOf[ArrayData])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -584,6 +597,35 @@ case class DigestSplit(child: Expression)
     }
     new GenericArrayData(out)
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** [[WordShingles]] ∘ [[SetDigests]] in ONE compiled call: the sorted
+  * 16-byte-digest blob of a text's distinct word n-gram shingles,
+  * straight from the string. Exists because a projection computing
+  * several derived columns of `graft_shingles(text)` re-evaluates the
+  * shingling per column — CollapseProject inlines the alias and
+  * neither the interpreter nor codegen CSE rescues a CodegenFallback
+  * expression (measured 3× shingle evals in ngramJaccard's famDocs
+  * build: filter + size + setdig). Callers cache (id, blob) and
+  * derive the set size as length(blob)/16 from the cached attribute.
+  * Fewer than n tokens → empty blob (zero bytes).
+  */
+case class TextDigests(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_textdig"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.setDigestBlob(
+      TextExpressions.wordShingles(v.asInstanceOf[UTF8String], n))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
