@@ -26,7 +26,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- helpers
 
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/$name.parquet")
 
   /** `events` loader, tolerant of the fixture's physical timestamp type.
     *
@@ -45,6 +45,15 @@ object SparkEntry {
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
+    // the footer probe + read below are memoized per (session, dir
+    // signature) — the probe reads EVERY part footer, the single most
+    // expensive fixture load in the suite, and its result is a pure
+    // function of the files (Tables' signature key re-probes when the
+    // fixture regenerates)
+    graft.sources.Tables.memo(s, path)(eventsUncached(s, path))
+  }
+
+  private def eventsUncached(s: SparkSession, path: String): DataFrame = {
     tsLayout(s, path) match {
       case TsLayout.NanosLong =>
         s.read

@@ -235,7 +235,7 @@ object Multimodal {
   def synthMediaTable(s: SparkSession, dir: String,
                       where: Column = lit(true)): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
       .select(col("doc_id").cast("long")).filter(where).as[Long]
       .mapPartitions { ids =>
         ImageIO.setUseCache(false) // per-partition codec init
@@ -247,7 +247,7 @@ object Multimodal {
     * payloads (exercises the sniff-miss → stub fallback path).
     */
   def fakeMediaTable(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
   // ------------------------------------------------------------- audio
@@ -321,7 +321,7 @@ object Multimodal {
   /** Synthetic audio table with REAL WAV payloads keyed by doc_id. */
   def synthAudioTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
         // audio codec init would happen here, once per partition

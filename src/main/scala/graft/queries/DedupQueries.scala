@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum, when
 object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
 
   def qExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(docs(s, dir))

@@ -27,7 +27,7 @@ object EvalQueries {
     * feeds everything; marginals are broadcast-sized.
     */
   def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
-    val d = s.read.parquet(s"$dir/documents.parquet")
+    val d = graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
     val cells = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("nxy"))
     val bySrc = cells.groupBy(col("source")).agg(sum(col("nxy")).as("nx"))
     val byLang = cells.groupBy(col("lang")).agg(sum(col("nxy")).as("ny"))
@@ -97,7 +97,7 @@ object EvalQueries {
   val Blocklist: Seq[String] = Seq("hash", "vector", "stream")
 
   def qBlocklist(s: SparkSession, dir: String): DataFrame = {
-    val d = s.read.parquet(s"$dir/documents.parquet")
+    val d = graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
     val toks = d.select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     toks.filter(col("tok").isInCollection(Blocklist))
@@ -130,7 +130,7 @@ object EvalQueries {
     * column.
     */
   def qEntropy(s: SparkSession, dir: String): DataFrame = {
-    val d = s.read.parquet(s"$dir/documents.parquet")
+    val d = graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
     def arm(c: String): DataFrame = {
       val counts = d.groupBy(col(c).as("v")).agg(count(lit(1)).as("nx"))
       val tot = counts.agg(sum(col("nx")).as("n"), count(lit(1)).as("k"))
@@ -177,7 +177,7 @@ object EvalQueries {
     * boundaries, so the output is engine-exact.
     */
   def qBenford(s: SparkSession, dir: String): DataFrame = {
-    val o = s.read.parquet(s"$dir/orders.parquet")
+    val o = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
     val digits = o
       .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .select(expr(
@@ -221,7 +221,7 @@ object EvalQueries {
     * divisions, bit-identical across engines.
     */
   def qCohensKappa(s: SparkSession, dir: String): DataFrame = {
-    val d = s.read.parquet(s"$dir/documents.parquet")
+    val d = graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
       .select(
         (col("n_chars") >= 300).cast("long").as("a1"),
         (length(col("text")) - length(regexp_replace(col("text"), " ", "")) >= 60)
@@ -321,7 +321,7 @@ object EvalQueries {
   private def perceptronRawShared(s: SparkSession, dir: String): DataFrame =
     rawMemo.getOrElseUpdate(dir, {
       val r = graft.operators.Classifier.perceptronRaw(
-        s.read.parquet(s"$dir/documents.parquet"), iters = 5).persist()
+        graft.sources.Tables.parquet(s, s"$dir/documents.parquet"), iters = 5).persist()
       r.count()
       r
     })

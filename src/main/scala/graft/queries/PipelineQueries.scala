@@ -24,10 +24,10 @@ object PipelineQueries {
   private val Dims = 64
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/embeddings.parquet")
 
   // ----------------------------------------------------------------- CDC
 
@@ -76,7 +76,7 @@ object PipelineQueries {
     * update (latest-op-wins by seq).
     */
   def qCdcApply(s: SparkSession, dir: String): DataFrame = {
-    val base = s.read.parquet(s"$dir/documents.parquet")
+    val base = graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
     graft.operators.Cdc.applyChanges(base, cdcChanges(base), "doc_id")
       .orderBy("doc_id")
   }
@@ -99,7 +99,7 @@ object PipelineQueries {
     * per key, open-ended current versions, deletes closing their key.
     */
   def qCdcHistory(s: SparkSession, dir: String): DataFrame = {
-    val base = s.read.parquet(s"$dir/documents.parquet")
+    val base = graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
     graft.operators.Cdc.history(cdcChanges(base), "doc_id")
       .select(col("doc_id"), col("op"), col("seq"), col("valid_from"),
         col("valid_to"), col("is_current"))
@@ -2110,7 +2110,7 @@ object PipelineQueries {
     // 64 distinct names, so joining raw names is inherently all-pairs; the
     // composed record-linkage key keeps match groups bounded (~digit
     // neighborhoods), which is the realistic ER shape
-    val part = s.read.parquet(s"$dir/part.parquet")
+    val part = graft.sources.Tables.parquet(s, s"$dir/part.parquet")
       .select(col("p_partkey"),
         concat(col("p_name"), lit("#"), col("p_partkey").cast("string")).as("ent"))
     val canon = part.select(col("p_partkey").as("r_id"), col("ent").as("name"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object QualityQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
 
   /** Delegates to the type-probing shared loader — the queries here only
     * touch event_id/event_type/props (ts is column-pruned away), but a

@@ -25,11 +25,11 @@ object Relational {
     * join key with AQE free to flip to broadcast at small SFs.
     */
   def q3Shipping(s: SparkSession, dir: String): DataFrame = {
-    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val cust = graft.sources.Tables.parquet(s, s"$dir/customer.parquet")
       .filter(col("c_mktsegment") === "BUILDING")
-    val ord = s.read.parquet(s"$dir/orders.parquet")
+    val ord = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -58,14 +58,14 @@ object Relational {
     * shuffle is lineitem↔orders.
     */
   def q5Region(s: SparkSession, dir: String): DataFrame = {
-    val region = s.read.parquet(s"$dir/region.parquet").filter(col("r_name") === "ASIA")
-    val nation = s.read.parquet(s"$dir/nation.parquet")
-    val cust = s.read.parquet(s"$dir/customer.parquet")
-    val supp = s.read.parquet(s"$dir/supplier.parquet")
-    val ord = s.read.parquet(s"$dir/orders.parquet")
+    val region = graft.sources.Tables.parquet(s, s"$dir/region.parquet").filter(col("r_name") === "ASIA")
+    val nation = graft.sources.Tables.parquet(s, s"$dir/nation.parquet")
+    val cust = graft.sources.Tables.parquet(s, s"$dir/customer.parquet")
+    val supp = graft.sources.Tables.parquet(s, s"$dir/supplier.parquet")
+    val ord = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
@@ -97,7 +97,7 @@ object Relational {
     * filter and 3-column projection must reach the parquet scan.
     */
   def q6Forecast(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
@@ -118,7 +118,7 @@ object Relational {
     */
   def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-    s.read.parquet(s"$dir/orders.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_total",
         sum(col("o_totalprice").cast(DecimalType(18, 2)))
@@ -145,9 +145,9 @@ object Relational {
     * nations — INTERSECT ∪ (EXCEPT) ≡ nations with wealthy customers.
     */
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
-    val a = s.read.parquet(s"$dir/customer.parquet")
+    val a = graft.sources.Tables.parquet(s, s"$dir/customer.parquet")
       .filter(col("c_acctbal") > 5000).select(col("c_nationkey").as("nk")).distinct()
-    val b = s.read.parquet(s"$dir/supplier.parquet")
+    val b = graft.sources.Tables.parquet(s, s"$dir/supplier.parquet")
       .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nk")).distinct()
     a.intersect(b).withColumn("src", lit("both"))
       .unionByName(a.except(b).withColumn("src", lit("customer_only")))
@@ -169,7 +169,7 @@ object Relational {
     * NULLS LAST — made explicit).
     */
   def qRollup(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(exactSum(col("l_quantity")).as("sum_qty"),
         countDistinct(col("l_orderkey")).as("n_orders"),
@@ -189,7 +189,7 @@ object Relational {
     * sort at scale).
     */
   def qSortLimit(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/orders.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
@@ -208,7 +208,7 @@ object Relational {
     * DECIMAL-exact sums.
     */
   def qUnpivot(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .select(col("l_returnflag") +: MeltCols.map(col): _*)
       .unpivot(Array(col("l_returnflag")), MeltCols.map(col).toArray,
         "measure", "val")
@@ -226,7 +226,7 @@ object Relational {
     * aggregate.
     */
   def qDataProfile(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
     val aggs = ProfileCols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}_n"),
         count(lit(1)).as(s"${c}_rows"),
@@ -264,7 +264,7 @@ object Relational {
     * uses float accumulation, so the result is engine-identical.
     */
   def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
     val d4 = DecimalType(38, 4)
     val pairs = ProfileCols.combinations(2).toSeq.map { case Seq(a, b) => (a, b) }
     val moments =
@@ -315,7 +315,7 @@ object Relational {
   def qRegression(s: SparkSession, dir: String): DataFrame = {
     val d4 = DecimalType(38, 4)
     val (x, y) = (col("l_quantity"), col("l_extendedprice"))
-    s.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast(DoubleType).as("n"),
@@ -371,7 +371,7 @@ object Relational {
     * sampled quantile boundaries, with this query as its oracle.
     */
   def qGini(s: SparkSession, dir: String): DataFrame = {
-    val rev = s.read.parquet(s"$dir/orders.parquet")
+    val rev = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(col("o_custkey"))
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
         .cast("long").as("cents"))
@@ -398,7 +398,7 @@ object Relational {
     * window plan shape is pinned by RangeRankScaleSpec.
     */
   def qGiniDist(s: SparkSession, dir: String): DataFrame = {
-    val rev = s.read.parquet(s"$dir/orders.parquet")
+    val rev = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(col("o_custkey"))
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
         .cast("long").as("cents"))
@@ -441,7 +441,7 @@ object Relational {
     * Same exact sums; NULL markers order first on both sides.
     */
   def qCube(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(exactSum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
@@ -463,7 +463,7 @@ object Relational {
     * DECIMAL-exactly inside each quartile, so no double-ordering drift.
     */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
-    val spend = s.read.parquet(s"$dir/orders.parquet")
+    val spend = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("spend"))
     val w = Window.orderBy(col("spend").desc, col("o_custkey"))
@@ -488,7 +488,7 @@ object Relational {
     * when approximate quartiles are acceptable at lower cost.
     */
   def qNtileDist(s: SparkSession, dir: String): DataFrame = {
-    val spend = s.read.parquet(s"$dir/orders.parquet")
+    val spend = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("spend"))
     val total = spend.agg(count(lit(1)).as("_n"))
@@ -517,7 +517,7 @@ object Relational {
     * (QuartileScaleSpec pins the agreement).
     */
   def spendQuartilesApprox(s: SparkSession, dir: String): DataFrame = {
-    val spend = s.read.parquet(s"$dir/orders.parquet")
+    val spend = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("spend"))
     val bounds = spend.agg(percentile_approx(col("spend"),
@@ -693,7 +693,7 @@ object Relational {
     */
   def qSkyline(s: SparkSession, dir: String): DataFrame =
     graft.operators.Skyline.skyline2dMin(
-        s.read.parquet(s"$dir/part.parquet")
+        graft.sources.Tables.parquet(s, s"$dir/part.parquet")
           .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size")),
         groupCol = "p_brand", xCol = "p_retailprice", yCol = "p_size")
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
@@ -723,10 +723,10 @@ object Relational {
     * rewrite is the 100 TB path when segments are few and huge).
     */
   def qRankFamily(s: SparkSession, dir: String): DataFrame = {
-    val spend = s.read.parquet(s"$dir/orders.parquet")
+    val spend = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(col("o_custkey"))
       .agg(exactSum(col("o_totalprice")).as("spend"))
-    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val cust = graft.sources.Tables.parquet(s, s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("spend").desc)
     spend.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -768,7 +768,7 @@ object Relational {
     * (group, k).
     */
   def qPercentileCont(s: SparkSession, dir: String): DataFrame = {
-    val v = s.read.parquet(s"$dir/orders.parquet")
+    val v = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .select(col("o_orderpriority").as("grp"),
         round(col("o_totalprice") * 100).cast("long").as("c"))
     val r = v.withColumn("rn",
@@ -814,7 +814,7 @@ object Relational {
     * exactly once while ordinary equality would drop it.
     */
   def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .select(nullif(col("l_returnflag"), lit("N")).as("rf"),
         col("l_quantity"))
     val g = li.groupBy(col("rf"))
@@ -849,7 +849,7 @@ object Relational {
     * engines — Spark counts from Sunday=1, DuckDB from Sunday=0).
     */
   def qDatetimeRollup(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/orders.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(year(col("o_orderdate")).cast("long").as("y"),
         month(col("o_orderdate")).cast("long").as("mo"),
         quarter(col("o_orderdate")).cast("long").as("q"))
@@ -875,7 +875,7 @@ object Relational {
     * definitions mapped onto ONE documented calendar contract.
     */
   def qDowProfile(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/orders.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy((((dayofweek(col("o_orderdate")) + 5) % 7) + 1).cast("long").as("iso_dow"))
       .agg(count(lit(1)).as("n_orders"),
         exactSum(col("o_totalprice")).as("spend"))
@@ -895,7 +895,7 @@ object Relational {
     * Map-only projection; hash-exact output pins the whole family.
     */
   def qStringFuncs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/part.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/part.parquet")
       .select(col("p_partkey"),
         length(col("p_name")).cast("long").as("name_len"),
         upper(col("p_name")).as("name_upper"),
@@ -925,7 +925,7 @@ object Relational {
     * exact DECIMAL lattice.
     */
   def qConditionalAgg(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_big"),
@@ -956,7 +956,7 @@ object Relational {
     * Map-only projection — no shuffle at any scale.
     */
   def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/part.parquet")
+    graft.sources.Tables.parquet(s, s"$dir/part.parquet")
       .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
       .select(col("p_partkey"),
         size(col("words")).cast("long").as("n_words"),
@@ -1031,10 +1031,10 @@ object Relational {
     * row-level full-outer of the raw tables.
     */
   def qFullOuter(s: SparkSession, dir: String): DataFrame = {
-    val c = s.read.parquet(s"$dir/customer.parquet")
+    val c = graft.sources.Tables.parquet(s, s"$dir/customer.parquet")
       .filter(col("c_acctbal") > 7500)
       .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
-    val p = s.read.parquet(s"$dir/supplier.parquet")
+    val p = graft.sources.Tables.parquet(s, s"$dir/supplier.parquet")
       .filter(col("s_acctbal") > 7500)
       .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
     c.join(p, col("ck") === col("sk"), "full_outer")
@@ -1075,7 +1075,7 @@ object Relational {
     * DECIMAL(38,0) beyond that.
     */
   def qAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
-    val rev = s.read.parquet(s"$dir/orders.parquet")
+    val rev = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     val total = rev.agg(sum(col("cents")).as("total_cents"))
@@ -1111,7 +1111,7 @@ object Relational {
     * the spec, sharing [[qAbcAnalysisSql]] verbatim as its oracle.
     */
   def qAbcDist(s: SparkSession, dir: String): DataFrame = {
-    val rev = s.read.parquet(s"$dir/orders.parquet")
+    val rev = graft.sources.Tables.parquet(s, s"$dir/orders.parquet")
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     val total = rev.agg(sum(col("cents")).as("total_cents"))
@@ -1176,7 +1176,7 @@ object Relational {
     * shuffle). No row-level sort anywhere.
     */
   def qModeArgmax(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
     // explicit floor pins ONE semantics: a bare DOUBLE→BIGINT cast
     // truncates in Spark but rounds in DuckDB
     val qty = floor(col("l_quantity")).cast("long")
@@ -1235,7 +1235,7 @@ object Relational {
     * the bucket count; the spine join is a broadcast of 20 rows.
     */
   def qHistogram(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
       .select(round(col("l_extendedprice") * 100).cast("long").as("xc"))
     val stats = li.agg(min(col("xc")).as("minc"), max(col("xc")).as("maxc"))
     val counts = li.crossJoin(broadcast(stats))
@@ -1330,8 +1330,8 @@ object Relational {
       .orderBy("brand_a", "brand_b")
 
   def qBasketRules(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
-    val part = s.read.parquet(s"$dir/part.parquet")
+    val li = graft.sources.Tables.parquet(s, s"$dir/lineitem.parquet")
+    val part = graft.sources.Tables.parquet(s, s"$dir/part.parquet")
     // ONE corpus shuffle (r13): brand rides in on the broadcast dim
     // join, then the distinct brands of each order collapse into a
     // sorted per-order ARRAY (map-side partial collect_set dedups
