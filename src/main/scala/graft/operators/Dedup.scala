@@ -150,6 +150,35 @@ object Dedup {
     */
   private[graft] val CollapseGate = 0.95
 
+  /** Session conf: shingleable-doc ceiling under which [[ngramJaccard]]
+    * skips the truncated-blob candidate machinery (the dt-attach join +
+    * in-stage IntersectEmit pre-verify) and sends bare candidate pairs
+    * straight to the distinct + exact verify. Both paths are
+    * output-identical (the pre-verify only prunes pairs the exact merge
+    * kills anyway); the blob path wins once the candidate set is big
+    * enough that shuffling bare pairs into the distinct dominates (the
+    * sf2 closed-vocab fixture: 71.5M candidates for ~5k survivors),
+    * the direct path wins while the whole candidate set is small
+    * (measured at 5k docs: the dt exchange + merges cost more than the
+    * pair distinct they avoid, 2.7 → 2.1 s interleaved same-session).
+    * The ceiling is a SAFETY bound, not a tuning knob: in direct mode
+    * the exact verify's input is candidate-sized, so its famDocs sides
+    * are force-broadcast (≤ ceiling docs × ~2 KB blob ≈ tens of MB,
+    * bounded by the ceiling) and the verify STREAMS — without that, a
+    * dense candidate set re-creates the r16 disease of sorting
+    * blob-carrying candidate rows through an SMJ (measured while
+    * sizing this gate: 100k closed-vocab docs in direct mode = 71.5M
+    * pairs × a ~1.7 KB side blob into the second verify join's sort,
+    * a spill past 79 GB of free disk; the blob path runs the same
+    * corpus in ~16 s). 20k docs keeps the forced broadcast tens-of-MB
+    * and the bare-pair distinct trivial at any realistic density.
+    */
+  val DirectVerifyConf = "spark.graft.dedup.directVerifyDocs"
+  private[graft] val DirectVerifyDocsDefault = 20000L
+  private def directVerifyDocs(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(DirectVerifyConf).map(_.toLong)
+      .getOrElse(DirectVerifyDocsDefault)
+
   private def semiPruneEnabled(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(SemiPruneConf).exists(_.toBoolean)
 
@@ -320,9 +349,18 @@ object Dedup {
     // decides whether family pairs come from the expansion or from
     // the candidate join. At small SF the machinery was the dominant
     // cost (sf0.1: 4.4 s with vs ~2 s without, for 8 dups in 5000).
+    // r17.4: approx_count_distinct, not countDistinct — the exact
+    // distinct forced a two-phase (expand) aggregate into the gate job;
+    // the HLL++ sketch map-side combines in one pass, is deterministic
+    // (hash-based), and counts the blob directly (no per-row md5). The
+    // gate tolerates its ±2% rsd by construction: EITHER branch is
+    // output-identical (identical-set pairs are ordinary jaccard-1
+    // candidates), the fraction only picks which machinery runs, and
+    // real corpora sit far from the 0.95 boundary (~50%-dup web crawls
+    // vs ≥99% distinct synthetic fixtures).
     val gate = famAll.agg(
       count(when(length(col("d")) >= 16, 1)).as("n"),
-      countDistinct(when(length(col("d")) >= 16, md5(col("d")))).as("f")).head
+      approx_count_distinct(when(length(col("d")) >= 16, col("d")), 0.02).as("f")).head
     val collapse = gate.getLong(1) < CollapseGate * gate.getLong(0)
     val fams =
       if (collapse) CachePool.track(famDocs.groupBy(md5(col("d")).as("fp"))
@@ -348,9 +386,20 @@ object Dedup {
     val freq = ds.groupBy(col("g")).agg(count(lit(1)).as("c"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("c"), col("g"))
+    // DIRECT-VERIFY GATE (r17.4): below [[DirectVerifyDocs]] shingleable
+    // docs the blob machinery inverts — the dt-attach join (one
+    // corpus-sized exchange of the rep table) plus the in-stage
+    // IntersectEmit merges cost more than just shuffling the bare
+    // candidate pairs into the distinct, because a small corpus's
+    // candidate set is itself small. Both paths feed the SAME exact
+    // verify below, so the output is provably identical — the blob
+    // path's in-stage pre-verify only prunes candidates the exact merge
+    // would kill anyway. Conf-overridable for cluster profiles (and so
+    // specs/probes can force either path at any SF).
+    val directVerify = gate.getLong(0) <= directVerifyDocs(docs)
     // both sides of the candidate self-join read this — persist (pool-
     // bounded lifecycle), or the rarity ranking runs twice
-    val prefixes = CachePool.track(ds
+    val prefixBase = ds
       .join(freq, "g")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= greatest(lit(1),
@@ -363,14 +412,17 @@ object Dedup {
       // (most shingles in a real corpus are unique), so this is the
       // single biggest candidate-join input cut available losslessly.
       .filter(col("c") > 1)
+    val prefixes = CachePool.track(
+      if (directVerify) prefixBase.select(col("id"), col("g"), col("len"), col("rn"))
       // attach the doc's TRUNCATED digest blob (4-byte blocks — ¼ the
       // exchange payload; a lossless upper-bound representation, see
       // DigestTruncate) AFTER the prefix filters, so only surviving
       // prefix rows (not every posting) carry it into the candidate
       // join
-      .join(reps.select(col("id"),
-        call_function("graft_digtrunc", col("d"), lit(4)).as("dt")), "id")
-      .select(col("id"), col("g"), col("len"), col("rn"), col("dt")))
+      else prefixBase
+        .join(reps.select(col("id"),
+          call_function("graft_digtrunc", col("d"), lit(4)).as("dt")), "id")
+        .select(col("id"), col("g"), col("len"), col("rn"), col("dt")))
     // ppjoin's length filter rides the join: jaccard ≥ t ⟹
     // inter ≤ min(|a|,|b|) and union ≥ max(|a|,|b|), so
     // min ≥ t·max — a free necessary-condition predicate. ppjoin's
@@ -389,25 +441,42 @@ object Dedup {
     // distinct below is survivor-sized, never candidate-sized (at sf2:
     // 71.5M candidates never leave their map stage; ~127k pre-verified
     // rows distinct to ~5k pairs).
-    val prePairs = prefixes.as("a").join(prefixes.as("b"),
+    val candJoin = prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.len") >= lit(threshold) * col("b.len") &&
           col("b.len") >= lit(threshold) * col("a.len") &&
           (lit(1) + least(col("a.len") - col("a.rn"), col("b.len") - col("b.rn"))) *
             lit(1.0 + threshold) >=
             lit(threshold) * (col("a.len") + col("b.len")) - lit(1e-9))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        explode(call_function("graft_isect_emit",
-          col("a.dt"), col("b.dt"), lit(threshold), lit(4))).as("iu"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // exact verify of the survivors on the FULL 16-byte blobs — a
-    // result-sized pair of id-keyed joins (AQE broadcasts the tiny
-    // pair side) + one exact merge per survivor; truncation false
-    // positives die here.
+    val prePairs = (
+      if (directVerify)
+        // small corpus: bare candidate pairs go straight to the
+        // candidate-sized (but small) distinct; the exact verify below
+        // is the only merge evaluated
+        candJoin.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      else candJoin
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          explode(call_function("graft_isect_emit",
+            col("a.dt"), col("b.dt"), lit(threshold), lit(4))).as("iu"))
+        .select(col("id_a"), col("id_b"))
+      ).distinct()
+    // exact verify on the FULL 16-byte blobs + one exact merge per
+    // surviving pair; truncation false positives die here. Blob path:
+    // prePairs is pre-verified (survivor-sized), AQE broadcasts it and
+    // famDocs streams. Direct path: prePairs is CANDIDATE-sized, so
+    // the famDocs sides (bounded by the direct-verify doc ceiling)
+    // are force-broadcast instead — the verify then streams the pairs
+    // through two broadcast-hash probes; letting these fall to SMJ
+    // would sort candidate rows already carrying a side's blob, the
+    // exact r16 candidate-exchange disease (measured: >79 GB spill at
+    // 100k closed-vocab docs).
+    val famSide = (role: String, out: String) => {
+      val side = famDocs.select(col("id").as(role), col("d").as(out))
+      if (directVerify) broadcast(side) else side
+    }
     val repPairs = prePairs
-      .join(famDocs.select(col("id").as("id_a"), col("d").as("d_a")), "id_a")
-      .join(famDocs.select(col("id").as("id_b"), col("d").as("d_b")), "id_b")
+      .join(famSide("id_a", "d_a"), "id_a")
+      .join(famSide("id_b", "d_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         explode(call_function("graft_isect_emit",
           col("d_a"), col("d_b"), lit(threshold), lit(16))).as("iu"))

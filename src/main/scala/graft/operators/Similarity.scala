@@ -1778,25 +1778,39 @@ object Similarity {
       java.math.BigDecimal.valueOf(x)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue
 
-    // pass 1: per-dim exact moments as ONE wide keyless aggregation
-    // (64 sum + 64 sum-of-squares columns; an explode→groupBy(dim)
-    // shape spent ~3 stages of scheduling per pass on a table this
-    // narrow) → means AND the exact Σcv² via Σ(v−m)² = Q − 2mS + n·m²,
-    // pure BigInt algebra — no second pass.
+    // pass 1: per-dim exact moments → means AND the exact Σcv² via
+    // Σ(v−m)² = Q − 2mS + n·m², pure BigInt algebra — no second pass.
+    // r17.4: posexplode→groupBy(dim) instead of the previous 129-column
+    // keyless aggregate. The wide agg's per-action cost was codegen
+    // SOURCE SIZE, not task work: 64 overflow-checked DECIMAL sums
+    // generate ~0.2 s of source assembly/compile per action (measured
+    // against ss2's single-sum agg over the same base: 0.08 s vs
+    // 0.25–0.42 s per iteration at bench SF, where the task work itself
+    // is ~2 ms on 2k vectors). The explode shape pays one ≤dims-key
+    // exchange instead and its summands are IDENTICAL (same longs, same
+    // per-row cast(dec); integer/decimal sums are order-free), so every
+    // collected value is bit-for-bit the wide agg's. The zip_with pad
+    // makes every row emit every d < dims — per-dim count ≡ count(*),
+    // null v where the input array is short — exactly getItem's
+    // semantics on ragged input.
     val vArr = transform(col(embCol),
       e => round(e.cast("double") * lit(1000000.0)).cast("long"))
-    val moAggs = (0 until dims).flatMap(d => Seq(
-      sum(col("varr").getItem(d)).as(s"s$d"),
-      sum((col("varr").getItem(d) * col("varr").getItem(d)).cast(dec))
-        .cast(dec).as(s"q$d"))) :+ count(lit(1)).as("nv")
-    val mo = embs.select(vArr.as("varr")).agg(moAggs.head, moAggs.tail: _*)
-      .collect().head
-    val nVec = mo.getAs[Long]("nv")
+    val zeroPad = array(Array.fill(dims)(lit(0L)): _*)
+    val moRows = embs
+      .select(posexplode(zip_with(vArr, zeroPad, (v, _) => v)).as(Seq("dim", "v")))
+      .filter(col("dim") < dims)
+      .groupBy(col("dim"))
+      .agg(sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(dec)).cast(dec).as("q"),
+        count(lit(1)).as("nv"))
+      .collect()
+    val moByDim = moRows.map(r => r.getAs[Int]("dim") -> r).toMap
+    val nVec = moByDim(0).getAs[Long]("nv")
     val mArr = Array.tabulate(dims)(d =>
-      sqlRound(mo.getAs[Long](s"s$d").toDouble / nVec))
+      sqlRound(moByDim(d).getAs[Long]("s").toDouble / nVec))
     val cv2 = (0 until dims).map { d =>
-      BigInt(mo.getAs[java.math.BigDecimal](s"q$d").toBigInteger) -
-        2 * BigInt(mArr(d)) * BigInt(mo.getAs[Long](s"s$d")) +
+      BigInt(moByDim(d).getAs[java.math.BigDecimal]("q").toBigInteger) -
+        2 * BigInt(mArr(d)) * BigInt(moByDim(d).getAs[Long]("s")) +
         BigInt(nVec) * BigInt(mArr(d)) * BigInt(mArr(d))
     }.sum
 
@@ -1821,18 +1835,26 @@ object Similarity {
       call_function("graft_doti", col("cv"), array(w.map(lit(_)): _*))
     }
 
-    val uAggs = (0 until dims).map(d =>
-      sum((col("cv").getItem(d) * col("stv")).cast(dec)).cast(dec).as(s"u$d"))
     var w = Array.fill(dims)(1000000L)
     for (_ <- 1 to iters) {
-      // one wide keyless aggregation per round — same plan shape every
-      // round (only the folded weight literals change)
-      val row = base
-        .withColumn("s", sCol(w) cast "long")
-        .withColumn("stv", expr("s div 134217728"))
-        .agg(uAggs.head, uAggs.tail: _*).collect().head
-      val u = Array.tabulate(dims)(d =>
-        BigInt(row.getAs[java.math.BigDecimal](s"u$d").toBigInteger))
+      // one explode→groupBy(dim) aggregation per round (same plan
+      // shape every round, only the weight array in graft_doti's
+      // literal child changes) — the r17.4 moments-pass move: a single
+      // decimal-sum agg over ≤dims keys instead of a 64-sum keyless
+      // agg whose codegen source dominated the round. cv comes from
+      // zip_with so |cv| ≥ dims and every d < dims is present; the
+      // summands (c·stv per row, cast(dec)) are the wide agg's exactly.
+      val dfIter = base
+        .select((sCol(w) cast "long").as("s"), col("cv"))
+        .select(expr("s div 134217728").as("stv"),
+          posexplode(col("cv")).as(Seq("dim", "c")))
+        .filter(col("dim") < dims)
+        .groupBy(col("dim"))
+        .agg(sum((col("c") * col("stv")).cast(dec)).cast(dec).as("u"))
+      val rows = dfIter.collect()
+      val uByDim = rows.map(r => r.getAs[Int]("dim") ->
+        BigInt(r.getAs[java.math.BigDecimal]("u").toBigInteger)).toMap
+      val u = Array.tabulate(dims)(uByDim)
       val un = u.map(_ / 1048576) // BigInteger division truncates ≡ div
       val nrm = math.sqrt(un.map(x => x * x).sum.toDouble)
       w = un.map(x => if (nrm == 0.0) 0L else sqlRound(x.toDouble / nrm * 1000000.0))

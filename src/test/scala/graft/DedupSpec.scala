@@ -65,6 +65,30 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((2L, 4L)), "cross-family pair missing")
   }
 
+  test("ngram jaccard direct-verify gate: both candidate paths are output-identical") {
+    // r17.4: below DirectVerifyConf docs the pipeline skips the
+    // truncated-blob attach + in-stage pre-verify and sends bare
+    // candidate pairs to the distinct + exact verify. Both paths must
+    // produce the same rows — the pre-verify only prunes pairs the
+    // exact merge kills anyway.
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 30L).map { i =>
+      val tail = if (i % 3 == 0) "shared suffix tokens here" else s"tail $i variant words"
+      (i, s"prefix common tokens ${i % 5} $tail")
+    }.toDF("doc_id", "text")
+    def run(confVal: String): Set[(Long, Long, Long, Long, Long)] = {
+      spark.conf.set(Dedup.DirectVerifyConf, confVal)
+      try Dedup.ngramJaccard(docs, threshold = 0.3).collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("inter"),
+          r.getAs[Long]("union_n"), r.getAs[Long]("jaccard_ppm"))).toSet
+      finally spark.conf.unset(Dedup.DirectVerifyConf)
+    }
+    val direct = run("1000000")
+    val blob = run("0")
+    assert(direct.nonEmpty, "gate corpus produced no pairs — test is vacuous")
+    assert(direct == blob, s"direct/blob paths diverged:\n$direct\nvs\n$blob")
+  }
+
   test("semi-pruned verify (cluster path) equals the default chain verify") {
     import org.apache.spark.sql.functions._
     val docs = (0L until 40L).map(i =>
