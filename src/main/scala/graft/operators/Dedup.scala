@@ -1010,11 +1010,19 @@ object Dedup {
     // neighborhood exactly: same-sig docs are always neighbors (all
     // bands agree, Hamming 0), and a doc's smallest same-sig neighbor
     // is m2 when the doc IS the family minimum, m1 otherwise.
+    // fam_n, m1 AND m2 in ONE map-side-combined aggregation (r17.4):
+    // graft_min2 ([[graft.plans.MinTwo]], a DeclarativeAggregate) is
+    // the second-smallest member — on unique doc ids exactly the old
+    // m2s subtree's "smallest id ≠ m1", which cost a second pass over
+    // the corpus rows (sigs ⋈ fams + filter + groupBy) and a third
+    // left join in the per-doc output assembly. A window(row_number)
+    // fold was measured 2.2× WORSE at sf2 (same-sig families are
+    // window groups AQE cannot split); the declarative aggregate
+    // partial-aggregates like min itself, so the skewed families
+    // collapse map-side.
     val fams = CachePool.track(sigs.groupBy(col("sig"))
-      .agg(count(lit(1)).as("fam_n"), min(col("id")).as("m1")))
-    val m2s = sigs.join(fams.select(col("sig"), col("m1")), "sig")
-      .filter(col("id") =!= col("m1"))
-      .groupBy(col("sig")).agg(min(col("id")).as("m2"))
+      .agg(count(lit(1)).as("fam_n"), min(col("id")).as("m1"),
+        call_function("graft_min2", col("id")).as("m2")))
     val bandArr = array((0 until bands).map { b =>
       struct(lit(b.toLong).as("band"),
         shiftright(col("sig"), width * (bands - 1 - b)).bitwiseAND(lit(mask)).as("bv"))
@@ -1039,7 +1047,6 @@ object Dedup {
     val cross = sigPairs.groupBy(col("sig"))
       .agg(sum(col("nb_n")).as("cross_n"), min(col("nb_m1")).as("cross_min"))
     sigs.join(fams, "sig")
-      .join(m2s, Seq("sig"), "left")
       .join(cross, Seq("sig"), "left")
       .withColumn("n_near", coalesce(col("cross_n"), lit(0L)) + col("fam_n") - 1)
       .filter(col("n_near") >= 1)

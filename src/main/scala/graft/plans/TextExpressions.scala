@@ -67,7 +67,10 @@ object TextExpressions {
     "graft_digtrunc" -> (es => DigestTruncate(es(0), intLit(es(1)))),
     "graft_isect_emit" -> (es => IntersectEmit(es(0), es(1), doubleLit(es(2)), intLit(es(3)))),
     "graft_doti" -> (es => LongArrayDot(es(0), longArrLit(es(1)))),
-    "graft_spanhash" -> (es => SpanHashes(es(0), intLit(es(1)))))
+    "graft_spanhash" -> (es => SpanHashes(es(0), intLit(es(1)))),
+    // aggregate — the analyzer wraps AggregateFunctions from the
+    // registry in an AggregateExpression during resolution
+    "graft_min2" -> (es => MinTwo(es(0))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i

@@ -92,6 +92,38 @@ class FusedExprSpec extends SparkSpec {
     assert(long == 30L)
   }
 
+  test("property: graft_min2 equals brute-force second-smallest across partition merges") {
+    // r17.4 ([[graft.plans.MinTwo]]): one-pass second-smallest. The
+    // brute force sorts the group's non-null values and takes index 1
+    // (multiset semantics — duplicates of the minimum count). The
+    // repartition(7) forces partial buffers to MERGE across tasks, so
+    // both update and merge trees are exercised; null inputs must be
+    // ignored, <2-value groups must yield NULL.
+    val entry = for {
+      k <- Gen.chooseNum(0, 9)
+      v <- Gen.option(Gen.chooseNum(-50L, 50L))
+    } yield (k, v)
+    val cases = Gen.listOfN(400, entry).sample.get
+    val df = cases.toDF("k", "v").repartition(7)
+      .groupBy(col("k"))
+      .agg(call_function("graft_min2", col("v")).as("m2"))
+    val got = df.collect()
+      .map(r => r.getAs[Int]("k") -> Option(r.getAs[java.lang.Long]("m2")).map(_.toLong)).toMap
+    val want = cases.groupBy(_._1).map { case (k, vs) =>
+      val sorted = vs.flatMap(_._2).sorted
+      k -> (if (sorted.size >= 2) Some(sorted(1)) else None)
+    }
+    assert(got == want, s"graft_min2 drifted:\n$got\nvs brute\n$want")
+  }
+
+  test("graft_min2 orders strings and handles the single-row merge edge") {
+    val df = Seq(("g", "bb"), ("g", "aa"), ("g", "cc"), ("h", "zz"))
+      .toDF("k", "v").repartition(3)
+      .groupBy(col("k")).agg(call_function("graft_min2", col("v")).as("m2"))
+    val got = df.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("g" -> Some("bb"), "h" -> None))
+  }
+
   test("graft_doti / graft_bpe_apply: same parameters compare semantically equal") {
     // Array-typed expression fields default to identity equality, which
     // silently defeats semanticEquals-driven reuse (CSE, exchange/cache
