@@ -390,8 +390,14 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
           (detailLine + "\n").getBytes("UTF-8"))
         println("full per-query detail -> BENCH_DETAIL.json")
-      } catch { case _: Throwable => () } // detail is best-effort; the line below is the contract
-      println(fullLine)
+      } catch {
+        // detail is best-effort; the bounded line below is the contract.
+        // If the file write fails, the full map is still echoed — with a
+        // non-`{` prefix, because a tail-truncated fragment of a bare
+        // `{`-leading full line inside the log-capture window is exactly
+        // what made two rounds of bench output unparseable.
+        case _: Throwable => println("full-detail-unwritten: " + fullLine)
+      }
     }
     val tail = s"""$spreadJson$stormJson$extrasBounded,"n_queries":${ok.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir""""
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":"""
