@@ -353,10 +353,17 @@ object Similarity {
       cents.unpersist()
       cents = next
     }
-    // the final round's centroid cache backs the lazy result handed to
-    // the caller — pool-bounded lifecycle, not a per-call leak
-    CachePool.track(cents)
-    cents.select(col("cent_id"), posexplode(col("cv")).as(Seq("pos0", "c")))
+    // Truncate the iteration lineage: the loop above already
+    // materialized the k·dims final state, and localCheckpoint turns it
+    // into a tiny LogicalRDD so consumer plans stop inlining the full
+    // Lloyd chain (the inlined chain measured as multi-hundred-KB plans
+    // that the optimizer re-walked and — once the between-query
+    // teardown dropped the cache — re-EXECUTED once per plan reference;
+    // a trained-search plan carries 2–3 such references). Same
+    // truncation pattern as the CC label loop and the capstone builders.
+    val snap = cents.localCheckpoint(true)
+    cents.unpersist()
+    snap.select(col("cent_id"), posexplode(col("cv")).as(Seq("pos0", "c")))
       .select(col("cent_id"), (col("pos0") + 1).cast("long").as("pos"),
         (col("c") / lit(1000000.0)).as("cval"))
       .orderBy("cent_id", "pos")
@@ -676,8 +683,13 @@ object Similarity {
       cents.unpersist()
       cents = next
     }
-    CachePool.track(cents)
-    (sve, cents)
+    // Same lineage truncation as kmeansTrain: the m·k centroid table is
+    // tiny and already materialized by the loop; checkpointing it keeps
+    // the per-subspace Lloyd chain out of every PQ consumer plan (the
+    // ivfpq plan referenced it twice and measured 600 KB of plan text).
+    val snap = cents.localCheckpoint(true)
+    cents.unpersist()
+    (sve, snap)
   }
 
   /** Per-(vec, sub) nearest-centroid codes via the packed-long argmin
@@ -1643,9 +1655,17 @@ object Similarity {
     val bn = b.select(col(idCol).as("b_id"), col(embCol).as("eb"),
       norm(col(embCol), dims).as("nrm_b"))
     // micro-unit pair cosines; both k-NN rollups and the margin read
-    // this — persist or the A×B dot products run three times
+    // this — persist or the A×B dot products run three times.
+    // The streamed side inherits the parquet scan's partition count
+    // (1–2 splits at eval scale), so the broadcast-nested-loop cross
+    // join ran on a couple of tasks while the rest of the machine sat
+    // idle (measured as ~1.1 s single-stage jobs at sf0.1); a keyless
+    // repartition of the few-thousand-row side to the session's
+    // parallelism costs microseconds and spreads the |A|·|B| cosine
+    // work over every core — scale-adaptive, nothing hard-coded.
     val pairs = CachePool.track(
-      an.crossJoin(bn)
+      an.repartition(an.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(bn)
         .select(col("a_id"), col("b_id"),
           round(cosinePre(col("ea"), col("eb"), col("nrm_a"), col("nrm_b"), dims) * 1000000.0)
             .cast("long").as("cos_u"))
@@ -1661,10 +1681,19 @@ object Similarity {
     */
   private def marginMine(pairs: DataFrame, kNeigh: Int, marginPpmMin: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // k-NN cosine rollup as ONE map-side-combinable aggregate
+    // (graft_topksum, [[graft.plans.TopKPosSum]]) instead of the
+    // row_number-window + groupBy-sum shape: no sort of the candidate
+    // pair set, and the exchange carries a k-slot buffer per key
+    // instead of per-map-partition top-k rows. The top-k SUM is
+    // tie-insensitive (the window's id tie-break only chose among
+    // equal values), and cos_u > 0 by the callers' filter, so the
+    // zero-padded buffer is exact — pinned against the window form in
+    // SimilaritySpec.
     def knnSum(key: String, other: String, out: String) = {
-      val w = Window.partitionBy(col(key)).orderBy(col("cos_u").desc, col(other))
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= kNeigh)
-        .groupBy(col(key)).agg(sum(col("cos_u")).as(out))
+      graft.plans.TextExpressions.ensureRegistered()
+      pairs.groupBy(col(key))
+        .agg(call_function("graft_topksum", col("cos_u"), lit(kNeigh)).as(out))
     }
     val scored = pairs
       .join(knnSum("a_id", "b_id", "ka_sum"), "a_id")

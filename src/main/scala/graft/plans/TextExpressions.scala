@@ -70,7 +70,8 @@ object TextExpressions {
     "graft_spanhash" -> (es => SpanHashes(es(0), intLit(es(1)))),
     // aggregate — the analyzer wraps AggregateFunctions from the
     // registry in an AggregateExpression during resolution
-    "graft_min2" -> (es => MinTwo(es(0))))
+    "graft_min2" -> (es => MinTwo(es(0))),
+    "graft_topksum" -> (es => TopKPosSum(es(0), intLit(es(1)))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i

@@ -116,6 +116,34 @@ class FusedExprSpec extends SparkSpec {
     assert(got == want, s"graft_min2 drifted:\n$got\nvs brute\n$want")
   }
 
+  test("property: graft_topksum equals brute-force top-k sum across partition merges") {
+    // [[graft.plans.TopKPosSum]]: one-pass sum of the k largest
+    // POSITIVE longs per group — the window-free k-NN cosine rollup of
+    // the margin miners. Brute force sorts descending and sums the
+    // first k; repartition(7) exercises buffer MERGES; null inputs are
+    // ignored; groups with < k values sum what they have; an absent
+    // group never appears (same as the window form).
+    for (k <- Seq(1, 2, 4, 8)) {
+      val entry = for {
+        g <- Gen.chooseNum(0, 9)
+        v <- Gen.option(Gen.chooseNum(1L, 1000000L))
+      } yield (g, v)
+      val cases = Gen.listOfN(400, entry).sample.get
+      val df = cases.toDF("g", "v").repartition(7)
+        .groupBy(col("g"))
+        .agg(call_function("graft_topksum", col("v"), lit(k)).as("s"))
+      val got = df.collect().map(r => r.getAs[Int]("g") -> r.getAs[Long]("s")).toMap
+      val want = cases.groupBy(_._1).collect {
+        case (g, vs) if vs.exists(_._2.nonEmpty) =>
+          g -> vs.flatMap(_._2).sorted(Ordering[Long].reverse).take(k).sum
+      }
+      // groups whose values are ALL null aggregate to the zero buffer
+      val wantWithEmpty = cases.map(_._1).distinct
+        .map(g => g -> want.getOrElse(g, 0L)).toMap
+      assert(got == wantWithEmpty, s"graft_topksum k=$k drifted:\n$got\nvs brute\n$wantWithEmpty")
+    }
+  }
+
   test("graft_min2 orders strings and handles the single-row merge edge") {
     val df = Seq(("g", "bb"), ("g", "aa"), ("g", "cc"), ("h", "zz"))
       .toDF("k", "v").repartition(3)
