@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -162,11 +162,34 @@ object TextExpressions {
     SparkSession.getActiveSession.foreach(register)
 }
 
+/** Real whole-stage codegen for the fused text expressions: generated
+  * code makes the SAME one call per row into the expression's own
+  * `compute` kernel (shipped as a codegen reference object, operands
+  * evaluated natively) that the interpreted eval made — the point is
+  * not the call, it is that a `CodegenFallback` expression excludes its
+  * entire OPERATOR STAGE from whole-stage codegen, not just itself: the
+  * r17 blob-path dedup plan had a single codegen span (the scan's
+  * ColumnarToRow) because every join/Generate/aggregate stage touched
+  * one of these expressions.
+  */
+private[plans] trait GraftUnaryCall extends UnaryExpression {
+  /** Java source for the one-call kernel; `ref` is this expression. */
+  protected def callSource(ref: String, c: String): String
+  /** True when the kernel itself can return null (beyond null inputs). */
+  protected def resultMayBeNull: Boolean = false
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
+      val assign = s"${ev.value} = ${callSource(ref, c)};"
+      if (resultMayBeNull) assign + s"\n${ev.isNull} = ${ev.value} == null;" else assign
+    })
+}
+
 /** Distinct word n-gram shingles of a single-space-tokenized text, in
   * first-occurrence order; fewer than n tokens → empty array.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   override def prettyName: String = "graft_shingles"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -175,8 +198,9 @@ case class WordShingles(child: Expression, n: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any =
-    TextExpressions.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(v: UTF8String): GenericArrayData = TextExpressions.wordShingles(v, n)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -186,7 +210,7 @@ case class WordShingles(child: Expression, n: Int)
   * all k·|shingles| hashes; shingle bytes materialized once.
   */
 case class MinhashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -196,8 +220,9 @@ case class MinhashSig(child: Expression, k: Int)
       s"$prettyName requires ARRAY<STRING>, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(arr: ArrayData): GenericArrayData = {
     val m = arr.numElements()
     val shingleBytes = new Array[Array[Byte]](m)
     var s = 0
@@ -238,7 +263,7 @@ case class MinhashSig(child: Expression, k: Int)
   * w windows → empty array.
   */
 case class WinnowFps(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   override def prettyName: String = "graft_winnow"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -247,9 +272,11 @@ case class WinnowFps(child: Expression, w: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(v: UTF8String): GenericArrayData = {
     // limit -1 keeps trailing empties — Spark's split() semantics
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val toks = v.toString.split(" ", -1)
     val m = toks.length - 2 // 3-gram shingle count
     val windows = m - w + 1
     if (windows < 1) return new GenericArrayData(Array.empty[Any])
@@ -302,7 +329,7 @@ case class WinnowFps(child: Expression, w: Int)
   * digest, nibble tests on the raw bytes, a bounded int array.
   */
 case class SimhashLong(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   require(bits >= 1 && bits <= 62, s"signature must fit a positive long, got $bits bits")
   override def prettyName: String = "graft_simhash"
   override def dataType: DataType = LongType
@@ -318,9 +345,11 @@ case class SimhashLong(child: Expression, bits: Int)
       if (s == 0) Array.empty[Byte]
       else (s + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
 
-  override protected def nullSafeEval(v: Any): Any = {
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(v: UTF8String): Long = {
     // limit -1 keeps trailing empties — Spark's split() semantics
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val toks = v.toString.split(" ", -1)
     val sums = new Array[Int](bits)
     val md = TextExpressions.md5()
     var t = 0
@@ -372,7 +401,7 @@ case class SimhashLong(child: Expression, bits: Int)
   * cost of the DSIR featurizer). Fewer than 2 tokens → empty array.
   */
 case class BigramBuckets(child: Expression, buckets: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   require(buckets > 0, s"bad bucket count $buckets")
   override def prettyName: String = "graft_feat_buckets"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -382,9 +411,11 @@ case class BigramBuckets(child: Expression, buckets: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(v: UTF8String): GenericArrayData = {
     // limit -1 keeps trailing empties — Spark's split() semantics
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val toks = v.toString.split(" ", -1)
     if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
     val md = TextExpressions.md5()
     val out = new Array[Any](toks.length - 1)
@@ -419,7 +450,7 @@ case class BigramBuckets(child: Expression, buckets: Int)
   * semantically equal (CSE / exchange-reuse eligibility).
   */
 case class BpeApply(child: Expression, patterns: Array[String], repls: Array[String])
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   require(patterns.length == repls.length,
     s"merge table arity mismatch: ${patterns.length} patterns, ${repls.length} replacements")
 
@@ -441,8 +472,10 @@ case class BpeApply(child: Expression, patterns: Array[String], repls: Array[Str
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    var s = v.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(v: UTF8String): UTF8String = {
+    var s = v.toString
     var i = 0
     while (i < patterns.length) {
       s = s.replace(patterns(i), repls(i))
@@ -466,7 +499,7 @@ case class BpeApply(child: Expression, patterns: Array[String], repls: Array[Str
   * arithmetic stays in whole-stage codegen.
   */
 case class TopGramStats(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   override def prettyName: String = "graft_topgram"
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
@@ -479,9 +512,12 @@ case class TopGramStats(child: Expression, n: Int)
 
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(v: Any): Any = {
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  override protected def resultMayBeNull: Boolean = true
+  def compute(v: UTF8String): InternalRow = {
     // limit -1 keeps trailing empties — Spark's split() semantics
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val toks = v.toString.split(" ", -1)
     val total = toks.length - n + 1
     if (total <= 0) return null
     val counts = new java.util.HashMap[String, Long](total * 2)
@@ -512,7 +548,7 @@ case class TopGramStats(child: Expression, n: Int)
   * join's Σ|a| shuffled rows per pair.
   */
 case class IntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def prettyName: String = "graft_isect"
   override def dataType: DataType = IntegerType
 
@@ -522,9 +558,16 @@ case class IntersectCount(left: Expression, right: Expression)
       s"$prettyName requires (ARRAY<STRING>, ARRAY<STRING>), got (${l.simpleString}, ${r.simpleString})")
   }
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
     val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = small.numElements()
     val set = new java.util.HashSet[UTF8String](n * 2)
@@ -557,7 +600,7 @@ case class IntersectCount(left: Expression, right: Expression)
   * merge counts.
   */
 case class SetDigests(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   override def prettyName: String = "graft_setdig"
   override def dataType: DataType = BinaryType
 
@@ -567,8 +610,9 @@ case class SetDigests(child: Expression)
       s"$prettyName requires ARRAY<STRING>, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any =
-    TextExpressions.setDigestBlob(v.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(arr: ArrayData): Array[Byte] = TextExpressions.setDigestBlob(arr)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -579,7 +623,7 @@ case class SetDigests(child: Expression)
   * any consistent total order is a valid ppjoin global order).
   */
 case class DigestSplit(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   override def prettyName: String = "graft_digsplit"
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
 
@@ -589,8 +633,9 @@ case class DigestSplit(child: Expression)
       s"$prettyName requires BINARY, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val blob = v.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(blob: Array[Byte]): GenericArrayData = {
     require(blob.length % 16 == 0, s"digest blob length ${blob.length} not a multiple of 16")
     val m = blob.length / 16
     val out = new Array[Any](m)
@@ -617,7 +662,7 @@ case class DigestSplit(child: Expression)
   * Fewer than n tokens → empty blob (zero bytes).
   */
 case class TextDigests(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   override def prettyName: String = "graft_textdig"
   override def dataType: DataType = BinaryType
 
@@ -627,9 +672,10 @@ case class TextDigests(child: Expression, n: Int)
       s"$prettyName requires STRING, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any =
-    TextExpressions.setDigestBlob(
-      TextExpressions.wordShingles(v.asInstanceOf[UTF8String], n))
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(v: UTF8String): Array[Byte] =
+    TextExpressions.setDigestBlob(TextExpressions.wordShingles(v, n))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -647,7 +693,7 @@ case class TextDigests(child: Expression, n: Int)
   * re-verifies the survivors — result-sized — on the 16-byte blobs.
   */
 case class DigestTruncate(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   require(width >= 1 && width <= 16, s"bad digest width $width")
   override def prettyName: String = "graft_digtrunc"
   override def dataType: DataType = BinaryType
@@ -658,8 +704,9 @@ case class DigestTruncate(child: Expression, width: Int)
       s"$prettyName requires BINARY, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val blob = v.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(blob: Array[Byte]): Array[Byte] = {
     val m = blob.length / 16
     val out = new Array[Byte](m * width)
     var i = 0
@@ -688,7 +735,7 @@ case class DigestTruncate(child: Expression, width: Int)
   */
 case class IntersectEmit(left: Expression, right: Expression, threshold: Double,
                          blockBytes: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(blockBytes >= 1 && blockBytes <= 16, s"bad block size $blockBytes")
   override def prettyName: String = "graft_isect_emit"
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -701,9 +748,31 @@ case class IntersectEmit(left: Expression, right: Expression, threshold: Double,
       s"$prettyName requires (BINARY, BINARY), got (${l.simpleString}, ${r.simpleString})")
   }
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[Array[Byte]]
-    val b = r.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    IntersectEmit.merge(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]],
+      threshold, blockBytes)
+
+  // Real codegen (not CodegenFallback): one static call with natively
+  // evaluated byte[] operands and folded parameters. This is the one
+  // fused expression on the candidate-pair hot path (one eval per
+  // candidate at sf2+), and as a CodegenFallback it also excluded its
+  // whole stage — the candidate SMJ + Generate + pre-verify aggregate —
+  // from whole-stage codegen (the r17 blob plan had a single codegen
+  // span, the scan's ColumnarToRow).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.IntersectEmit.merge($a, $b, $threshold, $blockBytes);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectEmit {
+  /** The merge pass shared by interpreted eval and generated code. */
+  def merge(a: Array[Byte], b: Array[Byte], threshold: Double, blockBytes: Int): ArrayData = {
     val na = a.length / blockBytes
     val nb = b.length / blockBytes
     var i = 0
@@ -727,9 +796,6 @@ case class IntersectEmit(left: Expression, right: Expression, threshold: Double,
       new GenericArrayData(Array[Any](InternalRow(inter, union)))
     else new GenericArrayData(Array.empty[Any])
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }
 
 /** Exact integer dot product of an ARRAY<BIGINT> column with a fixed
@@ -754,7 +820,7 @@ case class IntersectEmit(left: Expression, right: Expression, threshold: Double,
   * exchange/cache reuse — for two plans carrying the same weights).
   */
 case class LongArrayDot(child: Expression, weights: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "graft_doti"
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -765,8 +831,18 @@ case class LongArrayDot(child: Expression, weights: Array[Long])
       s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(v: Any): Any = computeBoxed(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
+      val tmp = ctx.freshName("boxed")
+      s"""java.lang.Long $tmp = $ref.computeBoxed($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         |""".stripMargin
+    })
+
+  def computeBoxed(a: ArrayData): java.lang.Long = {
     if (a.numElements() < weights.length) return null
     var acc = 0L
     var i = 0
@@ -774,7 +850,7 @@ case class LongArrayDot(child: Expression, weights: Array[Long])
       acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), weights(i)))
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 
   override def equals(other: Any): Boolean = other match {
@@ -797,7 +873,7 @@ case class LongArrayDot(child: Expression, weights: Array[Long])
   * q_dup_spans). Fewer than n tokens → empty array.
   */
 case class SpanHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends GraftUnaryCall {
   override def prettyName: String = "graft_spanhash"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -806,8 +882,10 @@ case class SpanHashes(child: Expression, n: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(v: UTF8String): GenericArrayData = {
+    val toks = v.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val md = TextExpressions.md5()
     val out = new Array[Any](toks.length - n + 1)
