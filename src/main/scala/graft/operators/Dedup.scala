@@ -176,8 +176,14 @@ object Dedup {
   val DirectVerifyConf = "spark.graft.dedup.directVerifyDocs"
   private[graft] val DirectVerifyDocsDefault = 20000L
   private def directVerifyDocs(df: DataFrame): Long =
-    df.sparkSession.conf.getOption(DirectVerifyConf).map(_.toLong)
-      .getOrElse(DirectVerifyDocsDefault)
+    df.sparkSession.conf.getOption(DirectVerifyConf).map { raw =>
+      // r17 ADVICE: name the conf in the failure instead of a bare NFE
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$DirectVerifyConf must be a long, got '$raw'")
+      }
+    }.getOrElse(DirectVerifyDocsDefault)
 
   private def semiPruneEnabled(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(SemiPruneConf).exists(_.toBoolean)

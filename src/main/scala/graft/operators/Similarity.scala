@@ -1833,6 +1833,12 @@ object Similarity {
         sum((col("v") * col("v")).cast(dec)).cast(dec).as("q"),
         count(lit(1)).as("nv"))
       .collect()
+    // r17 ADVICE: posexplode emits nothing for an empty table or
+    // all-null embedding arrays — fail with a contract message instead
+    // of a bare NoSuchElementException at moByDim(0)
+    require(moRows.nonEmpty,
+      s"pcaTopComponent: no rows with a non-null $embCol array — " +
+        "the operator requires a non-empty embedding table")
     val moByDim = moRows.map(r => r.getAs[Int]("dim") -> r).toMap
     val nVec = moByDim(0).getAs[Long]("nv")
     val mArr = Array.tabulate(dims)(d =>
@@ -1883,7 +1889,10 @@ object Similarity {
       val rows = dfIter.collect()
       val uByDim = rows.map(r => r.getAs[Int]("dim") ->
         BigInt(r.getAs[java.math.BigDecimal]("u").toBigInteger)).toMap
-      val u = Array.tabulate(dims)(uByDim)
+      val u = Array.tabulate(dims)(d => uByDim.getOrElse(d,
+        throw new IllegalStateException(
+          s"pcaTopComponent: dim $d missing from the power-iteration " +
+            "aggregate — empty cached base?")))
       val un = u.map(_ / 1048576) // BigInteger division truncates ≡ div
       val nrm = math.sqrt(un.map(x => x * x).sum.toDouble)
       w = un.map(x => if (nrm == 0.0) 0L else sqlRound(x.toDouble / nrm * 1000000.0))
