@@ -71,7 +71,8 @@ object TextExpressions {
     // aggregate — the analyzer wraps AggregateFunctions from the
     // registry in an AggregateExpression during resolution
     "graft_min2" -> (es => MinTwo(es(0))),
-    "graft_topksum" -> (es => TopKPosSum(es(0), intLit(es(1)))))
+    "graft_topksum" -> (es => TopKPosSum(es(0), intLit(es(1)))),
+    "graft_bigrams" -> (es => BigramPairs(es(0))))
 
   private def intLit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -859,6 +860,45 @@ case class LongArrayDot(child: Expression, weights: Array[Long])
   }
   override def hashCode(): Int =
     31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Word-bigram pair structs of a single-space-tokenized text, in
+  * position order with duplicates kept: element i =
+  * struct(t1 = tok_i, term = tok_{i+1}) — bit-identical to the builtin
+  * `transform(slice(ts, 1, size(ts)-1), (t, i) -> struct(t,
+  * element_at(ts, i+2)))` over ts = split(text, " "), which ran as an
+  * interpreted higher-order lambda with a per-element struct and
+  * element_at dispatch (the dominant single job of q_bigram_nll's
+  * corpus pass). Fewer than 2 tokens → empty array.
+  */
+case class BigramPairs(child: Expression)
+    extends GraftUnaryCall {
+  override def prettyName: String = "graft_bigrams"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t1", StringType, nullable = true),
+    StructField("term", StringType, nullable = true))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def callSource(ref: String, c: String): String = s"$ref.compute($c)"
+  def compute(v: UTF8String): GenericArrayData = {
+    // limit -1 keeps trailing empties — Spark's split() semantics
+    val toks = v.toString.split(" ", -1)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = InternalRow(UTF8String.fromString(toks(i)), UTF8String.fromString(toks(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -144,6 +144,22 @@ class FusedExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_bigrams equals the builtin transform/element_at chain") {
+    // [[graft.plans.BigramPairs]]: position-ordered bigram structs with
+    // duplicates — must match the interpreted HOF formulation it
+    // replaced in bigramNll, including empty tokens from repeated
+    // spaces and the <2-token empty-array edge.
+    val texts = Seq("a b c a b", "one", "", "x  y", "a a a a", "t1 t2")
+    val df = texts.toDF("text")
+    val fused = df.selectExpr("graft_bigrams(text) as bg").collect().map(_.get(0))
+    val builtin = df.select(
+      org.apache.spark.sql.functions.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+          "(t, i) -> struct(t as t1, element_at(split(text, ' '), i + 2) as term))").as("bg"))
+      .collect().map(_.get(0))
+    assert(fused.map(_.toString).toSeq == builtin.map(_.toString).toSeq)
+  }
+
   test("graft_min2 orders strings and handles the single-row merge edge") {
     val df = Seq(("g", "bb"), ("g", "aa"), ("g", "cc"), ("h", "zz"))
       .toDF("k", "v").repartition(3)
